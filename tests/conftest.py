@@ -1,0 +1,43 @@
+"""Test config: run all tests on a virtual 8-device CPU mesh.
+
+Real-TPU execution is exercised by bench.py / the driver; tests need
+determinism and multi-device sharding, which the CPU backend provides via
+xla_force_host_platform_device_count (SURVEY.md §4 implication (c)).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+ORACLE_BUILD = pathlib.Path("/tmp/dav1d-ref")
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """Path to the reference dav1d CLI binary (test oracle). Builds it on
+    first use; skips oracle-based tests if the reference tree is absent."""
+    ref = pathlib.Path("/root/reference")
+    if not ref.exists():
+        pytest.skip("reference tree not available")
+    binary = ORACLE_BUILD / "dav1d"
+    if not binary.exists():
+        subprocess.run(
+            [str(REPO / "tools" / "build_reference.sh"), str(ORACLE_BUILD)],
+            check=True,
+            capture_output=True,
+        )
+    return binary

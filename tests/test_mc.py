@@ -1,0 +1,108 @@
+"""checkasm-style test for the batched MC subpel kernel: exact NumPy model
+(transcribing reference put_8tap_c semantics, src/mc_tmpl.c:130-180) vs the
+fused JAX kernel, across block sizes and bitdepths."""
+
+import numpy as np
+import pytest
+
+from dav1d_tpu.ops import mc
+
+IDENTITY = np.array([0, 0, 0, 64, 0, 0, 0, 0], dtype=np.int32)
+
+
+def ref_put_8tap(src, fh, fv, w, h, bitdepth, mx, my):
+    """Scalar model with the reference's per-path rounding (H+V, H-only,
+    V-only, copy selected by mx/my)."""
+    ib = 4 if bitdepth == 8 else 14 - bitdepth
+    out = np.zeros((h, w), dtype=np.int64)
+    maxp = (1 << bitdepth) - 1
+    s64 = src.astype(np.int64)
+    if mx and my:
+        mid = np.zeros((h + 7, w), dtype=np.int64)
+        for y in range(h + 7):
+            for x in range(w):
+                acc = sum(int(fh[t]) * int(s64[y, x + t]) for t in range(8))
+                mid[y, x] = (acc + ((1 << (6 - ib)) >> 1)) >> (6 - ib)
+        for y in range(h):
+            for x in range(w):
+                acc = sum(int(fv[t]) * int(mid[y + t, x]) for t in range(8))
+                out[y, x] = (acc + ((1 << (6 + ib)) >> 1)) >> (6 + ib)
+    elif mx:
+        rnd = 32 + ((1 << (6 - ib)) >> 1)
+        for y in range(h):
+            for x in range(w):
+                acc = sum(int(fh[t]) * int(s64[y + 3, x + t]) for t in range(8))
+                out[y, x] = (acc + rnd) >> 6
+    elif my:
+        for y in range(h):
+            for x in range(w):
+                acc = sum(int(fv[t]) * int(s64[y + t, x + 3]) for t in range(8))
+                out[y, x] = (acc + 32) >> 6
+    else:
+        out = s64[3 : 3 + h, 3 : 3 + w].copy()
+    return np.clip(out, 0, maxp)
+
+
+@pytest.mark.parametrize("bitdepth", [8, 10, 12])
+@pytest.mark.parametrize("w,h", [(4, 4), (8, 8), (16, 8), (8, 32)])
+def test_put_8tap_matches_model(bitdepth, w, h):
+    rng = np.random.default_rng(42)
+    n = 8
+    maxp = (1 << bitdepth) - 1
+    src = rng.integers(0, maxp + 1, size=(n, h + 7, w + 7)).astype(np.int32)
+    # Random legal 8-tap filters (sum 64, taps in int8 range like the spec's).
+    fhs, fvs, mxs, mys = [], [], [], []
+    for i in range(n):
+        mx = int(rng.integers(0, 16))
+        my = int(rng.integers(0, 16))
+        fh = rng.integers(-20, 40, size=8).astype(np.int32) if mx else IDENTITY
+        fv = rng.integers(-20, 40, size=8).astype(np.int32) if my else IDENTITY
+        if mx:
+            fh[3] += 64 - fh.sum()
+        if my:
+            fv[3] += 64 - fv.sum()
+        fhs.append(fh)
+        fvs.append(fv)
+        mxs.append(mx)
+        mys.append(my)
+    fhs = np.stack(fhs)
+    fvs = np.stack(fvs)
+
+    got = np.asarray(
+        mc.put_8tap(src, fhs, fvs, w=w, h=h, bitdepth=bitdepth)
+    )
+    for i in range(n):
+        want = ref_put_8tap(src[i], fhs[i], fvs[i], w, h, bitdepth, mxs[i], mys[i])
+        np.testing.assert_array_equal(got[i], want, err_msg=f"block {i}")
+
+
+def test_avg_and_masks():
+    rng = np.random.default_rng(1)
+    for bitdepth in (8, 10):
+        ib = 4 if bitdepth == 8 else 14 - bitdepth
+        bias = 0 if bitdepth == 8 else 8192
+        t1 = rng.integers(-5000, 9000, size=(2, 8, 8)).astype(np.int32)
+        t2 = rng.integers(-5000, 9000, size=(2, 8, 8)).astype(np.int32)
+        m = rng.integers(0, 65, size=(2, 8, 8)).astype(np.int32)
+        got = np.asarray(mc.avg(t1, t2, bitdepth=bitdepth))
+        want = np.clip(
+            (t1.astype(np.int64) + t2 + (1 << ib) + bias * 2) >> (ib + 1),
+            0,
+            (1 << bitdepth) - 1,
+        )
+        np.testing.assert_array_equal(got, want)
+        got = np.asarray(mc.w_avg(t1, t2, np.int32(9), bitdepth=bitdepth))
+        want = np.clip(
+            (t1.astype(np.int64) * 9 + t2 * 7 + (8 << ib) + bias * 16) >> (ib + 4),
+            0,
+            (1 << bitdepth) - 1,
+        )
+        np.testing.assert_array_equal(got, want)
+        got = np.asarray(mc.mask(t1, t2, m, bitdepth=bitdepth))
+        want = np.clip(
+            (t1.astype(np.int64) * m + t2 * (64 - m) + (32 << ib) + bias * 64)
+            >> (ib + 6),
+            0,
+            (1 << bitdepth) - 1,
+        )
+        np.testing.assert_array_equal(got, want)
