@@ -123,5 +123,5 @@ def _inv_recenter(r: int, v: int) -> int:
     if v > 2 * r:
         return v
     if v & 1:
-        return r + ((v + 1) >> 1)
-    return r - (v >> 1)
+        return r - ((v + 1) >> 1)
+    return (v >> 1) + r
