@@ -1,0 +1,272 @@
+"""Frame-level orchestration: context init, tile splitting, sbrow loop.
+
+Behavioral parity with reference src/decode.c (dav1d_decode_frame_init
+:2750, init_cdf :3142, main :3196, dav1d_decode_frame :3285) — single
+threaded ("pass 0") path; the TPU pipeline replaces the worker-thread
+scheduler with batched device stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import tables
+from ..cdf import CdfContext
+from ..headers import FrameHeader, PixelLayout, SequenceHeader, TxfmMode
+from ..intra_edge import INTRA_EDGE_TREE
+from ..levels import BlockLevel
+from .tile import BlockContext, TaskContext, TileState, decode_sb
+
+
+def init_quant_tables(seq_hdr, frame_hdr, qidx):
+    """(8, 3 planes, 2 dc/ac) uint16 dequant values
+    (reference src/decode.c:54-74)."""
+    dq = np.zeros((8, 3, 2), dtype=np.uint16)
+    n = 8 if frame_hdr.segmentation.enabled else 1
+    tbl = tables.dq_tbl[seq_hdr.hbd]
+
+    def clip_u8(v):
+        return max(0, min(255, v))
+
+    for i in range(n):
+        yac = clip_u8(qidx + frame_hdr.segmentation.seg_data.d[i].delta_q) \
+            if frame_hdr.segmentation.enabled else qidx
+        q = frame_hdr.quant
+        dq[i, 0, 0] = tbl[clip_u8(yac + q.ydc_delta)][0]
+        dq[i, 0, 1] = tbl[yac][1]
+        dq[i, 1, 0] = tbl[clip_u8(yac + q.udc_delta)][0]
+        dq[i, 1, 1] = tbl[clip_u8(yac + q.uac_delta)][1]
+        dq[i, 2, 0] = tbl[clip_u8(yac + q.vdc_delta)][0]
+        dq[i, 2, 1] = tbl[clip_u8(yac + q.vac_delta)][1]
+    return dq
+
+
+class FrameContext:
+    """Decode state for one frame (reference Dav1dFrameContext)."""
+
+    def __init__(self, seq_hdr: SequenceHeader, frame_hdr: FrameHeader,
+                 prev_segmap=None, in_cdf: CdfContext | None = None,
+                 refs=None):
+        self.seq_hdr = seq_hdr
+        self.frame_hdr = frame_hdr
+        self.layout = seq_hdr.layout
+        self.bitdepth = seq_hdr.bitdepth
+
+        hdr = frame_hdr
+        self.w4 = (hdr.width[0] + 3) >> 2
+        self.h4 = (hdr.height + 3) >> 2
+        self.bw = ((hdr.width[0] + 7) >> 3) << 1
+        self.bh = ((hdr.height + 7) >> 3) << 1
+        self.sb128w = (self.bw + 31) >> 5
+        self.sb128h = (self.bh + 31) >> 5
+        self.sb_shift = 4 + seq_hdr.sb128
+        self.sb_step = 16 << seq_hdr.sb128
+        self.sbh = (self.bh + self.sb_step - 1) >> self.sb_shift
+        self.b4_stride = (self.bw + 31) & ~31
+
+        # current picture: padded planes, int32 for uniform integer math
+        ss_ver = 1 if self.layout == PixelLayout.I420 else 0
+        ss_hor = 0 if self.layout == PixelLayout.I444 else 1
+        self.ss_ver, self.ss_hor = ss_ver, ss_hor
+        yw, yh = self.bw * 4, self.bh * 4
+        self.planes = [np.zeros((yh, yw), dtype=np.int32)]
+        if self.layout != PixelLayout.I400:
+            cw = (yw + ss_hor) >> ss_hor
+            ch = (yh + ss_ver) >> ss_ver
+            self.planes += [np.zeros((ch, cw), dtype=np.int32)
+                            for _ in range(2)]
+
+        self.in_cdf = in_cdf if in_cdf is not None else \
+            CdfContext.from_defaults(hdr.quant.yac)
+        self.out_cdf: CdfContext | None = None
+        self.dq = init_quant_tables(seq_hdr, hdr, hdr.quant.yac)
+
+        self.cur_segmap = (
+            np.zeros((self.b4_stride, self.b4_stride), dtype=np.uint8)
+            if hdr.segmentation.enabled else None)
+        if self.cur_segmap is not None:
+            self.cur_segmap = np.zeros((self.bh, self.bw), dtype=np.uint8)
+        self.prev_segmap = prev_segmap
+        self.refs = refs or [None] * 7
+
+        # above block contexts: one per sb128 column per tile row
+        self.a = [BlockContext()
+                  for _ in range(self.sb128w * hdr.tiling.rows)]
+
+        # pre-filter bottom-row backup per sbrow for next sbrow's intra
+        n_pl = 1 if self.layout == PixelLayout.I400 else 3
+        self.ipred_edge = [
+            np.zeros((self.sbh, self.sb128w * 128 >> (ss_hor if pl else 0)),
+                     dtype=np.int32) for pl in range(n_pl)]
+
+        # cdef index per 64x64 unit: (sb128h*2, sb128w*2)
+        self.cdef_idx = np.full((self.sb128h * 2, self.sb128w * 2), -1,
+                                dtype=np.int32)
+        self.ts: list[TileState] = []
+        # per-64x64-unit restoration info lands with the LR stage
+        self.lr_units = {}
+
+    @property
+    def frame_is_intra(self) -> bool:
+        return self.frame_hdr.frame_type.is_key_or_intra
+
+
+def split_tiles(f: FrameContext, tile_groups) -> None:
+    """Split tile-group payloads into per-tile MSAC ranges and create
+    TileStates (reference dav1d_decode_frame_init_cdf, src/decode.c:3142)."""
+    hdr = f.frame_hdr
+    if hdr.refresh_context:
+        f.out_cdf = f.in_cdf.copy()
+    n_tiles = hdr.tiling.cols * hdr.tiling.rows
+    f.ts = [None] * n_tiles
+    tile_row = tile_col = 0
+    for tg in tile_groups:
+        data = tg.data
+        pos = tg.start_offset
+        end_pos = tg.end_offset
+        for j in range(tg.tile_start, tg.tile_end + 1):
+            if j == tg.tile_end:
+                tile_sz = end_pos - pos
+            else:
+                nb = hdr.tiling.n_bytes
+                if nb > end_pos - pos:
+                    raise ValueError("tile size field overruns")
+                tile_sz = 0
+                for k in range(nb):
+                    tile_sz |= data[pos + k] << (k * 8)
+                tile_sz += 1
+                pos += nb
+                if tile_sz > end_pos - pos:
+                    raise ValueError("tile overruns tile group")
+            f.ts[j] = TileState(f, data, pos, pos + tile_sz,
+                                tile_row, tile_col)
+            tile_col += 1
+            if tile_col == hdr.tiling.cols:
+                tile_col = 0
+                tile_row += 1
+            pos += tile_sz
+
+
+def decode_tile_sbrow(t: TaskContext) -> None:
+    """reference dav1d_decode_tile_sbrow (src/decode.c:2594)."""
+    f = t.f
+    ts = t.ts
+    root_bl = BlockLevel.BL_128X128 if f.seq_hdr.sb128 else BlockLevel.BL_64X64
+    sb_step = f.sb_step
+    tile_row, tile_col = ts.tiling_row, ts.tiling_col
+    col_sb128_start = f.frame_hdr.tiling.col_start_sb[tile_col] >> \
+        (not f.seq_hdr.sb128)
+
+    t.l.reset(f.frame_is_intra)
+
+    if f.frame_hdr.restoration.type != [0, 0, 0] and any(
+            f.frame_hdr.restoration.type):
+        pass  # restoration info reads land with the LR stage
+
+    a_base = col_sb128_start + tile_row * f.sb128w
+    t.bx = ts.col_start
+    a_idx = a_base
+    while t.bx < ts.col_end:
+        t.a = f.a[a_idx]
+        sb64x = t.bx >> 4
+        sb64y = t.by >> 4
+        if root_bl == BlockLevel.BL_128X128:
+            t.cur_sb_cdef_idx = _CdefIdxView(f.cdef_idx, sb64y, sb64x)
+            for i in range(4):
+                t.cur_sb_cdef_idx[i] = -1
+        else:
+            t.cur_sb_cdef_idx = _CdefIdxView(f.cdef_idx, sb64y, sb64x)
+            t.cur_sb_cdef_idx[0] = -1
+        _read_lr_for_sb(t)
+        decode_sb(t, root_bl, INTRA_EDGE_TREE[0 if f.seq_hdr.sb128 else 1])
+        if (t.bx + sb_step) & 16 == 0 or f.seq_hdr.sb128:
+            pass
+        if (t.bx & 16) or f.seq_hdr.sb128:
+            a_idx += 1
+        t.bx += sb_step
+
+    _backup_ipred_edge(t)
+
+    if t.ts.msac.cnt <= -15:
+        raise ValueError("MSAC overread in tile")
+
+
+class _CdefIdxView:
+    """4-slot view over the per-64x64 cdef index grid for the current
+    superblock (layout: idx0..3 = (0,0),(0,1),(1,0),(1,1) in 64x64 units)."""
+
+    def __init__(self, grid, sb64y, sb64x):
+        self.grid = grid
+        self.y = sb64y
+        self.x = sb64x
+
+    def _yx(self, i):
+        return self.y + (i >> 1), self.x + (i & 1)
+
+    def __getitem__(self, i):
+        y, x = self._yx(i)
+        return int(self.grid[y, x])
+
+    def __setitem__(self, i, v):
+        y, x = self._yx(i)
+        self.grid[y, x] = v
+
+
+def _read_lr_for_sb(t: TaskContext) -> None:
+    f = t.f
+    if not any(int(ty) for ty in f.frame_hdr.restoration.type):
+        return
+    raise NotImplementedError("loop restoration info (LR stage)")
+
+
+def _backup_ipred_edge(t: TaskContext) -> None:
+    """reference dav1d_backup_ipred_edge (src/recon_tmpl.c:2111)."""
+    f = t.f
+    ts = t.ts
+    sby = t.by >> f.sb_shift
+    x_off = ts.col_start
+    y_row = (t.by + f.sb_step) * 4 - 1
+    if y_row < f.planes[0].shape[0]:
+        f.ipred_edge[0][sby, x_off * 4 : ts.col_end * 4] = \
+            f.planes[0][y_row, x_off * 4 : ts.col_end * 4]
+    if f.layout != PixelLayout.I400:
+        ss_ver, ss_hor = f.ss_ver, f.ss_hor
+        uv_row = ((t.by + f.sb_step) * 4 >> ss_ver) - 1
+        if uv_row < f.planes[1].shape[0]:
+            for pl in (1, 2):
+                f.ipred_edge[pl][sby, x_off * 4 >> ss_hor :
+                                 ts.col_end * 4 >> ss_hor] = \
+                    f.planes[pl][uv_row, x_off * 4 >> ss_hor :
+                                 ts.col_end * 4 >> ss_hor]
+
+
+def decode_frame(f: FrameContext, tile_groups) -> None:
+    """Single-threaded frame decode (reference dav1d_decode_frame_main)."""
+    split_tiles(f, tile_groups)
+    hdr = f.frame_hdr
+    t = TaskContext(f)
+
+    for a in f.a:
+        a.reset(f.frame_is_intra)
+
+    for tile_row in range(hdr.tiling.rows):
+        sbh_end = min(hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
+        for sby in range(hdr.tiling.row_start_sb[tile_row], sbh_end):
+            t.by = sby << (4 + f.seq_hdr.sb128)
+            for tile_col in range(hdr.tiling.cols):
+                t.ts = f.ts[tile_row * hdr.tiling.cols + tile_col]
+                decode_tile_sbrow(t)
+            # loopfilter -> cdef -> super-res -> restoration per sbrow
+            _filter_sbrow(f, sby)
+
+    if hdr.refresh_context:
+        f.out_cdf.update(f.ts[hdr.tiling.update].cdf,
+                         frame_is_intra=f.frame_is_intra)
+
+
+def _filter_sbrow(f: FrameContext, sby: int) -> None:
+    lf = f.frame_hdr.loopfilter
+    if lf.level_y[0] or lf.level_y[1]:
+        raise NotImplementedError("deblocking lands with the filter stage")
+    if f.seq_hdr.cdef and f.frame_hdr.cdef.n_bits:
+        raise NotImplementedError("cdef lands with the filter stage")

@@ -1,0 +1,688 @@
+"""Tile-level symbol decoding: superblock tree walk and block decode.
+
+Behavioral parity with reference src/decode.c (decode_sb :2117, decode_b
+:683, setup_tile :2425, dav1d_decode_tile_sbrow :2594) for the intra path;
+inter parsing lands with the MC stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import tables
+from ..cdf import CdfContext
+from ..headers import FrameType, PixelLayout, PRIMARY_REF_NONE, TxfmMode
+from ..intra_edge import (
+    EDGE_ALL_LEFT_HAS_BOTTOM, EDGE_ALL_TOP_HAS_RIGHT, EDGE_ALL_TR_AND_BL,
+    INTRA_EDGE_TREE,
+)
+from ..levels import (
+    BlockLevel, BlockPartition as BP, BlockSize, IntraPredMode as M,
+    TxfmSize, CFL_ALLOWED_MASK, N_PARTITIONS,
+)
+from ..msac import Msac
+
+
+class Av1Block:
+    """Per-block mode info (reference src/levels.h:262-287)."""
+
+    __slots__ = (
+        "bl", "bs", "bp", "intra", "seg_id", "skip_mode", "skip", "uvtx",
+        # intra
+        "y_mode", "uv_mode", "tx", "pal_sz", "y_angle", "uv_angle",
+        "cfl_alpha",
+        # inter
+        "mv", "wedge_idx", "mask_sign", "interintra_mode", "mv2d", "matrix",
+        "comp_type", "inter_mode", "motion_mode", "drl_idx", "ref",
+        "max_ytx", "filter2d", "interintra_type", "tx_split0", "tx_split1",
+    )
+
+    def __init__(self):
+        for s in self.__slots__:
+            setattr(self, s, 0)
+        self.pal_sz = [0, 0]
+        self.cfl_alpha = [0, 0]
+
+
+class BlockContext:
+    """Above/left neighbour context (reference src/env.h:39-57)."""
+
+    FIELDS = [
+        ("mode", np.uint8, 32), ("lcoef", np.uint8, 32),
+        ("ccoef", np.uint8, (2, 32)), ("seg_pred", np.uint8, 32),
+        ("skip", np.uint8, 32), ("skip_mode", np.uint8, 32),
+        ("intra", np.uint8, 32), ("comp_type", np.uint8, 32),
+        ("ref", np.int8, (2, 32)), ("filter", np.uint8, (2, 32)),
+        ("tx_intra", np.int8, 32), ("tx", np.int8, 32),
+        ("tx_lpf_y", np.uint8, 32), ("tx_lpf_uv", np.uint8, 32),
+        ("partition", np.uint8, 16), ("uvmode", np.uint8, 32),
+        ("pal_sz", np.uint8, 32),
+    ]
+
+    def __init__(self):
+        for name, dt, shape in self.FIELDS:
+            setattr(self, name, np.zeros(shape, dtype=dt))
+
+    def reset(self, keyframe: bool, pass_: int = 0) -> None:
+        """reference reset_context (src/decode.c:2390)."""
+        self.intra.fill(keyframe)
+        self.uvmode.fill(M.DC_PRED)
+        if keyframe:
+            self.mode.fill(M.DC_PRED)
+        if pass_ == 2:
+            return
+        self.partition.fill(0)
+        self.skip.fill(0)
+        self.skip_mode.fill(0)
+        self.tx_lpf_y.fill(2)
+        self.tx_lpf_uv.fill(1)
+        self.tx_intra.fill(-1)
+        self.tx.fill(TxfmSize.TX_64X64)
+        if not keyframe:
+            self.ref.fill(-1)
+            self.comp_type.fill(0)
+            self.mode.fill(0)  # NEARESTMV
+        self.lcoef.fill(0x40)
+        self.ccoef.fill(0x40)
+        self.filter.fill(3)  # N_SWITCHABLE_FILTERS
+        self.seg_pred.fill(0)
+        self.pal_sz.fill(0)
+
+
+class TileState:
+    """reference Dav1dTileState (src/internal.h:354-387)."""
+
+    def __init__(self, f, data, start, end, tile_row, tile_col):
+        hdr = f.frame_hdr
+        self.cdf = f.in_cdf.copy()
+        self.last_qidx = hdr.quant.yac
+        self.last_delta_lf = [0, 0, 0, 0]
+        self.msac = Msac(data, start, end,
+                         disable_cdf_update=bool(hdr.disable_cdf_update))
+        self.tiling_row = tile_row
+        self.tiling_col = tile_col
+        sb_shift = f.sb_shift
+        self.col_start = hdr.tiling.col_start_sb[tile_col] << sb_shift
+        self.col_end = min(hdr.tiling.col_start_sb[tile_col + 1] << sb_shift,
+                           f.bw)
+        self.row_start = hdr.tiling.row_start_sb[tile_row] << sb_shift
+        self.row_end = min(hdr.tiling.row_start_sb[tile_row + 1] << sb_shift,
+                           f.bh)
+        self.dq = f.dq  # current dequant table (per seg, plane, dc/ac)
+        self.dqmem = None
+        self.lr_ref = [dict(filter_v=[3, -7, 15], filter_h=[3, -7, 15],
+                            sgr_weights=[-32, 31]) for _ in range(3)]
+
+
+class TaskContext:
+    """Per-worker decode state (subset of reference Dav1dTaskContext)."""
+
+    def __init__(self, f):
+        self.f = f
+        self.ts: TileState | None = None
+        self.bx = 0
+        self.by = 0
+        self.a: BlockContext | None = None  # above ctx (slice of f.a list)
+        self.l = BlockContext()
+        self.cur_sb_cdef_idx = None  # list of 4 ints view
+        self.frame_thread_pass = 0
+        self.tl_4x4_filter = 0
+        self.cf = np.zeros(32 * 32, dtype=np.int32)
+
+
+def get_partition_ctx(a, l, bl, yb8, xb8):
+    return ((a.partition[xb8] >> (4 - bl)) & 1) + \
+        (((l.partition[yb8] >> (4 - bl)) & 1) << 1)
+
+
+def gather_left_partition_prob(cdf, bl):
+    out = int(cdf[BP.H - 1]) - int(cdf[BP.H])
+    out += int(cdf[BP.SPLIT - 1]) - int(cdf[BP.T_LEFT_SPLIT])
+    if bl != BlockLevel.BL_128X128:
+        out += int(cdf[BP.H4 - 1]) - int(cdf[BP.H4])
+    return out
+
+
+def gather_top_partition_prob(cdf, bl):
+    out = int(cdf[BP.V - 1]) - int(cdf[BP.T_TOP_SPLIT])
+    out += int(cdf[BP.T_LEFT_SPLIT - 1])
+    if bl != BlockLevel.BL_128X128:
+        out += int(cdf[BP.V4 - 1]) - int(cdf[BP.T_RIGHT_SPLIT])
+    return out
+
+
+def get_intra_ctx(a, l, yb4, xb4, have_top, have_left):
+    if have_left:
+        if have_top:
+            ctx = int(l.intra[yb4]) + int(a.intra[xb4])
+            return ctx + (ctx == 2)
+        return int(l.intra[yb4]) * 2
+    return int(a.intra[xb4]) * 2 if have_top else 0
+
+
+def get_tx_ctx(a, l, max_tx_lw, max_tx_lh, yb4, xb4):
+    return (int(l.tx_intra[yb4]) >= max_tx_lh) + \
+        (int(a.tx_intra[xb4]) >= max_tx_lw)
+
+
+def neg_deinterleave(diff, ref, max_):
+    """reference env.h neg_deinterleave."""
+    if not ref:
+        return diff
+    if ref >= max_ - 1:
+        return max_ - diff - 1
+    if 2 * ref < max_:
+        if diff <= 2 * ref:
+            if diff & 1:
+                return ref + ((diff + 1) >> 1)
+            return ref - (diff >> 1)
+        return diff
+    else:
+        if diff <= 2 * (max_ - ref - 1):
+            if diff & 1:
+                return ref + ((diff + 1) >> 1)
+            return ref - (diff >> 1)
+        return max_ - (diff + 1)
+
+
+def get_cur_frame_segid(by, bx, have_top, have_left, cur_seg_map, b4_stride):
+    """Returns (pred_seg_id, seg_ctx); reference env.h:439-460."""
+    if have_left and have_top:
+        l = int(cur_seg_map[by, bx - 1])
+        a = int(cur_seg_map[by - 1, bx])
+        al = int(cur_seg_map[by - 1, bx - 1])
+        if l == a and al == l:
+            seg_ctx = 2
+        elif l == a or al == l or a == al:
+            seg_ctx = 1
+        else:
+            seg_ctx = 0
+        return (a if a == al else l), seg_ctx
+    if have_left:
+        return int(cur_seg_map[by, bx - 1]), 0
+    if have_top:
+        return int(cur_seg_map[by - 1, bx]), 0
+    return 0, 0
+
+
+def decode_sb(t: TaskContext, bl: int, node) -> None:
+    """reference decode_sb (src/decode.c:2117)."""
+    f = t.f
+    ts = t.ts
+    hsz = 16 >> bl
+    have_h_split = f.bw > t.bx + hsz
+    have_v_split = f.bh > t.by + hsz
+
+    if not have_h_split and not have_v_split:
+        assert bl < BlockLevel.BL_8X8
+        return decode_sb(t, bl + 1, node.split[0])
+
+    bx8 = (t.bx & 31) >> 1
+    by8 = (t.by & 31) >> 1
+    ctx = get_partition_ctx(t.a, t.l, bl, by8, bx8)
+    pc = ts.cdf.m.partition[bl][ctx]
+
+    if have_h_split and have_v_split:
+        n_part = int(tables.partition_type_count[bl])
+        bp = ts.msac.decode_symbol_adapt(pc, n_part)
+        if f.layout == PixelLayout.I422 and bp in (
+                BP.V, BP.V4, BP.T_LEFT_SPLIT, BP.T_RIGHT_SPLIT):
+            raise ValueError("illegal vertical partition in 4:2:2")
+        b = tables.block_sizes[bl][bp]
+
+        if bp == BP.NONE:
+            decode_b(t, bl, int(b[0]), bp, node.o)
+        elif bp == BP.H:
+            decode_b(t, bl, int(b[0]), bp, node.h[0])
+            t.by += hsz
+            decode_b(t, bl, int(b[0]), bp, node.h[1])
+            t.by -= hsz
+        elif bp == BP.V:
+            decode_b(t, bl, int(b[0]), bp, node.v[0])
+            t.bx += hsz
+            decode_b(t, bl, int(b[0]), bp, node.v[1])
+            t.bx -= hsz
+        elif bp == BP.SPLIT:
+            if bl == BlockLevel.BL_8X8:
+                tip = node
+                decode_b(t, bl, BlockSize.BS_4x4, bp, EDGE_ALL_TR_AND_BL)
+                tl_filter = t.tl_4x4_filter
+                t.bx += 1
+                decode_b(t, bl, BlockSize.BS_4x4, bp, tip.split[0])
+                t.bx -= 1
+                t.by += 1
+                decode_b(t, bl, BlockSize.BS_4x4, bp, tip.split[1])
+                t.bx += 1
+                t.tl_4x4_filter = tl_filter
+                decode_b(t, bl, BlockSize.BS_4x4, bp, tip.split[2])
+                t.bx -= 1
+                t.by -= 1
+            else:
+                decode_sb(t, bl + 1, node.split[0])
+                t.bx += hsz
+                decode_sb(t, bl + 1, node.split[1])
+                t.bx -= hsz
+                t.by += hsz
+                decode_sb(t, bl + 1, node.split[2])
+                t.bx += hsz
+                decode_sb(t, bl + 1, node.split[3])
+                t.bx -= hsz
+                t.by -= hsz
+        elif bp == BP.T_TOP_SPLIT:
+            decode_b(t, bl, int(b[0]), bp, EDGE_ALL_TR_AND_BL)
+            t.bx += hsz
+            decode_b(t, bl, int(b[0]), bp, node.v[1])
+            t.bx -= hsz
+            t.by += hsz
+            decode_b(t, bl, int(b[1]), bp, node.h[1])
+            t.by -= hsz
+        elif bp == BP.T_BOTTOM_SPLIT:
+            decode_b(t, bl, int(b[0]), bp, node.h[0])
+            t.by += hsz
+            decode_b(t, bl, int(b[1]), bp, node.v[0])
+            t.bx += hsz
+            decode_b(t, bl, int(b[1]), bp, 0)
+            t.bx -= hsz
+            t.by -= hsz
+        elif bp == BP.T_LEFT_SPLIT:
+            decode_b(t, bl, int(b[0]), bp, EDGE_ALL_TR_AND_BL)
+            t.by += hsz
+            decode_b(t, bl, int(b[0]), bp, node.h[1])
+            t.by -= hsz
+            t.bx += hsz
+            decode_b(t, bl, int(b[1]), bp, node.v[1])
+            t.bx -= hsz
+        elif bp == BP.T_RIGHT_SPLIT:
+            decode_b(t, bl, int(b[0]), bp, node.v[0])
+            t.bx += hsz
+            decode_b(t, bl, int(b[1]), bp, node.h[0])
+            t.by += hsz
+            decode_b(t, bl, int(b[1]), bp, 0)
+            t.by -= hsz
+            t.bx -= hsz
+        elif bp == BP.H4:
+            decode_b(t, bl, int(b[0]), bp, node.h[0])
+            t.by += hsz >> 1
+            decode_b(t, bl, int(b[0]), bp, node.h4)
+            t.by += hsz >> 1
+            decode_b(t, bl, int(b[0]), bp, EDGE_ALL_LEFT_HAS_BOTTOM)
+            t.by += hsz >> 1
+            if t.by < f.bh:
+                decode_b(t, bl, int(b[0]), bp, node.h[1])
+            t.by -= hsz * 3 >> 1
+        elif bp == BP.V4:
+            decode_b(t, bl, int(b[0]), bp, node.v[0])
+            t.bx += hsz >> 1
+            decode_b(t, bl, int(b[0]), bp, node.v4)
+            t.bx += hsz >> 1
+            decode_b(t, bl, int(b[0]), bp, EDGE_ALL_TOP_HAS_RIGHT)
+            t.bx += hsz >> 1
+            if t.bx < f.bw:
+                decode_b(t, bl, int(b[0]), bp, node.v[1])
+            t.bx -= hsz * 3 >> 1
+        else:
+            raise AssertionError(bp)
+    elif have_h_split:
+        is_split = ts.msac.decode_bool(gather_top_partition_prob(pc, bl))
+        assert bl < BlockLevel.BL_8X8
+        if is_split:
+            bp = BP.SPLIT
+            decode_sb(t, bl + 1, node.split[0])
+            t.bx += hsz
+            decode_sb(t, bl + 1, node.split[1])
+            t.bx -= hsz
+        else:
+            bp = BP.H
+            decode_b(t, bl, int(tables.block_sizes[bl][BP.H][0]), BP.H,
+                     node.h[0])
+    else:
+        assert have_v_split
+        is_split = ts.msac.decode_bool(gather_left_partition_prob(pc, bl))
+        if f.layout == PixelLayout.I422 and not is_split:
+            raise ValueError("illegal non-split in 4:2:2")
+        assert bl < BlockLevel.BL_8X8
+        if is_split:
+            bp = BP.SPLIT
+            decode_sb(t, bl + 1, node.split[0])
+            t.by += hsz
+            decode_sb(t, bl + 1, node.split[2])
+            t.by -= hsz
+        else:
+            bp = BP.V
+            decode_b(t, bl, int(tables.block_sizes[bl][BP.V][0]), BP.V,
+                     node.v[0])
+
+    if bp != BP.SPLIT or bl == BlockLevel.BL_8X8:
+        # above/left partition ctx spans hsz 8x8 units
+        t.a.partition[bx8 : bx8 + hsz] = tables.al_part_ctx[0][bl][bp]
+        t.l.partition[by8 : by8 + hsz] = tables.al_part_ctx[1][bl][bp]
+
+
+def decode_b(t: TaskContext, bl: int, bs: int, bp: int,
+             intra_edge_flags: int) -> None:
+    """reference decode_b (src/decode.c:683) — intra path."""
+    f = t.f
+    ts = t.ts
+    hdr = f.frame_hdr
+    b = Av1Block()
+    b_dim = tables.block_dimensions[bs]
+    bx4 = t.bx & 31
+    by4 = t.by & 31
+    ss_ver = f.layout == PixelLayout.I420
+    ss_hor = f.layout != PixelLayout.I444
+    cbx4 = bx4 >> ss_hor
+    cby4 = by4 >> ss_ver
+    bw4 = int(b_dim[0])
+    bh4 = int(b_dim[1])
+    w4 = min(bw4, f.bw - t.bx)
+    h4 = min(bh4, f.bh - t.by)
+    cbw4 = (bw4 + ss_hor) >> ss_hor
+    cbh4 = (bh4 + ss_ver) >> ss_ver
+    have_left = t.bx > ts.col_start
+    have_top = t.by > ts.row_start
+    has_chroma = (f.layout != PixelLayout.I400
+                  and (bw4 > ss_hor or t.bx & 1)
+                  and (bh4 > ss_ver or t.by & 1))
+    frame_is_inter = hdr.frame_type.is_inter_or_switch
+
+    b.bl = bl
+    b.bp = bp
+    b.bs = bs
+
+    seg = None
+    seg_pred = 0
+    if hdr.segmentation.enabled:
+        if not hdr.segmentation.update_map:
+            if f.prev_segmap is not None:
+                seg_id = _prev_segid(f, t.by, t.bx, w4, h4)
+                if seg_id >= 8:
+                    raise ValueError("bad prev seg id")
+                b.seg_id = seg_id
+            else:
+                b.seg_id = 0
+            seg = hdr.segmentation.seg_data.d[b.seg_id]
+        elif hdr.segmentation.seg_data.preskip:
+            if hdr.segmentation.temporal:
+                seg_pred = ts.msac.decode_bool_adapt(
+                    ts.cdf.m.seg_pred[int(t.a.seg_pred[bx4])
+                                      + int(t.l.seg_pred[by4])])
+            if hdr.segmentation.temporal and seg_pred:
+                if f.prev_segmap is not None:
+                    seg_id = _prev_segid(f, t.by, t.bx, w4, h4)
+                    if seg_id >= 8:
+                        raise ValueError("bad prev seg id")
+                    b.seg_id = seg_id
+                else:
+                    b.seg_id = 0
+            else:
+                pred_seg_id, seg_ctx = get_cur_frame_segid(
+                    t.by, t.bx, have_top, have_left, f.cur_segmap, f.b4_stride)
+                diff = ts.msac.decode_symbol_adapt(
+                    ts.cdf.m.seg_id[seg_ctx], 7)
+                last_active = hdr.segmentation.seg_data.last_active_segid
+                b.seg_id = neg_deinterleave(diff, pred_seg_id, last_active + 1)
+                if b.seg_id > last_active or b.seg_id >= 8:
+                    b.seg_id = 0
+            seg = hdr.segmentation.seg_data.d[b.seg_id]
+    else:
+        b.seg_id = 0
+
+    # skip_mode
+    if ((seg is None or (not seg.globalmv and seg.ref == -1 and not seg.skip))
+            and hdr.skip_mode_enabled and min(bw4, bh4) > 1):
+        smctx = int(t.a.skip_mode[bx4]) + int(t.l.skip_mode[by4])
+        b.skip_mode = ts.msac.decode_bool_adapt(ts.cdf.m.skip_mode[smctx])
+    else:
+        b.skip_mode = 0
+
+    # skip
+    if b.skip_mode or (seg is not None and seg.skip):
+        b.skip = 1
+    else:
+        sctx = int(t.a.skip[bx4]) + int(t.l.skip[by4])
+        b.skip = ts.msac.decode_bool_adapt(ts.cdf.m.skip[sctx])
+
+    # post-skip segment id
+    if (hdr.segmentation.enabled and hdr.segmentation.update_map
+            and not hdr.segmentation.seg_data.preskip):
+        if not b.skip and hdr.segmentation.temporal:
+            seg_pred = ts.msac.decode_bool_adapt(
+                ts.cdf.m.seg_pred[int(t.a.seg_pred[bx4])
+                                  + int(t.l.seg_pred[by4])])
+        else:
+            seg_pred = 0
+        if seg_pred:
+            if f.prev_segmap is not None:
+                seg_id = _prev_segid(f, t.by, t.bx, w4, h4)
+                if seg_id >= 8:
+                    raise ValueError("bad prev seg id")
+                b.seg_id = seg_id
+            else:
+                b.seg_id = 0
+        else:
+            pred_seg_id, seg_ctx = get_cur_frame_segid(
+                t.by, t.bx, have_top, have_left, f.cur_segmap, f.b4_stride)
+            if b.skip:
+                b.seg_id = pred_seg_id
+            else:
+                diff = ts.msac.decode_symbol_adapt(ts.cdf.m.seg_id[seg_ctx], 7)
+                last_active = hdr.segmentation.seg_data.last_active_segid
+                b.seg_id = neg_deinterleave(diff, pred_seg_id, last_active + 1)
+                if b.seg_id > last_active:
+                    b.seg_id = 0
+            if b.seg_id >= 8:
+                b.seg_id = 0
+        seg = hdr.segmentation.seg_data.d[b.seg_id]
+
+    # cdef index
+    if not b.skip:
+        idx = (((t.bx & 16) >> 4) + ((t.by & 16) >> 3)) if f.seq_hdr.sb128 else 0
+        if t.cur_sb_cdef_idx[idx] == -1:
+            v = ts.msac.decode_bools(hdr.cdef.n_bits)
+            t.cur_sb_cdef_idx[idx] = v
+            if bw4 > 16:
+                t.cur_sb_cdef_idx[idx + 1] = v
+            if bh4 > 16:
+                t.cur_sb_cdef_idx[idx + 2] = v
+            if bw4 == 32 and bh4 == 32:
+                t.cur_sb_cdef_idx[idx + 3] = v
+
+    # delta q/lf
+    if not ((t.bx | t.by) & (31 >> (not f.seq_hdr.sb128))):
+        prev_qidx = ts.last_qidx
+        sb_bs = BlockSize.BS_128x128 if f.seq_hdr.sb128 else BlockSize.BS_64x64
+        have_delta_q = hdr.delta.q_present and (bs != sb_bs or not b.skip)
+        prev_delta_lf = list(ts.last_delta_lf)
+        if have_delta_q:
+            delta_q = ts.msac.decode_symbol_adapt(ts.cdf.m.delta_q, 3)
+            if delta_q == 3:
+                n_bits = 1 + ts.msac.decode_bools(3)
+                delta_q = ts.msac.decode_bools(n_bits) + 1 + (1 << n_bits)
+            if delta_q:
+                if ts.msac.decode_bool_equi():
+                    delta_q = -delta_q
+                delta_q *= 1 << hdr.delta.q_res_log2
+            ts.last_qidx = max(1, min(255, ts.last_qidx + delta_q))
+            if hdr.delta.lf_present:
+                n_lfs = (4 if f.layout != PixelLayout.I400 else 2) \
+                    if hdr.delta.lf_multi else 1
+                for i in range(n_lfs):
+                    delta_lf = ts.msac.decode_symbol_adapt(
+                        ts.cdf.m.delta_lf[i + hdr.delta.lf_multi], 3)
+                    if delta_lf == 3:
+                        n_bits = 1 + ts.msac.decode_bools(3)
+                        delta_lf = ts.msac.decode_bools(n_bits) + 1 + \
+                            (1 << n_bits)
+                    if delta_lf:
+                        if ts.msac.decode_bool_equi():
+                            delta_lf = -delta_lf
+                        delta_lf *= 1 << hdr.delta.lf_res_log2
+                    ts.last_delta_lf[i] = max(
+                        -63, min(63, ts.last_delta_lf[i] + delta_lf))
+        if ts.last_qidx == hdr.quant.yac:
+            ts.dq = f.dq
+        elif ts.last_qidx != prev_qidx:
+            from .frame import init_quant_tables
+            ts.dqmem = init_quant_tables(f.seq_hdr, hdr, ts.last_qidx)
+            ts.dq = ts.dqmem
+        if ts.last_delta_lf != [0, 0, 0, 0] and \
+                ts.last_delta_lf != prev_delta_lf:
+            pass  # lf level recompute lands with the deblock stage
+
+    # intra/inter flag
+    if b.skip_mode:
+        b.intra = 0
+    elif frame_is_inter:
+        if seg is not None and (seg.ref >= 0 or seg.globalmv):
+            b.intra = int(not seg.ref)
+        else:
+            ictx = get_intra_ctx(t.a, t.l, by4, bx4, have_top, have_left)
+            b.intra = 1 - ts.msac.decode_bool_adapt(ts.cdf.m.intra[ictx])
+    elif hdr.allow_intrabc:
+        b.intra = 1 - ts.msac.decode_bool_adapt(ts.cdf.m.intrabc)
+    else:
+        b.intra = 1
+
+    if b.intra:
+        _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
+                        bx4, by4, cbx4, cby4, bw4, bh4, w4, h4, cbw4, cbh4,
+                        have_top, have_left, has_chroma, seg, seg_pred,
+                        frame_is_inter)
+    else:
+        raise NotImplementedError("inter blocks not yet implemented")
+
+
+def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
+                    bx4, by4, cbx4, cby4, bw4, bh4, w4, h4, cbw4, cbh4,
+                    have_top, have_left, has_chroma, seg, seg_pred,
+                    frame_is_inter):
+    f = t.f
+    ts = t.ts
+    hdr = f.frame_hdr
+
+    if frame_is_inter:
+        ymode_cdf = ts.cdf.m.y_mode[int(tables.ymode_size_context[bs])]
+    else:
+        ymode_cdf = ts.cdf.kfym[
+            int(tables.intra_mode_context[int(t.a.mode[bx4])])][
+            int(tables.intra_mode_context[int(t.l.mode[by4])])]
+    b.y_mode = ts.msac.decode_symbol_adapt(ymode_cdf, 12)
+
+    # angle delta
+    if int(b_dim[2]) + int(b_dim[3]) >= 2 and \
+            M.VERT_PRED <= b.y_mode <= M.VERT_LEFT_PRED:
+        acdf = ts.cdf.m.angle_delta[b.y_mode - M.VERT_PRED]
+        angle = ts.msac.decode_symbol_adapt(acdf, 6)
+        b.y_angle = angle - 3
+    else:
+        b.y_angle = 0
+
+    if has_chroma:
+        cfl_allowed = (cbw4 == 1 and cbh4 == 1) \
+            if hdr.segmentation.lossless[b.seg_id] \
+            else bool(CFL_ALLOWED_MASK & (1 << bs))
+        uvmode_cdf = ts.cdf.m.uv_mode[int(cfl_allowed)][b.y_mode]
+        b.uv_mode = ts.msac.decode_symbol_adapt(
+            uvmode_cdf, 13 - (not cfl_allowed))
+        b.uv_angle = 0
+        if b.uv_mode == M.CFL_PRED:
+            sign = ts.msac.decode_symbol_adapt(ts.cdf.m.cfl_sign, 7) + 1
+            sign_u = sign * 0x56 >> 8
+            sign_v = sign - sign_u * 3
+            if sign_u:
+                ctx = (sign_u == 2) * 3 + sign_v
+                b.cfl_alpha[0] = ts.msac.decode_symbol_adapt(
+                    ts.cdf.m.cfl_alpha[ctx], 15) + 1
+                if sign_u == 1:
+                    b.cfl_alpha[0] = -b.cfl_alpha[0]
+            else:
+                b.cfl_alpha[0] = 0
+            if sign_v:
+                ctx = (sign_v == 2) * 3 + sign_u
+                b.cfl_alpha[1] = ts.msac.decode_symbol_adapt(
+                    ts.cdf.m.cfl_alpha[ctx], 15) + 1
+                if sign_v == 1:
+                    b.cfl_alpha[1] = -b.cfl_alpha[1]
+            else:
+                b.cfl_alpha[1] = 0
+        elif int(b_dim[2]) + int(b_dim[3]) >= 2 and \
+                M.VERT_PRED <= b.uv_mode <= M.VERT_LEFT_PRED:
+            acdf = ts.cdf.m.angle_delta[b.uv_mode - M.VERT_PRED]
+            angle = ts.msac.decode_symbol_adapt(acdf, 6)
+            b.uv_angle = angle - 3
+
+    b.pal_sz = [0, 0]
+    if hdr.allow_screen_content_tools and max(bw4, bh4) <= 16 and \
+            bw4 + bh4 >= 4:
+        raise NotImplementedError("palette not yet implemented")
+
+    if b.y_mode == M.DC_PRED and not b.pal_sz[0] and \
+            max(int(b_dim[2]), int(b_dim[3])) <= 3 and f.seq_hdr.filter_intra:
+        is_filter = ts.msac.decode_bool_adapt(ts.cdf.m.use_filter_intra[bs])
+        if is_filter:
+            b.y_mode = M.FILTER_PRED
+            b.y_angle = ts.msac.decode_symbol_adapt(ts.cdf.m.filter_intra, 4)
+
+    # tx size
+    if hdr.segmentation.lossless[b.seg_id]:
+        b.tx = b.uvtx = TxfmSize.TX_4X4
+        t_dim = tables.txfm_info()[TxfmSize.TX_4X4]
+    else:
+        b.tx = int(tables.max_txfm_size_for_bs[bs][0])
+        b.uvtx = int(tables.max_txfm_size_for_bs[bs][f.layout])
+        t_dim = tables.txfm_info()[b.tx]
+        if hdr.txfm_mode == TxfmMode.SWITCHABLE and int(t_dim[5]) > \
+                TxfmSize.TX_4X4:
+            tctx = get_tx_ctx(t.a, t.l, int(t_dim[2]), int(t_dim[3]),
+                              by4, bx4)
+            tx_cdf = ts.cdf.m.txsz[int(t_dim[5]) - 1][tctx]
+            depth = ts.msac.decode_symbol_adapt(
+                tx_cdf, min(int(t_dim[5]), 2))
+            for _ in range(depth):
+                b.tx = int(t_dim[6])  # sub
+                t_dim = tables.txfm_info()[b.tx]
+
+    # reconstruction (pass 0: fused)
+    from ..recon.intra import recon_b_intra
+    recon_b_intra(t, bs, intra_edge_flags, b)
+
+    # update contexts
+    y_mode_nofilt = M.DC_PRED if b.y_mode == M.FILTER_PRED else b.y_mode
+    lw, lh = int(t_dim[2]), int(t_dim[3])
+    t.a.tx_intra[bx4 : bx4 + bw4] = lw
+    t.a.tx[bx4 : bx4 + bw4] = lw
+    t.a.mode[bx4 : bx4 + bw4] = y_mode_nofilt
+    t.a.pal_sz[bx4 : bx4 + bw4] = b.pal_sz[0]
+    t.a.seg_pred[bx4 : bx4 + bw4] = seg_pred
+    t.a.skip_mode[bx4 : bx4 + bw4] = 0
+    t.a.intra[bx4 : bx4 + bw4] = 1
+    t.a.skip[bx4 : bx4 + bw4] = b.skip
+    t.l.tx_intra[by4 : by4 + bh4] = lh
+    t.l.tx[by4 : by4 + bh4] = lh
+    t.l.mode[by4 : by4 + bh4] = y_mode_nofilt
+    t.l.pal_sz[by4 : by4 + bh4] = b.pal_sz[0]
+    t.l.seg_pred[by4 : by4 + bh4] = seg_pred
+    t.l.skip_mode[by4 : by4 + bh4] = 0
+    t.l.intra[by4 : by4 + bh4] = 1
+    t.l.skip[by4 : by4 + bh4] = b.skip
+    if frame_is_inter:
+        t.a.comp_type[bx4 : bx4 + bw4] = 0
+        t.a.ref[0][bx4 : bx4 + bw4] = -1
+        t.a.ref[1][bx4 : bx4 + bw4] = -1
+        t.a.filter[0][bx4 : bx4 + bw4] = 3
+        t.a.filter[1][bx4 : bx4 + bw4] = 3
+        t.l.comp_type[by4 : by4 + bh4] = 0
+        t.l.ref[0][by4 : by4 + bh4] = -1
+        t.l.ref[1][by4 : by4 + bh4] = -1
+        t.l.filter[0][by4 : by4 + bh4] = 3
+        t.l.filter[1][by4 : by4 + bh4] = 3
+    if has_chroma:
+        t.a.uvmode[cbx4 : cbx4 + cbw4] = b.uv_mode
+        t.l.uvmode[cby4 : cby4 + cbh4] = b.uv_mode
+    if hdr.segmentation.enabled and hdr.segmentation.update_map:
+        f.cur_segmap[t.by : t.by + bh4, t.bx : t.bx + bw4] = b.seg_id
+
+
+def _prev_segid(f, by, bx, w4, h4):
+    """min seg id over the colocated area (reference get_prev_frame_segid)."""
+    return int(f.prev_segmap[by : by + h4, bx : bx + w4].min())

@@ -1,0 +1,356 @@
+"""Coefficient decoding + dequantization (reference decode_coefs,
+src/recon_tmpl.c:321-730; AV1 spec 5.11.39 coefficient parsing, 7.12.3
+dequant)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import tables
+from ..levels import (
+    TxClass, TxfmSize, TxfmType, IntraPredMode as M,
+    RTX_4X8,
+)
+
+
+def read_golomb(msac) -> int:
+    ln = 0
+    val = 1
+    while not msac.decode_bool_equi() and ln < 32:
+        ln += 1
+    for _ in range(ln):
+        val = (val << 1) + msac.decode_bool_equi()
+    return val - 1
+
+
+def get_skip_ctx(t_dim, bs, a, a_off, l, l_off, chroma, layout) -> int:
+    """reference get_skip_ctx (src/recon_tmpl.c:60-139)."""
+    b_dim = tables.block_dimensions[bs]
+    lw, lh = int(t_dim[2]), int(t_dim[3])
+    if chroma:
+        ss_ver = layout == 1  # I420
+        ss_hor = layout != 3  # not I444
+        not_one_blk = (int(b_dim[2]) - (bool(b_dim[2]) and ss_hor) > lw
+                       or int(b_dim[3]) - (bool(b_dim[3]) and ss_ver) > lh)
+        ca = int(np.any(a[a_off : a_off + (1 << lw)] != 0x40))
+        cl = int(np.any(l[l_off : l_off + (1 << lh)] != 0x40))
+        return 7 + not_one_blk * 3 + ca + cl
+    if int(b_dim[2]) == lw and int(b_dim[3]) == lh:
+        return 0
+    la = 0
+    for v in a[a_off : a_off + min(1 << lw, 16)]:
+        la |= int(v)
+    ll = 0
+    for v in l[l_off : l_off + min(1 << lh, 16)]:
+        ll |= int(v)
+    return int(tables.skip_ctx[min(la & 0x3F, 4)][min(ll & 0x3F, 4)])
+
+
+def get_dc_sign_ctx(tx, a, a_off, l, l_off) -> int:
+    """reference get_dc_sign_ctx (src/recon_tmpl.c:141-292): sum of per-4px
+    dc-sign categories minus the neutral count."""
+    t_dim = tables.txfm_info()[tx]
+    na = 1 << int(t_dim[2])
+    nl = 1 << int(t_dim[3])
+    s = 0
+    for v in a[a_off : a_off + na]:
+        s += int(v) >> 6
+    for v in l[l_off : l_off + nl]:
+        s += int(v) >> 6
+    s -= na + nl
+    return (s != 0) + (s > 0)
+
+
+def get_lo_ctx(levels, base, tx_class, ctx_offsets, x, y, stride):
+    """Returns (ctx, mag); reference get_lo_ctx (src/recon_tmpl.c:294)."""
+    mag = int(levels[base + stride + 0]) + int(levels[base + 1])
+    if tx_class == TxClass.TWO_D:
+        mag += int(levels[base + stride + 1])
+        hi_mag = mag
+        mag += int(levels[base + 2]) + int(levels[base + 2 * stride])
+        offset = int(ctx_offsets[min(y, 4)][min(x, 4)])
+    else:
+        mag += int(levels[base + 2])
+        hi_mag = mag
+        mag += int(levels[base + 3]) + int(levels[base + 4])
+        offset = 26 + (10 if y > 1 else y * 5)
+    return offset + (4 if mag > 512 else (mag + 64) >> 7), hi_mag
+
+
+def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane):
+    """Returns (eob, txtp, cf, res_ctx). cf is an int32 array indexed by
+    rc = (x << (slh+2)) | y (the reference's transposed layout)."""
+    ts = t.ts
+    f = t.f
+    chroma = int(bool(plane))
+    hdr = f.frame_hdr
+    lossless = hdr.segmentation.lossless[b.seg_id]
+    t_dim = tables.txfm_info()[tx]
+    lw, lh = int(t_dim[2]), int(t_dim[3])
+    tmin, tmax, tctx = int(t_dim[4]), int(t_dim[5]), int(t_dim[7])
+    msac = ts.msac
+
+    sctx = get_skip_ctx(t_dim, bs, a, a_off, l, l_off, chroma, f.layout)
+    all_skip = msac.decode_bool_adapt(ts.cdf.coef.skip[tctx][sctx])
+    if all_skip:
+        return -1, (TxfmType.WHT_WHT if lossless else TxfmType.DCT_DCT), \
+            None, 0x40
+
+    # transform type
+    if lossless:
+        txtp = TxfmType.WHT_WHT
+    elif tmax + intra >= TxfmSize.TX_64X64:
+        txtp = TxfmType.DCT_DCT
+    elif chroma:
+        if intra:
+            txtp = TxfmType(int(tables.txtp_from_uvmode[b.uv_mode]))
+        else:
+            txtp = get_uv_inter_txtp(t_dim, b.ytxtp)
+    elif not hdr.segmentation.qidx[b.seg_id]:
+        txtp = TxfmType.DCT_DCT
+    else:
+        if intra:
+            if b.y_mode == M.FILTER_PRED:
+                y_mode_nofilt = int(tables.filter_mode_to_y_mode[b.y_angle])
+            else:
+                y_mode_nofilt = b.y_mode
+            if hdr.reduced_txtp_set or tmin == TxfmSize.TX_16X16:
+                idx = msac.decode_symbol_adapt(
+                    ts.cdf.m.txtp_intra2[tmin][y_mode_nofilt], 4)
+                txtp = TxfmType(int(tables.tx_types_per_set[idx]))
+            else:
+                idx = msac.decode_symbol_adapt(
+                    ts.cdf.m.txtp_intra1[tmin][y_mode_nofilt], 6)
+                txtp = TxfmType(int(tables.tx_types_per_set[idx + 5]))
+        else:
+            if hdr.reduced_txtp_set or tmax == TxfmSize.TX_32X32:
+                idx = msac.decode_bool_adapt(ts.cdf.m.txtp_inter3[tmin])
+                txtp = TxfmType.DCT_DCT if idx else TxfmType.IDTX
+            elif tmin == TxfmSize.TX_16X16:
+                idx = msac.decode_symbol_adapt(ts.cdf.m.txtp_inter2, 11)
+                txtp = TxfmType(int(tables.tx_types_per_set[idx + 12]))
+            else:
+                idx = msac.decode_symbol_adapt(
+                    ts.cdf.m.txtp_inter1[tmin], 15)
+                txtp = TxfmType(int(tables.tx_types_per_set[idx + 24]))
+
+    # eob
+    slw = min(lw, 3)
+    slh = min(lh, 3)
+    tx2dszctx = slw + slh
+    tx_class = TxClass(int(tables.tx_type_class[txtp]))
+    is_1d = tx_class != TxClass.TWO_D
+    coef = ts.cdf.coef
+    if tx2dszctx == 0:
+        eob = msac.decode_symbol_adapt(coef.eob_bin_16[chroma][is_1d], 4)
+    elif tx2dszctx == 1:
+        eob = msac.decode_symbol_adapt(coef.eob_bin_32[chroma][is_1d], 5)
+    elif tx2dszctx == 2:
+        eob = msac.decode_symbol_adapt(coef.eob_bin_64[chroma][is_1d], 6)
+    elif tx2dszctx == 3:
+        eob = msac.decode_symbol_adapt(coef.eob_bin_128[chroma][is_1d], 7)
+    elif tx2dszctx == 4:
+        eob = msac.decode_symbol_adapt(coef.eob_bin_256[chroma][is_1d], 8)
+    elif tx2dszctx == 5:
+        eob = msac.decode_symbol_adapt(coef.eob_bin_512[chroma], 9)
+    else:
+        eob = msac.decode_symbol_adapt(coef.eob_bin_1024[chroma], 10)
+    if eob > 1:
+        eob_bin = eob - 2
+        eob_hi_bit = msac.decode_bool_adapt(
+            coef.eob_hi_bit[tctx][chroma][eob_bin])
+        eob = ((eob_hi_bit | 2) << eob_bin) | msac.decode_bools(eob_bin)
+
+    eob_cdf = coef.eob_base_tok[tctx][chroma]
+    hi_cdf = coef.br_tok[min(tctx, 3)][chroma]
+    n_coef = (4 << slw) * (4 << slh)
+    cf = np.zeros(n_coef, dtype=np.int64)
+
+    if eob:
+        lo_cdf = coef.base_tok[tctx][chroma]
+        if tx_class == TxClass.TWO_D:
+            stride = 4 << slh
+            shift, shift2 = slh + 2, 0
+            mask = (4 << slh) - 1
+            scan = tables.scans()[tx]
+            nonsquare_tx = int(tx >= RTX_4X8)
+            lo_ctx_offsets = tables.lo_ctx_offsets[
+                nonsquare_tx + (tx & nonsquare_tx)]
+            levels = np.zeros(stride * ((4 << slw) + 2), dtype=np.uint8)
+        elif tx_class == TxClass.H:
+            stride = 16
+            shift, shift2 = slh + 2, 0
+            mask = (4 << slh) - 1
+            scan = None
+            lo_ctx_offsets = None
+            levels = np.zeros(stride * ((4 << slh) + 2), dtype=np.uint8)
+        else:
+            stride = 16
+            shift, shift2 = slw + 2, slh + 2
+            mask = (4 << slw) - 1
+            scan = None
+            lo_ctx_offsets = None
+            levels = np.zeros(stride * ((4 << slw) + 2), dtype=np.uint8)
+
+        # eob position token
+        ctx = 1 + (eob > 2 << tx2dszctx) + (eob > 4 << tx2dszctx)
+        eob_tok = msac.decode_symbol_adapt(eob_cdf[ctx], 2)
+        tok = eob_tok + 1
+        level_tok = tok * 0x41
+
+        if tx_class == TxClass.TWO_D:
+            rc = int(scan[eob])
+            x, y = rc >> shift, rc & mask
+        elif tx_class == TxClass.H:
+            x, y = eob & mask, eob >> shift
+            rc = eob
+        else:
+            x, y = eob & mask, eob >> shift
+            rc = (x << shift2) | y
+        if eob_tok == 2:
+            ctx = 14 if ((x | y) > 1 if tx_class == TxClass.TWO_D
+                         else y != 0) else 7
+            tok = msac.decode_hi_tok(hi_cdf[ctx])
+            level_tok = tok + (3 << 6)
+        cf[rc] = tok << 11
+        lvl_base = rc if tx_class == TxClass.TWO_D else x * stride + y
+        levels[lvl_base] = level_tok & 0xFF
+
+        for i in range(eob - 1, 0, -1):
+            if tx_class == TxClass.TWO_D:
+                rc_i = int(scan[i])
+                x, y = rc_i >> shift, rc_i & mask
+            elif tx_class == TxClass.H:
+                x, y = i & mask, i >> shift
+                rc_i = i
+            else:
+                x, y = i & mask, i >> shift
+                rc_i = (x << shift2) | y
+            lvl_base = rc_i if tx_class == TxClass.TWO_D else x * stride + y
+            ctx, mag = get_lo_ctx(levels, lvl_base, tx_class,
+                                  lo_ctx_offsets, x, y, stride)
+            if tx_class == TxClass.TWO_D:
+                y |= x
+            tok = msac.decode_symbol_adapt(lo_cdf[ctx], 3)
+            if tok == 3:
+                mag &= 63
+                ctx = (14 if y > (tx_class == TxClass.TWO_D) else 7) + \
+                    (6 if mag > 12 else (mag + 1) >> 1)
+                tok = msac.decode_hi_tok(hi_cdf[ctx])
+                levels[lvl_base] = (tok + (3 << 6)) & 0xFF
+                cf[rc_i] = (tok << 11) | rc
+                rc = rc_i
+            else:
+                tok *= 0x17FF41
+                levels[lvl_base] = tok & 0xFF
+                tok = (tok >> 9) & (rc + ~0x7FF & 0xFFFFFFFF)
+                tok &= 0xFFFFFFFF
+                if tok:
+                    rc = rc_i
+                cf[rc_i] = tok
+
+        # dc
+        if tx_class == TxClass.TWO_D:
+            ctx = 0
+        else:
+            ctx, _ = get_lo_ctx(levels, 0, tx_class, lo_ctx_offsets,
+                                0, 0, stride)
+        dc_tok = msac.decode_symbol_adapt(lo_cdf[ctx], 3)
+        if dc_tok == 3:
+            if tx_class == TxClass.TWO_D:
+                mag = int(levels[1]) + int(levels[stride]) + \
+                    int(levels[stride + 1])
+            mag &= 63
+            ctx = 6 if mag > 12 else (mag + 1) >> 1
+            dc_tok = msac.decode_hi_tok(hi_cdf[ctx])
+    else:
+        tok_br = msac.decode_symbol_adapt(eob_cdf[0], 2)
+        dc_tok = 1 + tok_br
+        if tok_br == 2:
+            dc_tok = msac.decode_hi_tok(hi_cdf[0])
+        rc = 0
+
+    # dequant
+    dq_tbl = ts.dq[b.seg_id][plane]
+    qm_tbl = f.qm.get((tx, plane)) if txtp < TxfmType.IDTX else None
+    dq_shift = max(0, tctx - 2)
+    cf_max = (~(~127 << (8 if f.bitdepth == 8 else f.bitdepth))) & 0xFFFFFFFF
+
+    if not dc_tok:
+        cul_level = 0
+        dc_sign_level = 1 << 6
+        skip_dc = True
+    else:
+        skip_dc = False
+
+    if not skip_dc:
+        dc_sign_ctx = get_dc_sign_ctx(tx, a, a_off, l, l_off)
+        dc_sign = msac.decode_bool_adapt(coef.dc_sign[chroma][dc_sign_ctx])
+        dc_dq = int(dq_tbl[0])
+        dc_sign_level = (dc_sign - 1) & (2 << 6)
+
+        if qm_tbl is not None:
+            dc_dq = (dc_dq * int(qm_tbl[0]) + 16) >> 5
+            if dc_tok == 15:
+                dc_tok = (read_golomb(msac) + 15) & 0xFFFFF
+                dc_dq = (dc_dq * dc_tok) & 0xFFFFFF
+            else:
+                dc_dq *= dc_tok
+            cul_level = dc_tok
+            dc_dq >>= dq_shift
+            dc_dq = min(dc_dq, cf_max + dc_sign)
+            cf[0] = -dc_dq if dc_sign else dc_dq
+        else:
+            if dc_tok == 15:
+                dc_tok = (read_golomb(msac) + 15) & 0xFFFFF
+                dc_dq = ((dc_dq * dc_tok) & 0xFFFFFF) >> dq_shift
+                dc_dq = min(dc_dq, cf_max + dc_sign)
+            else:
+                dc_dq = (dc_dq * dc_tok) >> dq_shift
+            cul_level = dc_tok
+            cf[0] = -dc_dq if dc_sign else dc_dq
+
+    if rc:
+        ac_dq = int(dq_tbl[1])
+        while True:
+            sign = msac.decode_bool_equi()
+            rc_tok = int(cf[rc])
+            if qm_tbl is not None:
+                dq = (ac_dq * int(qm_tbl[rc]) + 16) >> 5
+                if rc_tok >= (15 << 11):
+                    tok = (read_golomb(msac) + 15) & 0xFFFFF
+                    dq = (dq * tok) & 0xFFFFFF
+                else:
+                    tok = rc_tok >> 11
+                    dq *= tok
+                dq >>= dq_shift
+                dq = min(dq, cf_max + sign)
+            else:
+                if rc_tok >= (15 << 11):
+                    tok = (read_golomb(msac) + 15) & 0xFFFFF
+                    dq = ((ac_dq * tok) & 0xFFFFFF) >> dq_shift
+                    dq = min(dq, cf_max + sign)
+                else:
+                    tok = rc_tok >> 11
+                    dq = (ac_dq * tok) >> dq_shift
+            cul_level += tok
+            cf[rc] = -dq if sign else dq
+            rc = rc_tok & 0x3FF
+            if not rc:
+                break
+
+    res_ctx = min(cul_level, 63) | dc_sign_level
+    return eob, txtp, cf, res_ctx
+
+
+def get_uv_inter_txtp(uvt_dim, ytxtp):
+    """reference env.h get_uv_inter_txtp."""
+    if int(uvt_dim[5]) == TxfmSize.TX_32X32:
+        return TxfmType.IDTX if ytxtp == TxfmType.IDTX else TxfmType.DCT_DCT
+    if int(uvt_dim[4]) == TxfmSize.TX_16X16 and (
+            (1 << ytxtp) & ((1 << TxfmType.H_FLIPADST)
+                            | (1 << TxfmType.V_FLIPADST)
+                            | (1 << TxfmType.H_ADST)
+                            | (1 << TxfmType.V_ADST))):
+        return TxfmType.DCT_DCT
+    return ytxtp

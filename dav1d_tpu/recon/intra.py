@@ -1,0 +1,208 @@
+"""Intra block reconstruction (reference dav1d_recon_b_intra,
+src/recon_tmpl.c:1176-1556): per-TX-block edge prep + prediction +
+coefficient decode + inverse transform add."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import tables
+from ..headers import PixelLayout
+from ..intra_edge import EDGE_I444_LEFT_HAS_BOTTOM, EDGE_I444_TOP_HAS_RIGHT
+from ..levels import IntraPredMode as M, TxfmSize
+from . import ipred as ipred_mod
+from .coef import decode_coefs
+from .itx import itx_add
+
+SMOOTH_MODES = (M.SMOOTH_PRED, M.SMOOTH_H_PRED, M.SMOOTH_V_PRED)
+
+
+def _sm_flag(ctx, idx) -> int:
+    if not ctx.intra[idx]:
+        return 0
+    return ipred_mod.ANGLE_SMOOTH_EDGE_FLAG \
+        if ctx.mode[idx] in SMOOTH_MODES else 0
+
+
+def _sm_uv_flag(ctx, idx) -> int:
+    return ipred_mod.ANGLE_SMOOTH_EDGE_FLAG \
+        if ctx.uvmode[idx] in SMOOTH_MODES else 0
+
+
+def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
+    f = t.f
+    ts = t.ts
+    bx4 = t.bx & 31
+    by4 = t.by & 31
+    ss_ver = f.layout == PixelLayout.I420
+    ss_hor = f.layout != PixelLayout.I444
+    cbx4 = bx4 >> ss_hor
+    cby4 = by4 >> ss_ver
+    b_dim = tables.block_dimensions[b.bs]
+    bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+    w4 = min(bw4, f.bw - t.bx)
+    h4 = min(bh4, f.bh - t.by)
+    cw4 = (w4 + ss_hor) >> ss_hor
+    ch4 = (h4 + ss_ver) >> ss_ver
+    has_chroma = (f.layout != PixelLayout.I400
+                  and (bw4 > ss_hor or t.bx & 1)
+                  and (bh4 > ss_ver or t.by & 1))
+    t_dim = tables.txfm_info()[b.tx]
+    uv_t_dim = tables.txfm_info()[b.uvtx]
+    cbw4 = (bw4 + ss_hor) >> ss_hor
+    cbh4 = (bh4 + ss_ver) >> ss_ver
+    bitdepth = f.bitdepth
+
+    intra_edge_filter_flag = f.seq_hdr.intra_edge_filter << 10
+
+    for init_y in range(0, h4, 16):
+        sub_h4 = min(h4, 16 + init_y)
+        sub_ch4 = min(ch4, (init_y + 16) >> ss_ver)
+        for init_x in range(0, w4, 16):
+            if b.pal_sz[0]:
+                raise NotImplementedError("palette prediction")
+
+            intra_flags = (_sm_flag(t.a, bx4) | _sm_flag(t.l, by4)
+                           | intra_edge_filter_flag)
+            sb_has_tr = (1 if init_x + 16 < w4 else 0 if init_y else
+                         intra_edge_flags & EDGE_I444_TOP_HAS_RIGHT)
+            sb_has_bl = (0 if init_x else 1 if init_y + 16 < h4 else
+                         intra_edge_flags & EDGE_I444_LEFT_HAS_BOTTOM)
+            sub_w4 = min(w4, init_x + 16)
+
+            tw, th = int(t_dim[0]), int(t_dim[1])
+            y = init_y
+            t.by += init_y
+            while y < sub_h4:
+                x = init_x
+                t.bx += init_x
+                while x < sub_w4:
+                    dst_x = 4 * t.bx
+                    dst_y = 4 * t.by
+                    angle = b.y_angle
+                    edge_flags = (
+                        (0 if ((y > init_y or not sb_has_tr)
+                               and (x + tw >= sub_w4))
+                         else EDGE_I444_TOP_HAS_RIGHT)
+                        | (0 if (x > init_x
+                                 or (not sb_has_bl and y + th >= sub_h4))
+                           else EDGE_I444_LEFT_HAS_BOTTOM))
+                    top_sb_edge = None
+                    top_sb_x = 0
+                    if not (t.by & (f.sb_step - 1)):
+                        sby = t.by >> f.sb_shift
+                        if sby > 0:
+                            top_sb_edge = f.ipred_edge[0][sby - 1]
+                    m, angle, edge, ofs = ipred_mod.prepare_intra_edges(
+                        t.bx, t.bx > ts.col_start, t.by, t.by > ts.row_start,
+                        ts.col_end, ts.row_end, edge_flags, f.planes[0],
+                        dst_y, dst_x, top_sb_edge, 0, b.y_mode, angle,
+                        tw, th, f.seq_hdr.intra_edge_filter, bitdepth)
+                    pred = ipred_mod.ipred(
+                        m, edge, ofs, tw * 4, th * 4, angle | intra_flags,
+                        4 * f.bw - 4 * t.bx, 4 * f.bh - 4 * t.by, bitdepth)
+                    f.planes[0][dst_y : dst_y + th * 4,
+                                dst_x : dst_x + tw * 4] = pred
+
+                    if not b.skip:
+                        eob, txtp, cf, cf_ctx = decode_coefs(
+                            t, t.a.lcoef, bx4 + x, t.l.lcoef, by4 + y,
+                            b.tx, bs, b, 1, 0)
+                        t.a.lcoef[bx4 + x : bx4 + x
+                                  + min(tw, f.bw - t.bx)] = cf_ctx
+                        t.l.lcoef[by4 + y : by4 + y
+                                  + min(th, f.bh - t.by)] = cf_ctx
+                        if eob >= 0:
+                            itx_add(f.planes[0], dst_y, dst_x, b.tx, txtp,
+                                    cf, eob, bitdepth)
+                    else:
+                        t.a.lcoef[bx4 + x : bx4 + x + tw] = 0x40
+                        t.l.lcoef[by4 + y : by4 + y + th] = 0x40
+                    x += tw
+                    t.bx += tw
+                t.bx -= x
+                y += th
+                t.by += th
+            t.by -= y
+
+            if not has_chroma:
+                continue
+
+            if b.uv_mode == M.CFL_PRED:
+                raise NotImplementedError("CFL prediction")
+
+            uv_sb_has_tr = (
+                1 if ((init_x + 16) >> ss_hor) < cw4 else 0 if init_y else
+                intra_edge_flags & ((1 << 2) >> (f.layout - 1)))
+            uv_sb_has_bl = (
+                0 if init_x else 1 if ((init_y + 16) >> ss_ver) < ch4 else
+                intra_edge_flags & ((1 << 5) >> (f.layout - 1)))
+            sub_cw4 = min(cw4, (init_x + 16) >> ss_hor)
+            utw, uth = int(uv_t_dim[0]), int(uv_t_dim[1])
+            sm_uv_fl = _sm_uv_flag(t.a, cbx4) | _sm_uv_flag(t.l, cby4)
+            for pl in range(2):
+                y = init_y >> ss_ver
+                t.by += init_y
+                while y < sub_ch4:
+                    x = init_x >> ss_hor
+                    t.bx += init_x
+                    while x < sub_cw4:
+                        dst_x = 4 * ((t.bx + 0) >> ss_hor)
+                        dst_y = 4 * (t.by >> ss_ver)
+                        angle = b.uv_angle
+                        edge_flags = (
+                            (0 if ((y > (init_y >> ss_ver)
+                                    or not uv_sb_has_tr)
+                                   and (x + utw >= sub_cw4))
+                             else EDGE_I444_TOP_HAS_RIGHT)
+                            | (0 if (x > (init_x >> ss_hor)
+                                     or (not uv_sb_has_bl
+                                         and y + uth >= sub_ch4))
+                               else EDGE_I444_LEFT_HAS_BOTTOM))
+                        top_sb_edge = None
+                        if not ((t.by & ~ss_ver) & (f.sb_step - 1)):
+                            sby = t.by >> f.sb_shift
+                            if sby > 0:
+                                top_sb_edge = f.ipred_edge[1 + pl][sby - 1]
+                        uv_mode = M.DC_PRED if b.uv_mode == M.CFL_PRED \
+                            else b.uv_mode
+                        xpos = t.bx >> ss_hor
+                        ypos = t.by >> ss_ver
+                        xstart = ts.col_start >> ss_hor
+                        ystart = ts.row_start >> ss_ver
+                        m, angle, edge, ofs = ipred_mod.prepare_intra_edges(
+                            xpos, xpos > xstart, ypos, ypos > ystart,
+                            ts.col_end >> ss_hor, ts.row_end >> ss_ver,
+                            edge_flags, f.planes[1 + pl], dst_y, dst_x,
+                            top_sb_edge, 0, uv_mode, angle, utw, uth,
+                            f.seq_hdr.intra_edge_filter, bitdepth)
+                        angle |= intra_edge_filter_flag
+                        pred = ipred_mod.ipred(
+                            m, edge, ofs, utw * 4, uth * 4,
+                            angle | sm_uv_fl,
+                            (4 * f.bw + ss_hor - 4 * (t.bx & ~ss_hor)) >> ss_hor,
+                            (4 * f.bh + ss_ver - 4 * (t.by & ~ss_ver)) >> ss_ver,
+                            bitdepth)
+                        f.planes[1 + pl][dst_y : dst_y + uth * 4,
+                                         dst_x : dst_x + utw * 4] = pred
+
+                        if not b.skip:
+                            eob, txtp, cf, cf_ctx = decode_coefs(
+                                t, t.a.ccoef[pl], cbx4 + x, t.l.ccoef[pl],
+                                cby4 + y, b.uvtx, bs, b, 1, 1 + pl)
+                            ctw = min(utw, (f.bw - t.bx + ss_hor) >> ss_hor)
+                            cth = min(uth, (f.bh - t.by + ss_ver) >> ss_ver)
+                            t.a.ccoef[pl][cbx4 + x : cbx4 + x + ctw] = cf_ctx
+                            t.l.ccoef[pl][cby4 + y : cby4 + y + cth] = cf_ctx
+                            if eob >= 0:
+                                itx_add(f.planes[1 + pl], dst_y, dst_x,
+                                        b.uvtx, txtp, cf, eob, bitdepth)
+                        else:
+                            t.a.ccoef[pl][cbx4 + x : cbx4 + x + utw] = 0x40
+                            t.l.ccoef[pl][cby4 + y : cby4 + y + uth] = 0x40
+                        x += utw
+                        t.bx += utw << ss_hor
+                    t.bx -= x << ss_hor
+                    y += uth
+                    t.by += uth << ss_ver
+                t.by -= y << ss_ver
