@@ -68,7 +68,12 @@ class FrameContext:
         ss_ver = 1 if self.layout == PixelLayout.I420 else 0
         ss_hor = 0 if self.layout == PixelLayout.I444 else 1
         self.ss_ver, self.ss_hor = ss_ver, ss_hor
-        yw, yh = self.bw * 4, self.bh * 4
+        # superblock-aligned allocation: partial edge blocks predict/add
+        # full TX blocks into the padding (reference pads pictures too,
+        # include/dav1d/picture.h:113-116)
+        align = self.sb_step
+        yw = ((self.bw + align - 1) & ~(align - 1)) * 4
+        yh = ((self.bh + align - 1) & ~(align - 1)) * 4
         self.planes = [np.zeros((yh, yw), dtype=np.int32)]
         if self.layout != PixelLayout.I400:
             cw = (yw + ss_hor) >> ss_hor

@@ -368,8 +368,8 @@ def decode_b(t: TaskContext, bl: int, bs: int, bp: int,
     b_dim = tables.block_dimensions[bs]
     bx4 = t.bx & 31
     by4 = t.by & 31
-    ss_ver = f.layout == PixelLayout.I420
-    ss_hor = f.layout != PixelLayout.I444
+    ss_ver = int(f.layout == PixelLayout.I420)
+    ss_hor = int(f.layout != PixelLayout.I444)
     cbx4 = bx4 >> ss_hor
     cby4 = by4 >> ss_ver
     bw4 = int(b_dim[0])

@@ -1,0 +1,280 @@
+"""Public decoder API: open / send_data / get_picture / flush / close.
+
+Capability parity with the reference API surface (reference
+include/dav1d/dav1d.h:134-323, src/lib.c:140-763): temporal-unit input,
+reorder-queue output, 8-slot reference state (pictures + segmaps + CDFs),
+show_existing_frame, operating-point/layer filtering, sequence-change reset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .cdf import CdfContext
+from .decode.frame import FrameContext, decode_frame
+from .getbits import GetBits
+from .headers import FrameType, ObuType, PixelLayout, PRIMARY_REF_NONE
+from . import obu as obu_mod
+
+
+@dataclasses.dataclass
+class Settings:
+    """Mirror of Dav1dSettings (reference include/dav1d/dav1d.h:78-99)."""
+
+    n_threads: int = 0
+    max_frame_delay: int = 0
+    apply_grain: bool = True
+    operating_point: int = 0
+    all_layers: bool = True
+    frame_size_limit: int = 0
+    strict_std_compliance: bool = False
+    output_invisible_frames: bool = False
+
+
+@dataclasses.dataclass
+class Picture:
+    planes: list  # numpy int32 planes, cropped
+    width: int
+    height: int
+    layout: PixelLayout
+    bitdepth: int
+    seq_hdr: object
+    frame_hdr: object
+    visible: bool = True
+
+    def plane_bytes(self, pl: int) -> bytes:
+        arr = self.planes[pl]
+        if self.bitdepth == 8:
+            return arr.astype(np.uint8).tobytes()
+        return arr.astype("<u2").tobytes()
+
+
+class _RefSlot:
+    __slots__ = ("frame_hdr", "seq_hdr", "planes", "segmap", "cdf",
+                 "showable", "visible")
+
+    def __init__(self):
+        self.frame_hdr = None
+        self.seq_hdr = None
+        self.planes = None
+        self.segmap = None
+        self.cdf = None
+        self.showable = False
+        self.visible = False
+
+
+@dataclasses.dataclass
+class _TileGroup:
+    data: bytes
+    start_offset: int
+    end_offset: int
+    tile_start: int
+    tile_end: int
+
+
+class Decoder:
+    """Single-threaded decode pipeline (frame threading and the TPU batch
+    pipeline layer on top of this state machine)."""
+
+    def __init__(self, settings: Settings | None = None):
+        self.settings = settings or Settings()
+        self.strict_std_compliance = self.settings.strict_std_compliance
+        self.seq_hdr = None
+        self.frame_hdr = None
+        self.refs = [_RefSlot() for _ in range(8)]
+        self.operating_point_idc = 0
+        self.max_spatial_id = 0
+        self.tile_groups: list[_TileGroup] = []
+        self.n_tiles = 0
+        self.out_queue: list[Picture] = []
+        self.event_flags = 0
+
+    # -- input ---------------------------------------------------------------
+
+    def send_data(self, data: bytes) -> None:
+        """Consume a temporal unit / arbitrary OBU chunk."""
+        for o in obu_mod.split_obus(data):
+            self._handle_obu(data, o)
+
+    def _handle_obu(self, data: bytes, o) -> None:
+        payload = data[o.payload_start : o.payload_end]
+        ty = o.type
+        if ty is None:
+            return
+        # layer filtering (reference src/obu.c:1202-1210)
+        if (ty not in (ObuType.SEQ_HDR, ObuType.TD) and o.has_extension
+                and self.operating_point_idc):
+            in_t = (self.operating_point_idc >> o.temporal_id) & 1
+            in_s = (self.operating_point_idc >> (o.spatial_id + 8)) & 1
+            if not in_t or not in_s:
+                return
+
+        if ty == ObuType.SEQ_HDR:
+            gb = GetBits(payload)
+            seq = obu_mod.parse_seq_hdr(gb, self.strict_std_compliance)
+            op_idx = (self.settings.operating_point
+                      if self.settings.operating_point
+                      < seq.num_operating_points else 0)
+            self.operating_point_idc = seq.operating_points[op_idx].idc
+            spatial_mask = self.operating_point_idc >> 8
+            self.max_spatial_id = spatial_mask.bit_length() - 1 \
+                if spatial_mask else 0
+            if self.seq_hdr is None:
+                self.frame_hdr = None
+            elif not seq.equal_binary_content(self.seq_hdr):
+                # new sequence: drop all state
+                self.frame_hdr = None
+                self.refs = [_RefSlot() for _ in range(8)]
+            self.seq_hdr = seq
+        elif ty in (ObuType.FRAME_HDR, ObuType.REDUNDANT_FRAME_HDR,
+                    ObuType.FRAME):
+            if ty == ObuType.REDUNDANT_FRAME_HDR and self.frame_hdr:
+                return
+            if self.seq_hdr is None:
+                raise obu_mod.ObuError("frame header before sequence header")
+            gb = GetBits(payload)
+            hdr = obu_mod.parse_frame_hdr(self, gb)
+            hdr.temporal_id = o.temporal_id
+            hdr.spatial_id = o.spatial_id
+            self.frame_hdr = hdr
+            self.tile_groups = []
+            self.n_tiles = 0
+            if ty != ObuType.FRAME:
+                obu_mod.check_trailing_bits(gb, self.strict_std_compliance)
+            if ty == ObuType.FRAME and not hdr.show_existing_frame:
+                gb.bytealign()
+                self._handle_tile_group(payload, gb)
+        elif ty == ObuType.TILE_GRP:
+            if self.frame_hdr is None:
+                raise obu_mod.ObuError("tile group without frame header")
+            gb = GetBits(payload)
+            self._handle_tile_group(payload, gb)
+        elif ty == ObuType.METADATA:
+            pass  # CLL/MDCV/T35 attach lands with HDR metadata support
+        elif ty == ObuType.TD:
+            pass
+        # frame-complete trigger
+        if self.seq_hdr is not None and self.frame_hdr is not None:
+            hdr = self.frame_hdr
+            if hdr.show_existing_frame:
+                self._show_existing()
+                self.frame_hdr = None
+            elif self.n_tiles == hdr.tiling.cols * hdr.tiling.rows \
+                    and self.tile_groups:
+                self._submit_frame()
+                self.frame_hdr = None
+                self.tile_groups = []
+                self.n_tiles = 0
+
+    def _handle_tile_group(self, payload: bytes, gb: GetBits) -> None:
+        hdr = self.frame_hdr
+        n_tiles = hdr.tiling.cols * hdr.tiling.rows
+        have_tile_pos = gb.get_bit() if n_tiles > 1 else 0
+        if have_tile_pos:
+            n_bits = hdr.tiling.log2_cols + hdr.tiling.log2_rows
+            start = gb.get_bits(n_bits)
+            end = gb.get_bits(n_bits)
+        else:
+            start, end = 0, n_tiles - 1
+        gb.bytealign()
+        if gb.error:
+            raise obu_mod.ObuError("tile group header overrun")
+        if start > end or start != self.n_tiles:
+            raise obu_mod.ObuError("tile groups out of order")
+        self.tile_groups.append(_TileGroup(
+            payload, gb.byte_pos(), len(payload), start, end))
+        self.n_tiles += 1 + end - start
+
+    # -- decode --------------------------------------------------------------
+
+    def _in_cdf_for(self, hdr) -> CdfContext:
+        if hdr.primary_ref_frame == PRIMARY_REF_NONE:
+            return CdfContext.from_defaults(hdr.quant.yac)
+        ref = self.refs[hdr.refidx[hdr.primary_ref_frame]]
+        if ref.cdf is None:
+            raise obu_mod.ObuError("missing ref CDF")
+        return ref.cdf
+
+    def _submit_frame(self) -> None:
+        hdr = self.frame_hdr
+        seq = self.seq_hdr
+        prev_segmap = None
+        if hdr.segmentation.enabled and not hdr.segmentation.update_map \
+                or (hdr.segmentation.enabled and hdr.segmentation.temporal):
+            if hdr.primary_ref_frame != PRIMARY_REF_NONE:
+                prev_segmap = self.refs[
+                    hdr.refidx[hdr.primary_ref_frame]].segmap
+        f = FrameContext(seq, hdr, prev_segmap=prev_segmap,
+                         in_cdf=self._in_cdf_for(hdr),
+                         refs=[self.refs[hdr.refidx[i]] for i in range(7)]
+                         if hdr.frame_type.is_inter_or_switch else None)
+        decode_frame(f, self.tile_groups)
+
+        # output
+        pic = self._make_picture(f)
+        if hdr.show_frame:
+            self.out_queue.append(pic)
+
+        # reference state update (reference src/decode.c:3669-3695)
+        out_cdf = f.out_cdf if hdr.refresh_context else f.in_cdf
+        for i in range(8):
+            if hdr.refresh_frame_flags & (1 << i):
+                slot = self.refs[i]
+                slot.frame_hdr = hdr
+                slot.seq_hdr = seq
+                slot.planes = f.planes
+                slot.segmap = f.cur_segmap
+                slot.cdf = out_cdf
+                slot.showable = bool(hdr.showable_frame)
+                slot.visible = bool(hdr.show_frame)
+
+    def _show_existing(self) -> None:
+        hdr = self.frame_hdr
+        slot = self.refs[hdr.existing_frame_idx]
+        if slot.frame_hdr is None or slot.planes is None:
+            raise obu_mod.ObuError("show_existing_frame without picture")
+        pic = Picture(
+            planes=slot.planes, width=slot.frame_hdr.width[1],
+            height=slot.frame_hdr.height,
+            layout=slot.seq_hdr.layout, bitdepth=slot.seq_hdr.bitdepth,
+            seq_hdr=slot.seq_hdr, frame_hdr=slot.frame_hdr)
+        self.out_queue.append(pic)
+        if slot.frame_hdr.frame_type == FrameType.KEY:
+            # key-frame ref propagation (reference src/obu.c:1620-1639)
+            slot.showable = False
+            for i in range(8):
+                if i == hdr.existing_frame_idx:
+                    continue
+                self.refs[i] = slot
+
+    def _make_picture(self, f: FrameContext) -> Picture:
+        hdr = f.frame_hdr
+        w = hdr.width[1]
+        h = hdr.height
+        planes = [f.planes[0][:h, :w]]
+        if f.layout != PixelLayout.I400:
+            cw = (w + f.ss_hor) >> f.ss_hor
+            ch = (h + f.ss_ver) >> f.ss_ver
+            planes += [p[:ch, :cw] for p in f.planes[1:]]
+        return Picture(planes=planes, width=w, height=h, layout=f.layout,
+                       bitdepth=f.bitdepth, seq_hdr=f.seq_hdr, frame_hdr=hdr)
+
+    # -- output --------------------------------------------------------------
+
+    def get_picture(self) -> Optional[Picture]:
+        if self.out_queue:
+            return self.out_queue.pop(0)
+        return None
+
+    def flush(self) -> None:
+        self.out_queue.clear()
+        self.frame_hdr = None
+        self.tile_groups = []
+        self.n_tiles = 0
+
+    def close(self) -> None:
+        self.flush()
+        self.refs = [_RefSlot() for _ in range(8)]

@@ -34,8 +34,8 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
     ts = t.ts
     bx4 = t.bx & 31
     by4 = t.by & 31
-    ss_ver = f.layout == PixelLayout.I420
-    ss_hor = f.layout != PixelLayout.I444
+    ss_ver = int(f.layout == PixelLayout.I420)
+    ss_hor = int(f.layout != PixelLayout.I444)
     cbx4 = bx4 >> ss_hor
     cby4 = by4 >> ss_ver
     b_dim = tables.block_dimensions[b.bs]

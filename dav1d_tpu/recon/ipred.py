@@ -91,7 +91,7 @@ def prepare_intra_edges(x, have_left, y, have_top, w, h, edge_flags,
             if px_have < sz:
                 edge[ofs - sz : ofs - px_have] = edge[ofs - px_have]
         else:
-            fill = int(top_row(dst_x, 1)[0]) + 1 if have_top else half + 1
+            fill = int(top_row(dst_x, 1)[0]) if have_top else half + 1
             edge[ofs - sz : ofs] = fill
         if needs_bottomleft:
             have_bl = (0 if (not have_left or y + th >= h)
@@ -114,7 +114,7 @@ def prepare_intra_edges(x, have_left, y, have_top, w, h, edge_flags,
             if px_have < sz:
                 edge[ofs + 1 + px_have : ofs + 1 + sz] = edge[ofs + px_have]
         else:
-            fill = int(dst[dst_y, dst_x - 1]) - 1 if have_left else half - 1
+            fill = int(dst[dst_y, dst_x - 1]) if have_left else half - 1
             edge[ofs + 1 : ofs + 1 + sz] = fill
         if needs_topright:
             have_tr = (0 if (not have_top or x + tw >= w)

@@ -1,0 +1,139 @@
+"""End-to-end intra decode: avgen streams -> oracle dav1d y4m vs dav1d_tpu
+Decoder output, byte-exact (config 1 of BASELINE.json: keyframe-only 8-bit
+4:2:0 intra decode)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from avgen.stream import StreamConfig, make_stream, write_ivf  # noqa: E402
+from dav1d_tpu.decoder import Decoder  # noqa: E402
+from dav1d_tpu.containers import read_ivf  # noqa: E402
+from dav1d_tpu.levels import BlockPartition as BP, IntraPredMode as M  # noqa: E402
+
+
+def parse_y4m(data: bytes):
+    """Returns list of frames, each a list of plane byte strings (8-bit 420)."""
+    nl = data.index(b"\n")
+    hdr = data[:nl].decode()
+    fields = dict((f[0], f[1:]) for f in hdr.split()[1:])
+    w, h = int(fields["W"]), int(fields["H"])
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    pos = nl + 1
+    frames = []
+    while pos < len(data):
+        assert data[pos : pos + 6] == b"FRAME\n", data[pos : pos + 6]
+        pos += 6
+        planes = []
+        for sz in (w * h, cw * ch, cw * ch):
+            planes.append(data[pos : pos + sz])
+            pos += sz
+        frames.append(planes)
+    return w, h, frames
+
+
+def run_pair(tmp_path, oracle, cfg, decide, name):
+    stream = make_stream(cfg, decide)
+    ivf = tmp_path / f"{name}.ivf"
+    write_ivf(ivf, [stream], cfg.width, cfg.height)
+
+    # oracle decode
+    y4m = tmp_path / f"{name}_ref.y4m"
+    r = subprocess.run([str(oracle), "-i", str(ivf), "-o", str(y4m), "-q"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, f"oracle rejected the stream: {r.stderr}"
+    w, h, ref_frames = parse_y4m(y4m.read_bytes())
+    assert (w, h) == (cfg.width, cfg.height)
+
+    # our decode
+    dec = Decoder()
+    pics = []
+    for tu, _ in read_ivf(ivf.read_bytes()):
+        dec.send_data(tu)
+        while (pic := dec.get_picture()) is not None:
+            pics.append(pic)
+    assert len(pics) == len(ref_frames)
+    for i, (pic, ref) in enumerate(zip(pics, ref_frames)):
+        for pl in range(3):
+            got = pic.plane_bytes(pl)
+            assert got == ref[pl], (
+                f"{name} frame {i} plane {pl}: first diff at "
+                f"{next(j for j in range(len(got)) if got[j] != ref[pl][j])}")
+
+
+def const_decide(**choices):
+    def decide(kind, **kw):
+        if kind == "partition":
+            return choices.get("partition", BP.NONE)
+        if kind == "skip":
+            return choices.get("skip", 1)
+        if kind == "y_mode":
+            return choices.get("y_mode", M.DC_PRED)
+        if kind == "uv_mode":
+            return choices.get("uv_mode", M.DC_PRED)
+        if kind in ("y_angle", "uv_angle"):
+            return choices.get("angle", 0)
+        if kind == "tx_depth":
+            return choices.get("tx_depth", 0)
+        raise KeyError(kind)
+    return decide
+
+
+def random_decide(seed, uv_cfl=False):
+    rng = np.random.default_rng(seed)
+
+    def decide(kind, **kw):
+        if kind == "partition":
+            if not kw["can_split"]:
+                return BP.NONE
+            return int(rng.choice([BP.NONE, BP.SPLIT, BP.H, BP.V],
+                                  p=[0.4, 0.3, 0.15, 0.15]))
+        if kind == "skip":
+            return int(rng.integers(0, 2))
+        if kind == "y_mode":
+            return int(rng.integers(0, 13))
+        if kind == "uv_mode":
+            return int(rng.integers(0, 13))
+        if kind in ("y_angle", "uv_angle"):
+            return int(rng.integers(-3, 4))
+        if kind == "tx_depth":
+            return int(rng.integers(0, kw["max_depth"] + 1))
+        raise KeyError(kind)
+    return decide
+
+
+def test_minimal_gray(tmp_path, oracle):
+    cfg = StreamConfig(width=64, height=64, qidx=100)
+    run_pair(tmp_path, oracle, cfg, const_decide(), "gray64")
+
+
+def test_modes_sweep(tmp_path, oracle):
+    for mode in range(13):
+        cfg = StreamConfig(width=64, height=64, qidx=60)
+        run_pair(tmp_path, oracle, cfg,
+                 const_decide(partition=BP.SPLIT, y_mode=mode, uv_mode=mode,
+                              skip=1),
+                 f"mode{mode}")
+
+
+def test_random_partitions_and_modes(tmp_path, oracle):
+    for seed in range(4):
+        cfg = StreamConfig(width=128, height=96, qidx=80, seed=seed)
+        run_pair(tmp_path, oracle, cfg, random_decide(seed), f"rand{seed}")
+
+
+def test_odd_sizes(tmp_path, oracle):
+    for w, h in [(72, 36), (68, 68), (120, 56)]:
+        cfg = StreamConfig(width=w, height=h, qidx=40)
+        run_pair(tmp_path, oracle, cfg, random_decide(w * h),
+                 f"odd{w}x{h}")
+
+
+def test_edge_filter_enabled(tmp_path, oracle):
+    cfg = StreamConfig(width=64, height=64, qidx=30, intra_edge_filter=1)
+    run_pair(tmp_path, oracle, cfg, random_decide(7), "edgefilter")
