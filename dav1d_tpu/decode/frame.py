@@ -81,6 +81,18 @@ class FrameContext:
             self.planes += [np.zeros((ch, cw), dtype=np.int32)
                             for _ in range(2)]
 
+        # quantizer matrices: (tx, plane) -> weights, absent when disabled
+        # or qm level 15 (reference src/decode.c:3078-3085)
+        self.qm = {}
+        if hdr.quant.qm:
+            qtbl = tables.qm_tbl()
+            for i in range(19):
+                for pl, qmid in ((0, hdr.quant.qm_y), (1, hdr.quant.qm_u),
+                                 (2, hdr.quant.qm_v)):
+                    key = (qmid, int(pl > 0), i)
+                    if key in qtbl:
+                        self.qm[(i, pl)] = qtbl[key]
+
         self.in_cdf = in_cdf if in_cdf is not None else \
             CdfContext.from_defaults(hdr.quant.yac)
         self.out_cdf: CdfContext | None = None

@@ -21,6 +21,7 @@ from ..levels import (
     TxfmSize, CFL_ALLOWED_MASK, N_PARTITIONS,
 )
 from ..msac import Msac
+from ..debug import trace
 
 
 class Av1Block:
@@ -225,6 +226,8 @@ def decode_sb(t: TaskContext, bl: int, node) -> None:
     if have_h_split and have_v_split:
         n_part = int(tables.partition_type_count[bl])
         bp = ts.msac.decode_symbol_adapt(pc, n_part)
+        trace("poc=%d,y=%d,x=%d,bl=%d,ctx=%d,bp=%d: r=%d",
+              f.frame_hdr.frame_offset, t.by, t.bx, bl, ctx, bp, ts.msac.rng)
         if f.layout == PixelLayout.I422 and bp in (
                 BP.V, BP.V4, BP.T_LEFT_SPLIT, BP.T_RIGHT_SPLIT):
             raise ValueError("illegal vertical partition in 4:2:2")
@@ -441,6 +444,7 @@ def decode_b(t: TaskContext, bl: int, bs: int, bp: int,
     else:
         sctx = int(t.a.skip[bx4]) + int(t.l.skip[by4])
         b.skip = ts.msac.decode_bool_adapt(ts.cdf.m.skip[sctx])
+        trace("Post-skip[%d]: r=%d", b.skip, ts.msac.rng)
 
     # post-skip segment id
     if (hdr.segmentation.enabled and hdr.segmentation.update_map
@@ -567,6 +571,7 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
             int(tables.intra_mode_context[int(t.a.mode[bx4])])][
             int(tables.intra_mode_context[int(t.l.mode[by4])])]
     b.y_mode = ts.msac.decode_symbol_adapt(ymode_cdf, 12)
+    trace("Post-ymode[%d]: r=%d", b.y_mode, ts.msac.rng)
 
     # angle delta
     if int(b_dim[2]) + int(b_dim[3]) >= 2 and \
@@ -584,6 +589,7 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
         uvmode_cdf = ts.cdf.m.uv_mode[int(cfl_allowed)][b.y_mode]
         b.uv_mode = ts.msac.decode_symbol_adapt(
             uvmode_cdf, 13 - (not cfl_allowed))
+        trace("Post-uvmode[%d]: r=%d", b.uv_mode, ts.msac.rng)
         b.uv_angle = 0
         if b.uv_mode == M.CFL_PRED:
             sign = ts.msac.decode_symbol_adapt(ts.cdf.m.cfl_sign, 7) + 1
@@ -641,6 +647,7 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
             for _ in range(depth):
                 b.tx = int(t_dim[6])  # sub
                 t_dim = tables.txfm_info()[b.tx]
+            trace("Post-tx[%d]: r=%d", b.tx, ts.msac.rng)
 
     # reconstruction (pass 0: fused)
     from ..recon.intra import recon_b_intra

@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import tables
+from ..debug import trace
 from ..levels import (
     TxClass, TxfmSize, TxfmType, IntraPredMode as M,
     RTX_4X8,
@@ -139,7 +140,7 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane):
     slh = min(lh, 3)
     tx2dszctx = slw + slh
     tx_class = TxClass(int(tables.tx_type_class[txtp]))
-    is_1d = tx_class != TxClass.TWO_D
+    is_1d = int(tx_class != TxClass.TWO_D)
     coef = ts.cdf.coef
     if tx2dszctx == 0:
         eob = msac.decode_symbol_adapt(coef.eob_bin_16[chroma][is_1d], 4)
@@ -207,10 +208,14 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane):
         else:
             x, y = eob & mask, eob >> shift
             rc = (x << shift2) | y
+        trace("Post-lo_tok[%d][%d][%d][%d=%d=%d]: r=%d",
+              tctx, chroma, ctx, eob, rc, tok, msac.rng)
         if eob_tok == 2:
             ctx = 14 if ((x | y) > 1 if tx_class == TxClass.TWO_D
                          else y != 0) else 7
             tok = msac.decode_hi_tok(hi_cdf[ctx])
+            trace("Post-hi_tok[%d][%d][%d][%d=%d=%d]: r=%d",
+                  min(tctx, 3), chroma, ctx, eob, rc, tok, msac.rng)
             level_tok = tok + (3 << 6)
         cf[rc] = tok << 11
         lvl_base = rc if tx_class == TxClass.TWO_D else x * stride + y
@@ -232,11 +237,15 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane):
             if tx_class == TxClass.TWO_D:
                 y |= x
             tok = msac.decode_symbol_adapt(lo_cdf[ctx], 3)
+            trace("Post-lo_tok[%d][%d][%d][%d=%d=%d]: r=%d",
+                  tctx, chroma, ctx, i, rc_i, tok, msac.rng)
             if tok == 3:
                 mag &= 63
                 ctx = (14 if y > (tx_class == TxClass.TWO_D) else 7) + \
                     (6 if mag > 12 else (mag + 1) >> 1)
                 tok = msac.decode_hi_tok(hi_cdf[ctx])
+                trace("Post-hi_tok[%d][%d][%d][%d=%d=%d]: r=%d",
+                      min(tctx, 3), chroma, ctx, i, rc_i, tok, msac.rng)
                 levels[lvl_base] = (tok + (3 << 6)) & 0xFF
                 cf[rc_i] = (tok << 11) | rc
                 rc = rc_i
@@ -253,9 +262,12 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane):
         if tx_class == TxClass.TWO_D:
             ctx = 0
         else:
-            ctx, _ = get_lo_ctx(levels, 0, tx_class, lo_ctx_offsets,
-                                0, 0, stride)
+            # the hi-token context below reuses this call's hi_mag
+            ctx, mag = get_lo_ctx(levels, 0, tx_class, lo_ctx_offsets,
+                                  0, 0, stride)
         dc_tok = msac.decode_symbol_adapt(lo_cdf[ctx], 3)
+        trace("Post-dc_lo_tok[%d][%d][%d][%d]: r=%d",
+              tctx, chroma, ctx, dc_tok, msac.rng)
         if dc_tok == 3:
             if tx_class == TxClass.TWO_D:
                 mag = int(levels[1]) + int(levels[stride]) + \
@@ -263,6 +275,8 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane):
             mag &= 63
             ctx = 6 if mag > 12 else (mag + 1) >> 1
             dc_tok = msac.decode_hi_tok(hi_cdf[ctx])
+            trace("Post-dc_hi_tok[%d][%d][0][%d]: r=%d",
+                  min(tctx, 3), chroma, dc_tok, msac.rng)
     else:
         tok_br = msac.decode_symbol_adapt(eob_cdf[0], 2)
         dc_tok = 1 + tok_br
@@ -286,6 +300,8 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane):
     if not skip_dc:
         dc_sign_ctx = get_dc_sign_ctx(tx, a, a_off, l, l_off)
         dc_sign = msac.decode_bool_adapt(coef.dc_sign[chroma][dc_sign_ctx])
+        trace("Post-dc_sign[%d][%d][%d]: r=%d", chroma, dc_sign_ctx, dc_sign,
+              msac.rng)
         dc_dq = int(dq_tbl[0])
         dc_sign_level = (dc_sign - 1) & (2 << 6)
 
@@ -314,6 +330,7 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane):
         ac_dq = int(dq_tbl[1])
         while True:
             sign = msac.decode_bool_equi()
+            trace("Post-sign[%d=%d]: r=%d", rc, sign, msac.rng)
             rc_tok = int(cf[rc])
             if qm_tbl is not None:
                 dq = (ac_dq * int(qm_tbl[rc]) + 16) >> 5

@@ -66,6 +66,9 @@ def run_pair(tmp_path, oracle, cfg, decide, name):
                 f"{next(j for j in range(len(got)) if got[j] != ref[pl][j])}")
 
 
+from avgen.legal import legal_txtps, random_coef_choice  # noqa: E402
+
+
 def const_decide(**choices):
     def decide(kind, **kw):
         if kind == "partition":
@@ -80,11 +83,13 @@ def const_decide(**choices):
             return choices.get("angle", 0)
         if kind == "tx_depth":
             return choices.get("tx_depth", 0)
+        if kind == "coef":
+            return choices.get("coef", (0, {}, {}))
         raise KeyError(kind)
     return decide
 
 
-def random_decide(seed, uv_cfl=False):
+def random_decide(seed, uv_cfl=False, coef_p=0.7):
     rng = np.random.default_rng(seed)
 
     def decide(kind, **kw):
@@ -103,6 +108,8 @@ def random_decide(seed, uv_cfl=False):
             return int(rng.integers(-3, 4))
         if kind == "tx_depth":
             return int(rng.integers(0, kw["max_depth"] + 1))
+        if kind == "coef":
+            return random_coef_choice(rng, coef_p=coef_p, **kw)
         raise KeyError(kind)
     return decide
 
@@ -122,9 +129,15 @@ def test_modes_sweep(tmp_path, oracle):
 
 
 def test_random_partitions_and_modes(tmp_path, oracle):
-    for seed in range(4):
+    for seed in range(6):
         cfg = StreamConfig(width=128, height=96, qidx=80, seed=seed)
         run_pair(tmp_path, oracle, cfg, random_decide(seed), f"rand{seed}")
+
+
+def test_qidx_sweep(tmp_path, oracle):
+    for qidx in (1, 20, 21, 60, 61, 120, 121, 255):
+        cfg = StreamConfig(width=64, height=64, qidx=qidx)
+        run_pair(tmp_path, oracle, cfg, random_decide(qidx), f"q{qidx}")
 
 
 def test_odd_sizes(tmp_path, oracle):

@@ -313,7 +313,8 @@ class TileEncoder:
                 l.ccoef[0][cby4 : cby4 + cbh4] = 0x40
                 l.ccoef[1][cby4 : cby4 + cbh4] = 0x40
         else:
-            self._encode_coefs(bs, tx, bx, by, bw4, bh4, has_chroma, decide)
+            self._encode_coefs(bs, tx, bx, by, bw4, bh4, has_chroma, decide,
+                               y_mode, uv_mode)
 
         # context updates (mirror decoder)
         lw, lh = int(t_dim[2]), int(t_dim[3])
@@ -331,43 +332,59 @@ class TileEncoder:
             a.uvmode[cbx4 : cbx4 + cbw4] = uv_mode
             l.uvmode[cby4 : cby4 + cbh4] = uv_mode
 
-    def _encode_coefs(self, bs, ytx, bx, by, bw4, bh4, has_chroma, decide):
-        """All-skip coefficient blocks for now: encodes the per-TX 'all
-        skip' bool so non-skip blocks stay legal. Residual token encoding
-        lands with the coefficient-coverage stage."""
-        from dav1d_tpu.recon.coef import get_skip_ctx
+    def _encode_coefs(self, bs, ytx, bx, by, bw4, bh4, has_chroma, decide,
+                      y_mode, uv_mode):
+        """Per-TX coefficient encoding. decide("coef", ...) supplies the
+        token levels (dict rc -> level >= 1), signs and (for luma) txtp;
+        empty levels -> all-skip bool."""
+        from dav1d_tpu.levels import TxfmSize, TxfmType
+        from dav1d_tpu.recon.coef import get_uv_inter_txtp
+        from .coef_enc import encode_coefs
         cdf = self.cdf
         t_dim = tables.txfm_info()[ytx]
         tw, th = int(t_dim[0]), int(t_dim[1])
-        tctx = int(t_dim[7])
         a, l = self.cur_a, self.l
         bx4, by4 = bx & 31, by & 31
         w4 = min(bw4, self.bw - bx)
         h4 = min(bh4, self.bh - by)
+        qidx = self.cfg.qidx
         for y in range(0, h4, th):
             for x in range(0, w4, tw):
-                sctx = get_skip_ctx(t_dim, bs, a.lcoef, bx4 + x,
-                                    l.lcoef, by4 + y, 0, 1)
-                self.msac.encode_bool_adapt(1, cdf.coef.skip[tctx][sctx])
-                a.lcoef[bx4 + x : bx4 + x + tw] = 0x40
-                l.lcoef[by4 + y : by4 + y + th] = 0x40
+                txtp, levels, signs = decide(
+                    "coef", bx=bx + x, by=by + y, tx=ytx, plane=0,
+                    t_dim=t_dim, intra=1, y_mode=y_mode)
+                ctx = encode_coefs(
+                    self.msac, cdf, a.lcoef, bx4 + x, l.lcoef, by4 + y,
+                    ytx, bs, y_mode, uv_mode, 0, 0, qidx, 0, 1,
+                    txtp, levels, signs)
+                a.lcoef[bx4 + x : bx4 + x + tw] = ctx
+                l.lcoef[by4 + y : by4 + y + th] = ctx
         if has_chroma:
             uvtx = int(tables.max_txfm_size_for_bs[bs][1])  # I420
             uv_t = tables.txfm_info()[uvtx]
             utw, uth = int(uv_t[0]), int(uv_t[1])
-            utctx = int(uv_t[7])
             cbx4, cby4 = bx4 >> 1, by4 >> 1
             cw4 = (w4 + 1) >> 1
             ch4 = (h4 + 1) >> 1
+            # chroma txtp is derived, not coded (decode_coefs)
+            if int(uv_t[5]) + 1 >= TxfmSize.TX_64X64:
+                uv_txtp = TxfmType.DCT_DCT
+            else:
+                uv_txtp = TxfmType(int(tables.txtp_from_uvmode[uv_mode]))
             for pl in range(2):
                 for y in range(0, ch4, uth):
                     for x in range(0, cw4, utw):
-                        sctx = get_skip_ctx(uv_t, bs, a.ccoef[pl], cbx4 + x,
-                                            l.ccoef[pl], cby4 + y, 1, 1)
-                        self.msac.encode_bool_adapt(
-                            1, cdf.coef.skip[utctx][sctx])
-                        a.ccoef[pl][cbx4 + x : cbx4 + x + utw] = 0x40
-                        l.ccoef[pl][cby4 + y : cby4 + y + uth] = 0x40
+                        _, levels, signs = decide(
+                            "coef", bx=bx + x * 2, by=by + y * 2, tx=uvtx,
+                            plane=1 + pl, t_dim=uv_t, intra=1,
+                            y_mode=y_mode, fixed_txtp=uv_txtp)
+                        ctx = encode_coefs(
+                            self.msac, cdf, a.ccoef[pl], cbx4 + x,
+                            l.ccoef[pl], cby4 + y, uvtx, bs, y_mode,
+                            uv_mode, 0, 0, qidx, 1 + pl, 1,
+                            uv_txtp, levels, signs)
+                        a.ccoef[pl][cbx4 + x : cbx4 + x + utw] = ctx
+                        l.ccoef[pl][cby4 + y : cby4 + y + uth] = ctx
 
 
 def make_stream(cfg: StreamConfig, decide) -> bytes:
