@@ -15,6 +15,8 @@ from ..cdf import CdfContext
 from ..headers import FrameHeader, PixelLayout, SequenceHeader, TxfmMode
 from ..intra_edge import INTRA_EDGE_TREE
 from ..levels import BlockLevel
+from ..recon.lf import Av1Filter, calc_eih, calc_lf_values, \
+    loopfilter_sbrow_cols, loopfilter_sbrow_rows
 from .tile import BlockContext, TaskContext, TileState, decode_sb
 
 
@@ -116,6 +118,22 @@ class FrameContext:
             np.zeros((self.sbh, self.sb128w * 128 >> (ss_hor if pl else 0)),
                      dtype=np.int32) for pl in range(n_pl)]
 
+        # deblock state
+        self.lf_level = np.zeros((((self.bh + 31) & ~31), self.b4_stride, 4),
+                                 dtype=np.uint8)
+        self.lf_masks = [Av1Filter()
+                         for _ in range(self.sb128w * self.sb128h)]
+        self.lf_lim_lut = calc_eih(hdr.loopfilter.sharpness)
+        self.lf_lvl = calc_lf_values(hdr, [0, 0, 0, 0])
+        self.start_of_tile_row = [0] * self.sbh
+        sby = 0
+        for tile_row in range(hdr.tiling.rows):
+            self.start_of_tile_row[sby] = tile_row
+            sby += 1
+            while sby < min(hdr.tiling.row_start_sb[tile_row + 1], self.sbh):
+                self.start_of_tile_row[sby] = 0
+                sby += 1
+
         # cdef index per 64x64 unit: (sb128h*2, sb128w*2)
         self.cdef_idx = np.full((self.sb128h * 2, self.sb128w * 2), -1,
                                 dtype=np.int32)
@@ -181,10 +199,13 @@ def decode_tile_sbrow(t: TaskContext) -> None:
         pass  # restoration info reads land with the LR stage
 
     a_base = col_sb128_start + tile_row * f.sb128w
+    lf_base = (t.by >> 5) * f.sb128w + col_sb128_start
     t.bx = ts.col_start
     a_idx = a_base
+    lf_idx = lf_base
     while t.bx < ts.col_end:
         t.a = f.a[a_idx]
+        t.lf_mask = f.lf_masks[lf_idx]
         sb64x = t.bx >> 4
         sb64y = t.by >> 4
         if root_bl == BlockLevel.BL_128X128:
@@ -200,6 +221,7 @@ def decode_tile_sbrow(t: TaskContext) -> None:
             pass
         if (t.bx & 16) or f.seq_hdr.sb128:
             a_idx += 1
+            lf_idx += 1
         t.bx += sb_step
 
     _backup_ipred_edge(t)
@@ -284,6 +306,7 @@ def decode_frame(f: FrameContext, tile_groups) -> None:
 def _filter_sbrow(f: FrameContext, sby: int) -> None:
     lf = f.frame_hdr.loopfilter
     if lf.level_y[0] or lf.level_y[1]:
-        raise NotImplementedError("deblocking lands with the filter stage")
+        loopfilter_sbrow_cols(f, sby, f.start_of_tile_row[sby])
+        loopfilter_sbrow_rows(f, sby)
     if f.seq_hdr.cdef and f.frame_hdr.cdef.n_bits:
         raise NotImplementedError("cdef lands with the filter stage")

@@ -111,6 +111,7 @@ class TileState:
                            f.bh)
         self.dq = f.dq  # current dequant table (per seg, plane, dc/ac)
         self.dqmem = None
+        self.lflvl = f.lf_lvl  # per-seg deblock levels (delta-lf overrides)
         self.lr_ref = [dict(filter_v=[3, -7, 15], filter_h=[3, -7, 15],
                             sgr_weights=[-32, 31]) for _ in range(3)]
 
@@ -126,6 +127,7 @@ class TaskContext:
         self.a: BlockContext | None = None  # above ctx (slice of f.a list)
         self.l = BlockContext()
         self.cur_sb_cdef_idx = None  # list of 4 ints view
+        self.lf_mask = None
         self.frame_thread_pass = 0
         self.tl_4x4_filter = 0
         self.cf = np.zeros(32 * 32, dtype=np.int32)
@@ -652,6 +654,15 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
     # reconstruction (pass 0: fused)
     from ..recon.intra import recon_b_intra
     recon_b_intra(t, bs, intra_edge_flags, b)
+
+    if hdr.loopfilter.level_y[0] or hdr.loopfilter.level_y[1]:
+        from ..recon.lf import create_lf_mask_intra
+        create_lf_mask_intra(
+            t.lf_mask, f.lf_level, f.b4_stride, ts.lflvl[b.seg_id],
+            t.bx, t.by, f.w4, f.h4, bs, b.tx, b.uvtx, f.layout,
+            t.a.tx_lpf_y, bx4, t.l.tx_lpf_y, by4,
+            t.a.tx_lpf_uv if has_chroma else None, cbx4,
+            t.l.tx_lpf_uv, cby4)
 
     # update contexts
     y_mode_nofilt = M.DC_PRED if b.y_mode == M.FILTER_PRED else b.y_mode

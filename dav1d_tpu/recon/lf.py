@@ -1,0 +1,476 @@
+"""Deblocking loop filter: masks, levels, and filtering.
+
+Behavioral parity with the reference (src/lf_mask.c:36-468,
+src/loopfilter_tmpl.c:36-241, src/lf_apply_tmpl.c:176-466; AV1 spec 7.14).
+Masks are 32-lane bitmasks per SB128 column/row selecting filter width per
+4px edge; levels live in a per-4x4 cache indexed [y][x][plane_dir].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import tables
+from ..headers import PixelLayout
+
+
+class Av1Filter:
+    """Per-128x128 deblock masks (reference src/lf_mask.h:51-57)."""
+
+    def __init__(self):
+        self.filter_y = np.zeros((2, 32, 3, 2), dtype=np.uint16)
+        self.filter_uv = np.zeros((2, 32, 2, 2), dtype=np.uint16)
+
+
+def calc_eih(sharpness: int):
+    """(E, I) LUTs per level (reference dav1d_calc_eih)."""
+    e = np.zeros(64, dtype=np.int32)
+    i_ = np.zeros(64, dtype=np.int32)
+    for level in range(64):
+        limit = level
+        if sharpness > 0:
+            limit >>= (sharpness + 3) >> 2
+            limit = min(limit, 9 - sharpness)
+        limit = max(limit, 1)
+        i_[level] = limit
+        e[level] = 2 * (level + 2) + limit
+    return e, i_
+
+
+def _calc_lf_value(out, base_lvl, lf_delta, seg_delta, mr_delta):
+    base = max(0, min(63, max(0, min(63, base_lvl + lf_delta)) + seg_delta))
+    if mr_delta is None:
+        out[:, :] = base
+        return
+    sh = int(base >= 32)
+    out[0, 0] = out[0, 1] = max(0, min(63, base + mr_delta.ref_delta[0] * (1 << sh)))
+    for r in range(1, 8):
+        for m in range(2):
+            delta = mr_delta.mode_delta[m] + mr_delta.ref_delta[r]
+            out[r, m] = max(0, min(63, base + delta * (1 << sh)))
+
+
+def calc_lf_values(hdr, lf_delta):
+    """(8 seg, 4 plane-dir, 8 ref, 2 mode) uint8
+    (reference dav1d_calc_lf_values)."""
+    n_seg = 8 if hdr.segmentation.enabled else 1
+    out = np.zeros((8, 4, 8, 2), dtype=np.uint8)
+    lf = hdr.loopfilter
+    if not lf.level_y[0] and not lf.level_y[1]:
+        return out
+    mr = lf.mode_ref_deltas if lf.mode_ref_delta_enabled else None
+    multi = hdr.delta.lf_multi
+    for s in range(n_seg):
+        segd = hdr.segmentation.seg_data.d[s] if hdr.segmentation.enabled \
+            else None
+        _calc_lf_value(out[s][0], lf.level_y[0], lf_delta[0],
+                       segd.delta_lf_y_v if segd else 0, mr)
+        _calc_lf_value(out[s][1], lf.level_y[1], lf_delta[1 if multi else 0],
+                       segd.delta_lf_y_h if segd else 0, mr)
+        if lf.level_u:
+            _calc_lf_value(out[s][2], lf.level_u, lf_delta[2 if multi else 0],
+                           segd.delta_lf_u if segd else 0, mr)
+        if lf.level_v:
+            _calc_lf_value(out[s][3], lf.level_v, lf_delta[3 if multi else 0],
+                           segd.delta_lf_v if segd else 0, mr)
+    return out
+
+
+# --- mask construction ------------------------------------------------------
+
+def mask_edges_intra(masks_y, by4, bx4, w4, h4, tx, a, a_off, l, l_off):
+    """reference mask_edges_intra (src/lf_mask.c:149-200)."""
+    t_dim = tables.txfm_info()[tx]
+    twl4c = min(2, int(t_dim[2]))
+    thl4c = min(2, int(t_dim[3]))
+
+    mask = 1 << by4
+    for y in range(h4):
+        sidx = int(mask >= 0x10000)
+        smask = mask >> (sidx << 4)
+        masks_y[0][bx4][min(twl4c, int(l[l_off + y]))][sidx] |= smask
+        mask <<= 1
+    mask = 1 << bx4
+    for x in range(w4):
+        sidx = int(mask >= 0x10000)
+        smask = mask >> (sidx << 4)
+        masks_y[1][by4][min(thl4c, int(a[a_off + x]))][sidx] |= smask
+        mask <<= 1
+
+    hstep = int(t_dim[0])
+    t = 1 << by4
+    inner = ((t << h4) - t) & 0xFFFFFFFF
+    inner1, inner2 = inner & 0xFFFF, inner >> 16
+    for x in range(hstep, w4, hstep):
+        if inner1:
+            masks_y[0][bx4 + x][twl4c][0] |= inner1
+        if inner2:
+            masks_y[0][bx4 + x][twl4c][1] |= inner2
+    vstep = int(t_dim[1])
+    t = 1 << bx4
+    inner = ((t << w4) - t) & 0xFFFFFFFF
+    inner1, inner2 = inner & 0xFFFF, inner >> 16
+    for y in range(vstep, h4, vstep):
+        if inner1:
+            masks_y[1][by4 + y][thl4c][0] |= inner1
+        if inner2:
+            masks_y[1][by4 + y][thl4c][1] |= inner2
+
+    a[a_off : a_off + w4] = thl4c
+    l[l_off : l_off + h4] = twl4c
+
+
+def mask_edges_chroma(masks_uv, cby4, cbx4, cw4, ch4, skip_inter, tx,
+                      a, a_off, l, l_off, ss_hor, ss_ver):
+    """reference mask_edges_chroma (src/lf_mask.c:202-258)."""
+    t_dim = tables.txfm_info()[tx]
+    twl4c = int(bool(int(t_dim[2])))
+    thl4c = int(bool(int(t_dim[3])))
+    vbits, hbits = 4 - ss_ver, 4 - ss_hor
+    vmask, hmask = 16 >> ss_ver, 16 >> ss_hor
+    vmax, hmax = 1 << vmask, 1 << hmask
+
+    mask = 1 << cby4
+    for y in range(ch4):
+        sidx = int(mask >= vmax)
+        smask = mask >> (sidx << vbits)
+        masks_uv[0][cbx4][min(twl4c, int(l[l_off + y]))][sidx] |= smask
+        mask <<= 1
+    mask = 1 << cbx4
+    for x in range(cw4):
+        sidx = int(mask >= hmax)
+        smask = mask >> (sidx << hbits)
+        masks_uv[1][cby4][min(thl4c, int(a[a_off + x]))][sidx] |= smask
+        mask <<= 1
+
+    if not skip_inter:
+        hstep = int(t_dim[0])
+        t = 1 << cby4
+        inner = ((t << ch4) - t) & 0xFFFFFFFF
+        inner1 = inner & ((1 << vmask) - 1)
+        inner2 = inner >> vmask
+        for x in range(hstep, cw4, hstep):
+            if inner1:
+                masks_uv[0][cbx4 + x][twl4c][0] |= inner1
+            if inner2:
+                masks_uv[0][cbx4 + x][twl4c][1] |= inner2
+        vstep = int(t_dim[1])
+        t = 1 << cbx4
+        inner = ((t << cw4) - t) & 0xFFFFFFFF
+        inner1 = inner & ((1 << hmask) - 1)
+        inner2 = inner >> hmask
+        for y in range(vstep, ch4, vstep):
+            if inner1:
+                masks_uv[1][cby4 + y][thl4c][0] |= inner1
+            if inner2:
+                masks_uv[1][cby4 + y][thl4c][1] |= inner2
+
+    a[a_off : a_off + cw4] = thl4c
+    l[l_off : l_off + ch4] = twl4c
+
+
+def create_lf_mask_intra(lflvl: Av1Filter, level_cache, b4_stride,
+                         filter_level, bx, by, iw, ih, bs, ytx, uvtx,
+                         layout, ay, ay_off, ly, ly_off,
+                         auv, auv_off, luv, luv_off):
+    """reference dav1d_create_lf_mask_intra (src/lf_mask.c:259-320)."""
+    b_dim = tables.block_dimensions[bs]
+    bw4 = min(iw - bx, int(b_dim[0]))
+    bh4 = min(ih - by, int(b_dim[1]))
+    bx4 = bx & 31
+    by4 = by & 31
+
+    if bw4 and bh4:
+        level_cache[by : by + bh4, bx : bx + bw4, 0] = filter_level[0][0][0]
+        level_cache[by : by + bh4, bx : bx + bw4, 1] = filter_level[1][0][0]
+        mask_edges_intra(lflvl.filter_y, by4, bx4, bw4, bh4, ytx,
+                         ay, ay_off, ly, ly_off)
+
+    if auv is None:
+        return
+    ss_ver = int(layout == PixelLayout.I420)
+    ss_hor = int(layout != PixelLayout.I444)
+    cbw4 = min(((iw + ss_hor) >> ss_hor) - (bx >> ss_hor),
+               (int(b_dim[0]) + ss_hor) >> ss_hor)
+    cbh4 = min(((ih + ss_ver) >> ss_ver) - (by >> ss_ver),
+               (int(b_dim[1]) + ss_ver) >> ss_ver)
+    if cbw4 <= 0 or cbh4 <= 0:
+        return
+    cbx4 = bx4 >> ss_hor
+    cby4 = by4 >> ss_ver
+    cy, cx = by >> ss_ver, bx >> ss_hor
+    level_cache[cy : cy + cbh4, cx : cx + cbw4, 2] = filter_level[2][0][0]
+    level_cache[cy : cy + cbh4, cx : cx + cbw4, 3] = filter_level[3][0][0]
+    mask_edges_chroma(lflvl.filter_uv, cby4, cbx4, cbw4, cbh4, 0, uvtx,
+                      auv, auv_off, luv, luv_off, ss_hor, ss_ver)
+
+
+# --- filtering ---------------------------------------------------------------
+
+def _loop_filter(plane, py, px, E, I, H, along_rows, wd, bitdepth):
+    """Filter 4 pixels across one edge (reference loop_filter,
+    src/loopfilter_tmpl.c:36-161). along_rows: True for a vertical edge
+    (pixels advance down rows; taps run horizontally)."""
+    bd_m8 = bitdepth - 8
+    F = 1 << bd_m8
+    E <<= bd_m8
+    I <<= bd_m8
+    H <<= bd_m8
+    maxp = (1 << bitdepth) - 1
+    cd_lim = 128 << bd_m8
+
+    def iclip_diff(v):
+        return max(-cd_lim, min(cd_lim - 1, v))
+
+    for i in range(4):
+        if along_rows:
+            y, x = py + i, px
+            get = lambda o: int(plane[y, x + o])
+            def put(o, v):
+                plane[y, x + o] = v
+        else:
+            y, x = py, px + i
+            get = lambda o: int(plane[y + o, x])
+            def put(o, v):
+                plane[y + o, x] = v
+
+        p1, p0 = get(-2), get(-1)
+        q0, q1 = get(0), get(1)
+        fm = (abs(p1 - p0) <= I and abs(q1 - q0) <= I
+              and abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) <= E)
+        p2 = q2 = p3 = q3 = 0
+        if wd > 4:
+            p2, q2 = get(-3), get(2)
+            fm = fm and abs(p2 - p1) <= I and abs(q2 - q1) <= I
+            if wd > 6:
+                p3, q3 = get(-4), get(3)
+                fm = fm and abs(p3 - p2) <= I and abs(q3 - q2) <= I
+        if not fm:
+            continue
+
+        flat8out = False
+        if wd >= 16:
+            p6, p5, p4 = get(-7), get(-6), get(-5)
+            q4, q5, q6 = get(4), get(5), get(6)
+            flat8out = (abs(p6 - p0) <= F and abs(p5 - p0) <= F
+                        and abs(p4 - p0) <= F and abs(q4 - q0) <= F
+                        and abs(q5 - q0) <= F and abs(q6 - q0) <= F)
+        flat8in = False
+        if wd >= 6:
+            flat8in = (abs(p2 - p0) <= F and abs(p1 - p0) <= F
+                       and abs(q1 - q0) <= F and abs(q2 - q0) <= F)
+        if wd >= 8:
+            flat8in = flat8in and abs(p3 - p0) <= F and abs(q3 - q0) <= F
+
+        if wd >= 16 and flat8out and flat8in:
+            put(-6, (p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0 + 8) >> 4)
+            put(-5, (p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1 + 8) >> 4)
+            put(-4, (p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 + q1 + q2 + 8) >> 4)
+            put(-3, (p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0 + q1 + q2 + q3 + 8) >> 4)
+            put(-2, (p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2 + q0 + q1 + q2 + q3 + q4 + 8) >> 4)
+            put(-1, (p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 + q2 + q3 + q4 + q5 + 8) >> 4)
+            put(0, (p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2 + q3 + q4 + q5 + q6 + 8) >> 4)
+            put(1, (p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 * 2 + q3 + q4 + q5 + q6 * 2 + 8) >> 4)
+            put(2, (p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 + q3 * 2 + q4 + q5 + q6 * 3 + 8) >> 4)
+            put(3, (p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 * 2 + q5 + q6 * 4 + 8) >> 4)
+            put(4, (p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 * 2 + q6 * 5 + 8) >> 4)
+            put(5, (p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2 + q6 * 7 + 8) >> 4)
+        elif wd >= 8 and flat8in:
+            put(-3, (p3 + p3 + p3 + 2 * p2 + p1 + p0 + q0 + 4) >> 3)
+            put(-2, (p3 + p3 + p2 + 2 * p1 + p0 + q0 + q1 + 4) >> 3)
+            put(-1, (p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3)
+            put(0, (p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3)
+            put(1, (p1 + p0 + q0 + 2 * q1 + q2 + q3 + q3 + 4) >> 3)
+            put(2, (p0 + q0 + q1 + 2 * q2 + q3 + q3 + q3 + 4) >> 3)
+        elif wd == 6 and flat8in:
+            put(-2, (p2 + 2 * p2 + 2 * p1 + 2 * p0 + q0 + 4) >> 3)
+            put(-1, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+            put(0, (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3)
+            put(1, (p0 + 2 * q0 + 2 * q1 + 2 * q2 + q2 + 4) >> 3)
+        else:
+            hev = abs(p1 - p0) > H or abs(q1 - q0) > H
+            if hev:
+                f = iclip_diff(p1 - q1)
+                f = iclip_diff(3 * (q0 - p0) + f)
+                f1 = min(f + 4, cd_lim - 1) >> 3
+                f2 = min(f + 3, cd_lim - 1) >> 3
+                put(-1, max(0, min(maxp, p0 + f2)))
+                put(0, max(0, min(maxp, q0 - f1)))
+            else:
+                f = iclip_diff(3 * (q0 - p0))
+                f1 = min(f + 4, cd_lim - 1) >> 3
+                f2 = min(f + 3, cd_lim - 1) >> 3
+                put(-1, max(0, min(maxp, p0 + f2)))
+                put(0, max(0, min(maxp, q0 - f1)))
+                f = (f1 + 1) >> 1
+                put(-2, max(0, min(maxp, p1 + f)))
+                put(1, max(0, min(maxp, q1 - f)))
+
+
+def _lf_sb(plane, py, px, vmask3, _unused, lvl_get, e_lut, i_lut, is_h, is_uv,
+           bitdepth):
+    """loop_filter_sb128{y,uv} over one 4px-aligned strip
+    (reference src/loopfilter_tmpl.c:163-241).
+    is_h: filtering across VERTICAL edges (dav1d 'h' = horizontal taps)."""
+    vm = vmask3[0] | vmask3[1] | (vmask3[2] if not is_uv else 0)
+    i = 0
+    bit = 1
+    while vm & ~(bit - 1):
+        if vm & bit:
+            L = lvl_get(i, 0)
+            if not L:
+                L = lvl_get(i, -1)
+            if L:
+                H = L >> 4
+                E, I = int(e_lut[L]), int(i_lut[L])
+                if not is_uv:
+                    idx = 2 if (vmask3[2] & bit) else int(bool(vmask3[1] & bit))
+                    wd = 4 << idx
+                else:
+                    idx = int(bool(vmask3[1] & bit))
+                    wd = 4 + 2 * idx
+                if is_h:
+                    _loop_filter(plane, py + 4 * i, px, E, I, H, True, wd,
+                                 bitdepth)
+                else:
+                    _loop_filter(plane, py, px + 4 * i, E, I, H, False, wd,
+                                 bitdepth)
+        bit <<= 1
+        i += 1
+
+
+def loopfilter_sbrow_cols(f, sby, start_of_tile_row):
+    """reference dav1d_loopfilter_sbrow_cols (src/lf_apply_tmpl.c:313)."""
+    is_sb64 = int(not f.seq_hdr.sb128)
+    starty4 = (sby & is_sb64) << 4
+    sbsz = 32 >> is_sb64
+    ss_ver, ss_hor = f.ss_ver, f.ss_hor
+    endy4 = starty4 + min(f.h4 - sby * sbsz, sbsz)
+    uv_endy4 = (endy4 + ss_ver) >> ss_ver
+    e_lut, i_lut = f.lf_lim_lut
+    mask_base = (sby >> is_sb64) * f.sb128w
+    level = f.lf_level
+    py0 = sby * f.sb_step * 4
+    cpy0 = py0 >> ss_ver
+
+    if f.frame_hdr.tiling.cols > 1 or (start_of_tile_row and
+                                       f.frame_hdr.tiling.rows > 1):
+        _fix_tile_boundaries(f, sby, starty4, endy4, uv_endy4,
+                             start_of_tile_row)
+
+    for x128 in range(f.sb128w):
+        m = f.lf_masks[mask_base + x128]
+        w = min(32, f.w4 - x128 * 32)
+        row0 = sby * sbsz
+        colb = x128 * 32
+        for x in range(w):
+            if x128 == 0 and x == 0:
+                continue
+            if not starty4:
+                hm = [int(m.filter_y[0][x][k][0])
+                      | (int(m.filter_y[0][x][k][1]) << 16 if endy4 > 16 else 0)
+                      for k in range(3)]
+            else:
+                hm = [int(m.filter_y[0][x][k][1]) for k in range(3)]
+            if not (hm[0] | hm[1] | hm[2]):
+                continue
+            col = colb + x
+
+            def lvl_get(i, off, col=col):
+                return int(level[row0 + i, col + off, 0])
+
+            _lf_sb(f.planes[0], py0, col * 4, hm, None, lvl_get,
+                   e_lut, i_lut, True, False, f.bitdepth)
+
+    if not f.frame_hdr.loopfilter.level_u and \
+            not f.frame_hdr.loopfilter.level_v:
+        return
+    for x128 in range(f.sb128w):
+        m = f.lf_masks[mask_base + x128]
+        cw = (min(32, f.w4 - x128 * 32) + ss_hor) >> ss_hor
+        crow0 = (sby * sbsz) >> ss_ver
+        ccolb = x128 * (32 >> ss_hor)
+        sh = 16 >> ss_ver
+        for x in range(cw):
+            if x128 == 0 and x == 0:
+                continue
+            cs4 = starty4 >> ss_ver
+            if not cs4:
+                hm = [int(m.filter_uv[0][x][k][0])
+                      | (int(m.filter_uv[0][x][k][1]) << sh
+                         if uv_endy4 > sh else 0)
+                      for k in range(2)]
+            else:
+                hm = [int(m.filter_uv[0][x][k][1]) for k in range(2)]
+            if not (hm[0] | hm[1]):
+                continue
+            ccol = ccolb + x
+            for pl in (1, 2):
+                def lvl_get(i, off, ccol=ccol, pl=pl):
+                    return int(level[crow0 + i, ccol + off, 1 + pl])
+
+                _lf_sb(f.planes[pl], cpy0, ccol * 4, hm + [0], None, lvl_get,
+                       e_lut, i_lut, True, True, f.bitdepth)
+
+
+def loopfilter_sbrow_rows(f, sby):
+    """reference dav1d_loopfilter_sbrow_rows (src/lf_apply_tmpl.c:430)."""
+    have_top = sby > 0
+    is_sb64 = int(not f.seq_hdr.sb128)
+    starty4 = (sby & is_sb64) << 4
+    sbsz = 32 >> is_sb64
+    ss_ver, ss_hor = f.ss_ver, f.ss_hor
+    endy4 = starty4 + min(f.h4 - sby * sbsz, sbsz)
+    uv_endy4 = (endy4 + ss_ver) >> ss_ver
+    e_lut, i_lut = f.lf_lim_lut
+    mask_base = (sby >> is_sb64) * f.sb128w
+    level = f.lf_level
+    py0 = sby * f.sb_step * 4
+
+    for x128 in range(f.sb128w):
+        m = f.lf_masks[mask_base + x128]
+        w = min(32, f.w4 - x128 * 32)
+        colb = x128 * 32
+        for y in range(starty4, endy4):
+            if not have_top and not y:
+                continue
+            vm = [int(m.filter_y[1][y][k][0])
+                  | (int(m.filter_y[1][y][k][1]) << 16) for k in range(3)]
+            if not (vm[0] | vm[1] | vm[2]):
+                continue
+            row = sby * sbsz + (y - starty4)
+
+            def lvl_get(i, off, row=row):
+                return int(level[row + off, colb + i, 1])
+
+            _lf_sb(f.planes[0], py0 + (y - starty4) * 4, colb * 4, vm, None,
+                   lvl_get, e_lut, i_lut, False, False, f.bitdepth)
+
+    if not f.frame_hdr.loopfilter.level_u and \
+            not f.frame_hdr.loopfilter.level_v:
+        return
+    sh = 16 >> ss_hor
+    cpy0 = py0 >> ss_ver
+    for x128 in range(f.sb128w):
+        m = f.lf_masks[mask_base + x128]
+        ccolb = x128 * (32 >> ss_hor)
+        cs4 = starty4 >> ss_ver
+        for y in range(cs4, uv_endy4):
+            if not have_top and not y:
+                continue
+            vm = [int(m.filter_uv[1][y][k][0])
+                  | (int(m.filter_uv[1][y][k][1]) << sh) for k in range(2)]
+            if not (vm[0] | vm[1]):
+                continue
+            crow = (sby * sbsz >> ss_ver) + (y - cs4)
+            for pl in (1, 2):
+                def lvl_get(i, off, crow=crow, pl=pl):
+                    return int(level[crow + off, ccolb + i, 1 + pl])
+
+                _lf_sb(f.planes[pl], cpy0 + (y - cs4) * 4, ccolb * 4,
+                       vm + [0], None, lvl_get, e_lut, i_lut, False, True,
+                       f.bitdepth)
+
+
+def _fix_tile_boundaries(f, sby, starty4, endy4, uv_endy4, start_of_tile_row):
+    raise NotImplementedError("tile-boundary lf fixups land with multi-tile")

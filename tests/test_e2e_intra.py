@@ -150,3 +150,15 @@ def test_odd_sizes(tmp_path, oracle):
 def test_edge_filter_enabled(tmp_path, oracle):
     cfg = StreamConfig(width=64, height=64, qidx=30, intra_edge_filter=1)
     run_pair(tmp_path, oracle, cfg, random_decide(7), "edgefilter")
+
+
+def test_deblocking(tmp_path, oracle):
+    for i, (levels, sharp) in enumerate([
+            ((32, 32, 24, 20), 0),
+            ((63, 63, 63, 63), 0),
+            ((10, 14, 0, 0), 4),
+            ((1, 2, 3, 4), 7)]):
+        cfg = StreamConfig(width=128, height=96, qidx=140, seed=i,
+                           lf_levels=levels, lf_sharpness=sharp)
+        run_pair(tmp_path, oracle, cfg, random_decide(i + 100),
+                 f"lf{i}")

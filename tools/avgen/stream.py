@@ -36,8 +36,9 @@ class StreamConfig:
     qidx: int = 100
     bitdepth: int = 8
     seed: int = 0
-    # per-block decision callback(bx, by, bl) -> dict or None for defaults
     intra_edge_filter: int = 0
+    lf_levels: tuple = (0, 0, 0, 0)  # y_v, y_h, u, v
+    lf_sharpness: int = 0
 
 
 OBU_SEQ_HDR = 1
@@ -129,9 +130,13 @@ def write_frame_hdr(cfg: StreamConfig, w: BitWriter) -> None:
     if cfg.qidx:
         w.put_bit(0)  # delta_q present
     # loopfilter
-    w.put_bits(0, 6)  # level_y[0]
-    w.put_bits(0, 6)  # level_y[1]
-    w.put_bits(0, 3)  # sharpness
+    ly0, ly1, lu, lv = cfg.lf_levels
+    w.put_bits(ly0, 6)  # level_y[0]
+    w.put_bits(ly1, 6)  # level_y[1]
+    if ly0 or ly1:
+        w.put_bits(lu, 6)
+        w.put_bits(lv, 6)
+    w.put_bits(cfg.lf_sharpness, 3)  # sharpness
     w.put_bit(0)  # mode_ref_delta_enabled
     # cdef: seq off; restoration: seq off
     w.put_bit(1)  # txfm_mode: switchable (exercise tx-size coding)
