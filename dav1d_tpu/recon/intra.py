@@ -131,8 +131,40 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
             if not has_chroma:
                 continue
 
+            utw, uth = int(uv_t_dim[0]), int(uv_t_dim[1])
             if b.uv_mode == M.CFL_PRED:
-                raise NotImplementedError("CFL prediction")
+                assert not init_x and not init_y
+                y0 = 4 * (t.by & ~ss_ver)
+                x0 = 4 * (t.bx & ~ss_hor)
+                furthest_r = ((cw4 << ss_hor) + utw - 1) & ~(utw - 1)
+                furthest_b = ((ch4 << ss_ver) + uth - 1) & ~(uth - 1)
+                ac = ipred_mod.cfl_ac(
+                    f.planes[0], y0, x0,
+                    cbw4 - (furthest_r >> ss_hor),
+                    cbh4 - (furthest_b >> ss_ver),
+                    cbw4 * 4, cbh4 * 4, ss_hor, ss_ver)
+                for pl in range(2):
+                    if not b.cfl_alpha[pl]:
+                        continue
+                    top_sb_edge = None
+                    if not ((t.by & ~ss_ver) & (f.sb_step - 1)):
+                        sby = t.by >> f.sb_shift
+                        if sby > 0:
+                            top_sb_edge = f.ipred_edge[1 + pl][sby - 1]
+                    xpos = t.bx >> ss_hor
+                    ypos = t.by >> ss_ver
+                    dst_x = 4 * xpos
+                    dst_y = 4 * ypos
+                    m, _, edge, ofs = ipred_mod.prepare_intra_edges(
+                        xpos, xpos > (ts.col_start >> ss_hor),
+                        ypos, ypos > (ts.row_start >> ss_ver),
+                        ts.col_end >> ss_hor, ts.row_end >> ss_ver,
+                        0, f.planes[1 + pl], dst_y, dst_x, top_sb_edge, 0,
+                        M.DC_PRED, 0, utw, uth, 0, bitdepth)
+                    pred = ipred_mod.cfl_pred(m, edge, ofs, utw * 4, uth * 4,
+                                              ac, b.cfl_alpha[pl], bitdepth)
+                    f.planes[1 + pl][dst_y : dst_y + uth * 4,
+                                     dst_x : dst_x + utw * 4] = pred
 
             uv_sb_has_tr = (
                 1 if ((init_x + 16) >> ss_hor) < cw4 else 0 if init_y else
@@ -141,7 +173,6 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                 0 if init_x else 1 if ((init_y + 16) >> ss_ver) < ch4 else
                 intra_edge_flags & ((1 << 5) >> (f.layout - 1)))
             sub_cw4 = min(cw4, (init_x + 16) >> ss_hor)
-            utw, uth = int(uv_t_dim[0]), int(uv_t_dim[1])
             sm_uv_fl = _sm_uv_flag(t.a, cbx4) | _sm_uv_flag(t.l, cby4)
             for pl in range(2):
                 y = init_y >> ss_ver
@@ -152,6 +183,30 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                     while x < sub_cw4:
                         dst_x = 4 * ((t.bx + 0) >> ss_hor)
                         dst_y = 4 * (t.by >> ss_ver)
+                        if (b.uv_mode == M.CFL_PRED and b.cfl_alpha[pl]) \
+                                or b.pal_sz[1]:
+                            if not b.skip:
+                                eob, txtp, cf, cf_ctx = decode_coefs(
+                                    t, t.a.ccoef[pl], cbx4 + x,
+                                    t.l.ccoef[pl], cby4 + y, b.uvtx, bs, b,
+                                    1, 1 + pl)
+                                trace("Post-uv-cf-blk[pl=%d,tx=%d,txtp=%d,"
+                                      "eob=%d]: r=%d [x=%d,cbx4=%d]",
+                                      pl, b.uvtx, txtp, eob, ts.msac.rng,
+                                      x, cbx4)
+                                ctw = min(utw, (f.bw - t.bx + ss_hor) >> ss_hor)
+                                cth = min(uth, (f.bh - t.by + ss_ver) >> ss_ver)
+                                t.a.ccoef[pl][cbx4 + x : cbx4 + x + ctw] = cf_ctx
+                                t.l.ccoef[pl][cby4 + y : cby4 + y + cth] = cf_ctx
+                                if eob >= 0:
+                                    itx_add(f.planes[1 + pl], dst_y, dst_x,
+                                            b.uvtx, txtp, cf, eob, bitdepth)
+                            else:
+                                t.a.ccoef[pl][cbx4 + x : cbx4 + x + utw] = 0x40
+                                t.l.ccoef[pl][cby4 + y : cby4 + y + uth] = 0x40
+                            x += utw
+                            t.bx += utw << ss_hor
+                            continue
                         angle = b.uv_angle
                         edge_flags = (
                             (0 if ((y > (init_y >> ss_ver)

@@ -514,3 +514,64 @@ def _filter(edge, ofs, width, height, filt_idx, bitdepth):
                     canvas[y + 1 + yy, x + 1 + xx] = np.clip(
                         (acc + 8) >> 4, 0, maxp)
     return canvas[1:, 1:].astype(np.int32)
+
+
+# --- chroma-from-luma ---------------------------------------------------------
+
+def cfl_ac(y_plane, y0, x0, w_pad, h_pad, cw, ch, ss_hor, ss_ver):
+    """Subsampled, DC-subtracted luma plane (reference cfl_ac_c,
+    src/ipred_tmpl.c:658-703). Returns (ch, cw) int32."""
+    ac = np.zeros((ch, cw), dtype=np.int64)
+    shift = 1 + (not ss_ver) + (not ss_hor)
+    for y in range(ch - 4 * h_pad):
+        sy = y0 + (y << ss_ver)
+        for x in range(cw - 4 * w_pad):
+            sx = x0 + (x << ss_hor)
+            s = int(y_plane[sy, sx])
+            if ss_hor:
+                s += int(y_plane[sy, sx + 1])
+            if ss_ver:
+                s += int(y_plane[sy + 1, sx])
+                if ss_hor:
+                    s += int(y_plane[sy + 1, sx + 1])
+            ac[y, x] = s << shift
+        ac[y, cw - 4 * w_pad : cw] = ac[y, cw - 4 * w_pad - 1]
+    for y in range(ch - 4 * h_pad, ch):
+        ac[y] = ac[y - 1]
+    log2sz = (cw.bit_length() - 1) + (ch.bit_length() - 1)
+    total = int(ac.sum()) + ((1 << log2sz) >> 1)
+    total >>= log2sz
+    return (ac - total).astype(np.int32)
+
+
+def cfl_pred(mode, edge, ofs, width, height, ac, alpha, bitdepth):
+    """CFL prediction: DC (per availability variant) + alpha*ac
+    (reference cfl_pred/ipred_cfl_*_c, src/ipred_tmpl.c:72-214)."""
+    half = (1 << bitdepth) >> 1
+    maxp = (1 << bitdepth) - 1
+    if mode == M.DC_PRED:
+        dc = dc_gen(edge, ofs, width, height)
+    elif mode == M.TOP_DC_PRED:
+        dc = dc_gen_top(edge, ofs, width)
+    elif mode == M.LEFT_DC_PRED:
+        dc = dc_gen_left(edge, ofs, height)
+    else:  # DC_128
+        dc = half
+    diff = alpha * ac[:height, :width].astype(np.int64)
+    adj = (np.abs(diff) + 32) >> 6
+    out = dc + np.sign(diff) * adj
+    return np.clip(out, 0, maxp).astype(np.int32)
+
+
+def pal_pred(pal, idx, w, h):
+    """Palette expansion (reference pal_pred_c, src/ipred_tmpl.c:717):
+    idx packs 2 3-bit indices per byte."""
+    out = np.zeros((h, w), dtype=np.int32)
+    k = 0
+    for y in range(h):
+        for x in range(0, w, 2):
+            i = int(idx[k])
+            k += 1
+            out[y, x] = pal[i & 7]
+            out[y, x + 1] = pal[i >> 4]
+    return out

@@ -89,7 +89,7 @@ def const_decide(**choices):
     return decide
 
 
-def random_decide(seed, uv_cfl=False, coef_p=0.7):
+def random_decide(seed, uv_cfl=False, coef_p=0.7, filter_intra=False):
     rng = np.random.default_rng(seed)
 
     def decide(kind, **kw):
@@ -103,7 +103,19 @@ def random_decide(seed, uv_cfl=False, coef_p=0.7):
         if kind == "y_mode":
             return int(rng.integers(0, 13))
         if kind == "uv_mode":
+            if uv_cfl and kw.get("cfl_allowed") and rng.random() < 0.5:
+                return 13  # CFL
             return int(rng.integers(0, 13))
+        if kind == "cfl_alphas":
+            while True:
+                au = int(rng.integers(-16, 17))
+                av = int(rng.integers(-16, 17))
+                if au or av:
+                    return au, av
+        if kind == "filter_intra":
+            if filter_intra and rng.random() < 0.6:
+                return int(rng.integers(0, 5))
+            return None
         if kind in ("y_angle", "uv_angle"):
             return int(rng.integers(-3, 4))
         if kind == "tx_depth":
@@ -162,3 +174,18 @@ def test_deblocking(tmp_path, oracle):
                            lf_levels=levels, lf_sharpness=sharp)
         run_pair(tmp_path, oracle, cfg, random_decide(i + 100),
                  f"lf{i}")
+
+
+def test_cfl(tmp_path, oracle):
+    for seed in range(3):
+        cfg = StreamConfig(width=64, height=64, qidx=90, seed=seed)
+        run_pair(tmp_path, oracle, cfg,
+                 random_decide(seed + 50, uv_cfl=True), f"cfl{seed}")
+
+
+def test_filter_intra(tmp_path, oracle):
+    for seed in range(3):
+        cfg = StreamConfig(width=64, height=64, qidx=90, seed=seed,
+                           filter_intra=1)
+        run_pair(tmp_path, oracle, cfg,
+                 random_decide(seed + 60, filter_intra=True), f"fi{seed}")

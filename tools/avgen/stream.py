@@ -39,6 +39,7 @@ class StreamConfig:
     intra_edge_filter: int = 0
     lf_levels: tuple = (0, 0, 0, 0)  # y_v, y_h, u, v
     lf_sharpness: int = 0
+    filter_intra: int = 0
 
 
 OBU_SEQ_HDR = 1
@@ -74,7 +75,7 @@ def write_seq_hdr(cfg: StreamConfig) -> bytes:
     w.put_bits(cfg.height - 1, 16)
     w.put_bit(0)  # frame_id_numbers_present
     w.put_bit(0)  # sb128
-    w.put_bit(0)  # filter_intra
+    w.put_bit(cfg.filter_intra)  # filter_intra
     w.put_bit(cfg.intra_edge_filter)  # intra_edge_filter
     w.put_bit(0)  # inter_intra
     w.put_bit(0)  # masked_compound
@@ -289,11 +290,40 @@ class TileEncoder:
                              cfl_allowed=cfl_allowed)
             self.msac.encode_symbol(uv_mode, cdf.m.uv_mode[int(cfl_allowed)][y_mode],
                                     13 - (not cfl_allowed))
-            if int(b_dim[2]) + int(b_dim[3]) >= 2 and \
+            if uv_mode == M.CFL_PRED:
+                au, av = decide("cfl_alphas", bx=bx, by=by)
+                sign_u = 0 if au == 0 else (1 if au < 0 else 2)
+                sign_v = 0 if av == 0 else (1 if av < 0 else 2)
+                joint = sign_u * 3 + sign_v
+                assert joint >= 1, "cfl alphas cannot both be zero"
+                self.msac.encode_symbol(joint - 1, cdf.m.cfl_sign, 7)
+                if sign_u:
+                    ctx = (sign_u == 2) * 3 + sign_v
+                    self.msac.encode_symbol(abs(au) - 1,
+                                            cdf.m.cfl_alpha[ctx], 15)
+                if sign_v:
+                    ctx = (sign_v == 2) * 3 + sign_u
+                    self.msac.encode_symbol(abs(av) - 1,
+                                            cdf.m.cfl_alpha[ctx], 15)
+            elif int(b_dim[2]) + int(b_dim[3]) >= 2 and \
                     M.VERT_PRED <= uv_mode <= M.VERT_LEFT_PRED:
                 uv_angle = decide("uv_angle", bx=bx, by=by)
                 self.msac.encode_symbol(
                     uv_angle + 3, cdf.m.angle_delta[uv_mode - M.VERT_PRED], 6)
+
+        # filter intra
+        is_filter = 0
+        if y_mode == M.DC_PRED and \
+                max(int(b_dim[2]), int(b_dim[3])) <= 3 and \
+                self.cfg.filter_intra:
+            filt = decide("filter_intra", bx=bx, by=by)
+            is_filter = int(filt is not None)
+            self.msac.encode_bool_adapt(is_filter,
+                                        cdf.m.use_filter_intra[bs])
+            if is_filter:
+                y_mode = M.FILTER_PRED
+                y_angle = filt
+                self.msac.encode_symbol(filt, cdf.m.filter_intra, 4)
 
         # tx size (txfm_mode switchable)
         tx = int(tables.max_txfm_size_for_bs[bs][0])
@@ -308,6 +338,9 @@ class TileEncoder:
             for _ in range(depth):
                 tx = int(t_dim[6])
                 t_dim = tables.txfm_info()[tx]
+        coef_y_mode = y_mode
+        if y_mode == M.FILTER_PRED:
+            coef_y_mode = int(tables.filter_mode_to_y_mode[y_angle])
         if skip:
             # coef skip ctx resets
             a.lcoef[bx4 : bx4 + bw4] = 0x40
@@ -319,18 +352,19 @@ class TileEncoder:
                 l.ccoef[1][cby4 : cby4 + cbh4] = 0x40
         else:
             self._encode_coefs(bs, tx, bx, by, bw4, bh4, has_chroma, decide,
-                               y_mode, uv_mode)
+                               coef_y_mode, uv_mode)
 
         # context updates (mirror decoder)
         lw, lh = int(t_dim[2]), int(t_dim[3])
+        y_mode_nofilt = M.DC_PRED if y_mode == M.FILTER_PRED else y_mode
         a.tx_intra[bx4 : bx4 + bw4] = lw
         a.tx[bx4 : bx4 + bw4] = lw
-        a.mode[bx4 : bx4 + bw4] = y_mode
+        a.mode[bx4 : bx4 + bw4] = y_mode_nofilt
         a.intra[bx4 : bx4 + bw4] = 1
         a.skip[bx4 : bx4 + bw4] = skip
         l.tx_intra[by4 : by4 + bh4] = lh
         l.tx[by4 : by4 + bh4] = lh
-        l.mode[by4 : by4 + bh4] = y_mode
+        l.mode[by4 : by4 + bh4] = y_mode_nofilt
         l.intra[by4 : by4 + bh4] = 1
         l.skip[by4 : by4 + bh4] = skip
         if has_chroma:
