@@ -107,6 +107,22 @@ class FrameContext:
             self.cur_segmap = np.zeros((self.bh, self.bw), dtype=np.uint8)
         self.prev_segmap = prev_segmap
         self.refs = refs or [None] * 7
+        self.refp = self.refs  # 7 reference slots (planes + frame_hdr)
+
+        # ref-MV state for inter / intrabc frames
+        self.rf = None
+        if hdr.frame_type.is_inter_or_switch or hdr.allow_intrabc:
+            from ..refmvs import RefMvsFrame
+            ref_poc = None
+            if hdr.frame_type.is_inter_or_switch:
+                ref_poc = [r.frame_hdr.frame_offset if r and r.frame_hdr
+                           else 0 for r in self.refs]
+            self.rf = RefMvsFrame(seq_hdr, hdr, ref_poc=ref_poc)
+
+        # distance-weighted compound weights (reference src/decode.c:3088)
+        self.jnt_weights = None
+        if hdr.switchable_comp_refs and seq_hdr.order_hint:
+            self.jnt_weights = _init_jnt_weights(seq_hdr, hdr, self.refs)
 
         # above block contexts: one per sb128 column per tile row
         self.a = [BlockContext()
@@ -182,6 +198,36 @@ def split_tiles(f: FrameContext, tile_groups) -> None:
             pos += tile_sz
 
 
+def _init_jnt_weights(seq_hdr, hdr, refs):
+    """reference src/decode.c:3088-3118."""
+    from ..obu import get_poc_diff
+    quant_dist_lookup = [[9, 7], [11, 5], [12, 4], [13, 3]]
+    quant_dist_weight = [[2, 3], [2, 5], [2, 7]]
+    out = [[0] * 7 for _ in range(7)]
+    poc = hdr.frame_offset
+    for i in range(7):
+        for j in range(7):
+            ref0poc = refs[i].frame_hdr.frame_offset
+            ref1poc = refs[j].frame_hdr.frame_offset
+            d1 = min(abs(get_poc_diff(seq_hdr.order_hint_n_bits, ref0poc,
+                                      poc)), 31)
+            d0 = min(abs(get_poc_diff(seq_hdr.order_hint_n_bits, ref1poc,
+                                      poc)), 31)
+            order = d0 <= d1
+            k = 3
+            for qd in range(3):
+                c0 = quant_dist_weight[qd][int(order)]
+                c1 = quant_dist_weight[qd][int(not order)]
+                d0_c0 = d0 * c0
+                d1_c1 = d1 * c1
+                if (d0 > d1 and d0_c0 < d1_c1) or \
+                        (d0 <= d1 and d0_c0 > d1_c1):
+                    k = qd
+                    break
+            out[i][j] = quant_dist_lookup[k][int(order)]
+    return out
+
+
 def decode_tile_sbrow(t: TaskContext) -> None:
     """reference dav1d_decode_tile_sbrow (src/decode.c:2594)."""
     f = t.f
@@ -193,6 +239,10 @@ def decode_tile_sbrow(t: TaskContext) -> None:
         (not f.seq_hdr.sb128)
 
     t.l.reset(f.frame_is_intra)
+    if f.rf is not None:
+        from ..refmvs import RefMvsTile
+        t.rt = RefMvsTile(f.rf, ts.col_start, ts.col_end,
+                          ts.row_start, ts.row_end)
 
     if f.frame_hdr.restoration.type != [0, 0, 0] and any(
             f.frame_hdr.restoration.type):

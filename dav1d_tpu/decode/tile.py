@@ -130,6 +130,9 @@ class TaskContext:
         self.lf_mask = None
         self.frame_thread_pass = 0
         self.tl_4x4_filter = 0
+        self.txtp_map = np.zeros((32, 32), dtype=np.uint8)
+        self.warpmv = None
+        self.rt = None
         self.cf = np.zeros(32 * 32, dtype=np.int32)
 
 
@@ -554,8 +557,12 @@ def decode_b(t: TaskContext, bl: int, bs: int, bp: int,
                         bx4, by4, cbx4, cby4, bw4, bh4, w4, h4, cbw4, cbh4,
                         have_top, have_left, has_chroma, seg, seg_pred,
                         frame_is_inter)
+    elif frame_is_inter:
+        _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
+                        bx4, by4, cbx4, cby4, bw4, bh4, w4, h4, cbw4, cbh4,
+                        have_top, have_left, has_chroma, seg, seg_pred)
     else:
-        raise NotImplementedError("inter blocks not yet implemented")
+        raise NotImplementedError("intra block copy (screen content stage)")
 
 
 def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
@@ -697,6 +704,10 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
     if has_chroma:
         t.a.uvmode[cbx4 : cbx4 + cbw4] = b.uv_mode
         t.l.uvmode[cby4 : cby4 + cbh4] = b.uv_mode
+    if frame_is_inter or hdr.allow_intrabc:
+        from ..refmvs import splat_mv, INVALID_MV_Y
+        splat_mv(f.rf, t.by, t.bx, bw4, bh4,
+                 (INVALID_MV_Y, INVALID_MV_Y), (0, 0), 0, -1, bs, 0)
     if hdr.segmentation.enabled and hdr.segmentation.update_map:
         f.cur_segmap[t.by : t.by + bh4, t.bx : t.bx + bw4] = b.seg_id
 
@@ -704,3 +715,499 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
 def _prev_segid(f, by, bx, w4, h4):
     """min seg id over the colocated area (reference get_prev_frame_segid)."""
     return int(f.prev_segmap[by : by + h4, bx : bx + w4].min())
+
+
+def read_mv_component_diff(msac, mv_comp, mv_prec):
+    """reference src/decode.c:76-105."""
+    sign = msac.decode_bool_adapt(mv_comp.sign)
+    cl = msac.decode_symbol_adapt(mv_comp.classes, 10)
+    fp, hp = 3, 1
+    if not cl:
+        up = msac.decode_bool_adapt(mv_comp.class0)
+        if mv_prec >= 0:
+            fp = msac.decode_symbol_adapt(mv_comp.class0_fp[up], 3)
+            if mv_prec > 0:
+                hp = msac.decode_bool_adapt(mv_comp.class0_hp)
+    else:
+        up = 1 << cl
+        for n in range(cl):
+            up |= msac.decode_bool_adapt(mv_comp.classN[n]) << n
+        if mv_prec >= 0:
+            fp = msac.decode_symbol_adapt(mv_comp.classN_fp, 3)
+            if mv_prec > 0:
+                hp = msac.decode_bool_adapt(mv_comp.classN_hp)
+    diff = ((up << 3) | (fp << 1) | hp) + 1
+    return -diff if sign else diff
+
+
+def read_mv_residual(ts, mv, mv_prec):
+    """Returns updated (y, x) (reference src/decode.c:107-118)."""
+    from ..levels import MVJoint
+    msac = ts.msac
+    mv_joint = msac.decode_symbol_adapt(ts.cdf.mv_joint, 3)
+    y, x = mv
+    if mv_joint & MVJoint.V:
+        y += read_mv_component_diff(msac, ts.cdf.mv[0], mv_prec)
+    if mv_joint & MVJoint.H:
+        x += read_mv_component_diff(msac, ts.cdf.mv[1], mv_prec)
+    return (y, x)
+
+
+def read_tx_tree(t, from_tx, depth, masks, x_off, y_off):
+    """reference src/decode.c:119-168."""
+    f = t.f
+    bx4, by4 = t.bx & 31, t.by & 31
+    t_dim = tables.txfm_info()[from_tx]
+    txw, txh = int(t_dim[2]), int(t_dim[3])  # log2
+    tw, th = int(t_dim[0]), int(t_dim[1])
+    ts = t.ts
+    if depth < 2 and from_tx > TxfmSize.TX_4X4:
+        cat = 2 * (TxfmSize.TX_64X64 - int(t_dim[5])) - depth
+        a = int(int(t.a.tx[bx4]) < txw)
+        l = int(int(t.l.tx[by4]) < txh)
+        is_split = ts.msac.decode_bool_adapt(ts.cdf.m.txpart[cat][a + l])
+        if is_split:
+            masks[depth] |= 1 << (y_off * 4 + x_off)
+    else:
+        is_split = 0
+    if is_split and int(t_dim[5]) > TxfmSize.TX_8X8:
+        sub = int(t_dim[6])
+        sub_t = tables.txfm_info()[sub]
+        txsw, txsh = int(sub_t[0]), int(sub_t[1])
+        read_tx_tree(t, sub, depth + 1, masks, x_off * 2, y_off * 2)
+        t.bx += txsw
+        if tw >= th and t.bx < f.bw:
+            read_tx_tree(t, sub, depth + 1, masks, x_off * 2 + 1, y_off * 2)
+        t.bx -= txsw
+        t.by += txsh
+        if th >= tw and t.by < f.bh:
+            read_tx_tree(t, sub, depth + 1, masks, x_off * 2, y_off * 2 + 1)
+            t.bx += txsw
+            if tw >= th and t.bx < f.bw:
+                read_tx_tree(t, sub, depth + 1, masks,
+                             x_off * 2 + 1, y_off * 2 + 1)
+            t.bx -= txsw
+        t.by -= txsh
+    else:
+        val = TxfmSize.TX_4X4 if is_split else txw
+        t.a.tx[bx4 : bx4 + tw] = val
+        val = TxfmSize.TX_4X4 if is_split else txh
+        t.l.tx[by4 : by4 + th] = val
+
+
+def read_vartx_tree(t, b, bs, bx4, by4):
+    """reference src/decode.c:445-492."""
+    f = t.f
+    hdr = f.frame_hdr
+    b_dim = tables.block_dimensions[bs]
+    bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+    tx_split = [0, 0]
+    b.max_ytx = int(tables.max_txfm_size_for_bs[bs][0])
+    if not b.skip and (hdr.segmentation.lossless[b.seg_id]
+                       or b.max_ytx == TxfmSize.TX_4X4):
+        b.max_ytx = b.uvtx = TxfmSize.TX_4X4
+        if hdr.txfm_mode == TxfmMode.SWITCHABLE:
+            t.a.tx[bx4 : bx4 + bw4] = TxfmSize.TX_4X4
+            t.l.tx[by4 : by4 + bh4] = TxfmSize.TX_4X4
+    elif hdr.txfm_mode != TxfmMode.SWITCHABLE or b.skip:
+        if hdr.txfm_mode == TxfmMode.SWITCHABLE:
+            t.a.tx[bx4 : bx4 + bw4] = int(b_dim[2])
+            t.l.tx[by4 : by4 + bh4] = int(b_dim[3])
+        b.uvtx = int(tables.max_txfm_size_for_bs[bs][f.layout])
+    else:
+        ytx = tables.txfm_info()[b.max_ytx]
+        yw, yh = int(ytx[0]), int(ytx[1])
+        y = 0
+        y_off = 0
+        while y < bh4:
+            x = 0
+            x_off = 0
+            while x < bw4:
+                read_tx_tree(t, b.max_ytx, 0, tx_split, x_off, y_off)
+                t.bx += yw
+                x += yw
+                x_off += 1
+            t.bx -= x
+            t.by += yh
+            y += yh
+            y_off += 1
+        t.by -= y
+        trace("Post-vartxtree[%x/%x]: r=%d", tx_split[0], tx_split[1],
+              t.ts.msac.rng)
+        b.uvtx = int(tables.max_txfm_size_for_bs[bs][f.layout])
+    b.tx_split0 = tx_split[0] & 0xFF
+    b.tx_split1 = tx_split[1]
+
+
+def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
+                    bx4, by4, cbx4, cby4, bw4, bh4, w4, h4, cbw4, cbh4,
+                    have_top, have_left, has_chroma, seg, seg_pred):
+    """Inter-specific mode/mv parsing (reference src/decode.c:1381-2067)."""
+    from .. import env
+    from ..refmvs import (RefMvsTile, fix_mv_precision, get_gmv_2d,
+                          refmvs_find, splat_mv)
+    from ..levels import (CompInterPredMode as CIPM, CompInterType,
+                          InterPredMode as IPM, InterIntraType, MotionMode,
+                          WEDGE_ALLOWED_MASK, INTERINTRA_ALLOWED_MASK)
+    from ..headers import FilterMode, WarpedMotionType
+
+    f = t.f
+    ts = t.ts
+    hdr = f.frame_hdr
+    msac = ts.msac
+    seq = f.seq_hdr
+
+    if b.skip_mode:
+        is_comp = 1
+    elif ((seg is None or (seg.ref == -1 and not seg.globalmv
+                           and not seg.skip))
+          and hdr.switchable_comp_refs and min(bw4, bh4) > 1):
+        ctx = env.get_comp_ctx(t.a, t.l, by4, bx4, have_top, have_left)
+        is_comp = msac.decode_bool_adapt(ts.cdf.m.comp[ctx])
+    else:
+        is_comp = 0
+
+    has_subpel_filter = 0
+    if b.skip_mode:
+        raise NotImplementedError("skip_mode blocks (needs order hints)")
+    elif is_comp:
+        dir_ctx = env.get_comp_dir_ctx(t.a, t.l, by4, bx4,
+                                       have_top, have_left)
+        if msac.decode_bool_adapt(ts.cdf.m.comp_dir[dir_ctx]):
+            # bidirectional
+            ctx1 = env.av1_get_fwd_ref_ctx(t.a, t.l, by4, bx4, have_top,
+                                           have_left)
+            if msac.decode_bool_adapt(ts.cdf.m.comp_fwd_ref[0][ctx1]):
+                ctx2 = env.av1_get_fwd_ref_2_ctx(t.a, t.l, by4, bx4,
+                                                 have_top, have_left)
+                b.ref = [2 + msac.decode_bool_adapt(
+                    ts.cdf.m.comp_fwd_ref[2][ctx2]), 0]
+            else:
+                ctx2 = env.av1_get_fwd_ref_1_ctx(t.a, t.l, by4, bx4,
+                                                 have_top, have_left)
+                b.ref = [msac.decode_bool_adapt(
+                    ts.cdf.m.comp_fwd_ref[1][ctx2]), 0]
+            ctx3 = env.av1_get_bwd_ref_ctx(t.a, t.l, by4, bx4, have_top,
+                                           have_left)
+            if msac.decode_bool_adapt(ts.cdf.m.comp_bwd_ref[0][ctx3]):
+                b.ref[1] = 6
+            else:
+                ctx4 = env.av1_get_bwd_ref_1_ctx(t.a, t.l, by4, bx4,
+                                                 have_top, have_left)
+                b.ref[1] = 4 + msac.decode_bool_adapt(
+                    ts.cdf.m.comp_bwd_ref[1][ctx4])
+        else:
+            # unidirectional
+            uctx_p = env.av1_get_uni_p_ctx(t.a, t.l, by4, bx4, have_top,
+                                           have_left)
+            if msac.decode_bool_adapt(ts.cdf.m.comp_uni_ref[0][uctx_p]):
+                b.ref = [4, 6]
+            else:
+                uctx_p1 = env.av1_get_uni_p1_ctx(t.a, t.l, by4, bx4,
+                                                 have_top, have_left)
+                b.ref = [0, 1 + msac.decode_bool_adapt(
+                    ts.cdf.m.comp_uni_ref[1][uctx_p1])]
+                if b.ref[1] == 2:
+                    uctx_p2 = env.av1_get_uni_p2_ctx(t.a, t.l, by4, bx4,
+                                                     have_top, have_left)
+                    b.ref[1] += msac.decode_bool_adapt(
+                        ts.cdf.m.comp_uni_ref[2][uctx_p2])
+        trace("Post-refs[%d/%d]: r=%d", b.ref[0], b.ref[1], msac.rng)
+
+        mvstack, n_mvs, ctx = refmvs_find(
+            t.rt, (b.ref[0] + 1, b.ref[1] + 1), bs, intra_edge_flags,
+            t.by, t.bx)
+        b.inter_mode = msac.decode_symbol_adapt(
+            ts.cdf.m.comp_inter_mode[ctx], 7)
+        trace("Post-compintermode[%d,ctx=%d,n_mvs=%d]: r=%d",
+              b.inter_mode, ctx, n_mvs, msac.rng)
+
+        im = tables.comp_inter_pred_modes[b.inter_mode]
+        b.drl_idx = 0
+        if b.inter_mode == CIPM.NEWMV_NEWMV:
+            if n_mvs > 1:
+                drl_ctx = env.get_drl_context(mvstack, 0)
+                b.drl_idx += msac.decode_bool_adapt(ts.cdf.m.drl_bit[drl_ctx])
+                if b.drl_idx == 1 and n_mvs > 2:
+                    drl_ctx = env.get_drl_context(mvstack, 1)
+                    b.drl_idx += msac.decode_bool_adapt(
+                        ts.cdf.m.drl_bit[drl_ctx])
+        elif int(im[0]) == IPM.NEARMV or int(im[1]) == IPM.NEARMV:
+            b.drl_idx = 1
+            if n_mvs > 2:
+                drl_ctx = env.get_drl_context(mvstack, 1)
+                b.drl_idx += msac.decode_bool_adapt(ts.cdf.m.drl_bit[drl_ctx])
+                if b.drl_idx == 2 and n_mvs > 3:
+                    drl_ctx = env.get_drl_context(mvstack, 2)
+                    b.drl_idx += msac.decode_bool_adapt(
+                        ts.cdf.m.drl_bit[drl_ctx])
+
+        has_subpel_filter = min(bw4, bh4) == 1 or \
+            b.inter_mode != CIPM.GLOBALMV_GLOBALMV
+        b.mv = [None, None]
+        for idx in range(2):
+            mode_i = int(im[idx])
+            if mode_i in (IPM.NEARMV, IPM.NEARESTMV):
+                b.mv[idx] = fix_mv_precision(
+                    hdr, *mvstack[b.drl_idx]["mv"][idx])
+            elif mode_i == IPM.GLOBALMV:
+                has_subpel_filter |= int(
+                    hdr.gmv[b.ref[idx]].type == WarpedMotionType.TRANSLATION)
+                b.mv[idx] = get_gmv_2d(hdr.gmv[b.ref[idx]], t.bx, t.by,
+                                       bw4, bh4, hdr)
+            else:  # NEWMV
+                b.mv[idx] = mvstack[b.drl_idx]["mv"][idx]
+                mv_prec = hdr.hp - hdr.force_integer_mv
+                b.mv[idx] = read_mv_residual(ts, b.mv[idx], mv_prec)
+        trace("Post-residual_mv[1:y=%d,x=%d,2:y=%d,x=%d]: r=%d",
+              b.mv[0][0], b.mv[0][1], b.mv[1][0], b.mv[1][1], msac.rng)
+
+        # jnt_comp vs seg vs wedge
+        is_segwedge = 0
+        if seq.masked_compound:
+            mask_ctx = env.get_mask_comp_ctx(t.a, t.l, by4, bx4)
+            is_segwedge = msac.decode_bool_adapt(ts.cdf.m.mask_comp[mask_ctx])
+        if not is_segwedge:
+            if seq.jnt_comp:
+                jnt_ctx = env.get_jnt_comp_ctx(
+                    seq.order_hint_n_bits, hdr.frame_offset,
+                    f.refp[b.ref[0]].frame_hdr.frame_offset,
+                    f.refp[b.ref[1]].frame_hdr.frame_offset,
+                    t.a, t.l, by4, bx4)
+                b.comp_type = CompInterType.WEIGHTED_AVG + \
+                    msac.decode_bool_adapt(ts.cdf.m.jnt_comp[jnt_ctx])
+            else:
+                b.comp_type = CompInterType.AVG
+        else:
+            from ..levels import BlockSize as BS
+            if WEDGE_ALLOWED_MASK & (1 << bs):
+                wctx = int(tables.wedge_ctx_lut[bs])
+                b.comp_type = CompInterType.WEDGE - msac.decode_bool_adapt(
+                    ts.cdf.m.wedge_comp[wctx])
+                if b.comp_type == CompInterType.WEDGE:
+                    b.wedge_idx = msac.decode_symbol_adapt(
+                        ts.cdf.m.wedge_idx[wctx], 15)
+            else:
+                b.comp_type = CompInterType.SEG
+            b.mask_sign = msac.decode_bool_equi()
+
+        b.motion_mode = MotionMode.TRANSLATION
+        b.interintra_type = InterIntraType.NONE
+        filter_ = _read_filter(t, b, has_subpel_filter, 1, by4, bx4)
+    else:
+        b.comp_type = CompInterType.NONE
+        if seg is not None and seg.ref > 0:
+            b.ref = [seg.ref - 1, -1]
+        elif seg is not None and (seg.globalmv or seg.skip):
+            b.ref = [0, -1]
+        else:
+            ctx1 = env.av1_get_ref_ctx(t.a, t.l, by4, bx4, have_top,
+                                       have_left)
+            if msac.decode_bool_adapt(ts.cdf.m.ref[0][ctx1]):
+                ctx2 = env.av1_get_ref_2_ctx(t.a, t.l, by4, bx4, have_top,
+                                             have_left)
+                if msac.decode_bool_adapt(ts.cdf.m.ref[1][ctx2]):
+                    ref0 = 6
+                else:
+                    ctx3 = env.av1_get_ref_6_ctx(t.a, t.l, by4, bx4,
+                                                 have_top, have_left)
+                    ref0 = 4 + msac.decode_bool_adapt(ts.cdf.m.ref[5][ctx3])
+            else:
+                ctx2 = env.av1_get_ref_3_ctx(t.a, t.l, by4, bx4, have_top,
+                                             have_left)
+                if msac.decode_bool_adapt(ts.cdf.m.ref[2][ctx2]):
+                    ctx3 = env.av1_get_ref_5_ctx(t.a, t.l, by4, bx4,
+                                                 have_top, have_left)
+                    ref0 = 2 + msac.decode_bool_adapt(ts.cdf.m.ref[4][ctx3])
+                else:
+                    ctx3 = env.av1_get_ref_4_ctx(t.a, t.l, by4, bx4,
+                                                 have_top, have_left)
+                    ref0 = msac.decode_bool_adapt(ts.cdf.m.ref[3][ctx3])
+            b.ref = [ref0, -1]
+            trace("Post-ref[%d]: r=%d", b.ref[0], msac.rng)
+        b.ref = [int(b.ref[0]), -1]
+
+        mvstack, n_mvs, ctx = refmvs_find(
+            t.rt, (b.ref[0] + 1, -1), bs, intra_edge_flags, t.by, t.bx)
+
+        if (seg is not None and (seg.skip or seg.globalmv)) or \
+                msac.decode_bool_adapt(ts.cdf.m.newmv_mode[ctx & 7]):
+            if (seg is not None and (seg.skip or seg.globalmv)) or \
+                    not msac.decode_bool_adapt(
+                        ts.cdf.m.globalmv_mode[(ctx >> 3) & 1]):
+                b.inter_mode = IPM.GLOBALMV
+                b.mv = [get_gmv_2d(hdr.gmv[b.ref[0]], t.bx, t.by, bw4, bh4,
+                                   hdr), None]
+                has_subpel_filter = min(bw4, bh4) == 1 or \
+                    hdr.gmv[b.ref[0]].type == WarpedMotionType.TRANSLATION
+            else:
+                has_subpel_filter = 1
+                if msac.decode_bool_adapt(
+                        ts.cdf.m.refmv_mode[(ctx >> 4) & 15]):
+                    b.inter_mode = IPM.NEARMV
+                    b.drl_idx = 1
+                    if n_mvs > 2:
+                        drl_ctx = env.get_drl_context(mvstack, 1)
+                        b.drl_idx += msac.decode_bool_adapt(
+                            ts.cdf.m.drl_bit[drl_ctx])
+                        if b.drl_idx == 2 and n_mvs > 3:
+                            drl_ctx = env.get_drl_context(mvstack, 2)
+                            b.drl_idx += msac.decode_bool_adapt(
+                                ts.cdf.m.drl_bit[drl_ctx])
+                else:
+                    b.inter_mode = IPM.NEARESTMV
+                    b.drl_idx = 0
+                mv0 = mvstack[b.drl_idx]["mv"][0]
+                if b.drl_idx < 2:
+                    mv0 = fix_mv_precision(hdr, *mv0)
+                b.mv = [mv0, None]
+            trace("Post-intermode[%d,drl=%d,mv=y:%d,x:%d,n_mvs=%d]: r=%d",
+                  b.inter_mode, b.drl_idx, b.mv[0][0], b.mv[0][1], n_mvs,
+                  msac.rng)
+        else:
+            has_subpel_filter = 1
+            b.inter_mode = IPM.NEWMV
+            b.drl_idx = 0
+            if n_mvs > 1:
+                drl_ctx = env.get_drl_context(mvstack, 0)
+                b.drl_idx += msac.decode_bool_adapt(ts.cdf.m.drl_bit[drl_ctx])
+                if b.drl_idx == 1 and n_mvs > 2:
+                    drl_ctx = env.get_drl_context(mvstack, 1)
+                    b.drl_idx += msac.decode_bool_adapt(
+                        ts.cdf.m.drl_bit[drl_ctx])
+            if n_mvs > 1:
+                mv0 = mvstack[b.drl_idx]["mv"][0]
+            else:
+                mv0 = fix_mv_precision(hdr, *mvstack[0]["mv"][0])
+            trace("Post-intermode[%d,drl=%d]: r=%d", b.inter_mode, b.drl_idx,
+                  msac.rng)
+            mv_prec = hdr.hp - hdr.force_integer_mv
+            b.mv = [read_mv_residual(ts, mv0, mv_prec), None]
+            trace("Post-residualmv[mv=y:%d,x:%d]: r=%d", b.mv[0][0],
+                  b.mv[0][1], msac.rng)
+
+        # interintra
+        ii_sz_grp = int(tables.ymode_size_context[bs])
+        if seq.inter_intra and (INTERINTRA_ALLOWED_MASK & (1 << bs)) and \
+                msac.decode_bool_adapt(ts.cdf.m.interintra[ii_sz_grp]):
+            b.interintra_mode = msac.decode_symbol_adapt(
+                ts.cdf.m.interintra_mode[ii_sz_grp], 3)
+            wctx = int(tables.wedge_ctx_lut[bs])
+            b.interintra_type = InterIntraType.BLEND + \
+                msac.decode_bool_adapt(ts.cdf.m.interintra_wedge[wctx])
+            if b.interintra_type == InterIntraType.WEDGE:
+                b.wedge_idx = msac.decode_symbol_adapt(
+                    ts.cdf.m.wedge_idx[wctx], 15)
+        else:
+            b.interintra_type = InterIntraType.NONE
+
+        # motion variation
+        from ..env import findoddzero
+        if (hdr.switchable_motion_mode
+                and b.interintra_type == InterIntraType.NONE
+                and min(bw4, bh4) >= 2
+                and not (not hdr.force_integer_mv
+                         and b.inter_mode == IPM.GLOBALMV
+                         and hdr.gmv[b.ref[0]].type >
+                         WarpedMotionType.TRANSLATION)
+                and ((have_left and findoddzero(t.l.intra, by4 + 1, h4 >> 1))
+                     or (have_top and findoddzero(t.a.intra, bx4 + 1,
+                                                  w4 >> 1)))):
+            raise NotImplementedError("OBMC/warp parsing (inter stage 2)")
+        else:
+            b.motion_mode = MotionMode.TRANSLATION
+
+        filter_ = _read_filter(t, b, has_subpel_filter, 0, by4, bx4)
+
+    b.filter2d = int(tables.filter_2d[filter_[1]][filter_[0]])
+
+    read_vartx_tree(t, b, bs, bx4, by4)
+
+    # reconstruction
+    from ..recon.inter import recon_b_inter
+    recon_b_inter(t, bs, b)
+
+    if hdr.loopfilter.level_y[0] or hdr.loopfilter.level_y[1]:
+        from ..recon.lf import create_lf_mask_inter
+        is_globalmv = b.inter_mode == (
+            CIPM.GLOBALMV_GLOBALMV if is_comp else IPM.GLOBALMV)
+        lf_lvls = ts.lflvl[b.seg_id][:, b.ref[0] + 1,
+                           1 - int(is_globalmv)].reshape(4, 1, 1)
+        ytx_lf, uvtx_lf = b.max_ytx, b.uvtx
+        if hdr.segmentation.lossless[b.seg_id]:
+            ytx_lf = uvtx_lf = TxfmSize.TX_4X4
+        create_lf_mask_inter(
+            t.lf_mask, f.lf_level, f.b4_stride, lf_lvls,
+            t.bx, t.by, f.w4, f.h4, b.skip, bs, ytx_lf,
+            (b.tx_split0, b.tx_split1), uvtx_lf, f.layout,
+            t.a.tx_lpf_y, bx4, t.l.tx_lpf_y, by4,
+            t.a.tx_lpf_uv if has_chroma else None, cbx4,
+            t.l.tx_lpf_uv, cby4)
+
+    # splat mvs + context updates
+    from ..refmvs import splat_mv
+    if is_comp:
+        mf = int(b.inter_mode == CIPM.GLOBALMV_GLOBALMV) | \
+            (2 * int(bool((1 << b.inter_mode) & 0xBC)))
+        splat_mv(f.rf, t.by, t.bx, bw4, bh4, b.mv[0], b.mv[1],
+                 b.ref[0] + 1, b.ref[1] + 1, bs, mf)
+    else:
+        mf = int(b.inter_mode == IPM.GLOBALMV and min(bw4, bh4) >= 2) | \
+            (2 * int(b.inter_mode == IPM.NEWMV))
+        splat_mv(f.rf, t.by, t.bx, bw4, bh4, b.mv[0], (0, 0),
+                 b.ref[0] + 1, 0 if b.interintra_type else -1, bs, mf)
+
+    t.a.seg_pred[bx4 : bx4 + bw4] = seg_pred
+    t.a.skip_mode[bx4 : bx4 + bw4] = b.skip_mode
+    t.a.intra[bx4 : bx4 + bw4] = 0
+    t.a.skip[bx4 : bx4 + bw4] = b.skip
+    t.a.pal_sz[bx4 : bx4 + bw4] = 0
+    t.a.tx_intra[bx4 : bx4 + bw4] = int(b_dim[2])
+    t.a.comp_type[bx4 : bx4 + bw4] = b.comp_type
+    t.a.filter[0][bx4 : bx4 + bw4] = filter_[0]
+    t.a.filter[1][bx4 : bx4 + bw4] = filter_[1]
+    t.a.mode[bx4 : bx4 + bw4] = b.inter_mode
+    t.a.ref[0][bx4 : bx4 + bw4] = b.ref[0]
+    t.a.ref[1][bx4 : bx4 + bw4] = b.ref[1]
+    t.l.seg_pred[by4 : by4 + bh4] = seg_pred
+    t.l.skip_mode[by4 : by4 + bh4] = b.skip_mode
+    t.l.intra[by4 : by4 + bh4] = 0
+    t.l.skip[by4 : by4 + bh4] = b.skip
+    t.l.pal_sz[by4 : by4 + bh4] = 0
+    t.l.tx_intra[by4 : by4 + bh4] = int(b_dim[3])
+    t.l.comp_type[by4 : by4 + bh4] = b.comp_type
+    t.l.filter[0][by4 : by4 + bh4] = filter_[0]
+    t.l.filter[1][by4 : by4 + bh4] = filter_[1]
+    t.l.mode[by4 : by4 + bh4] = b.inter_mode
+    t.l.ref[0][by4 : by4 + bh4] = b.ref[0]
+    t.l.ref[1][by4 : by4 + bh4] = b.ref[1]
+    if has_chroma:
+        t.a.uvmode[cbx4 : cbx4 + cbw4] = M.DC_PRED
+        t.l.uvmode[cby4 : cby4 + cbh4] = M.DC_PRED
+
+
+def _read_filter(t, b, has_subpel_filter, comp, by4, bx4):
+    from .. import env
+    from ..headers import FilterMode
+    f = t.f
+    ts = t.ts
+    hdr = f.frame_hdr
+    if hdr.subpel_filter_mode == FilterMode.SWITCHABLE:
+        if has_subpel_filter:
+            ctx1 = env.get_filter_ctx(t.a, t.l, comp, 0, b.ref[0], by4, bx4)
+            f0 = ts.msac.decode_symbol_adapt(ts.cdf.m.filter[0][ctx1], 2)
+            if f.seq_hdr.dual_filter:
+                ctx2 = env.get_filter_ctx(t.a, t.l, comp, 1, b.ref[0],
+                                          by4, bx4)
+                trace("Post-subpel_filter1[%d,ctx=%d]: r=%d", f0, ctx1,
+                      ts.msac.rng)
+                f1 = ts.msac.decode_symbol_adapt(ts.cdf.m.filter[1][ctx2], 2)
+                trace("Post-subpel_filter2[%d,ctx=%d]: r=%d", f1, ctx2,
+                      ts.msac.rng)
+            else:
+                f1 = f0
+                trace("Post-subpel_filter[%d,ctx=%d]: r=%d", f0, ctx1,
+                      ts.msac.rng)
+            return [f0, f1]
+        return [0, 0]
+    return [int(hdr.subpel_filter_mode), int(hdr.subpel_filter_mode)]

@@ -78,7 +78,8 @@ def get_lo_ctx(levels, base, tx_class, ctx_offsets, x, y, stride):
     return offset + (4 if mag > 512 else (mag + 64) >> 7), hi_mag
 
 
-def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane):
+def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane,
+                 ytxtp=None):
     """Returns (eob, txtp, cf, res_ctx). cf is an int32 array indexed by
     rc = (x << (slh+2)) | y (the reference's transposed layout)."""
     ts = t.ts
@@ -106,7 +107,7 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane):
         if intra:
             txtp = TxfmType(int(tables.txtp_from_uvmode[b.uv_mode]))
         else:
-            txtp = get_uv_inter_txtp(t_dim, b.ytxtp)
+            txtp = get_uv_inter_txtp(t_dim, TxfmType(int(ytxtp)))
     elif not hdr.segmentation.qidx[b.seg_id]:
         txtp = TxfmType.DCT_DCT
     else:

@@ -1,0 +1,322 @@
+"""Inter block reconstruction (reference dav1d_recon_b_inter,
+src/recon_tmpl.c:1557-1985, mc() :938, read_coef_tree :731)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import tables
+from ..debug import trace
+from ..headers import PixelLayout
+from ..levels import CompInterType, InterPredMode, MotionMode
+from . import mc_np
+from .coef import decode_coefs
+from .itx import itx_add
+
+
+def mc_put(t, pl, dst_plane, dst_y, dst_x, bw4, bh4, bx, by, mv, ref_planes,
+           ref_w, ref_h, filter_2d):
+    """Translation MC into the picture (reference mc(), src/recon_tmpl.c:938;
+    unscaled path)."""
+    f = t.f
+    ss_ver = int(bool(pl)) and f.ss_ver
+    ss_hor = int(bool(pl)) and f.ss_hor
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    mvy, mvx = mv
+    mx = mvx & (15 >> (not ss_hor))
+    my = mvy & (15 >> (not ss_ver))
+    dx = bx * h_mul + (mvx >> (3 + ss_hor))
+    dy = by * v_mul + (mvy >> (3 + ss_ver))
+    w = (ref_w + ss_hor) >> ss_hor
+    h = (ref_h + ss_ver) >> ss_ver
+    bw_px, bh_px = bw4 * h_mul, bh4 * v_mul
+    if filter_2d == 9:  # FILTER_2D_BILINEAR
+        blk = mc_np.put_bilin(ref_planes[pl], w, h, dy, dx, bw_px, bh_px,
+                              mx << (not ss_hor), my << (not ss_ver),
+                              f.bitdepth)
+    else:
+        ftype = _filter_type(filter_2d)
+        blk = mc_np.put_8tap(ref_planes[pl], w, h, dy, dx, bw_px, bh_px,
+                             mx << (not ss_hor), my << (not ss_ver), ftype,
+                             f.bitdepth)
+    dst_plane[dst_y : dst_y + bh_px, dst_x : dst_x + bw_px] = blk
+
+
+def mc_prep(t, pl, bw4, bh4, bx, by, mv, ref_planes, ref_w, ref_h, filter_2d):
+    f = t.f
+    ss_ver = int(bool(pl)) and f.ss_ver
+    ss_hor = int(bool(pl)) and f.ss_hor
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    mvy, mvx = mv
+    mx = mvx & (15 >> (not ss_hor))
+    my = mvy & (15 >> (not ss_ver))
+    dx = bx * h_mul + (mvx >> (3 + ss_hor))
+    dy = by * v_mul + (mvy >> (3 + ss_ver))
+    w = (ref_w + ss_hor) >> ss_hor
+    h = (ref_h + ss_ver) >> ss_ver
+    if filter_2d == 9:
+        return mc_np.prep_bilin(ref_planes[pl], w, h, dy, dx, bw4 * h_mul,
+                                bh4 * v_mul, mx << (not ss_hor),
+                                my << (not ss_ver), f.bitdepth)
+    ftype = _filter_type(filter_2d)
+    return mc_np.prep_8tap(ref_planes[pl], w, h, dy, dx, bw4 * h_mul,
+                           bh4 * v_mul, mx << (not ss_hor),
+                           my << (not ss_ver), ftype, f.bitdepth)
+
+
+# Filter2d -> put_8tap filter_type (h | v<<2); reference mc_tmpl.c:400-414.
+_F2D_TO_TYPE = {
+    0: 0 | (0 << 2),   # regular/regular
+    1: 0 | (1 << 2),   # regular h, smooth v
+    2: 0 | (2 << 2),   # regular h, sharp v
+    3: 2 | (0 << 2),   # sharp h, regular v
+    4: 2 | (1 << 2),
+    5: 2 | (2 << 2),
+    6: 1 | (0 << 2),
+    7: 1 | (1 << 2),
+    8: 1 | (2 << 2),
+}
+
+
+def _filter_type(filter_2d):
+    return _F2D_TO_TYPE[int(filter_2d)]
+
+
+def recon_b_inter(t, bs, b) -> None:
+    f = t.f
+    ts = t.ts
+    bx4, by4 = t.bx & 31, t.by & 31
+    ss_ver = int(f.layout == PixelLayout.I420)
+    ss_hor = int(f.layout != PixelLayout.I444)
+    cbx4, cby4 = bx4 >> ss_hor, by4 >> ss_ver
+    b_dim = tables.block_dimensions[bs]
+    bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+    w4 = min(bw4, f.bw - t.bx)
+    h4 = min(bh4, f.bh - t.by)
+    has_chroma = (f.layout != PixelLayout.I400
+                  and (bw4 > ss_hor or t.bx & 1)
+                  and (bh4 > ss_ver or t.by & 1))
+    cbh4 = (bh4 + ss_ver) >> ss_ver
+    cbw4 = (bw4 + ss_hor) >> ss_hor
+    bitdepth = f.bitdepth
+
+    if b.motion_mode != MotionMode.TRANSLATION:
+        raise NotImplementedError("OBMC/warp motion (inter stage 2)")
+    if b.interintra_type:
+        raise NotImplementedError("interintra (inter stage 2)")
+
+    dst_y_px = 4 * t.by
+    dst_x_px = 4 * t.bx
+    cdst_y = 4 * (t.by >> ss_ver)
+    cdst_x = 4 * (t.bx >> ss_hor)
+
+    if b.comp_type == CompInterType.NONE:
+        refslot = f.refp[b.ref[0]]
+        ref_planes = refslot.planes
+        ref_w, ref_h = refslot.frame_hdr.width[0], refslot.frame_hdr.height
+        mc_put(t, 0, f.planes[0], dst_y_px, dst_x_px, bw4, bh4, t.bx, t.by,
+               b.mv[0], ref_planes, ref_w, ref_h, b.filter2d)
+        if has_chroma:
+            is_sub8x8 = bw4 == ss_hor or bh4 == ss_ver
+            r = f.rf.r
+            if is_sub8x8:
+                if bw4 == 1:
+                    is_sub8x8 &= int(r[t.by, t.bx - 1]["ref"][0]) > 0
+                if bh4 == ss_ver:
+                    is_sub8x8 &= int(r[t.by - 1, t.bx]["ref"][0]) > 0
+                if bw4 == 1 and bh4 == ss_ver:
+                    is_sub8x8 &= int(r[t.by - 1, t.bx - 1]["ref"][0]) > 0
+            if is_sub8x8:
+                _sub8x8_chroma(t, b, bw4, bh4, cdst_y, cdst_x, ss_ver, by4,
+                               bx4)
+            else:
+                for pl in range(1, 3):
+                    mc_put(t, pl, f.planes[pl], cdst_y, cdst_x,
+                           bw4 << (bw4 == ss_hor), bh4 << (bh4 == ss_ver),
+                           t.bx & ~ss_hor, t.by & ~ss_ver, b.mv[0],
+                           ref_planes, ref_w, ref_h, b.filter2d)
+    else:
+        tmp = [None, None]
+        for i in range(2):
+            refslot = f.refp[b.ref[i]]
+            tmp[i] = mc_prep(t, 0, bw4, bh4, t.bx, t.by, b.mv[i],
+                             refslot.planes, refslot.frame_hdr.width[0],
+                             refslot.frame_hdr.height, b.filter2d)
+        if b.comp_type == CompInterType.AVG:
+            blk = mc_np.avg(tmp[0], tmp[1], bitdepth)
+        elif b.comp_type == CompInterType.WEIGHTED_AVG:
+            jw = f.jnt_weights[b.ref[0]][b.ref[1]]
+            blk = mc_np.w_avg(tmp[0], tmp[1], jw, bitdepth)
+        else:
+            raise NotImplementedError("wedge/seg compound (inter stage 2)")
+        f.planes[0][dst_y_px : dst_y_px + bh4 * 4,
+                    dst_x_px : dst_x_px + bw4 * 4] = blk
+        if has_chroma:
+            for pl in range(1, 3):
+                for i in range(2):
+                    refslot = f.refp[b.ref[i]]
+                    tmp[i] = mc_prep(t, pl, bw4, bh4, t.bx, t.by, b.mv[i],
+                                     refslot.planes,
+                                     refslot.frame_hdr.width[0],
+                                     refslot.frame_hdr.height, b.filter2d)
+                if b.comp_type == CompInterType.AVG:
+                    blk = mc_np.avg(tmp[0], tmp[1], bitdepth)
+                else:
+                    jw = f.jnt_weights[b.ref[0]][b.ref[1]]
+                    blk = mc_np.w_avg(tmp[0], tmp[1], jw, bitdepth)
+                f.planes[pl][cdst_y : cdst_y + (bh4 * 4 >> ss_ver),
+                             cdst_x : cdst_x + (bw4 * 4 >> ss_hor)] = blk
+
+    t.tl_4x4_filter = b.filter2d
+
+    cw4 = (w4 + ss_hor) >> ss_hor
+    ch4 = (h4 + ss_ver) >> ss_ver
+
+    if b.skip:
+        t.a.lcoef[bx4 : bx4 + bw4] = 0x40
+        t.l.lcoef[by4 : by4 + bh4] = 0x40
+        if has_chroma:
+            for pl in range(2):
+                t.a.ccoef[pl][cbx4 : cbx4 + cbw4] = 0x40
+                t.l.ccoef[pl][cby4 : cby4 + cbh4] = 0x40
+        return
+
+    uvtx = tables.txfm_info()[b.uvtx]
+    ytx = tables.txfm_info()[b.max_ytx]
+    ytw, yth = int(ytx[0]), int(ytx[1])
+    utw, uth = int(uvtx[0]), int(uvtx[1])
+
+    for init_y in range(0, bh4, 16):
+        for init_x in range(0, bw4, 16):
+            y_off = int(bool(init_y))
+            y = init_y
+            t.by += init_y
+            while y < min(h4, init_y + 16):
+                x = init_x
+                x_off = int(bool(init_x))
+                t.bx += init_x
+                while x < min(w4, init_x + 16):
+                    read_coef_tree(t, bs, b, b.max_ytx, 0,
+                                   (b.tx_split0, b.tx_split1), x_off, y_off,
+                                   True)
+                    t.bx += ytw
+                    x += ytw
+                    x_off += 1
+                t.bx -= x
+                t.by += yth
+                y += yth
+                y_off += 1
+            t.by -= y
+
+            if has_chroma:
+                for pl in range(2):
+                    y = init_y >> ss_ver
+                    t.by += init_y
+                    while y < min(ch4, (init_y + 16) >> ss_ver):
+                        x = init_x >> ss_hor
+                        t.bx += init_x
+                        while x < min(cw4, (init_x + 16) >> ss_hor):
+                            txtp = t.txtp_map[by4 + (y << ss_ver),
+                                              bx4 + (x << ss_hor)]
+                            eob, txtp, cf, cf_ctx = decode_coefs(
+                                t, t.a.ccoef[pl], cbx4 + x, t.l.ccoef[pl],
+                                cby4 + y, b.uvtx, bs, b, 0, 1 + pl,
+                                ytxtp=txtp)
+                            trace("Post-uv-cf-blk[pl=%d,tx=%d,txtp=%d,"
+                                  "eob=%d]: r=%d", pl, b.uvtx, txtp, eob,
+                                  ts.msac.rng)
+                            ctw = min(utw, (f.bw - t.bx + ss_hor) >> ss_hor)
+                            cth = min(uth, (f.bh - t.by + ss_ver) >> ss_ver)
+                            t.a.ccoef[pl][cbx4 + x : cbx4 + x + ctw] = cf_ctx
+                            t.l.ccoef[pl][cby4 + y : cby4 + y + cth] = cf_ctx
+                            if eob >= 0:
+                                itx_add(f.planes[1 + pl], cdst_y + 4 * y,
+                                        cdst_x + 4 * x, b.uvtx, txtp, cf,
+                                        eob, bitdepth)
+                            t.bx += utw << ss_hor
+                            x += utw
+                        t.bx -= x << ss_hor
+                        t.by += uth << ss_ver
+                        y += uth
+                    t.by -= y << ss_ver
+
+
+def _sub8x8_chroma(t, b, bw4, bh4, cdst_y, cdst_x, ss_ver, by4, bx4):
+    """Sub-8x8 chroma prediction from neighbouring blocks' MVs
+    (reference src/recon_tmpl.c:1650-1712)."""
+    f = t.f
+    r = f.rf.r
+
+    def neighbour_mc(rr, dst_dy, dst_dx, bx, by, fil):
+        mv = (int(rr["mv"][0][0]), int(rr["mv"][0][1]))
+        refslot = f.refp[int(rr["ref"][0]) - 1]
+        for pl in range(1, 3):
+            mc_put(t, pl, f.planes[pl], cdst_y + dst_dy, cdst_x + dst_dx,
+                   bw4, bh4, bx, by, mv, refslot.planes,
+                   refslot.frame_hdr.width[0], refslot.frame_hdr.height, fil)
+
+    h_off = v_off = 0
+    if bw4 == 1 and bh4 == ss_ver:
+        neighbour_mc(r[t.by - 1, t.bx - 1], 0, 0, t.bx - 1, t.by - 1,
+                     t.tl_4x4_filter)
+        v_off = 2
+        h_off = 2
+    if bw4 == 1:
+        left_f2d = int(tables.filter_2d[t.l.filter[1][by4]][
+            t.l.filter[0][by4]])
+        neighbour_mc(r[t.by, t.bx - 1], v_off, 0, t.bx - 1, t.by, left_f2d)
+        h_off = 2
+    if bh4 == ss_ver:
+        top_f2d = int(tables.filter_2d[t.a.filter[1][bx4]][
+            t.a.filter[0][bx4]])
+        neighbour_mc(r[t.by - 1, t.bx], 0, h_off, t.bx, t.by - 1, top_f2d)
+        v_off = 2
+    refslot = f.refp[b.ref[0]]
+    for pl in range(1, 3):
+        mc_put(t, pl, f.planes[pl], cdst_y + v_off, cdst_x + h_off, bw4, bh4,
+               t.bx, t.by, b.mv[0], refslot.planes,
+               refslot.frame_hdr.width[0], refslot.frame_hdr.height,
+               b.filter2d)
+
+
+def read_coef_tree(t, bs, b, ytx, depth, tx_split, x_off, y_off, do_recon):
+    """reference read_coef_tree (src/recon_tmpl.c:731)."""
+    f = t.f
+    ts = t.ts
+    t_dim = tables.txfm_info()[ytx]
+    txw, txh = int(t_dim[0]), int(t_dim[1])
+
+    if depth < 2 and tx_split[depth] and \
+            tx_split[depth] & (1 << (y_off * 4 + x_off)):
+        sub = int(t_dim[6])
+        sub_t = tables.txfm_info()[sub]
+        txsw, txsh = int(sub_t[0]), int(sub_t[1])
+        read_coef_tree(t, bs, b, sub, depth + 1, tx_split,
+                       x_off * 2, y_off * 2, do_recon)
+        t.bx += txsw
+        if txw >= txh and t.bx < f.bw:
+            read_coef_tree(t, bs, b, sub, depth + 1, tx_split,
+                           x_off * 2 + 1, y_off * 2, do_recon)
+        t.bx -= txsw
+        t.by += txsh
+        if txh >= txw and t.by < f.bh:
+            read_coef_tree(t, bs, b, sub, depth + 1, tx_split,
+                           x_off * 2, y_off * 2 + 1, do_recon)
+            t.bx += txsw
+            if txw >= txh and t.bx < f.bw:
+                read_coef_tree(t, bs, b, sub, depth + 1, tx_split,
+                               x_off * 2 + 1, y_off * 2 + 1, do_recon)
+            t.bx -= txsw
+        t.by -= txsh
+    else:
+        bx4, by4 = t.bx & 31, t.by & 31
+        eob, txtp, cf, cf_ctx = decode_coefs(
+            t, t.a.lcoef, bx4, t.l.lcoef, by4, ytx, bs, b, 0, 0)
+        trace("Post-y-cf-blk[tx=%d,txtp=%d,eob=%d]: r=%d",
+              ytx, txtp, eob, ts.msac.rng)
+        t.a.lcoef[bx4 : bx4 + min(txw, f.bw - t.bx)] = cf_ctx
+        t.l.lcoef[by4 : by4 + min(txh, f.bh - t.by)] = cf_ctx
+        t.txtp_map[by4 : by4 + txh, bx4 : bx4 + txw] = txtp
+        if do_recon and eob >= 0:
+            itx_add(f.planes[0], 4 * t.by, 4 * t.bx, ytx, txtp, cf, eob,
+                    f.bitdepth)

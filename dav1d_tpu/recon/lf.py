@@ -474,3 +474,139 @@ def loopfilter_sbrow_rows(f, sby):
 
 def _fix_tile_boundaries(f, sby, starty4, endy4, uv_endy4, start_of_tile_row):
     raise NotImplementedError("tile-boundary lf fixups land with multi-tile")
+
+
+def _decomp_tx(txa, from_tx, depth, y_off, x_off, tx_masks, y0, x0):
+    """reference decomp_tx (src/lf_mask.c:40-77). txa: (2,2,32,32) uint8."""
+    t_dim = tables.txfm_info()[from_tx]
+    tw, th = int(t_dim[0]), int(t_dim[1])
+    is_split = 0 if (from_tx == 0 or depth > 1) else \
+        (tx_masks[depth] >> (y_off * 4 + x_off)) & 1
+    if is_split:
+        sub = int(t_dim[6])
+        htw4, hth4 = tw >> 1, th >> 1
+        _decomp_tx(txa, sub, depth + 1, y_off * 2, x_off * 2, tx_masks,
+                   y0, x0)
+        if tw >= th:
+            _decomp_tx(txa, sub, depth + 1, y_off * 2, x_off * 2 + 1,
+                       tx_masks, y0, x0 + htw4)
+        if th >= tw:
+            _decomp_tx(txa, sub, depth + 1, y_off * 2 + 1, x_off * 2,
+                       tx_masks, y0 + hth4, x0)
+            if tw >= th:
+                _decomp_tx(txa, sub, depth + 1, y_off * 2 + 1, x_off * 2 + 1,
+                           tx_masks, y0 + hth4, x0 + htw4)
+    else:
+        lw, lh = min(2, int(t_dim[2])), min(2, int(t_dim[3]))
+        txa[0, 0, y0 : y0 + th, x0 : x0 + tw] = lw
+        txa[1, 0, y0 : y0 + th, x0 : x0 + tw] = lh
+        txa[0, 1, y0 : y0 + th, x0] = tw
+        txa[1, 1, y0, x0 : x0 + tw] = th
+
+
+def mask_edges_inter(masks_y, by4, bx4, w4, h4, skip, max_tx, tx_masks,
+                     a, a_off, l, l_off):
+    """reference mask_edges_inter (src/lf_mask.c:79-147)."""
+    t_dim = tables.txfm_info()[max_tx]
+    tw, th = int(t_dim[0]), int(t_dim[1])
+    txa = np.zeros((2, 2, 32, 32), dtype=np.uint8)
+    y_off = 0
+    y = 0
+    while y < h4:
+        x_off = 0
+        x = 0
+        while x < w4:
+            _decomp_tx(txa, max_tx, 0, y_off, x_off, tx_masks, y, x)
+            x += tw
+            x_off += 1
+        y += th
+        y_off += 1
+
+    # left block edge
+    mask = 1 << by4
+    for y in range(h4):
+        sidx = int(mask >= 0x10000)
+        smask = mask >> (sidx << 4)
+        masks_y[0][bx4][min(int(txa[0, 0, y, 0]), int(l[l_off + y]))][sidx] \
+            |= smask
+        mask <<= 1
+    # top block edge
+    mask = 1 << bx4
+    for x in range(w4):
+        sidx = int(mask >= 0x10000)
+        smask = mask >> (sidx << 4)
+        masks_y[1][by4][min(int(txa[1, 0, 0, x]), int(a[a_off + x]))][sidx] \
+            |= smask
+        mask <<= 1
+
+    if not skip:
+        # inner (tx) left|right edges
+        mask = 1 << by4
+        for y in range(h4):
+            sidx = int(mask >= 0x10000)
+            smask = mask >> (sidx << 4)
+            ltx = int(txa[0, 0, y, 0])
+            step = int(txa[0, 1, y, 0])
+            x = step
+            while x < w4:
+                rtx = int(txa[0, 0, y, x])
+                masks_y[0][bx4 + x][min(rtx, ltx)][sidx] |= smask
+                ltx = rtx
+                step = int(txa[0, 1, y, x])
+                x += step
+            mask <<= 1
+        # inner (tx) top|bottom edges
+        mask = 1 << bx4
+        for x in range(w4):
+            sidx = int(mask >= 0x10000)
+            smask = mask >> (sidx << 4)
+            ttx = int(txa[1, 0, 0, x])
+            step = int(txa[1, 1, 0, x])
+            y = step
+            while y < h4:
+                btx = int(txa[1, 0, y, x])
+                masks_y[1][by4 + y][min(ttx, btx)][sidx] |= smask
+                ttx = btx
+                step = int(txa[1, 1, y, x])
+                y += step
+            mask <<= 1
+
+    for y in range(h4):
+        l[l_off + y] = txa[0, 0, y, w4 - 1]
+    a[a_off : a_off + w4] = txa[1, 0, h4 - 1, :w4]
+
+
+def create_lf_mask_inter(lflvl, level_cache, b4_stride, filter_level,
+                         bx, by, iw, ih, skip, bs, max_ytx, tx_masks, uvtx,
+                         layout, ay, ay_off, ly, ly_off,
+                         auv, auv_off, luv, luv_off):
+    """reference dav1d_create_lf_mask_inter (src/lf_mask.c:322-384)."""
+    b_dim = tables.block_dimensions[bs]
+    bw4 = min(iw - bx, int(b_dim[0]))
+    bh4 = min(ih - by, int(b_dim[1]))
+    bx4 = bx & 31
+    by4 = by & 31
+
+    if bw4 and bh4:
+        level_cache[by : by + bh4, bx : bx + bw4, 0] = filter_level[0][0][0]
+        level_cache[by : by + bh4, bx : bx + bw4, 1] = filter_level[1][0][0]
+        mask_edges_inter(lflvl.filter_y, by4, bx4, bw4, bh4, skip, max_ytx,
+                         tx_masks, ay, ay_off, ly, ly_off)
+
+    if auv is None:
+        return
+    ss_ver = int(layout == PixelLayout.I420)
+    ss_hor = int(layout != PixelLayout.I444)
+    cbw4 = min(((iw + ss_hor) >> ss_hor) - (bx >> ss_hor),
+               (int(b_dim[0]) + ss_hor) >> ss_hor)
+    cbh4 = min(((ih + ss_ver) >> ss_ver) - (by >> ss_ver),
+               (int(b_dim[1]) + ss_ver) >> ss_ver)
+    if cbw4 <= 0 or cbh4 <= 0:
+        return
+    cbx4 = bx4 >> ss_hor
+    cby4 = by4 >> ss_ver
+    cy, cx = by >> ss_ver, bx >> ss_hor
+    level_cache[cy : cy + cbh4, cx : cx + cbw4, 2] = filter_level[2][0][0]
+    level_cache[cy : cy + cbh4, cx : cx + cbw4, 3] = filter_level[3][0][0]
+    mask_edges_chroma(lflvl.filter_uv, cby4, cbx4, cbw4, cbh4, skip, uvtx,
+                      auv, auv_off, luv, luv_off, ss_hor, ss_ver)

@@ -60,7 +60,17 @@ def encode_coefs(enc, cdf, a, a_off, l, l_off, tx, bs, y_mode, uv_mode,
                 idx = tset.index(int(txtp))
                 msac.encode_symbol(idx, cdf.m.txtp_intra1[tmin][y_mode_nofilt], 6)
         else:
-            raise NotImplementedError("inter txtp encoding")
+            if reduced_txtp_set or tmax == TxfmSize.TX_32X32:
+                msac.encode_bool_adapt(int(txtp == TxfmType.DCT_DCT),
+                                       cdf.m.txtp_inter3[tmin])
+            elif tmin == TxfmSize.TX_16X16:
+                tset = [int(v) for v in tables.tx_types_per_set[12:24]]
+                idx = tset.index(int(txtp))
+                msac.encode_symbol(idx, cdf.m.txtp_inter2, 11)
+            else:
+                tset = [int(v) for v in tables.tx_types_per_set[24:40]]
+                idx = tset.index(int(txtp))
+                msac.encode_symbol(idx, cdf.m.txtp_inter1[tmin], 15)
 
     # scan/eob
     slw, slh = min(lw, 3), min(lh, 3)

@@ -20,7 +20,11 @@ def legal_txtps(t_dim, intra: int, qidx: int, reduced: int = 0):
         if reduced or tmin == TxfmSize.TX_16X16:
             return [TxfmType(int(v)) for v in tables.tx_types_per_set[0:5]]
         return [TxfmType(int(v)) for v in tables.tx_types_per_set[5:12]]
-    raise NotImplementedError("inter sets")
+    if reduced or tmax == TxfmSize.TX_32X32:
+        return [TxfmType.IDTX, TxfmType.DCT_DCT]
+    if tmin == TxfmSize.TX_16X16:
+        return [TxfmType(int(v)) for v in tables.tx_types_per_set[12:24]]
+    return [TxfmType(int(v)) for v in tables.tx_types_per_set[24:40]]
 
 
 def scan_positions(tx, txtp):

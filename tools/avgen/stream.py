@@ -452,3 +452,4 @@ def write_ivf(path, frames: list[bytes], width: int, height: int) -> None:
 def default_decide(**kw):
     kind = kw.get("kind")
     return None
+
