@@ -14,7 +14,7 @@ def get_comp_ctx(a, l, yb4, xb4, have_top, have_left):
                 return 2 + (int(l.ref[0][yb4]) >= 4 or int(l.ref[0][yb4]) < 0)
             if l.comp_type[yb4]:
                 return 2 + (int(a.ref[0][xb4]) >= 4 or int(a.ref[0][xb4]) < 0)
-            return (int(l.ref[0][yb4]) >= 4) ^ (int(a.ref[0][xb4]) >= 4)
+            return int((int(l.ref[0][yb4]) >= 4) ^ (int(a.ref[0][xb4]) >= 4))
         return 3 if a.comp_type[xb4] else int(int(a.ref[0][xb4]) >= 4)
     if have_left:
         return 3 if l.comp_type[yb4] else int(int(l.ref[0][yb4]) >= 4)

@@ -55,14 +55,22 @@ def run_inter_pair(tmp_path, oracle, cfg, decide_key, decide_inter, name):
 def inter_decide(seed, modes=("NEWMV", "NEARESTMV", "NEARMV", "GLOBALMV"),
                  intra_p=0.15, skip_p=0.4, coef_p=0.7, max_mv=256,
                  split_p=0.3, filters=(0, 1, 2), tx_split_p=0.3,
-                 fixed_mv=None):
+                 fixed_mv=None, comp_p=0.0):
     """Decision callback for InterTileEncoder."""
     from dav1d_tpu.levels import InterPredMode as IPM
     rng = np.random.default_rng(seed)
     mode_vals = {"NEWMV": IPM.NEWMV, "NEARESTMV": IPM.NEARESTMV,
                  "NEARMV": IPM.NEARMV, "GLOBALMV": IPM.GLOBALMV}
+    comp_ref_pairs = [(0, 4), (1, 5), (2, 6), (3, 4), (0, 6),
+                      (4, 6), (0, 1), (0, 2), (0, 3)]
 
     def decide(kind, **kw):
+        if kind == "is_comp":
+            return int(rng.random() < comp_p)
+        if kind == "comp_refs":
+            return comp_ref_pairs[int(rng.integers(0, len(comp_ref_pairs)))]
+        if kind == "comp_mode":
+            return int(rng.integers(0, 8))
         if kind == "partition":
             if not kw["can_split"]:
                 return BP.NONE
@@ -170,3 +178,52 @@ def test_sub8x8_blocks(tmp_path, oracle):
         run_inter_pair(tmp_path, oracle, cfg, random_decide(seed),
                        inter_decide(seed + 100, split_p=0.6, intra_p=0.3),
                        f"sub8x8_{seed}")
+
+
+def run_comp_pair(tmp_path, oracle, cfg, dk, di, name):
+    import functools
+    run = functools.partial(run_inter_pair, tmp_path, oracle, cfg, dk, di)
+    # patch: make_inter_stream with comp=True
+    global make_inter_stream
+    from avgen import inter as inter_mod
+    import subprocess
+    from dav1d_tpu.decoder import Decoder
+    from dav1d_tpu.containers import read_ivf
+
+    stream = inter_mod.make_inter_stream(cfg, dk, di, comp=True)
+    ivf = tmp_path / f"{name}.ivf"
+    write_ivf(ivf, [stream], cfg.width, cfg.height)
+    y4m = tmp_path / f"{name}_ref.y4m"
+    r = subprocess.run([str(oracle), "-i", str(ivf), "-o", str(y4m), "-q"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, f"oracle rejected the stream: {r.stderr}"
+    w, h, ref_frames = parse_y4m(y4m.read_bytes())
+    assert len(ref_frames) == 2
+    dec = Decoder()
+    pics = []
+    for tu, _ in read_ivf(ivf.read_bytes()):
+        dec.send_data(tu)
+        while (pic := dec.get_picture()) is not None:
+            pics.append(pic)
+    assert len(pics) == 2
+    for i, (pic, ref) in enumerate(zip(pics, ref_frames)):
+        for pl in range(3):
+            assert pic.plane_bytes(pl) == ref[pl], \
+                f"{name} frame {i} plane {pl} mismatch"
+
+
+def test_compound_avg(tmp_path, oracle):
+    """Compound AVG: bidirectional and unidirectional ref pairs, all
+    compound inter modes."""
+    for seed in range(4):
+        cfg = StreamConfig(width=128, height=96, qidx=80, seed=seed)
+        run_comp_pair(tmp_path, oracle, cfg, random_decide(seed),
+                      inter_decide(seed + 50, comp_p=0.7), f"comp{seed}")
+
+
+def test_compound_all_comp(tmp_path, oracle):
+    """Every non-intra block compound."""
+    cfg = StreamConfig(width=96, height=64, qidx=60,
+                       lf_levels=(20, 20, 16, 12))
+    run_comp_pair(tmp_path, oracle, cfg, random_decide(7),
+                  inter_decide(77, comp_p=1.0, intra_p=0.1), "allcomp")

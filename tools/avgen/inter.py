@@ -22,7 +22,8 @@ from .stream import (OBU_FRAME, OBU_SEQ_HDR, OBU_TD, StreamConfig,
                      write_seq_hdr, write_ivf)
 
 
-def write_inter_frame_hdr(cfg: StreamConfig, w: BitWriter) -> None:
+def write_inter_frame_hdr(cfg: StreamConfig, w: BitWriter,
+                          comp: bool = False) -> None:
     """Inter frame header. Error-resilient single-ref setup: primary_ref
     NONE (CDFs restart from defaults), no order hints (no temporal MVs,
     no skip mode). Bit order mirrors parse_frame_hdr (dav1d_tpu/obu.py)."""
@@ -75,7 +76,7 @@ def write_inter_frame_hdr(cfg: StreamConfig, w: BitWriter) -> None:
     w.put_bit(0)  # mode_ref_delta_enabled
     # cdef/restoration: seq off
     w.put_bit(1)  # txfm_mode: switchable (exercises var-tx tree)
-    w.put_bit(0)  # switchable_comp_refs (single-ref only)
+    w.put_bit(int(comp))  # switchable_comp_refs
     # skip mode not allowed; warp skipped (seq.warped_motion=0)
     w.put_bit(0)  # reduced_txtp_set
     for _ in range(7):
@@ -229,7 +230,18 @@ class InterTileEncoder(TileEncoder):
             self._encode_intra_in_inter(bs, bx, by, decide, skip, has_chroma)
             return
 
-        # single reference (switchable_comp_refs=0 -> no comp flag)
+        # compound flag (coded when hdr.switchable_comp_refs and the block
+        # is at least 8x8)
+        is_comp = 0
+        if self.frame_hdr.switchable_comp_refs and min(bw4, bh4) > 1:
+            is_comp = decide("is_comp", bx=bx, by=by)
+            cctx = env.get_comp_ctx(a, l, by4, bx4, have_top, have_left)
+            msac.encode_bool_adapt(is_comp, cdf.m.comp[cctx])
+        if is_comp:
+            self._encode_comp(bs, bx, by, decide, skip, has_chroma,
+                              edge_flags)
+            return
+
         ref0 = decide("ref", bx=bx, by=by)
         ctx1 = env.av1_get_ref_ctx(a, l, by4, bx4, have_top, have_left)
         msac.encode_bool_adapt(int(ref0 >= 4), cdf.m.ref[0][ctx1])
@@ -387,6 +399,200 @@ class InterTileEncoder(TileEncoder):
         l.mode[by4 : by4 + bh4] = mode
         l.ref[0][by4 : by4 + bh4] = ref0
         l.ref[1][by4 : by4 + bh4] = -1
+        if has_chroma:
+            a.uvmode[cbx4 : cbx4 + cbw4] = M.DC_PRED
+            l.uvmode[cby4 : cby4 + cbh4] = M.DC_PRED
+
+    def _encode_comp(self, bs, bx, by, decide, skip, has_chroma,
+                     edge_flags):
+        """Compound AVG blocks (mirror _decode_b_inter's is_comp branch;
+        seq.masked_compound/jnt_comp off -> comp_type is always AVG)."""
+        from dav1d_tpu import env
+        from dav1d_tpu.levels import (CompInterPredMode as CIPM,
+                                      CompInterType, InterPredMode as IPM,
+                                      TxfmSize)
+        from dav1d_tpu.refmvs import (fix_mv_precision, get_gmv_2d,
+                                      refmvs_find, splat_mv)
+        cdf = self.cdf
+        msac = self.msac
+        hdr = self.frame_hdr
+        b_dim = tables.block_dimensions[bs]
+        bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+        bx4, by4 = bx & 31, by & 31
+        cbx4, cby4 = bx4 >> 1, by4 >> 1
+        cbw4, cbh4 = (bw4 + 1) >> 1, (bh4 + 1) >> 1
+        w4 = min(bw4, self.bw - bx)
+        h4 = min(bh4, self.bh - by)
+        have_top = by > 0
+        have_left = bx > 0
+        a, l = self.cur_a, self.l
+
+        ref0, ref1 = decide("comp_refs", bx=bx, by=by)
+        is_bidir = ref0 < 4 <= ref1
+        dctx = env.get_comp_dir_ctx(a, l, by4, bx4, have_top, have_left)
+        msac.encode_bool_adapt(int(is_bidir), cdf.m.comp_dir[dctx])
+        if is_bidir:
+            c1 = env.av1_get_fwd_ref_ctx(a, l, by4, bx4, have_top, have_left)
+            msac.encode_bool_adapt(int(ref0 >= 2), cdf.m.comp_fwd_ref[0][c1])
+            if ref0 >= 2:
+                c2 = env.av1_get_fwd_ref_2_ctx(a, l, by4, bx4, have_top,
+                                               have_left)
+                msac.encode_bool_adapt(ref0 - 2, cdf.m.comp_fwd_ref[2][c2])
+            else:
+                c2 = env.av1_get_fwd_ref_1_ctx(a, l, by4, bx4, have_top,
+                                               have_left)
+                msac.encode_bool_adapt(ref0, cdf.m.comp_fwd_ref[1][c2])
+            c3 = env.av1_get_bwd_ref_ctx(a, l, by4, bx4, have_top, have_left)
+            msac.encode_bool_adapt(int(ref1 == 6), cdf.m.comp_bwd_ref[0][c3])
+            if ref1 != 6:
+                c4 = env.av1_get_bwd_ref_1_ctx(a, l, by4, bx4, have_top,
+                                               have_left)
+                msac.encode_bool_adapt(ref1 - 4, cdf.m.comp_bwd_ref[1][c4])
+        else:
+            up = env.av1_get_uni_p_ctx(a, l, by4, bx4, have_top, have_left)
+            msac.encode_bool_adapt(int((ref0, ref1) == (4, 6)),
+                                   cdf.m.comp_uni_ref[0][up])
+            if (ref0, ref1) != (4, 6):
+                assert ref0 == 0 and 1 <= ref1 <= 3
+                up1 = env.av1_get_uni_p1_ctx(a, l, by4, bx4, have_top,
+                                             have_left)
+                msac.encode_bool_adapt(int(ref1 >= 2),
+                                       cdf.m.comp_uni_ref[1][up1])
+                if ref1 >= 2:
+                    up2 = env.av1_get_uni_p2_ctx(a, l, by4, bx4, have_top,
+                                                 have_left)
+                    msac.encode_bool_adapt(ref1 - 2,
+                                           cdf.m.comp_uni_ref[2][up2])
+
+        mvstack, n_mvs, ctx = refmvs_find(
+            self.rt, (ref0 + 1, ref1 + 1), bs, edge_flags, by, bx)
+        cmode = decide("comp_mode", bx=bx, by=by, n_mvs=n_mvs)
+        msac.encode_symbol(cmode, cdf.m.comp_inter_mode[ctx], 7)
+        im = tables.comp_inter_pred_modes[cmode]
+        drl_idx = 0
+        if cmode == CIPM.NEWMV_NEWMV:
+            if n_mvs > 1:
+                drl_ctx = env.get_drl_context(mvstack, 0)
+                more = decide("drl_more", bx=bx, by=by, n_mvs=n_mvs)
+                msac.encode_bool_adapt(more, cdf.m.drl_bit[drl_ctx])
+                drl_idx += more
+                if drl_idx == 1 and n_mvs > 2:
+                    drl_ctx = env.get_drl_context(mvstack, 1)
+                    more = decide("drl_more", bx=bx, by=by, n_mvs=n_mvs)
+                    msac.encode_bool_adapt(more, cdf.m.drl_bit[drl_ctx])
+                    drl_idx += more
+        elif int(im[0]) == IPM.NEARMV or int(im[1]) == IPM.NEARMV:
+            drl_idx = 1
+            if n_mvs > 2:
+                drl_ctx = env.get_drl_context(mvstack, 1)
+                more = decide("drl_more", bx=bx, by=by, n_mvs=n_mvs)
+                msac.encode_bool_adapt(more, cdf.m.drl_bit[drl_ctx])
+                drl_idx += more
+                if drl_idx == 2 and n_mvs > 3:
+                    drl_ctx = env.get_drl_context(mvstack, 2)
+                    more = decide("drl_more", bx=bx, by=by, n_mvs=n_mvs)
+                    msac.encode_bool_adapt(more, cdf.m.drl_bit[drl_ctx])
+                    drl_idx += more
+
+        has_subpel = min(bw4, bh4) == 1 or cmode != CIPM.GLOBALMV_GLOBALMV
+        mv = [None, None]
+        refs = (ref0, ref1)
+        for idx in range(2):
+            mode_i = int(im[idx])
+            if mode_i in (IPM.NEARMV, IPM.NEARESTMV):
+                mv[idx] = fix_mv_precision(hdr,
+                                           *mvstack[drl_idx]["mv"][idx])
+            elif mode_i == IPM.GLOBALMV:
+                has_subpel |= hdr.gmv[refs[idx]].type == 1
+                mv[idx] = get_gmv_2d(hdr.gmv[refs[idx]], bx, by, bw4, bh4,
+                                     hdr)
+            else:  # NEWMV
+                base = mvstack[drl_idx]["mv"][idx]
+                dy, dx = decide("mv_diff", bx=bx, by=by)
+                mv[idx] = (base[0] + dy, base[1] + dx)
+                joint = (2 if dy else 0) | (1 if dx else 0)
+                msac.encode_symbol(joint, cdf.mv_joint, 3)
+                mv_prec = hdr.hp - hdr.force_integer_mv
+                if dy:
+                    _encode_mv_component(msac, cdf.mv[0], dy, mv_prec)
+                if dx:
+                    _encode_mv_component(msac, cdf.mv[1], dx, mv_prec)
+
+        # seq.masked_compound off -> no segwedge bit; seq.jnt_comp off ->
+        # comp_type AVG with no bit
+        comp_type = CompInterType.AVG
+        if has_subpel:
+            filt = decide("filter", bx=bx, by=by)
+            fctx = env.get_filter_ctx(a, l, 1, 0, ref0, by4, bx4)
+            msac.encode_symbol(filt, cdf.m.filter[0][fctx], 2)
+            filter_ = [filt, filt]
+        else:
+            filter_ = [0, 0]
+
+        # var-tx + coefs (same as single-ref)
+        max_ytx = int(tables.max_txfm_size_for_bs[bs][0])
+        tx_split = [0, 0]
+        if not skip and max_ytx == TxfmSize.TX_4X4:
+            a.tx[bx4 : bx4 + bw4] = TxfmSize.TX_4X4
+            l.tx[by4 : by4 + bh4] = TxfmSize.TX_4X4
+        elif skip:
+            a.tx[bx4 : bx4 + bw4] = int(b_dim[2])
+            l.tx[by4 : by4 + bh4] = int(b_dim[3])
+        else:
+            ytx = tables.txfm_info()[max_ytx]
+            yw, yh = int(ytx[0]), int(ytx[1])
+            y = 0
+            y_off = 0
+            while y < bh4:
+                x = 0
+                x_off = 0
+                while x < bw4:
+                    self._encode_tx_tree(max_ytx, 0, tx_split, x_off, y_off,
+                                         bx + x, by + y, decide)
+                    x += yw
+                    x_off += 1
+                y += yh
+                y_off += 1
+        uvtx = int(tables.max_txfm_size_for_bs[bs][1])
+        if skip:
+            a.lcoef[bx4 : bx4 + bw4] = 0x40
+            l.lcoef[by4 : by4 + bh4] = 0x40
+            if has_chroma:
+                for pl in range(2):
+                    a.ccoef[pl][cbx4 : cbx4 + cbw4] = 0x40
+                    l.ccoef[pl][cby4 : cby4 + cbh4] = 0x40
+        else:
+            self._encode_inter_coefs(bs, max_ytx, uvtx, tx_split, bx, by,
+                                     bw4, bh4, w4, h4, has_chroma, decide)
+
+        mf = int(cmode == CIPM.GLOBALMV_GLOBALMV) | \
+            (2 * int(bool((1 << cmode) & 0xBC)))
+        splat_mv(self.rf, by, bx, bw4, bh4, mv[0], mv[1], ref0 + 1,
+                 ref1 + 1, bs, mf)
+        a.seg_pred[bx4 : bx4 + bw4] = 0
+        a.skip_mode[bx4 : bx4 + bw4] = 0
+        a.intra[bx4 : bx4 + bw4] = 0
+        a.skip[bx4 : bx4 + bw4] = skip
+        a.pal_sz[bx4 : bx4 + bw4] = 0
+        a.tx_intra[bx4 : bx4 + bw4] = int(b_dim[2])
+        a.comp_type[bx4 : bx4 + bw4] = comp_type
+        a.filter[0][bx4 : bx4 + bw4] = filter_[0]
+        a.filter[1][bx4 : bx4 + bw4] = filter_[1]
+        a.mode[bx4 : bx4 + bw4] = cmode
+        a.ref[0][bx4 : bx4 + bw4] = ref0
+        a.ref[1][bx4 : bx4 + bw4] = ref1
+        l.seg_pred[by4 : by4 + bh4] = 0
+        l.skip_mode[by4 : by4 + bh4] = 0
+        l.intra[by4 : by4 + bh4] = 0
+        l.skip[by4 : by4 + bh4] = skip
+        l.pal_sz[by4 : by4 + bh4] = 0
+        l.tx_intra[by4 : by4 + bh4] = int(b_dim[3])
+        l.comp_type[by4 : by4 + bh4] = comp_type
+        l.filter[0][by4 : by4 + bh4] = filter_[0]
+        l.filter[1][by4 : by4 + bh4] = filter_[1]
+        l.mode[by4 : by4 + bh4] = cmode
+        l.ref[0][by4 : by4 + bh4] = ref0
+        l.ref[1][by4 : by4 + bh4] = ref1
         if has_chroma:
             a.uvmode[cbx4 : cbx4 + cbw4] = M.DC_PRED
             l.uvmode[cby4 : cby4 + cbh4] = M.DC_PRED
@@ -677,7 +883,8 @@ def _encode_mv_component(msac, mv_comp, diff, mv_prec):
             assert fp == 3 and hp == 1
 
 
-def make_inter_stream(cfg: StreamConfig, decide_key, decide_inter) -> bytes:
+def make_inter_stream(cfg: StreamConfig, decide_key, decide_inter,
+                      comp: bool = False) -> bytes:
     """Two-frame stream: keyframe + single-ref inter frame referencing it."""
     from dav1d_tpu.getbits import GetBits
     from dav1d_tpu.obu import parse_frame_hdr, parse_seq_hdr
@@ -694,7 +901,7 @@ def make_inter_stream(cfg: StreamConfig, decide_key, decide_inter) -> bytes:
     key_frame = wrap_obu(OBU_FRAME, key_hdr_bytes + key_tile)
 
     w2 = BitWriter()
-    write_inter_frame_hdr(cfg, w2)
+    write_inter_frame_hdr(cfg, w2, comp=comp)
     w2.bytealign()
     inter_hdr_bytes = w2.tobytes()
 
