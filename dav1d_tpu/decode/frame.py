@@ -153,6 +153,10 @@ class FrameContext:
         # cdef index per 64x64 unit: (sb128h*2, sb128w*2)
         self.cdef_idx = np.full((self.sb128h * 2, self.sb128w * 2), -1,
                                 dtype=np.int32)
+        # per-8x8-unit "any coded coefficients" mask for cdef
+        # (reference Av1Filter.noskip_mask, set in src/decode.c:1946-1955)
+        self.noskip = np.zeros((self.sb128h * 16, self.sb128w * 32),
+                               dtype=bool)
         self.ts: list[TileState] = []
         # per-64x64-unit restoration info lands with the LR stage
         self.lr_units = {}
@@ -348,6 +352,11 @@ def decode_frame(f: FrameContext, tile_groups) -> None:
             # loopfilter -> cdef -> super-res -> restoration per sbrow
             _filter_sbrow(f, sby)
 
+    if f.seq_hdr.cdef and not hdr.allow_intrabc and not hdr.all_lossless \
+            and (any(hdr.cdef.y_strength) or any(hdr.cdef.uv_strength)):
+        from ..recon.cdef import cdef_frame
+        cdef_frame(f)
+
     if hdr.refresh_context:
         f.out_cdf.update(f.ts[hdr.tiling.update].cdf,
                          frame_is_intra=f.frame_is_intra)
@@ -358,5 +367,6 @@ def _filter_sbrow(f: FrameContext, sby: int) -> None:
     if lf.level_y[0] or lf.level_y[1]:
         loopfilter_sbrow_cols(f, sby, f.start_of_tile_row[sby])
         loopfilter_sbrow_rows(f, sby)
-    if f.seq_hdr.cdef and f.frame_hdr.cdef.n_bits:
-        raise NotImplementedError("cdef lands with the filter stage")
+    # cdef runs full-frame after the last sbrow (decode_frame); the
+    # per-sbrow pipelining in the reference is equivalent for output
+    # pixels since cdef units read pre-cdef deblocked neighbours

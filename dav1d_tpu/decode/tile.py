@@ -564,6 +564,12 @@ def decode_b(t: TaskContext, bl: int, bs: int, bp: int,
     else:
         raise NotImplementedError("intra block copy (screen content stage)")
 
+    if not b.skip:
+        # per-8x8 "has coefficients" mask for cdef
+        # (reference src/decode.c:1946-1955)
+        r0 = t.by >> 1
+        f.noskip[r0 : r0 + ((bh4 + 1) >> 1), t.bx : t.bx + bw4] = True
+
 
 def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
                     bx4, by4, cbx4, cby4, bw4, bh4, w4, h4, cbw4, cbh4,

@@ -1,0 +1,273 @@
+"""CDEF: constrained directional enhancement filter (golden numpy model).
+
+Behavioral parity with reference src/cdef_tmpl.c (cdef_filter_block_c :106,
+cdef_find_dir_c :239, padding :56) and src/cdef_apply_tmpl.c (dav1d_cdef_brow
+:100). Applied full-frame after deblocking; every unit reads pre-CDEF
+(deblocked) pixels from a frame copy, which matches the reference's
+top/left/right backup-line scheme exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+
+INT16_MIN = -32768
+
+HAVE_LEFT = 1
+HAVE_RIGHT = 2
+HAVE_TOP = 4
+HAVE_BOTTOM = 8
+
+# (dy, dx) per [2 + dir + 2][pass] (reference src/tables.c:400
+# dav1d_cdef_directions, offsets decomposed from o = dy*12 + dx)
+CDEF_DIRECTIONS = [
+    ((1, 0), (2, 0)),    # 6
+    ((1, 0), (2, -1)),   # 7
+    ((-1, 1), (-2, 2)),  # 0
+    ((0, 1), (-1, 2)),   # 1
+    ((0, 1), (0, 2)),    # 2
+    ((0, 1), (1, 2)),    # 3
+    ((1, 1), (2, 2)),    # 4
+    ((1, 0), (2, 1)),    # 5
+    ((1, 0), (2, 0)),    # 6
+    ((1, 0), (2, -1)),   # 7
+    ((-1, 1), (-2, 2)),  # 0
+    ((0, 1), (-1, 2)),   # 1
+]
+
+UV_DIRS_420 = list(range(8))
+UV_DIRS_422 = [7, 0, 2, 4, 5, 6, 6, 6]
+
+
+def _ulog2(v: int) -> int:
+    return v.bit_length() - 1
+
+
+def cdef_find_dir(img: np.ndarray, bitdepth: int):
+    """8x8 direction search. Returns (dir, variance)
+    (reference cdef_find_dir_c)."""
+    shift = bitdepth - 8
+    px = (img.astype(np.int64) >> shift) - 128
+    ys, xs = np.mgrid[0:8, 0:8]
+    psum_hv = np.zeros((2, 8), np.int64)
+    psum_diag = np.zeros((2, 15), np.int64)
+    psum_alt = np.zeros((4, 11), np.int64)
+    np.add.at(psum_diag[0], (ys + xs).ravel(), px.ravel())
+    np.add.at(psum_alt[0], (ys + (xs >> 1)).ravel(), px.ravel())
+    np.add.at(psum_hv[0], ys.ravel(), px.ravel())
+    np.add.at(psum_alt[1], (3 + ys - (xs >> 1)).ravel(), px.ravel())
+    np.add.at(psum_diag[1], (7 + ys - xs).ravel(), px.ravel())
+    np.add.at(psum_alt[2], (3 - (ys >> 1) + xs).ravel(), px.ravel())
+    np.add.at(psum_hv[1], xs.ravel(), px.ravel())
+    np.add.at(psum_alt[3], ((ys >> 1) + xs).ravel(), px.ravel())
+
+    cost = [0] * 8
+    cost[2] = int((psum_hv[0] * psum_hv[0]).sum()) * 105
+    cost[6] = int((psum_hv[1] * psum_hv[1]).sum()) * 105
+    div_table = [840, 420, 280, 210, 168, 140, 120]
+    for n in range(7):
+        d = div_table[n]
+        cost[0] += int(psum_diag[0][n] ** 2 + psum_diag[0][14 - n] ** 2) * d
+        cost[4] += int(psum_diag[1][n] ** 2 + psum_diag[1][14 - n] ** 2) * d
+    cost[0] += int(psum_diag[0][7] ** 2) * 105
+    cost[4] += int(psum_diag[1][7] ** 2) * 105
+    for n in range(4):
+        c = 0
+        for m in range(5):
+            c += int(psum_alt[n][3 + m] ** 2)
+        c *= 105
+        for m in range(3):
+            d = div_table[2 * m + 1]
+            c += int(psum_alt[n][m] ** 2 + psum_alt[n][10 - m] ** 2) * d
+        cost[n * 2 + 1] = c
+
+    best_dir = 0
+    best_cost = cost[0]
+    for n in range(1, 8):
+        if cost[n] > best_cost:
+            best_cost = cost[n]
+            best_dir = n
+    var = (best_cost - cost[best_dir ^ 4]) >> 10
+    return best_dir, var
+
+
+def _constrain(diff, threshold: int, shift: int):
+    adiff = np.abs(diff)
+    v = np.minimum(adiff, np.maximum(0, threshold - (adiff >> shift)))
+    return np.where(diff < 0, -v, v)
+
+
+def _pad(src, y0, x0, w, h, edges):
+    """(h+4, w+4) int64 buffer, INT16_MIN outside available edges
+    (reference padding())."""
+    tmp = np.full((h + 4, w + 4), INT16_MIN, np.int64)
+    x_start, x_end = -2, w + 2
+    y_start, y_end = -2, h + 2
+    if not (edges & HAVE_TOP):
+        y_start = 0
+    if not (edges & HAVE_BOTTOM):
+        y_end = h
+    if not (edges & HAVE_LEFT):
+        x_start = 0
+    if not (edges & HAVE_RIGHT):
+        x_end = w
+    tmp[2 + y_start : 2 + y_end, 2 + x_start : 2 + x_end] = \
+        src[y0 + y_start : y0 + y_end, x0 + x_start : x0 + x_end]
+    return tmp
+
+
+def cdef_filter_block(dst, src, y0, x0, w, h, pri_strength, sec_strength,
+                      dir_, damping, edges, bitdepth):
+    """Filter one unit in place; src is the pre-CDEF frame copy
+    (reference cdef_filter_block_c)."""
+    tmp = _pad(src, y0, x0, w, h, edges)
+    body = tmp[2 : 2 + h, 2 : 2 + w]
+    px = src[y0 : y0 + h, x0 : x0 + w].astype(np.int64)
+    assert (body == px).all()
+
+    def tap_view(dy, dx):
+        return tmp[2 + dy : 2 + dy + h, 2 + dx : 2 + dx + w]
+
+    sum_ = np.zeros((h, w), np.int64)
+    if pri_strength:
+        bdmin8 = bitdepth - 8
+        pri_tap = 4 - ((pri_strength >> bdmin8) & 1)
+        pri_shift = max(0, damping - _ulog2(pri_strength))
+        if sec_strength:
+            sec_shift = damping - _ulog2(sec_strength)
+            mn = px.copy()
+            mx = px.copy()
+
+            def acc_minmax(v):
+                nonlocal mn, mx
+                # umin: INT16_MIN reads as a huge unsigned value
+                u = np.where(v == INT16_MIN, np.int64(0xFFFF8000), v)
+                mn = np.minimum(mn, u)
+                mx = np.maximum(mx, v)
+
+            pri_tap_k = pri_tap
+            for k in range(2):
+                dy, dx = CDEF_DIRECTIONS[2 + dir_][k]
+                p0 = tap_view(dy, dx)
+                p1 = tap_view(-dy, -dx)
+                sum_ += pri_tap_k * _constrain(p0 - px, pri_strength,
+                                               pri_shift)
+                sum_ += pri_tap_k * _constrain(p1 - px, pri_strength,
+                                               pri_shift)
+                pri_tap_k = (pri_tap_k & 3) | 2
+                acc_minmax(p0)
+                acc_minmax(p1)
+                sec_tap = 2 - k
+                for sdir in (4 + dir_, dir_):
+                    dy2, dx2 = CDEF_DIRECTIONS[sdir][k]
+                    for sgn in (1, -1):
+                        s = tap_view(sgn * dy2, sgn * dx2)
+                        sum_ += sec_tap * _constrain(s - px, sec_strength,
+                                                     sec_shift)
+                        acc_minmax(s)
+            out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
+            out = np.clip(out, mn, mx)
+        else:
+            pri_tap_k = pri_tap
+            for k in range(2):
+                dy, dx = CDEF_DIRECTIONS[2 + dir_][k]
+                p0 = tap_view(dy, dx)
+                p1 = tap_view(-dy, -dx)
+                sum_ += pri_tap_k * _constrain(p0 - px, pri_strength,
+                                               pri_shift)
+                sum_ += pri_tap_k * _constrain(p1 - px, pri_strength,
+                                               pri_shift)
+                pri_tap_k = (pri_tap_k & 3) | 2
+            out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
+    else:
+        assert sec_strength
+        sec_shift = damping - _ulog2(sec_strength)
+        for k in range(2):
+            sec_tap = 2 - k
+            for sdir in (4 + dir_, dir_):
+                dy2, dx2 = CDEF_DIRECTIONS[sdir][k]
+                for sgn in (1, -1):
+                    s = tap_view(sgn * dy2, sgn * dx2)
+                    sum_ += sec_tap * _constrain(s - px, sec_strength,
+                                                 sec_shift)
+        out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
+    dst[y0 : y0 + h, x0 : x0 + w] = out
+
+
+def adjust_strength(strength: int, var: int) -> int:
+    if not var:
+        return 0
+    i = min(_ulog2(var >> 6), 12) if (var >> 6) else 0
+    return (strength * (4 + i) + 8) >> 4
+
+
+def cdef_frame(f) -> None:
+    """Full-frame CDEF (reference dav1d_cdef_brow, single-tile pipeline).
+    Every unit reads pre-CDEF deblocked pixels from the frame copy, which
+    reproduces the reference's cdef_line/lr_bak backups."""
+    from ..headers import PixelLayout
+    hdr = f.frame_hdr
+    seq = f.seq_hdr
+    bitdepth = f.bitdepth
+    bdmin8 = bitdepth - 8
+    damping = hdr.cdef.damping + bdmin8
+    layout = f.layout
+    ss_ver = int(layout == PixelLayout.I420)
+    ss_hor = int(layout != PixelLayout.I444)
+    has_chroma = layout != PixelLayout.I400
+    uv_dir_map = UV_DIRS_422 if layout == PixelLayout.I422 else UV_DIRS_420
+
+    src = [p.copy() for p in f.planes]
+    sb64w = (f.bw + 15) >> 4
+
+    for by in range(0, f.bh, 2):
+        have_top = by > 0
+        have_bottom = by + 2 < f.bh
+        for sbx in range(sb64w):
+            cdef_idx = int(f.cdef_idx[by >> 4, sbx])
+            if cdef_idx == -1:
+                continue
+            y_lvl = hdr.cdef.y_strength[cdef_idx]
+            uv_lvl = hdr.cdef.uv_strength[cdef_idx]
+            if not y_lvl and not uv_lvl:
+                continue
+            y_pri = (y_lvl >> 2) << bdmin8
+            y_sec = y_lvl & 3
+            y_sec += int(y_sec == 3)
+            y_sec <<= bdmin8
+            uv_pri = (uv_lvl >> 2) << bdmin8
+            uv_sec = uv_lvl & 3
+            uv_sec += int(uv_sec == 3)
+            uv_sec <<= bdmin8
+            for bx in range(sbx * 16, min((sbx + 1) * 16, f.bw), 2):
+                if not f.noskip[by >> 1, bx : bx + 2].any():
+                    continue
+                edges = (HAVE_LEFT * int(bx > 0)
+                         | HAVE_RIGHT * int(bx + 2 < f.bw)
+                         | HAVE_TOP * int(have_top)
+                         | HAVE_BOTTOM * int(have_bottom))
+                dir_ = 0
+                var = 0
+                if y_pri or uv_pri:
+                    dir_, var = cdef_find_dir(
+                        src[0][by * 4 : by * 4 + 8, bx * 4 : bx * 4 + 8],
+                        bitdepth)
+                if y_pri:
+                    adj = adjust_strength(y_pri, var)
+                    if adj or y_sec:
+                        cdef_filter_block(f.planes[0], src[0], by * 4,
+                                          bx * 4, 8, 8, adj, y_sec, dir_,
+                                          damping, edges, bitdepth)
+                elif y_sec:
+                    cdef_filter_block(f.planes[0], src[0], by * 4, bx * 4,
+                                      8, 8, 0, y_sec, 0, damping, edges,
+                                      bitdepth)
+                if uv_lvl and has_chroma:
+                    uvdir = uv_dir_map[dir_] if uv_pri else 0
+                    cw = 8 >> ss_hor
+                    ch = 8 >> ss_ver
+                    cy0 = (by * 4) >> ss_ver
+                    cx0 = (bx * 4) >> ss_hor
+                    for pl in (1, 2):
+                        cdef_filter_block(f.planes[pl], src[pl], cy0, cx0,
+                                          cw, ch, uv_pri, uv_sec, uvdir,
+                                          damping - 1, edges, bitdepth)

@@ -106,6 +106,8 @@ def inter_decide(seed, modes=("NEWMV", "NEARESTMV", "NEARMV", "GLOBALMV"),
             return None
         if kind == "tx_depth":
             return int(rng.integers(0, kw["max_depth"] + 1))
+        if kind == "cdef_idx":
+            return int(rng.integers(0, 4))
         if kind == "coef":
             return random_coef_choice(rng, coef_p=coef_p, **kw)
         raise KeyError(kind)
@@ -227,3 +229,16 @@ def test_compound_all_comp(tmp_path, oracle):
                        lf_levels=(20, 20, 16, 12))
     run_comp_pair(tmp_path, oracle, cfg, random_decide(7),
                   inter_decide(77, comp_p=1.0, intra_p=0.1), "allcomp")
+
+
+def test_cdef_inter(tmp_path, oracle):
+    """CDEF on inter frames (noskip mask from inter/intra blocks)."""
+    for i, cdef in enumerate([
+            (3, 0, [(6 << 2 | 1, 3 << 2 | 2)]),
+            (5, 2, [(9 << 2 | 3, 5 << 2 | 2), (0, 0),
+                    (2 << 2 | 0, 0 << 2 | 3), (15 << 2 | 2, 8 << 2 | 1)]),
+    ]):
+        cfg = StreamConfig(width=128, height=96, qidx=100, seed=i,
+                           cdef=cdef, lf_levels=(16, 16, 10, 10))
+        run_inter_pair(tmp_path, oracle, cfg, random_decide(i),
+                       inter_decide(i + 30, skip_p=0.5), f"cdefinter{i}")

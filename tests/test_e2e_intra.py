@@ -120,6 +120,8 @@ def random_decide(seed, uv_cfl=False, coef_p=0.7, filter_intra=False):
             return int(rng.integers(-3, 4))
         if kind == "tx_depth":
             return int(rng.integers(0, kw["max_depth"] + 1))
+        if kind == "cdef_idx":
+            return int(rng.integers(0, 4))
         if kind == "coef":
             return random_coef_choice(rng, coef_p=coef_p, **kw)
         raise KeyError(kind)
@@ -189,3 +191,22 @@ def test_filter_intra(tmp_path, oracle):
                            filter_intra=1)
         run_pair(tmp_path, oracle, cfg,
                  random_decide(seed + 60, filter_intra=True), f"fi{seed}")
+
+
+def test_cdef_intra(tmp_path, oracle):
+    """CDEF on keyframes: several strength combos, with and without
+    deblocking, primary-only / secondary-only / combined."""
+    cases = [
+        ((3, 0, [(4 << 2 | 0, 2 << 2 | 0)]), (0, 0, 0, 0)),   # pri only
+        ((4, 0, [(0 << 2 | 2, 0 << 2 | 1)]), (0, 0, 0, 0)),   # sec only
+        ((5, 1, [(9 << 2 | 3, 5 << 2 | 2), (1 << 2 | 1, 2 << 2 | 3)]),
+         (24, 24, 16, 16)),                                    # mixed+deblock
+        ((6, 2, [(15 << 2 | 3, 12 << 2 | 2), (0, 0),
+                 (7 << 2 | 1, 3 << 2 | 0), (2 << 2 | 2, 1 << 2 | 1)]),
+         (8, 8, 4, 4)),
+    ]
+    for i, (cdef, lf) in enumerate(cases):
+        cfg = StreamConfig(width=128, height=96, qidx=120, seed=i,
+                           cdef=cdef, lf_levels=lf)
+        run_pair(tmp_path, oracle, cfg, random_decide(i, coef_p=0.5),
+                 f"cdef{i}")

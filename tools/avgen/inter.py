@@ -74,7 +74,9 @@ def write_inter_frame_hdr(cfg: StreamConfig, w: BitWriter,
         w.put_bits(lv, 6)
     w.put_bits(cfg.lf_sharpness, 3)
     w.put_bit(0)  # mode_ref_delta_enabled
-    # cdef/restoration: seq off
+    from .stream import _write_cdef
+    _write_cdef(cfg, w)
+    # restoration: seq off
     w.put_bit(1)  # txfm_mode: switchable (exercises var-tx tree)
     w.put_bit(int(comp))  # switchable_comp_refs
     # skip mode not allowed; warp skipped (seq.warped_motion=0)
@@ -109,6 +111,7 @@ class InterTileEncoder(TileEncoder):
             for sbx in range(sbw_ct):
                 self.bx = sbx << 4
                 self.cur_a = self.a[self.bx >> 5]
+                self.cur_sb_cdef_idx = -1
                 self._encode_sb(BlockLevel.BL_64X64, decide, node=root)
         return self.msac.done()
 
@@ -220,6 +223,7 @@ class InterTileEncoder(TileEncoder):
         skip = decide("skip", bx=bx, by=by, bs=bs)
         sctx = int(a.skip[bx4]) + int(l.skip[by4])
         msac.encode_bool_adapt(skip, cdf.m.skip[sctx])
+        self._encode_cdef_idx(skip, bx, by, decide)
 
         # intra/inter flag
         is_intra = decide("is_intra", bx=bx, by=by, bs=bs)

@@ -40,6 +40,9 @@ class StreamConfig:
     lf_levels: tuple = (0, 0, 0, 0)  # y_v, y_h, u, v
     lf_sharpness: int = 0
     filter_intra: int = 0
+    # cdef: None = off, else (damping 3..6, n_bits 0..3,
+    # [(y_strength, uv_strength), ...] with 1 << n_bits entries)
+    cdef: tuple = None
 
 
 OBU_SEQ_HDR = 1
@@ -85,7 +88,7 @@ def write_seq_hdr(cfg: StreamConfig) -> bytes:
     w.put_bit(0)  # screen_content_tools: not adaptive
     w.put_bit(0)  # screen_content_tools: off
     w.put_bit(0)  # super_res
-    w.put_bit(0)  # cdef
+    w.put_bit(int(cfg.cdef is not None))  # cdef
     w.put_bit(0)  # restoration
     w.put_bit(0)  # hbd (8-bit)
     w.put_bit(0)  # monochrome
@@ -139,10 +142,23 @@ def write_frame_hdr(cfg: StreamConfig, w: BitWriter) -> None:
         w.put_bits(lv, 6)
     w.put_bits(cfg.lf_sharpness, 3)  # sharpness
     w.put_bit(0)  # mode_ref_delta_enabled
-    # cdef: seq off; restoration: seq off
+    _write_cdef(cfg, w)
+    # restoration: seq off
     w.put_bit(1)  # txfm_mode: switchable (exercise tx-size coding)
     w.put_bit(0)  # reduced_txtp_set
     # gmv: intra, none; film grain: seq off
+
+
+def _write_cdef(cfg: StreamConfig, w: BitWriter) -> None:
+    if cfg.cdef is None:
+        return
+    damping, n_bits, strengths = cfg.cdef
+    assert len(strengths) == (1 << n_bits)
+    w.put_bits(damping - 3, 2)
+    w.put_bits(n_bits, 2)
+    for ys, uvs in strengths:
+        w.put_bits(ys, 6)
+        w.put_bits(uvs, 6)
 
 
 def _tile_log2(sz, tgt):
@@ -180,6 +196,7 @@ class TileEncoder:
             for sbx in range(sbw_ct):
                 self.bx = sbx << 4
                 self.cur_a = self.a[self.bx >> 5]
+                self.cur_sb_cdef_idx = -1
                 self._encode_sb(BlockLevel.BL_64X64, decide)
         return self.msac.done()
 
@@ -252,6 +269,16 @@ class TileEncoder:
                 tables.al_part_ctx[0][bl][bp]
             self.l.partition[by8 : by8 + hsz] = tables.al_part_ctx[1][bl][bp]
 
+    def _encode_cdef_idx(self, skip, bx, by, decide):
+        """Mirror the decoder's cdef-idx read (decode/tile.py): first
+        non-skip block of each 64x64 SB codes cdef.n_bits raw bits."""
+        if skip or self.cur_sb_cdef_idx != -1:
+            return
+        n_bits = self.cfg.cdef[1] if self.cfg.cdef else 0
+        v = decide("cdef_idx", bx=bx, by=by) if n_bits else 0
+        self.msac.encode_bools(v, n_bits)
+        self.cur_sb_cdef_idx = v
+
     def _encode_b(self, bl, bs, bp, bx, by, decide):
         cdf = self.cdf
         b_dim = tables.block_dimensions[bs]
@@ -267,6 +294,7 @@ class TileEncoder:
         skip = decide("skip", bx=bx, by=by, bs=bs)
         sctx = int(a.skip[bx4]) + int(l.skip[by4])
         self.msac.encode_bool_adapt(skip, cdf.m.skip[sctx])
+        self._encode_cdef_idx(skip, bx, by, decide)
 
         # y mode (keyframe cdf)
         y_mode = decide("y_mode", bx=bx, by=by, bs=bs)
