@@ -1,0 +1,91 @@
+"""End-to-end vs real libaom-encoded streams.
+
+Each case: encode synthetic video with the system libaom (ctypes harness,
+tools/aom_enc.py), decode with the reference-dav1d oracle (golden planes) and
+with dav1d_tpu, require byte-exact equality on every frame.  This exercises
+the full normative surface the way production streams do (mirrors the
+reference's Argon conformance strategy, tests/dav1d_argon.bash)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from aom_enc import (AomEncoder, gradient_frames,  # noqa: E402
+                     write_ivf_packets)
+
+# Features not yet implemented stay pinned OFF here; each gets flipped on (and
+# removed from this dict) as the decoder grows.  tools/probe_features.py is
+# the discovery harness for that.
+BASE_OPTS = {
+    "enable-palette": 0, "enable-intrabc": 0, "enable-restoration": 0,
+    "enable-obmc": 0, "enable-warped-motion": 0, "enable-ref-frame-mvs": 0,
+}
+
+
+def _roundtrip(tmp_path, oracle, name, frames, encargs):
+    from dav1d_tpu.decoder import Decoder
+    from dav1d_tpu.containers import read_ivf
+
+    enc = AomEncoder(**encargs)
+    pkts = enc.encode(frames)
+    enc.close()
+    ivf = tmp_path / f"{name}.ivf"
+    write_ivf_packets(ivf, pkts, encargs["width"], encargs["height"])
+    y4m = tmp_path / f"{name}.y4m"
+    r = subprocess.run([str(oracle), "-i", str(ivf), "-o", str(y4m), "-q"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, f"oracle rejected stream: {r.stderr}"
+    refs = y4m.read_bytes().split(b"FRAME\n")[1:]
+
+    dec = Decoder()
+    pics = []
+    for tu, _ in read_ivf(ivf.read_bytes()):
+        dec.send_data(tu)
+        while (pic := dec.get_picture()) is not None:
+            pics.append(pic)
+    assert len(pics) == len(refs)
+    n_planes = 1 if encargs.get("monochrome") else 3
+    for i, (pic, ref) in enumerate(zip(pics, refs)):
+        got = b"".join(pic.plane_bytes(pl) for pl in range(n_planes))
+        assert got == ref, (
+            f"{name} frame {i}: first diff at byte "
+            f"{next(j for j in range(len(got)) if got[j] != ref[j])}")
+
+
+def _args(w=128, h=96, **kw):
+    opts = dict(BASE_OPTS)
+    opts.update(kw.pop("options", {}))
+    d = dict(width=w, height=h, usage="good", cpu_used=4, q=40,
+             kf_max_dist=9999, lag=0, options=opts)
+    d.update(kw)
+    return d
+
+
+CASES = {
+    "intra": (dict(n=3), _args(kf_max_dist=1)),
+    "inter": (dict(n=6), _args()),
+    "odd_size": (dict(n=4), _args(w=154, h=98)),
+    "order_hint_tmvs_off": (
+        dict(n=5),
+        _args(options={"enable-order-hint": 1, "enable-ref-frame-mvs": 0})),
+    "monochrome": (dict(n=3, monochrome=True), _args(monochrome=True)),
+    "i422": (dict(n=3, fmt="422"), _args(fmt="422")),
+    "i444": (dict(n=3, fmt="444"), _args(fmt="444")),
+    "hbd10": (dict(n=3, bitdepth=10), _args(bitdepth=10)),
+    "hbd12": (dict(n=3, bitdepth=12), _args(bitdepth=12)),
+    "sb64": (dict(n=4), _args(options={"sb-size": 64})),
+    "realtime": (dict(n=6), _args(usage="realtime", cpu_used=7)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_aom_roundtrip(tmp_path, oracle, name):
+    genargs, encargs = CASES[name]
+    n = genargs.pop("n")
+    frames = gradient_frames(n, encargs["width"], encargs["height"],
+                             **genargs)
+    _roundtrip(tmp_path, oracle, name, frames, encargs)
