@@ -110,14 +110,36 @@ class FrameContext:
         self.refp = self.refs  # 7 reference slots (planes + frame_hdr)
 
         # ref-MV state for inter / intrabc frames
+        # (reference src/decode.c:3570-3612: refpoc/refrefpoc/ref_mvs setup)
         self.rf = None
+        self.refpoc = [0] * 7
         if hdr.frame_type.is_inter_or_switch or hdr.allow_intrabc:
             from ..refmvs import RefMvsFrame
             ref_poc = None
-            if hdr.frame_type.is_inter_or_switch:
+            ref_ref_poc = None
+            rp_ref = None
+            if hdr.frame_type.is_inter_or_switch and not hdr.allow_intrabc:
                 ref_poc = [r.frame_hdr.frame_offset if r and r.frame_hdr
                            else 0 for r in self.refs]
-            self.rf = RefMvsFrame(seq_hdr, hdr, ref_poc=ref_poc)
+                self.refpoc = list(ref_poc)
+                if hdr.use_ref_frame_mvs:
+                    ref_ref_poc = []
+                    rp_ref = []
+                    for r in self.refs:
+                        ref_ref_poc.append(list(r.refpoc)
+                                           if r is not None and
+                                           getattr(r, "refpoc", None)
+                                           else [0] * 7)
+                        rp = getattr(r, "refmvs", None) \
+                            if r is not None else None
+                        if rp is not None and r.frame_hdr is not None:
+                            ref_w = ((r.frame_hdr.width[0] + 7) >> 3) << 1
+                            ref_h = ((r.frame_hdr.height + 7) >> 3) << 1
+                            if ref_w != self.bw or ref_h != self.bh:
+                                rp = None
+                        rp_ref.append(rp)
+            self.rf = RefMvsFrame(seq_hdr, hdr, ref_poc=ref_poc,
+                                  ref_ref_poc=ref_ref_poc, rp_ref=rp_ref)
 
         # distance-weighted compound weights (reference src/decode.c:3088)
         self.jnt_weights = None
@@ -342,13 +364,19 @@ def decode_frame(f: FrameContext, tile_groups) -> None:
     for a in f.a:
         a.reset(f.frame_is_intra)
 
+    from ..refmvs import load_tmvs, save_tmvs
     for tile_row in range(hdr.tiling.rows):
         sbh_end = min(hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
         for sby in range(hdr.tiling.row_start_sb[tile_row], sbh_end):
             t.by = sby << (4 + f.seq_hdr.sb128)
+            by_end = (t.by + f.sb_step) >> 1
+            if hdr.use_ref_frame_mvs and f.rf is not None:
+                load_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
             for tile_col in range(hdr.tiling.cols):
                 t.ts = f.ts[tile_row * hdr.tiling.cols + tile_col]
                 decode_tile_sbrow(t)
+            if hdr.frame_type.is_inter_or_switch and f.rf is not None:
+                save_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
             # loopfilter -> cdef -> super-res -> restoration per sbrow
             _filter_sbrow(f, sby)
 

@@ -875,7 +875,22 @@ def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
 
     has_subpel_filter = 0
     if b.skip_mode:
-        raise NotImplementedError("skip_mode blocks (needs order hints)")
+        # reference src/decode.c:1399-1421
+        b.ref = [hdr.skip_mode_refs[0], hdr.skip_mode_refs[1]]
+        b.comp_type = CompInterType.AVG
+        b.inter_mode = CIPM.NEARESTMV_NEARESTMV
+        b.drl_idx = 0
+        mvstack, n_mvs, _ = refmvs_find(
+            t.rt, (b.ref[0] + 1, b.ref[1] + 1), bs, intra_edge_flags,
+            t.by, t.bx)
+        b.mv = [fix_mv_precision(hdr, *mvstack[0]["mv"][0]),
+                fix_mv_precision(hdr, *mvstack[0]["mv"][1])]
+        trace("Post-skipmodeblock[mv=1:y=%d,x=%d,2:y=%d,x=%d,refs=%d+%d",
+              b.mv[0][0], b.mv[0][1], b.mv[1][0], b.mv[1][1],
+              b.ref[0], b.ref[1])
+        b.motion_mode = MotionMode.TRANSLATION
+        b.interintra_type = InterIntraType.NONE
+        filter_ = _read_filter(t, b, has_subpel_filter, 1, by4, bx4)
     elif is_comp:
         dir_ctx = env.get_comp_dir_ctx(t.a, t.l, by4, bx4,
                                        have_top, have_left)

@@ -54,7 +54,7 @@ class Picture:
 
 class _RefSlot:
     __slots__ = ("frame_hdr", "seq_hdr", "planes", "segmap", "cdf",
-                 "showable", "visible")
+                 "showable", "visible", "refmvs", "refpoc")
 
     def __init__(self):
         self.frame_hdr = None
@@ -64,6 +64,8 @@ class _RefSlot:
         self.cdf = None
         self.showable = False
         self.visible = False
+        self.refmvs = None  # saved temporal-MV 8x8 grid (refmvs.TMV_DT)
+        self.refpoc = [0] * 7
 
 
 @dataclasses.dataclass
@@ -230,6 +232,9 @@ class Decoder:
                 slot.cdf = out_cdf
                 slot.showable = bool(hdr.showable_frame)
                 slot.visible = bool(hdr.show_frame)
+                slot.refmvs = (f.rf.rp if f.rf is not None
+                               and not hdr.allow_intrabc else None)
+                slot.refpoc = list(f.refpoc)
 
     def _show_existing(self) -> None:
         hdr = self.frame_hdr

@@ -77,11 +77,38 @@ def get_gmv_2d(gmv, bx4, by4, bw4, bh4, hdr):
     return (res_y, res_x)
 
 
+TMV_DT = np.dtype([
+    ("mv", np.int16, (2,)),  # [0]=y, [1]=x
+    ("ref", np.int8),
+])
+
+INVALID_REF2CUR = -(1 << 7)
+
+# mv_projection division table (reference src/refmvs.c:176-181; AV1 spec
+# 7.9.3 Div_Mult)
+_DIV_MULT = np.array([
+    0, 16384, 8192, 5461, 4096, 3276, 2730, 2340,
+    2048, 1820, 1638, 1489, 1365, 1260, 1170, 1092,
+    1024, 963, 910, 862, 819, 780, 744, 712,
+    682, 655, 630, 606, 585, 564, 546, 528], dtype=np.int32)
+
+
+def mv_projection(mvy, mvx, num, den):
+    """Scale an MV by num/den with spec 7.9.3 rounding
+    (reference mv_projection, src/refmvs.c:175-192)."""
+    frac = num * int(_DIV_MULT[den])
+    y = mvy * frac
+    x = mvx * frac
+    return (max(-0x3FFF, min(0x3FFF, (y + 8192 + (-1 if y < 0 else 0)) >> 14)),
+            max(-0x3FFF, min(0x3FFF, (x + 8192 + (-1 if x < 0 else 0)) >> 14)))
+
+
 class RefMvsFrame:
-    """Full-frame 4x4 MV grid + frame-level temporal MV setup."""
+    """Full-frame 4x4 MV grid + frame-level temporal MV setup
+    (reference dav1d_refmvs_init_frame, src/refmvs.c:805-905)."""
 
     def __init__(self, seq_hdr, frm_hdr, ref_poc=None, ref_ref_poc=None,
-                 rp_refs=None):
+                 rp_ref=None):
         self.frm_hdr = frm_hdr
         self.seq_hdr = seq_hdr
         self.iw8 = (frm_hdr.width[0] + 7) >> 3
@@ -92,23 +119,140 @@ class RefMvsFrame:
         h = ((frm_hdr.height + 127) & ~127) >> 2
         self.r = np.zeros((h + 1, stride), dtype=RB_DT)
         self.rp_stride = stride >> 1
-        # current-frame temporal MVs (8x8 units) for future frames
-        self.rp = np.zeros((h >> 1, self.rp_stride), dtype=np.int32)
-        self.rp_mv = np.zeros((h >> 1, self.rp_stride, 2), dtype=np.int16)
-        self.rp_proj_valid = False
+        # current-frame temporal MVs (8x8 units), saved for future frames
+        self.rp = np.zeros((h >> 1, self.rp_stride), dtype=TMV_DT)
+        # projected MVs of this frame's mfmv references (full-frame rather
+        # than the reference's 16-row ring: same values, simpler indexing)
+        self.rp_proj = np.zeros((h >> 1, self.rp_stride), dtype=TMV_DT)
         self.sign_bias = [0] * 7
+        self.mfmv_sign = [0] * 7
         self.pocdiff = [0] * 7
+        from .obu import get_poc_diff
+        poc = frm_hdr.frame_offset
+        n_bits = seq_hdr.order_hint_n_bits
         if ref_poc is not None:
-            from .obu import get_poc_diff
-            poc = frm_hdr.frame_offset
-            n_bits = seq_hdr.order_hint_n_bits
             for i in range(7):
                 d = get_poc_diff(n_bits, ref_poc[i], poc)
                 self.sign_bias[i] = int(d > 0)
+                self.mfmv_sign[i] = int(d < 0)
                 self.pocdiff[i] = max(-31, min(31, get_poc_diff(
                     n_bits, poc, ref_poc[i])))
-        self.use_ref_frame_mvs = False  # temporal MVs land with tmvs stage
+
+        # motion-field MV reference selection
         self.n_mfmvs = 0
+        self.mfmv_ref = []
+        self.mfmv_ref2cur = []
+        self.mfmv_ref2ref = []
+        self.rp_ref = rp_ref or [None] * 7
+        if frm_hdr.use_ref_frame_mvs and n_bits and ref_poc is not None \
+                and ref_ref_poc is not None:
+            total = 2
+            if self.rp_ref[0] is not None and \
+                    ref_ref_poc[0][6] != ref_poc[3]:  # alt-of-last != gold
+                self.mfmv_ref.append(0)  # last
+                total = 3
+            if self.rp_ref[4] is not None and \
+                    get_poc_diff(n_bits, ref_poc[4], poc) > 0:
+                self.mfmv_ref.append(4)  # bwd
+            if self.rp_ref[5] is not None and \
+                    get_poc_diff(n_bits, ref_poc[5], poc) > 0:
+                self.mfmv_ref.append(5)  # altref2
+            if len(self.mfmv_ref) < total and self.rp_ref[6] is not None \
+                    and get_poc_diff(n_bits, ref_poc[6], poc) > 0:
+                self.mfmv_ref.append(6)  # altref
+            if len(self.mfmv_ref) < total and self.rp_ref[1] is not None:
+                self.mfmv_ref.append(1)  # last2
+            for ref in self.mfmv_ref:
+                rpoc = ref_poc[ref]
+                diff1 = get_poc_diff(n_bits, rpoc, poc)
+                if abs(diff1) > 31:
+                    self.mfmv_ref2cur.append(INVALID_REF2CUR)
+                    self.mfmv_ref2ref.append([0] * 7)
+                else:
+                    self.mfmv_ref2cur.append(-diff1 if ref < 4 else diff1)
+                    r2r = []
+                    for m in range(7):
+                        diff2 = get_poc_diff(n_bits, rpoc,
+                                             ref_ref_poc[ref][m])
+                        r2r.append(0 if diff2 > 31 or diff2 < 0 else diff2)
+                    self.mfmv_ref2ref.append(r2r)
+            self.n_mfmvs = len(self.mfmv_ref)
+        self.use_ref_frame_mvs = self.n_mfmvs > 0
+
+
+def load_tmvs(rf: RefMvsFrame, col_start8, col_end8, row_start8, row_end8):
+    """Project the mfmv references' saved MVs into rf.rp_proj for the sbrow
+    rows [row_start8, row_end8) (reference load_tmvs_c, src/refmvs.c:691-761).
+    Per-cell formulation: the reference's identical-block run loop writes
+    each 8x8 cell with per-cell window checks, so cell-wise iteration is
+    exact."""
+    row_end8 = min(row_end8, rf.ih8)
+    col_start8i = max(col_start8 - 8, 0)
+    col_end8i = min(col_end8 + 8, rf.iw8)
+
+    rp_proj = rf.rp_proj
+    rp_proj["mv"][row_start8:row_end8, col_start8:col_end8] = INVALID_MV_Y
+    for n in range(rf.n_mfmvs):
+        ref2cur = rf.mfmv_ref2cur[n]
+        if ref2cur == INVALID_REF2CUR:
+            continue
+        ref = rf.mfmv_ref[n]
+        ref_sign = ref - 4
+        r = rf.rp_ref[ref]
+        ref2ref_n = rf.mfmv_ref2ref[n]
+        for y in range(row_start8, row_end8):
+            y_sb_align = y & ~7
+            y_proj_start = max(y_sb_align, row_start8)
+            y_proj_end = min(y_sb_align + 8, row_end8)
+            row = r[y]
+            for x in range(col_start8i, col_end8i):
+                b_ref = int(row[x]["ref"])
+                if not b_ref:
+                    continue
+                ref2ref = ref2ref_n[b_ref - 1]
+                if not ref2ref:
+                    continue
+                b_mvy = int(row[x]["mv"][0])
+                b_mvx = int(row[x]["mv"][1])
+                oy, ox = mv_projection(b_mvy, b_mvx, ref2cur, ref2ref)
+                pos_y = y + (-(abs(oy) >> 6) if (oy ^ ref_sign) < 0
+                             else (abs(oy) >> 6))
+                if not (y_proj_start <= pos_y < y_proj_end):
+                    continue
+                pos_x = x + (-(abs(ox) >> 6) if (ox ^ ref_sign) < 0
+                             else (abs(ox) >> 6))
+                x_sb_align = x & ~7
+                if max(x_sb_align - 8, col_start8) <= pos_x < \
+                        min(x_sb_align + 16, col_end8):
+                    rp_proj[pos_y, pos_x]["mv"][0] = b_mvy
+                    rp_proj[pos_y, pos_x]["mv"][1] = b_mvx
+                    rp_proj[pos_y, pos_x]["ref"] = ref2ref
+
+
+def save_tmvs(rf: RefMvsFrame, col_start8, col_end8, row_start8, row_end8):
+    """Store the frame's decoded MVs (8x8 granularity, bottom-right 4x4
+    sample) into rf.rp for future frames' temporal prediction
+    (reference save_tmvs_c, src/refmvs.c:763-803; per-8x8 evaluation is
+    exact because splat_mv fills all 4x4s of a block identically)."""
+    row_end8 = min(row_end8, rf.ih8)
+    col_end8 = min(col_end8, rf.iw8)
+    if row_end8 <= row_start8 or col_end8 <= col_start8:
+        return
+    cand = rf.r[row_start8 * 2 + 1 : row_end8 * 2 : 2,
+                col_start8 * 2 + 1 : col_end8 * 2 : 2]
+    ref_sign = np.asarray(rf.mfmv_sign + [0], dtype=np.uint8)
+    refs = cand["ref"]  # (h8, w8, 2)
+    mvs = cand["mv"].astype(np.int32)  # (h8, w8, 2, 2)
+    small = (np.abs(mvs[..., 0]) | np.abs(mvs[..., 1])) < 4096  # (h8,w8,2)
+    eligible = (refs > 0) & ref_sign[np.clip(refs - 1, 0, 7)].astype(bool) \
+        & small
+    out = np.zeros(refs.shape[:2], dtype=TMV_DT)
+    use1 = eligible[..., 1]
+    use0 = eligible[..., 0] & ~use1
+    for idx, use in ((1, use1), (0, use0)):
+        out["mv"][use] = cand["mv"][..., idx, :][use]
+        out["ref"][use] = refs[..., idx][use]
+    rf.rp[row_start8:row_end8, col_start8:col_end8] = out
 
 
 class RefMvsTile:
@@ -210,6 +354,35 @@ def _scan_col(mvstack, ref, gmv, r, rows_base, col, bh4, h4, max_cols, step,
         cand_bh4 = int(tables.block_dimensions[
             int(r[rows_base + y, col]["bs"])][1])
         ln = max(step, cand_bh4)
+
+
+def _add_temporal_candidate(rf, mvstack, rb, ref, gctx, tgmv):
+    """reference add_temporal_candidate (src/refmvs.c:193-236)."""
+    if int(rb["mv"][0]) == INVALID_MV_Y and int(rb["mv"][1]) == INVALID_MV_Y:
+        return
+    rby, rbx = int(rb["mv"][0]), int(rb["mv"][1])
+    rbref = int(rb["ref"])
+    mv = mv_projection(rby, rbx, rf.pocdiff[ref[0] - 1], rbref)
+    mv = fix_mv_precision(rf.frm_hdr, *mv)
+    if ref[1] == -1:
+        if gctx is not None:
+            gctx[0] = int((abs(mv[1] - tgmv[0][1])
+                           | abs(mv[0] - tgmv[0][0])) >= 16)
+        for m in mvstack:
+            if tuple(m["mv"][0]) == mv:
+                m["weight"] += 2
+                return
+        if len(mvstack) < 8:
+            mvstack.append({"mv": [mv, (0, 0)], "weight": 2})
+    else:
+        mv1 = mv_projection(rby, rbx, rf.pocdiff[ref[1] - 1], rbref)
+        mv1 = fix_mv_precision(rf.frm_hdr, *mv1)
+        for m in mvstack:
+            if tuple(m["mv"][0]) == mv and tuple(m["mv"][1]) == mv1:
+                m["weight"] += 2
+                return
+        if len(mvstack) < 8:
+            mvstack.append({"mv": [mv, mv1], "weight": 2})
 
 
 def _add_single_extended(mvstack, cand_b, sign, sign_bias):
@@ -330,7 +503,38 @@ def refmvs_find(rt: RefMvsTile, ref, bs, edge_flags, by4, bx4):
 
     globalmv_ctx = hdr.use_ref_frame_mvs
     if rf.use_ref_frame_mvs:
-        raise NotImplementedError("temporal MV candidates (tmvs stage)")
+        # temporal candidates from the projected motion field
+        # (reference src/refmvs.c:417-455)
+        by8, bx8 = by4 >> 1, bx4 >> 1
+        rp_proj = rf.rp_proj
+        step_h = 2 if bw4 >= 16 else 1
+        step_v = 2 if bh4 >= 16 else 1
+        w8 = min((w4 + 1) >> 1, 8)
+        h8 = min((h4 + 1) >> 1, 8)
+        gctx = [globalmv_ctx]
+        for y in range(0, h8, step_v):
+            for x in range(0, w8, step_h):
+                _add_temporal_candidate(
+                    rf, mvstack, rp_proj[by8 + y, bx8 + x], ref,
+                    gctx if not (x | y) else None, tgmv)
+        globalmv_ctx = gctx[0]
+        if min(bw4, bh4) >= 2 and max(bw4, bh4) < 16:
+            bh8, bw8 = bh4 >> 1, bw4 >> 1
+            has_bottom = by8 + bh8 < min(rt.tile_row[1] >> 1,
+                                         (by8 & ~7) + 8)
+            if has_bottom and bx8 - 1 >= max(rt.tile_col[0] >> 1, bx8 & ~7):
+                _add_temporal_candidate(rf, mvstack,
+                                        rp_proj[by8 + bh8, bx8 - 1], ref,
+                                        None, None)
+            if bx8 + bw8 < min(rt.tile_col[1] >> 1, (bx8 & ~7) + 8):
+                if has_bottom:
+                    _add_temporal_candidate(rf, mvstack,
+                                            rp_proj[by8 + bh8, bx8 + bw8],
+                                            ref, None, None)
+                if by8 + bh8 - 1 < min(rt.tile_row[1] >> 1, (by8 & ~7) + 8):
+                    _add_temporal_candidate(
+                        rf, mvstack, rp_proj[by8 + bh8 - 1, bx8 + bw8],
+                        ref, None, None)
 
     # top-left and secondary scans only update the refmv-match flags; the
     # newmv flag uses a dummy there (reference :456-478). have_newmv was

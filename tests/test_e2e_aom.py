@@ -72,6 +72,13 @@ CASES = {
     "order_hint_tmvs_off": (
         dict(n=5),
         _args(options={"enable-order-hint": 1, "enable-ref-frame-mvs": 0})),
+    "tmvs": (dict(n=6),
+             _args(options={"enable-order-hint": 1,
+                            "enable-ref-frame-mvs": 1})),
+    "bidir_skipmode": (
+        dict(n=10),
+        _args(lag=8, options={"enable-order-hint": 1,
+                              "enable-ref-frame-mvs": 1})),
     "monochrome": (dict(n=3, monochrome=True), _args(monochrome=True)),
     "i422": (dict(n=3, fmt="422"), _args(fmt="422")),
     "i444": (dict(n=3, fmt="444"), _args(fmt="444")),

@@ -88,6 +88,16 @@ def main():
     case("odd_size", gradient_frames(3, 154, 98),
          {**base, "width": 154, "height": 98})
     case("order_hint", fr8, opts(enable_order_hint=1))
+    case("bidir", gradient_frames(10, W, H),
+         {**opts(enable_order_hint=1), "lag": 8})
+    case("bidir_tmvs", gradient_frames(10, W, H),
+         {**opts(enable_order_hint=1, enable_ref_frame_mvs=1), "lag": 8})
+    case("bidir_full", gradient_frames(12, W, H),
+         {**opts(enable_order_hint=1, enable_ref_frame_mvs=1,
+                 enable_masked_comp=1, enable_diff_wtd_comp=1,
+                 enable_dist_wtd_comp=1, enable_interintra_comp=1,
+                 enable_smooth_interintra=1, enable_dual_filter=1),
+          "lag": 8, "cpu_used": 2})
     case("ref_frame_mvs", fr8,
          opts(enable_order_hint=1, enable_ref_frame_mvs=1))
     case("full_refset", fr8, opts(**{"reduced-reference-set": 0}))
