@@ -141,6 +141,24 @@ class FrameContext:
             self.rf = RefMvsFrame(seq_hdr, hdr, ref_poc=ref_poc,
                                   ref_ref_poc=ref_ref_poc, rp_ref=rp_ref)
 
+        # per-ref scaling + global-motion warp gates
+        # (reference src/decode.c:3466-3489)
+        self.svc_scale = [0] * 7  # nonzero => scaled reference
+        self.gmv_warp_allowed = [0] * 7
+        if hdr.frame_type.is_inter_or_switch and self.refs[0] is not None:
+            from ..warpmv import get_shear_params
+            for i in range(7):
+                r = self.refs[i]
+                if r is not None and r.frame_hdr is not None and \
+                        (hdr.width[0] != r.frame_hdr.width[1]
+                         or hdr.height != r.frame_hdr.height):
+                    self.svc_scale[i] = 1
+                self.gmv_warp_allowed[i] = int(
+                    hdr.gmv[i].type > 1  # > TRANSLATION
+                    and not hdr.force_integer_mv
+                    and not get_shear_params(hdr.gmv[i])
+                    and not self.svc_scale[i])
+
         # distance-weighted compound weights (reference src/decode.c:3088)
         self.jnt_weights = None
         if hdr.switchable_comp_refs and seq_hdr.order_hint:

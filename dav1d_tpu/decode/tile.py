@@ -1122,7 +1122,7 @@ def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
         else:
             b.interintra_type = InterIntraType.NONE
 
-        # motion variation
+        # motion variation (reference src/decode.c:1772-1837)
         from ..env import findoddzero
         if (hdr.switchable_motion_mode
                 and b.interintra_type == InterIntraType.NONE
@@ -1134,7 +1134,22 @@ def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
                 and ((have_left and findoddzero(t.l.intra, by4 + 1, h4 >> 1))
                      or (have_top and findoddzero(t.a.intra, bx4 + 1,
                                                   w4 >> 1)))):
-            raise NotImplementedError("OBMC/warp parsing (inter stage 2)")
+            masks = _find_matching_ref(t, intra_edge_flags, bw4, bh4, w4, h4,
+                                       have_left, have_top, b.ref[0])
+            allow_warp = (not f.svc_scale[b.ref[0]]
+                          and not hdr.force_integer_mv
+                          and hdr.warp_motion and (masks[0] | masks[1]))
+            if allow_warp:
+                b.motion_mode = msac.decode_symbol_adapt(
+                    ts.cdf.m.motion_mode[bs], 2)
+            else:
+                b.motion_mode = MotionMode.OBMC if msac.decode_bool_adapt(
+                    ts.cdf.m.obmc[bs]) else MotionMode.TRANSLATION
+            if b.motion_mode == MotionMode.WARP:
+                has_subpel_filter = 0
+                t.warpmv = _derive_warpmv(t, bw4, bh4, masks, b.mv[0])
+            trace("Post-motionmode[%d]: r=%d [mask: 0x%x/0x%x]",
+                  b.motion_mode, msac.rng, masks[0], masks[1])
         else:
             b.motion_mode = MotionMode.TRANSLATION
 
@@ -1205,6 +1220,169 @@ def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
     if has_chroma:
         t.a.uvmode[cbx4 : cbx4 + cbw4] = M.DC_PRED
         t.l.uvmode[cby4 : cby4 + cbh4] = M.DC_PRED
+
+
+def _find_matching_ref(t, intra_edge_flags, bw4, bh4, w4, h4, have_left,
+                       have_top, ref):
+    """Bitmasks of same-(single-)ref neighbour blocks along the top/left
+    edges (reference find_matching_ref, src/decode.c:191-262).
+    Returns [top_mask | topright<<32, left_mask | topleft<<32]."""
+    from ..intra_edge import EDGE_I444_TOP_HAS_RIGHT
+    r = t.f.rf.r
+    masks = [0, 0]
+    count = 0
+    have_topleft = have_top and have_left
+    have_topright = (max(bw4, bh4) < 32 and have_top
+                     and t.bx + bw4 < t.ts.col_end
+                     and (intra_edge_flags & EDGE_I444_TOP_HAS_RIGHT))
+
+    def matches(b):
+        return int(b["ref"][0]) == ref + 1 and int(b["ref"][1]) == -1
+
+    if have_top:
+        row = r[t.by - 1]
+        b2 = row[t.bx]
+        if matches(b2):
+            masks[0] |= 1
+            count = 1
+        aw4 = int(tables.block_dimensions[int(b2["bs"])][0])
+        if aw4 >= bw4:
+            off = t.bx & (aw4 - 1)
+            if off:
+                have_topleft = 0
+            if aw4 - off > bw4:
+                have_topright = 0
+        else:
+            mask = 1 << aw4
+            x = aw4
+            while x < w4:
+                b2 = row[t.bx + x]
+                if matches(b2):
+                    masks[0] |= mask
+                    count += 1
+                    if count >= 8:
+                        return masks
+                aw4 = int(tables.block_dimensions[int(b2["bs"])][0])
+                mask <<= aw4
+                x += aw4
+    if have_left:
+        b2 = r[t.by, t.bx - 1]
+        if matches(b2):
+            masks[1] |= 1
+            count += 1
+            if count >= 8:
+                return masks
+        lh4 = int(tables.block_dimensions[int(b2["bs"])][1])
+        if lh4 >= bh4:
+            if t.by & (lh4 - 1):
+                have_topleft = 0
+        else:
+            mask = 1 << lh4
+            y = lh4
+            while y < h4:
+                b2 = r[t.by + y, t.bx - 1]
+                if matches(b2):
+                    masks[1] |= mask
+                    count += 1
+                    if count >= 8:
+                        return masks
+                lh4 = int(tables.block_dimensions[int(b2["bs"])][1])
+                mask <<= lh4
+                y += lh4
+    if have_topleft and matches(r[t.by - 1, t.bx - 1]):
+        masks[1] |= 1 << 32
+        count += 1
+        if count >= 8:
+            return masks
+    if have_topright and matches(r[t.by - 1, t.bx + bw4]):
+        masks[0] |= 1 << 32
+    return masks
+
+
+def _derive_warpmv(t, bw4, bh4, masks, mv):
+    """Least-squares warp model from matching neighbours (reference
+    derive_warpmv, src/decode.c:264-336)."""
+    from ..headers import WarpedMotionParams, WarpedMotionType
+    from ..warpmv import find_affine_int, get_shear_params
+    pts = [[[0, 0], [0, 0]] for _ in range(8)]
+    np_ = 0
+    r = t.f.rf.r
+    mvy, mvx = mv
+
+    def add_sample(dx, dy, sx, sy, rp):
+        nonlocal np_
+        bd = tables.block_dimensions[int(rp["bs"])]
+        pts[np_][0][0] = 16 * (2 * dx + sx * int(bd[0])) - 8
+        pts[np_][0][1] = 16 * (2 * dy + sy * int(bd[1])) - 8
+        pts[np_][1][0] = pts[np_][0][0] + int(rp["mv"][0][1])
+        pts[np_][1][1] = pts[np_][0][1] + int(rp["mv"][0][0])
+        np_ += 1
+
+    if (masks[0] & 0xFFFFFFFF) == 1 and not (masks[1] >> 32):
+        aw4 = int(tables.block_dimensions[int(r[t.by - 1, t.bx]["bs"])][0])
+        off = t.bx & (aw4 - 1)
+        add_sample(-off, 0, 1, -1, r[t.by - 1, t.bx])
+    else:
+        xmask = masks[0] & 0xFFFFFFFF
+        off = 0
+        while np_ < 8 and xmask:
+            tz = (xmask & -xmask).bit_length() - 1
+            off += tz
+            xmask >>= tz
+            add_sample(off, 0, 1, -1, r[t.by - 1, t.bx + off])
+            xmask &= ~1
+    if np_ < 8 and masks[1] == 1:
+        lh4 = int(tables.block_dimensions[int(r[t.by, t.bx - 1]["bs"])][1])
+        off = t.by & (lh4 - 1)
+        add_sample(0, -off, -1, 1, r[t.by - off, t.bx - 1])
+    else:
+        ymask = masks[1] & 0xFFFFFFFF
+        off = 0
+        while np_ < 8 and ymask:
+            tz = (ymask & -ymask).bit_length() - 1
+            off += tz
+            ymask >>= tz
+            add_sample(0, off, -1, 1, r[t.by + off, t.bx - 1])
+            ymask &= ~1
+    if np_ < 8 and (masks[1] >> 32):
+        add_sample(0, 0, -1, -1, r[t.by - 1, t.bx - 1])
+    if np_ < 8 and (masks[0] >> 32):
+        add_sample(bw4, 0, 1, -1, r[t.by - 1, t.bx + bw4])
+
+    # select by motion-vector difference against a threshold
+    mvd = [0] * 8
+    ret = 0
+    thresh = 4 * max(4, min(28, max(bw4, bh4)))
+    for i in range(np_):
+        mvd[i] = abs(pts[i][1][0] - pts[i][0][0] - mvx) + \
+            abs(pts[i][1][1] - pts[i][0][1] - mvy)
+        if mvd[i] > thresh:
+            mvd[i] = -1
+        else:
+            ret += 1
+    if not ret:
+        ret = 1
+    else:
+        i, j = 0, np_ - 1
+        for _ in range(np_ - ret):
+            while mvd[i] != -1:
+                i += 1
+            while mvd[j] == -1:
+                j -= 1
+            if i > j:
+                break
+            mvd[i] = mvd[j]
+            pts[i] = [list(pts[j][0]), list(pts[j][1])]
+            i += 1
+            j -= 1
+
+    wmp = WarpedMotionParams()
+    if not find_affine_int(pts, ret, bw4, bh4, mvy, mvx, wmp, t.bx, t.by) \
+            and not get_shear_params(wmp):
+        wmp.type = WarpedMotionType.AFFINE
+    else:
+        wmp.type = WarpedMotionType.IDENTITY
+    return wmp
 
 
 def _read_filter(t, b, has_subpel_filter, comp, by4, bx4):

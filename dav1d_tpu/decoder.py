@@ -241,10 +241,19 @@ class Decoder:
         slot = self.refs[hdr.existing_frame_idx]
         if slot.frame_hdr is None or slot.planes is None:
             raise obu_mod.ObuError("show_existing_frame without picture")
+        w = slot.frame_hdr.width[1]
+        h = slot.frame_hdr.height
+        layout = slot.seq_hdr.layout
+        planes = [slot.planes[0][:h, :w]]
+        if layout != PixelLayout.I400:
+            ss_hor = int(layout != PixelLayout.I444)
+            ss_ver = int(layout == PixelLayout.I420)
+            cw = (w + ss_hor) >> ss_hor
+            ch = (h + ss_ver) >> ss_ver
+            planes += [p[:ch, :cw] for p in slot.planes[1:]]
         pic = Picture(
-            planes=slot.planes, width=slot.frame_hdr.width[1],
-            height=slot.frame_hdr.height,
-            layout=slot.seq_hdr.layout, bitdepth=slot.seq_hdr.bitdepth,
+            planes=planes, width=w, height=h,
+            layout=layout, bitdepth=slot.seq_hdr.bitdepth,
             seq_hdr=slot.seq_hdr, frame_hdr=slot.frame_hdr)
         self.out_queue.append(pic)
         if slot.frame_hdr.frame_type == FrameType.KEY:

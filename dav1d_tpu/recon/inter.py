@@ -8,7 +8,8 @@ import numpy as np
 from .. import tables
 from ..debug import trace
 from ..headers import PixelLayout
-from ..levels import CompInterType, InterPredMode, MotionMode
+from ..levels import (CompInterPredMode, CompInterType, InterIntraType,
+                      InterPredMode, MotionMode)
 from . import mc_np
 from .coef import decode_coefs
 from .itx import itx_add
@@ -82,6 +83,134 @@ def _filter_type(filter_2d):
     return _F2D_TO_TYPE[int(filter_2d)]
 
 
+def warp_affine(t, pl, b_dim, refslot, wmp, prep):
+    """Warped prediction over 8x8 tiles (reference warp_affine,
+    src/recon_tmpl.c:1115-1174). Returns the full block."""
+    f = t.f
+    ss_ver = int(bool(pl)) and f.ss_ver
+    ss_hor = int(bool(pl)) and f.ss_hor
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    bw_px, bh_px = b_dim[0] * h_mul, b_dim[1] * v_mul
+    mat = wmp.matrix
+    abcd = wmp.abcd
+    width = (refslot.frame_hdr.width[0] + ss_hor) >> ss_hor
+    height = (refslot.frame_hdr.height + ss_ver) >> ss_ver
+    plane = refslot.planes[pl]
+    out = np.zeros((bh_px, bw_px), dtype=np.int32)
+    for y in range(0, bh_px, 8):
+        src_y = t.by * 4 + ((y + 4) << ss_ver)
+        mat3_y = mat[3] * src_y + mat[0]
+        mat5_y = mat[5] * src_y + mat[1]
+        for x in range(0, bw_px, 8):
+            src_x = t.bx * 4 + ((x + 4) << ss_hor)
+            mvx = (mat[2] * src_x + mat3_y) >> ss_hor
+            mvy = (mat[4] * src_x + mat5_y) >> ss_ver
+            dx = (mvx >> 16) - 4
+            mx = ((mvx & 0xFFFF) - abcd[0] * 4 - abcd[1] * 7) & ~0x3F
+            dy = (mvy >> 16) - 4
+            my = ((mvy & 0xFFFF) - abcd[2] * 4 - abcd[3] * 4) & ~0x3F
+            out[y : y + 8, x : x + 8] = mc_np.warp8x8(
+                plane, width, height, dy, dx, abcd, mx, my, f.bitdepth,
+                prep=prep)
+    return out
+
+
+def obmc(t, pl, b, bw4, bh4, w4, h4, bx4, by4):
+    """Overlapped block MC: blend top/left neighbour predictions into the
+    current block (reference obmc(), src/recon_tmpl.c:1052-1114)."""
+    f = t.f
+    r = f.rf.r
+    b_dim = tables.block_dimensions[b.bs]
+    ss_ver = int(bool(pl)) and f.ss_ver
+    ss_hor = int(bool(pl)) and f.ss_hor
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    dst_y = (t.by * 4) >> ss_ver
+    dst_x = (t.bx * 4) >> ss_hor
+    plane = f.planes[pl]
+
+    if t.by > t.ts.row_start and \
+            (not pl or int(b_dim[0]) * h_mul + int(b_dim[1]) * v_mul >= 16):
+        i = 0
+        x = 0
+        while x < w4 and i < min(int(b_dim[2]), 4):
+            a_r = r[t.by - 1, t.bx + x + 1]
+            a_b_dim = tables.block_dimensions[int(a_r["bs"])]
+            step4 = max(2, min(16, int(a_b_dim[0])))
+            if int(a_r["ref"][0]) > 0:
+                ow4 = min(step4, int(b_dim[0]))
+                oh4 = min(int(b_dim[1]), 16) >> 1
+                f2d = int(tables.filter_2d[t.a.filter[1][bx4 + x + 1]]
+                          [t.a.filter[0][bx4 + x + 1]])
+                refslot = f.refp[int(a_r["ref"][0]) - 1]
+                lap = np.zeros(((((oh4 * 3 + 3) >> 2) * v_mul),
+                                ow4 * h_mul), dtype=np.int32)
+                mc_put(t, pl, lap, 0, 0, ow4, (oh4 * 3 + 3) >> 2,
+                       t.bx + x, t.by,
+                       (int(a_r["mv"][0][0]), int(a_r["mv"][0][1])),
+                       refslot.planes, refslot.frame_hdr.width[0],
+                       refslot.frame_hdr.height, f2d)
+                dstv = plane[dst_y:, dst_x + x * h_mul:]
+                mc_np.blend_h(dstv, lap, h_mul * ow4, v_mul * oh4)
+                i += 1
+            x += step4
+
+    if t.bx > t.ts.col_start:
+        i = 0
+        y = 0
+        while y < h4 and i < min(int(b_dim[3]), 4):
+            l_r = r[t.by + y + 1, t.bx - 1]
+            l_b_dim = tables.block_dimensions[int(l_r["bs"])]
+            step4 = max(2, min(16, int(l_b_dim[1])))
+            if int(l_r["ref"][0]) > 0:
+                ow4 = min(int(b_dim[0]), 16) >> 1
+                oh4 = min(step4, int(b_dim[1]))
+                f2d = int(tables.filter_2d[t.l.filter[1][by4 + y + 1]]
+                          [t.l.filter[0][by4 + y + 1]])
+                refslot = f.refp[int(l_r["ref"][0]) - 1]
+                lap = np.zeros((oh4 * v_mul, ow4 * h_mul), dtype=np.int32)
+                mc_put(t, pl, lap, 0, 0, ow4, oh4, t.bx, t.by + y,
+                       (int(l_r["mv"][0][0]), int(l_r["mv"][0][1])),
+                       refslot.planes, refslot.frame_hdr.width[0],
+                       refslot.frame_hdr.height, f2d)
+                dstv = plane[dst_y + y * v_mul:, dst_x:]
+                mc_np.blend_v(dstv, lap, h_mul * ow4, v_mul * oh4)
+                i += 1
+            y += step4
+
+
+def _interintra(t, b, bs, pl, cbw4, cbh4, dst_y, dst_x):
+    """Inter-intra blend (reference src/recon_tmpl.c:1617-1642 luma,
+    :1738-1777 chroma)."""
+    from ..headers import PixelLayout as PL
+    from ..levels import IntraPredMode as M
+    from . import ipred as ipred_mod
+    f = t.f
+    ts = t.ts
+    ss_ver = int(bool(pl)) and f.ss_ver
+    ss_hor = int(bool(pl)) and f.ss_hor
+    chr_layout_idx = 0 if pl == 0 or f.layout == PL.I400 else \
+        int(PL.I444) - int(f.layout)
+    m = M.SMOOTH_PRED if b.interintra_mode == 3 else int(b.interintra_mode)
+    top_sb_edge = None
+    if not (t.by & (f.sb_step - 1)):
+        sby = t.by >> f.sb_shift
+        if sby > 0:
+            top_sb_edge = f.ipred_edge[pl][sby - 1]
+    m, _, edge, ofs = ipred_mod.prepare_intra_edges(
+        t.bx >> ss_hor, (t.bx >> ss_hor) > (ts.col_start >> ss_hor),
+        t.by >> ss_ver, (t.by >> ss_ver) > (ts.row_start >> ss_ver),
+        ts.col_end >> ss_hor, ts.row_end >> ss_ver, 0, f.planes[pl],
+        dst_y, dst_x, top_sb_edge, 0, m, 0, cbw4, cbh4, 0, f.bitdepth)
+    tmp = ipred_mod.ipred(m, edge, ofs, cbw4 * 4, cbh4 * 4, 0, 0, 0,
+                          f.bitdepth)
+    ii = tables.ii_mask(chr_layout_idx, bs, b)
+    w_px, h_px = cbw4 * 4, cbh4 * 4
+    mask = ii[: w_px * h_px].reshape(h_px, w_px).astype(np.int64)
+    dstv = f.planes[pl][dst_y : dst_y + h_px, dst_x : dst_x + w_px]
+    f.planes[pl][dst_y : dst_y + h_px, dst_x : dst_x + w_px] = \
+        mc_np.blend(dstv, tmp, mask)
+
+
 def recon_b_inter(t, bs, b) -> None:
     f = t.f
     ts = t.ts
@@ -100,11 +229,6 @@ def recon_b_inter(t, bs, b) -> None:
     cbw4 = (bw4 + ss_hor) >> ss_hor
     bitdepth = f.bitdepth
 
-    if b.motion_mode != MotionMode.TRANSLATION:
-        raise NotImplementedError("OBMC/warp motion (inter stage 2)")
-    if b.interintra_type:
-        raise NotImplementedError("interintra (inter stage 2)")
-
     dst_y_px = 4 * t.by
     dst_x_px = 4 * t.bx
     cdst_y = 4 * (t.by >> ss_ver)
@@ -114,8 +238,23 @@ def recon_b_inter(t, bs, b) -> None:
         refslot = f.refp[b.ref[0]]
         ref_planes = refslot.planes
         ref_w, ref_h = refslot.frame_hdr.width[0], refslot.frame_hdr.height
-        mc_put(t, 0, f.planes[0], dst_y_px, dst_x_px, bw4, bh4, t.bx, t.by,
-               b.mv[0], ref_planes, ref_w, ref_h, b.filter2d)
+        use_warp_y = min(bw4, bh4) > 1 and (
+            (b.inter_mode == InterPredMode.GLOBALMV
+             and f.gmv_warp_allowed[b.ref[0]])
+            or (b.motion_mode == MotionMode.WARP and t.warpmv.type > 1))
+        wmp = t.warpmv if b.motion_mode == MotionMode.WARP \
+            else f.frame_hdr.gmv[b.ref[0]]
+        if use_warp_y:
+            blk = warp_affine(t, 0, (bw4, bh4), refslot, wmp, False)
+            f.planes[0][dst_y_px : dst_y_px + bh4 * 4,
+                        dst_x_px : dst_x_px + bw4 * 4] = blk
+        else:
+            mc_put(t, 0, f.planes[0], dst_y_px, dst_x_px, bw4, bh4, t.bx,
+                   t.by, b.mv[0], ref_planes, ref_w, ref_h, b.filter2d)
+            if b.motion_mode == MotionMode.OBMC:
+                obmc(t, 0, b, bw4, bh4, w4, h4, bx4, by4)
+        if b.interintra_type:
+            _interintra(t, b, bs, 0, bw4, bh4, dst_y_px, dst_x_px)
         if has_chroma:
             is_sub8x8 = bw4 == ss_hor or bh4 == ss_ver
             r = f.rf.r
@@ -130,40 +269,92 @@ def recon_b_inter(t, bs, b) -> None:
                 _sub8x8_chroma(t, b, bw4, bh4, cdst_y, cdst_x, ss_ver, by4,
                                bx4)
             else:
+                use_warp_uv = min(cbw4, cbh4) > 1 and (
+                    (b.inter_mode == InterPredMode.GLOBALMV
+                     and f.gmv_warp_allowed[b.ref[0]])
+                    or (b.motion_mode == MotionMode.WARP
+                        and t.warpmv.type > 1))
                 for pl in range(1, 3):
-                    mc_put(t, pl, f.planes[pl], cdst_y, cdst_x,
-                           bw4 << (bw4 == ss_hor), bh4 << (bh4 == ss_ver),
-                           t.bx & ~ss_hor, t.by & ~ss_ver, b.mv[0],
-                           ref_planes, ref_w, ref_h, b.filter2d)
+                    if use_warp_uv:
+                        blk = warp_affine(t, pl, (bw4, bh4), refslot, wmp,
+                                          False)
+                        f.planes[pl][cdst_y : cdst_y + (bh4 * 4 >> ss_ver),
+                                     cdst_x : cdst_x
+                                     + (bw4 * 4 >> ss_hor)] = blk
+                    else:
+                        mc_put(t, pl, f.planes[pl], cdst_y, cdst_x,
+                               bw4 << (bw4 == ss_hor),
+                               bh4 << (bh4 == ss_ver),
+                               t.bx & ~ss_hor, t.by & ~ss_ver, b.mv[0],
+                               ref_planes, ref_w, ref_h, b.filter2d)
+                        if b.motion_mode == MotionMode.OBMC:
+                            obmc(t, pl, b, bw4, bh4, w4, h4, bx4, by4)
+                if b.interintra_type:
+                    for pl in range(1, 3):
+                        _interintra(t, b, bs, pl, cbw4, cbh4, cdst_y,
+                                    cdst_x)
     else:
+        chr_layout_idx = 0 if f.layout == PixelLayout.I400 else \
+            int(PixelLayout.I444) - int(f.layout)
+        seg_mask = None
+        mask = None
+        jw = None
         tmp = [None, None]
         for i in range(2):
             refslot = f.refp[b.ref[i]]
-            tmp[i] = mc_prep(t, 0, bw4, bh4, t.bx, t.by, b.mv[i],
-                             refslot.planes, refslot.frame_hdr.width[0],
-                             refslot.frame_hdr.height, b.filter2d)
+            if b.inter_mode == CompInterPredMode.GLOBALMV_GLOBALMV and \
+                    f.gmv_warp_allowed[b.ref[i]]:
+                tmp[i] = warp_affine(t, 0, (bw4, bh4), refslot,
+                                     f.frame_hdr.gmv[b.ref[i]], True)
+            else:
+                tmp[i] = mc_prep(t, 0, bw4, bh4, t.bx, t.by, b.mv[i],
+                                 refslot.planes, refslot.frame_hdr.width[0],
+                                 refslot.frame_hdr.height, b.filter2d)
         if b.comp_type == CompInterType.AVG:
             blk = mc_np.avg(tmp[0], tmp[1], bitdepth)
         elif b.comp_type == CompInterType.WEIGHTED_AVG:
             jw = f.jnt_weights[b.ref[0]][b.ref[1]]
             blk = mc_np.w_avg(tmp[0], tmp[1], jw, bitdepth)
-        else:
-            raise NotImplementedError("wedge/seg compound (inter stage 2)")
+        elif b.comp_type == CompInterType.SEG:
+            blk, seg_mask = mc_np.w_mask(tmp[b.mask_sign],
+                                         tmp[not b.mask_sign],
+                                         b.mask_sign, ss_hor, ss_ver,
+                                         bitdepth)
+            mask = seg_mask
+        else:  # WEDGE
+            mask = tables.wedge_mask(0, bs, 0, b.wedge_idx, bw4 * 4, bh4 * 4)
+            blk = mc_np.mask_blend(tmp[b.mask_sign], tmp[not b.mask_sign],
+                                   mask.astype(np.int64), bitdepth)
+            if has_chroma:
+                mask = tables.wedge_mask(chr_layout_idx, bs, b.mask_sign,
+                                         b.wedge_idx, bw4 * 4 >> ss_hor,
+                                         bh4 * 4 >> ss_ver)
         f.planes[0][dst_y_px : dst_y_px + bh4 * 4,
                     dst_x_px : dst_x_px + bw4 * 4] = blk
         if has_chroma:
             for pl in range(1, 3):
                 for i in range(2):
                     refslot = f.refp[b.ref[i]]
-                    tmp[i] = mc_prep(t, pl, bw4, bh4, t.bx, t.by, b.mv[i],
-                                     refslot.planes,
-                                     refslot.frame_hdr.width[0],
-                                     refslot.frame_hdr.height, b.filter2d)
+                    if b.inter_mode == CompInterPredMode.GLOBALMV_GLOBALMV \
+                            and min(cbw4, cbh4) > 1 \
+                            and f.gmv_warp_allowed[b.ref[i]]:
+                        tmp[i] = warp_affine(t, pl, (bw4, bh4), refslot,
+                                             f.frame_hdr.gmv[b.ref[i]],
+                                             True)
+                    else:
+                        tmp[i] = mc_prep(t, pl, bw4, bh4, t.bx, t.by,
+                                         b.mv[i], refslot.planes,
+                                         refslot.frame_hdr.width[0],
+                                         refslot.frame_hdr.height,
+                                         b.filter2d)
                 if b.comp_type == CompInterType.AVG:
                     blk = mc_np.avg(tmp[0], tmp[1], bitdepth)
-                else:
-                    jw = f.jnt_weights[b.ref[0]][b.ref[1]]
+                elif b.comp_type == CompInterType.WEIGHTED_AVG:
                     blk = mc_np.w_avg(tmp[0], tmp[1], jw, bitdepth)
+                else:  # WEDGE or SEG: blend with the luma-derived mask
+                    blk = mc_np.mask_blend(tmp[b.mask_sign],
+                                           tmp[not b.mask_sign],
+                                           mask.astype(np.int64), bitdepth)
                 f.planes[pl][cdst_y : cdst_y + (bh4 * 4 >> ss_ver),
                              cdst_x : cdst_x + (bw4 * 4 >> ss_hor)] = blk
 

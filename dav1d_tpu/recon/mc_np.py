@@ -181,3 +181,86 @@ def blend(dst, tmp, m):
     """OBMC/interintra blend (reference blend_c):
     (dst*(64-m) + tmp*m + 32) >> 6."""
     return (dst.astype(np.int64) * (64 - m) + tmp * m + 32) >> 6
+
+
+def blend_v(dst, tmp, w, h):
+    """OBMC left-edge blend over the left 3/4 columns
+    (reference blend_v_c, src/mc_tmpl.c)."""
+    obmc = tables.obmc_masks
+    wb = (w * 3) >> 2
+    m = obmc[w : w + wb].astype(np.int64)
+    dst[:h, :wb] = (dst[:h, :wb].astype(np.int64) * (64 - m)
+                    + tmp[:h, :wb] * m + 32) >> 6
+
+
+def blend_h(dst, tmp, w, h):
+    """OBMC top-edge blend over the top 3/4 rows
+    (reference blend_h_c, src/mc_tmpl.c)."""
+    obmc = tables.obmc_masks
+    hb = (h * 3) >> 2
+    m = obmc[h : h + hb].astype(np.int64)[:, None]
+    dst[:hb, :w] = (dst[:hb, :w].astype(np.int64) * (64 - m)
+                    + tmp[:hb, :w] * m + 32) >> 6
+
+
+def w_mask(t1, t2, sign, ss_hor, ss_ver, bitdepth):
+    """Difference-weighted compound: returns (pixels, mask) where mask is at
+    chroma resolution (reference w_mask_c, src/mc_tmpl.c)."""
+    ib = _intermediate_bits(bitdepth)
+    bias = 0 if bitdepth == 8 else 8192
+    sh = ib + 6
+    rnd = (32 << ib) + bias * 64
+    mask_sh = bitdepth + ib - 4
+    mask_rnd = 1 << (mask_sh - 5)
+    t1 = t1.astype(np.int64)
+    t2 = t2.astype(np.int64)
+    diff = t1 - t2
+    m = np.minimum(38 + ((np.abs(diff) + mask_rnd) >> mask_sh), 64)
+    out = np.clip((diff * m + t2 * 64 + rnd) >> sh,
+                  0, (1 << bitdepth) - 1).astype(np.int32)
+    if ss_hor:
+        m2 = m[:, 0::2] + m[:, 1::2]  # per 2x1
+        if ss_ver:
+            mask = (m2[0::2] + m2[1::2] + 2 - sign) >> 2
+        else:
+            mask = (m2 + 1 - sign) >> 1
+    else:
+        mask = m
+    return out, mask.astype(np.uint8)
+
+
+def warp8x8(plane, valid_w, valid_h, dy, dx, abcd, mx, my, bitdepth,
+            prep=False):
+    """One warped 8x8 tile (reference warp_affine_8x8_c / _8x8t_c,
+    src/mc_tmpl.c). (dy, dx) is the top-left of the 8x8 source tile minus
+    the (3, 3) filter margin handled here via clamped gather (emu_edge)."""
+    ib = _intermediate_bits(bitdepth)
+    wf = tables.mc_warp_filter.astype(np.int64)
+    win = get_window(plane, valid_w, valid_h, dy - 3, dx - 3, 15, 15)
+    mid = np.zeros((15, 8), dtype=np.int64)
+    rnd_h = (1 << (7 - ib)) >> 1
+    for y in range(15):
+        tmx = mx + y * abcd[1]
+        for x in range(8):
+            fil = wf[64 + ((tmx + 512) >> 10)]
+            mid[y, x] = (np.dot(fil, win[y, x : x + 8])
+                         + rnd_h) >> (7 - ib)
+            tmx += abcd[0]
+    out = np.zeros((8, 8), dtype=np.int64)
+    if prep:
+        for y in range(8):
+            tmy = my + y * abcd[3]
+            for x in range(8):
+                fil = wf[64 + ((tmy + 512) >> 10)]
+                out[y, x] = (np.dot(fil, mid[y : y + 8, x]) + 64) >> 7
+                tmy += abcd[2]
+        bias = 0 if bitdepth == 8 else 8192
+        return (out - bias).astype(np.int32)
+    rnd_v = (1 << (7 + ib)) >> 1
+    for y in range(8):
+        tmy = my + y * abcd[3]
+        for x in range(8):
+            fil = wf[64 + ((tmy + 512) >> 10)]
+            out[y, x] = (np.dot(fil, mid[y : y + 8, x]) + rnd_v) >> (7 + ib)
+            tmy += abcd[2]
+    return np.clip(out, 0, (1 << bitdepth) - 1).astype(np.int32)

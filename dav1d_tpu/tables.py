@@ -79,26 +79,37 @@ def _masks_fields() -> dict[str, np.ndarray]:
 
 @functools.cache
 def mask_offsets() -> np.ndarray:
-    """(3 layouts, 7 block sizes BS_32x32..BS_8x8, 36) uint16 offsets in
-    8-byte units into the masks blob: [0:32]=wedge[2][16], [32:36]=ii[4]."""
+    """(3 chroma layouts 444/422/420, 11 block sizes BS_32x32..BS_8x8, 36)
+    uint16 offsets in 8-byte units into the masks blob:
+    [0:32]=wedge[2 signs][16 idx], [32:36]=ii[4 modes]
+    (reference src/wedge.h:33-38)."""
     raw = _masks_fields()["offsets"].view(np.uint16)
-    return raw.reshape(3, 7, 36)
+    return raw.reshape(3, 11, 36)
 
 
-def wedge_mask(layout: int, bs_idx: int, sign: int, wedge_idx: int,
+_BS_32X32 = 7  # BlockSize.BS_32x32
+
+
+def wedge_mask(chr_layout_idx: int, bs: int, sign: int, wedge_idx: int,
                w: int, h: int) -> np.ndarray:
-    """Wedge mask for block size index (BS_32x32-relative), as (h, w)."""
-    off = int(mask_offsets()[layout, bs_idx, sign * 16 + wedge_idx]) * 8
+    """Wedge mask (reference WEDGE_MASK, src/wedge.h:88-90), as (h, w) at
+    the chroma-scaled size."""
+    off = int(mask_offsets()[chr_layout_idx, bs - _BS_32X32,
+                             sign * 16 + wedge_idx]) * 8
     blob = _get("masks.blob")
     return blob[off : off + w * h].reshape(h, w)
 
 
-def ii_mask(layout: int, bs_idx: int, interintra_mode: int,
-            w: int, h: int) -> np.ndarray:
-    """Interintra blend mask (for INTER_INTRA_BLEND), as (h, w)."""
-    off = int(mask_offsets()[layout, bs_idx, 32 + interintra_mode]) * 8
-    blob = _get("masks.blob")
-    return blob[off : off + w * h].reshape(h, w)
+def ii_mask(chr_layout_idx: int, bs: int, b) -> np.ndarray:
+    """Interintra blend mask (reference II_MASK, src/wedge.h:82-86);
+    returns the flat mask array (caller reshapes to block size)."""
+    from .levels import InterIntraType
+    if b.interintra_type == InterIntraType.BLEND:
+        idx = 32 + b.interintra_mode
+    else:
+        idx = b.wedge_idx
+    off = int(mask_offsets()[chr_layout_idx, bs - _BS_32X32, idx]) * 8
+    return _get("masks.blob")[off:]
 
 
 # --- default CDFs --------------------------------------------------------

@@ -22,7 +22,6 @@ from aom_enc import (AomEncoder, gradient_frames,  # noqa: E402
 # the discovery harness for that.
 BASE_OPTS = {
     "enable-palette": 0, "enable-intrabc": 0, "enable-restoration": 0,
-    "enable-obmc": 0, "enable-warped-motion": 0, "enable-ref-frame-mvs": 0,
 }
 
 
@@ -79,6 +78,23 @@ CASES = {
         dict(n=10),
         _args(lag=8, options={"enable-order-hint": 1,
                               "enable-ref-frame-mvs": 1})),
+    "obmc_warp": (dict(n=6),
+                  _args(options={"enable-obmc": 1,
+                                 "enable-warped-motion": 1,
+                                 "enable-global-motion": 1})),
+    # cpu-used=0 with every implemented tool on: OBMC, warp, global motion,
+    # masked/dist-wtd compound, interintra, dual filter, tmvs, skip mode
+    "kitchen_sink": (
+        dict(n=14),
+        _args(lag=8, cpu_used=0, q=50,
+              options={"enable-order-hint": 1, "enable-ref-frame-mvs": 1,
+                       "enable-masked-comp": 1, "enable-diff-wtd-comp": 1,
+                       "enable-dist-wtd-comp": 1,
+                       "enable-interintra-comp": 1,
+                       "enable-smooth-interintra": 1,
+                       "enable-dual-filter": 1, "enable-obmc": 1,
+                       "enable-warped-motion": 1,
+                       "enable-global-motion": 1})),
     "monochrome": (dict(n=3, monochrome=True), _args(monochrome=True)),
     "i422": (dict(n=3, fmt="422"), _args(fmt="422")),
     "i444": (dict(n=3, fmt="444"), _args(fmt="444")),

@@ -135,7 +135,7 @@ int main(int argc, char **argv) {
 
     /* wedge + interintra masks (built at init): whole struct + manifest */
     dav1d_init_ii_wedge_masks();
-    D("masks.blob", &dav1d_masks);
+    dump("masks.blob", (const void *)&dav1d_masks, sizeof(dav1d_masks));
     {
         struct { const char *name; size_t off, size; } fields[] = {
 #define F(x) { #x, offsetof(Dav1dMasks, x), sizeof(dav1d_masks.x) }

@@ -110,6 +110,14 @@ def main():
     case("dist_wtd", fr8, opts(enable_order_hint=1, enable_dist_wtd_comp=1))
     case("interintra", fr8, opts(enable_interintra_comp=1,
                                  enable_smooth_interintra=1))
+    case("kitchen_sink", gradient_frames(14, W, H),
+         {**opts(enable_order_hint=1, enable_ref_frame_mvs=1,
+                 enable_masked_comp=1, enable_diff_wtd_comp=1,
+                 enable_dist_wtd_comp=1, enable_interintra_comp=1,
+                 enable_smooth_interintra=1, enable_dual_filter=1,
+                 enable_obmc=1, enable_warped_motion=1,
+                 enable_global_motion=1),
+          "lag": 8, "cpu_used": 0, "q": 50})
     case("restoration", fr8, opts(enable_restoration=1))
     case("palette", gradient_frames(3, W, H, noise=0),
          {**opts(enable_palette=1, tune_content="screen"), "kf_max_dist": 1})
