@@ -198,8 +198,24 @@ class FrameContext:
         self.noskip = np.zeros((self.sb128h * 16, self.sb128w * 32),
                                dtype=bool)
         self.ts: list[TileState] = []
-        # per-64x64-unit restoration info lands with the LR stage
+
+        # loop restoration state (reference src/decode.c:3030,2662-2713)
+        self.restore_planes = (
+            (int(hdr.restoration.type[0] != 0) << 0)
+            | (int(hdr.restoration.type[1] != 0) << 1)
+            | (int(hdr.restoration.type[2] != 0) << 2))
+        self.sr_sb128w = (hdr.width[1] + 127) >> 7
+        # (sb_idx, plane, unit_idx) -> restoration unit dict
         self.lr_units = {}
+
+    def lr_unit(self, sb_idx, plane, unit_idx):
+        key = (sb_idx, plane, unit_idx)
+        u = self.lr_units.get(key)
+        if u is None:
+            u = dict(type=0, filter_v=[0, 0, 0], filter_h=[0, 0, 0],
+                     sgr_weights=[0, 0])
+            self.lr_units[key] = u
+        return u
 
     @property
     def frame_is_intra(self) -> bool:
@@ -346,10 +362,99 @@ class _CdefIdxView:
 
 
 def _read_lr_for_sb(t: TaskContext) -> None:
+    """Per-superblock restoration-unit info (reference src/decode.c
+    :2662-2713 + read_restoration_info :2519-2592)."""
     f = t.f
-    if not any(int(ty) for ty in f.frame_hdr.restoration.type):
+    hdr = f.frame_hdr
+    if not f.restore_planes:
         return
-    raise NotImplementedError("loop restoration info (LR stage)")
+    sb_step = f.sb_step
+    for p in range(3):
+        if not ((f.restore_planes >> p) & 1):
+            continue
+        ss_ver = int(bool(p)) and f.ss_ver
+        ss_hor = int(bool(p)) and f.ss_hor
+        unit_size_log2 = hdr.restoration.unit_size[int(bool(p))]
+        y = t.by * 4 >> ss_ver
+        h = (hdr.height + ss_ver) >> ss_ver
+        unit_size = 1 << unit_size_log2
+        mask = unit_size - 1
+        if y & mask:
+            continue
+        half_unit = unit_size >> 1
+        if y and y + half_unit > h:
+            continue
+        frame_type = hdr.restoration.type[p]
+        if hdr.width[0] != hdr.width[1]:
+            w = (hdr.width[1] + ss_hor) >> ss_hor
+            n_units = max(1, (w + half_unit) >> unit_size_log2)
+            d = hdr.super_res_width_scale_denominator
+            rnd = unit_size * 8 - 1
+            shift = unit_size_log2 + 3
+            x0 = ((4 * t.bx * d >> ss_hor) + rnd) >> shift
+            x1 = ((4 * (t.bx + sb_step) * d >> ss_hor) + rnd) >> shift
+            for x in range(x0, min(x1, n_units)):
+                px_x = x << (unit_size_log2 + ss_hor)
+                sb_idx = (t.by >> 5) * f.sr_sb128w + (px_x >> 7)
+                unit_idx = ((t.by & 16) >> 3) + ((px_x & 64) >> 6)
+                _read_restoration_info(t, f.lr_unit(sb_idx, p, unit_idx), p,
+                                       frame_type)
+        else:
+            x = 4 * t.bx >> ss_hor
+            if x & mask:
+                continue
+            w = (hdr.width[0] + ss_hor) >> ss_hor
+            if x and x + half_unit > w:
+                continue
+            sb_idx = (t.by >> 5) * f.sr_sb128w + (t.bx >> 5)
+            unit_idx = ((t.by & 16) >> 3) + ((t.bx & 16) >> 4)
+            _read_restoration_info(t, f.lr_unit(sb_idx, p, unit_idx), p,
+                                   frame_type)
+
+
+def _read_restoration_info(t, lr, p, frame_type) -> None:
+    from ..debug import trace
+    from ..headers import RestorationType as RT
+    ts = t.ts
+    msac = ts.msac
+    ref = ts.lr_ref[p]
+
+    if frame_type == RT.SWITCHABLE:
+        filt = msac.decode_symbol_adapt(ts.cdf.m.restore_switchable, 2)
+        lr["type"] = filt + int(bool(filt))
+    else:
+        ty = msac.decode_bool_adapt(
+            ts.cdf.m.restore_wiener if frame_type == RT.WIENER
+            else ts.cdf.m.restore_sgrproj)
+        lr["type"] = int(frame_type) if ty else int(RT.NONE)
+
+    if lr["type"] == RT.WIENER:
+        lr["filter_v"] = [
+            0 if p else msac.decode_subexp(ref["filter_v"][0] + 5, 16, 1) - 5,
+            msac.decode_subexp(ref["filter_v"][1] + 23, 32, 2) - 23,
+            msac.decode_subexp(ref["filter_v"][2] + 17, 64, 3) - 17]
+        lr["filter_h"] = [
+            0 if p else msac.decode_subexp(ref["filter_h"][0] + 5, 16, 1) - 5,
+            msac.decode_subexp(ref["filter_h"][1] + 23, 32, 2) - 23,
+            msac.decode_subexp(ref["filter_h"][2] + 17, 64, 3) - 17]
+        lr["sgr_weights"] = list(ref["sgr_weights"])
+        ts.lr_ref[p] = lr
+        trace("Post-lr_wiener[pl=%d,v[%d,%d,%d],h[%d,%d,%d]]: r=%d",
+              p, *lr["filter_v"], *lr["filter_h"], msac.rng)
+    elif lr["type"] == RT.SGRPROJ:
+        idx = msac.decode_bools(4)
+        sgr_params = tables.sgr_params[idx]
+        lr["type"] += idx
+        lr["sgr_weights"] = [
+            msac.decode_subexp(ref["sgr_weights"][0] + 96, 128, 4) - 96
+            if sgr_params[0] else 0,
+            msac.decode_subexp(ref["sgr_weights"][1] + 32, 128, 4) - 32
+            if sgr_params[1] else 95]
+        lr["filter_v"] = list(ref["filter_v"])
+        lr["filter_h"] = list(ref["filter_h"])
+        ts.lr_ref[p] = lr
+        trace("Post-lr_sgrproj[pl=%d,idx=%d,w[%d,%d]]: r=%d",
+              p, idx, lr["sgr_weights"][0], lr["sgr_weights"][1], msac.rng)
 
 
 def _backup_ipred_edge(t: TaskContext) -> None:
@@ -398,10 +503,21 @@ def decode_frame(f: FrameContext, tile_groups) -> None:
             # loopfilter -> cdef -> super-res -> restoration per sbrow
             _filter_sbrow(f, sby)
 
+    # pre-CDEF snapshot = the reference's lpf line buffer (dav1d_copy_lpf,
+    # src/lf_apply_tmpl.c:104): LR stripe-boundary rows read deblocked
+    # pre-CDEF pixels
+    f.pre_cdef = None
+    if f.restore_planes:
+        f.pre_cdef = [p.copy() for p in f.planes]
+
     if f.seq_hdr.cdef and not hdr.allow_intrabc and not hdr.all_lossless \
             and (any(hdr.cdef.y_strength) or any(hdr.cdef.uv_strength)):
         from ..recon.cdef import cdef_frame
         cdef_frame(f)
+
+    if f.restore_planes:
+        from ..recon.lr_apply import lr_frame
+        lr_frame(f)
 
     if hdr.refresh_context:
         f.out_cdf.update(f.ts[hdr.tiling.update].cdf,

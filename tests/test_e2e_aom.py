@@ -21,7 +21,7 @@ from aom_enc import (AomEncoder, gradient_frames,  # noqa: E402
 # removed from this dict) as the decoder grows.  tools/probe_features.py is
 # the discovery harness for that.
 BASE_OPTS = {
-    "enable-palette": 0, "enable-intrabc": 0, "enable-restoration": 0,
+    "enable-palette": 0, "enable-intrabc": 0,
 }
 
 
@@ -78,6 +78,10 @@ CASES = {
         dict(n=10),
         _args(lag=8, options={"enable-order-hint": 1,
                               "enable-ref-frame-mvs": 1})),
+    "restoration": (dict(n=5), _args()),
+    "restoration_multiunit": (dict(n=4), _args(w=384, h=256)),
+    "restoration_444_odd": (dict(n=4, fmt="444"),
+                            _args(w=347, h=251, fmt="444")),
     "obmc_warp": (dict(n=6),
                   _args(options={"enable-obmc": 1,
                                  "enable-warped-motion": 1,
