@@ -299,6 +299,7 @@ def decode_tile_sbrow(t: TaskContext) -> None:
         (not f.seq_hdr.sb128)
 
     t.l.reset(f.frame_is_intra)
+    t.pal_sz_uv[1].fill(0)
     if f.rf is not None:
         from ..refmvs import RefMvsTile
         t.rt = RefMvsTile(f.rf, ts.col_start, ts.col_end,

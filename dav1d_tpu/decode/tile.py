@@ -134,6 +134,12 @@ class TaskContext:
         self.warpmv = None
         self.rt = None
         self.cf = np.zeros(32 * 32, dtype=np.int32)
+        # palette state (reference Dav1dTaskContext al_pal/pal_sz_uv/scratch)
+        self.al_pal = np.zeros((2, 32, 3, 8), dtype=np.uint16)
+        self.pal_sz_uv = np.zeros((2, 32), dtype=np.uint8)
+        self.scratch_pal = np.zeros((3, 8), dtype=np.uint16)
+        self.pal_idx_y = None  # unpacked (bh4*4, bw4*4) index map
+        self.pal_idx_uv = None
 
 
 def get_partition_ctx(a, l, bl, yb8, xb8):
@@ -562,7 +568,9 @@ def decode_b(t: TaskContext, bl: int, bs: int, bp: int,
                         bx4, by4, cbx4, cby4, bw4, bh4, w4, h4, cbw4, cbh4,
                         have_top, have_left, has_chroma, seg, seg_pred)
     else:
-        raise NotImplementedError("intra block copy (screen content stage)")
+        _decode_b_intrabc(t, b, bl, bs, bp, intra_edge_flags, b_dim,
+                          bx4, by4, cbx4, cby4, bw4, bh4, w4, h4,
+                          cbw4, cbh4, has_chroma, seg_pred)
 
     if not b.skip:
         # per-8x8 "has coefficients" mask for cdef
@@ -635,7 +643,20 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
     b.pal_sz = [0, 0]
     if hdr.allow_screen_content_tools and max(bw4, bh4) <= 16 and \
             bw4 + bh4 >= 4:
-        raise NotImplementedError("palette not yet implemented")
+        sz_ctx = int(b_dim[2]) + int(b_dim[3]) - 2
+        if b.y_mode == M.DC_PRED:
+            pal_ctx = int(t.a.pal_sz[bx4] > 0) + int(t.l.pal_sz[by4] > 0)
+            use_y_pal = ts.msac.decode_bool_adapt(
+                ts.cdf.m.pal_y[sz_ctx][pal_ctx])
+            trace("Post-y_pal[%d]: r=%d", use_y_pal, ts.msac.rng)
+            if use_y_pal:
+                _read_pal_plane(t, b, 0, sz_ctx, bx4, by4)
+        if has_chroma and b.uv_mode == M.DC_PRED:
+            pal_ctx = int(b.pal_sz[0] > 0)
+            use_uv_pal = ts.msac.decode_bool_adapt(ts.cdf.m.pal_uv[pal_ctx])
+            trace("Post-uv_pal[%d]: r=%d", use_uv_pal, ts.msac.rng)
+            if use_uv_pal:  # aomedia bug 2183: luma coordinates
+                _read_pal_uv(t, b, sz_ctx, bx4, by4)
 
     if b.y_mode == M.DC_PRED and not b.pal_sz[0] and \
             max(int(b_dim[2]), int(b_dim[3])) <= 3 and f.seq_hdr.filter_intra:
@@ -643,6 +664,18 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
         if is_filter:
             b.y_mode = M.FILTER_PRED
             b.y_angle = ts.msac.decode_symbol_adapt(ts.cdf.m.filter_intra, 4)
+
+    if b.pal_sz[0]:
+        t.pal_idx_y = _read_pal_indices(t, b.pal_sz[0], 0, w4, h4, bw4, bh4)
+        trace("Post-y-pal-indices: r=%d", ts.msac.rng)
+    if has_chroma and b.pal_sz[1]:
+        ss_ver = int(f.layout == PixelLayout.I420)
+        ss_hor = int(f.layout != PixelLayout.I444)
+        cw4 = (w4 + ss_hor) >> ss_hor
+        ch4 = (h4 + ss_ver) >> ss_ver
+        t.pal_idx_uv = _read_pal_indices(t, b.pal_sz[1], 1, cw4, ch4,
+                                         cbw4, cbh4)
+        trace("Post-uv-pal-indices: r=%d", ts.msac.rng)
 
     # tx size
     if hdr.segmentation.lossless[b.seg_id]:
@@ -696,6 +729,16 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
     t.l.skip_mode[by4 : by4 + bh4] = 0
     t.l.intra[by4 : by4 + bh4] = 1
     t.l.skip[by4 : by4 + bh4] = b.skip
+    # aomedia bug 2183: uv palette context uses luma coordinates
+    uv_pal = b.pal_sz[1] if has_chroma else 0
+    t.pal_sz_uv[0][bx4 : bx4 + bw4] = uv_pal
+    t.pal_sz_uv[1][by4 : by4 + bh4] = uv_pal
+    if b.pal_sz[0]:
+        t.al_pal[0, bx4 : bx4 + bw4, 0] = t.scratch_pal[0]
+        t.al_pal[1, by4 : by4 + bh4, 0] = t.scratch_pal[0]
+    if has_chroma and b.pal_sz[1]:
+        t.al_pal[0, bx4 : bx4 + bw4, 1:] = t.scratch_pal[1:]
+        t.al_pal[1, by4 : by4 + bh4, 1:] = t.scratch_pal[1:]
     if frame_is_inter:
         t.a.comp_type[bx4 : bx4 + bw4] = 0
         t.a.ref[0][bx4 : bx4 + bw4] = -1
@@ -714,6 +757,119 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
         from ..refmvs import splat_mv, INVALID_MV_Y
         splat_mv(f.rf, t.by, t.bx, bw4, bh4,
                  (INVALID_MV_Y, INVALID_MV_Y), (0, 0), 0, -1, bs, 0)
+    if hdr.segmentation.enabled and hdr.segmentation.update_map:
+        f.cur_segmap[t.by : t.by + bh4, t.bx : t.bx + bw4] = b.seg_id
+
+
+def _decode_b_intrabc(t, b, bl, bs, bp, intra_edge_flags, b_dim,
+                      bx4, by4, cbx4, cby4, bw4, bh4, w4, h4, cbw4, cbh4,
+                      has_chroma, seg_pred):
+    """Intra block copy decode (reference src/decode.c:1264-1378)."""
+    from ..levels import (CompInterType, InterIntraType, IntraPredMode as M,
+                          MotionMode)
+    from ..refmvs import refmvs_find, splat_mv
+    f = t.f
+    ts = t.ts
+    hdr = f.frame_hdr
+    seq = f.seq_hdr
+    ss_ver = int(f.layout == PixelLayout.I420)
+    ss_hor = int(f.layout != PixelLayout.I444)
+
+    mvstack, n_mvs, _ = refmvs_find(t.rt, (0, -1), bs, intra_edge_flags,
+                                    t.by, t.bx)
+    if mvstack[0]["mv"][0] != (0, 0):
+        mv = mvstack[0]["mv"][0]
+    elif mvstack[1]["mv"][0] != (0, 0):
+        mv = mvstack[1]["mv"][0]
+    elif t.by - (16 << seq.sb128) < ts.row_start:
+        mv = (0, -(512 << seq.sb128) - 2048)
+    else:
+        mv = (-(512 << seq.sb128), 0)
+
+    ref = mv
+    mv = read_mv_residual(ts, mv, -1)
+
+    # clip to decoded parts of the current tile
+    border_left = ts.col_start * 4
+    border_top = ts.row_start * 4
+    if has_chroma:
+        if bw4 < 2 and ss_hor:
+            border_left += 4
+        if bh4 < 2 and ss_ver:
+            border_top += 4
+    src_left = t.bx * 4 + (mv[1] >> 3)
+    src_top = t.by * 4 + (mv[0] >> 3)
+    src_right = src_left + bw4 * 4
+    src_bottom = src_top + bh4 * 4
+    border_right = ((ts.col_end + (bw4 - 1)) & ~(bw4 - 1)) * 4
+
+    if src_left < border_left:
+        src_right += border_left - src_left
+        src_left = border_left
+    elif src_right > border_right:
+        src_left -= src_right - border_right
+        src_right = border_right
+    if src_top < border_top:
+        src_bottom += border_top - src_top
+        src_top = border_top
+
+    sbx = (t.bx >> (4 + seq.sb128)) << (6 + seq.sb128)
+    sby_px = (t.by >> (4 + seq.sb128)) << (6 + seq.sb128)
+    sb_size = 1 << (6 + seq.sb128)
+    if src_bottom > sby_px and src_right > sbx:
+        if src_top - border_top >= src_bottom - sby_px:
+            src_top -= src_bottom - sby_px
+            src_bottom = sby_px
+        elif src_left - border_left >= src_right - sbx:
+            src_left -= src_right - sbx
+            src_right = sbx
+    if src_bottom > sby_px + sb_size:
+        src_top -= src_bottom - (sby_px + sb_size)
+        src_bottom = sby_px + sb_size
+    if src_bottom > sby_px and src_right > sbx:
+        raise ValueError("intrabc mv overlaps current superblock")
+
+    b.mv = [((src_top - t.by * 4) * 8, (src_left - t.bx * 4) * 8), None]
+    trace("Post-dmv[%d/%d,ref=%d/%d|%d/%d]: r=%d", b.mv[0][0], b.mv[0][1],
+          ref[0], ref[1], mvstack[0]["mv"][0][0], mvstack[0]["mv"][0][1],
+          ts.msac.rng)
+
+    b.comp_type = CompInterType.NONE
+    b.motion_mode = MotionMode.TRANSLATION
+    b.interintra_type = InterIntraType.NONE
+    b.filter2d = 9  # FILTER_2D_BILINEAR
+    b.ref = [-1, -1]
+    b.inter_mode = 0
+    b.drl_idx = 0
+
+    read_vartx_tree(t, b, bs, bx4, by4)
+
+    from ..recon.inter import recon_b_inter
+    recon_b_inter(t, bs, b)
+
+    splat_mv(f.rf, t.by, t.bx, bw4, bh4, b.mv[0], (0, 0), 0, -1, bs, 0)
+
+    t.a.tx_intra[bx4 : bx4 + bw4] = int(b_dim[2])
+    t.a.mode[bx4 : bx4 + bw4] = M.DC_PRED
+    t.a.pal_sz[bx4 : bx4 + bw4] = 0
+    t.a.seg_pred[bx4 : bx4 + bw4] = seg_pred
+    t.a.skip_mode[bx4 : bx4 + bw4] = 0
+    t.a.intra[bx4 : bx4 + bw4] = 0
+    t.a.skip[bx4 : bx4 + bw4] = b.skip
+    t.l.tx_intra[by4 : by4 + bh4] = int(b_dim[3])
+    t.l.mode[by4 : by4 + bh4] = M.DC_PRED
+    t.l.pal_sz[by4 : by4 + bh4] = 0
+    t.l.seg_pred[by4 : by4 + bh4] = seg_pred
+    t.l.skip_mode[by4 : by4 + bh4] = 0
+    t.l.intra[by4 : by4 + bh4] = 0
+    t.l.skip[by4 : by4 + bh4] = b.skip
+    t.pal_sz_uv[0][bx4 : bx4 + bw4] = 0
+    t.pal_sz_uv[1][by4 : by4 + bh4] = 0
+    if has_chroma:
+        t.a.uvmode[cbx4 : cbx4 + cbw4] = M.DC_PRED
+        t.l.uvmode[cby4 : cby4 + cbh4] = M.DC_PRED
+
+    # no lf masks: allow_intrabc implies all in-loop filters are disabled
     if hdr.segmentation.enabled and hdr.segmentation.update_map:
         f.cur_segmap[t.by : t.by + bh4, t.bx : t.bx + bw4] = b.seg_id
 
@@ -1198,6 +1354,8 @@ def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
     t.a.intra[bx4 : bx4 + bw4] = 0
     t.a.skip[bx4 : bx4 + bw4] = b.skip
     t.a.pal_sz[bx4 : bx4 + bw4] = 0
+    t.pal_sz_uv[0][bx4 : bx4 + bw4] = 0
+    t.pal_sz_uv[1][by4 : by4 + bh4] = 0
     t.a.tx_intra[bx4 : bx4 + bw4] = int(b_dim[2])
     t.a.comp_type[bx4 : bx4 + bw4] = b.comp_type
     t.a.filter[0][bx4 : bx4 + bw4] = filter_[0]
@@ -1220,6 +1378,201 @@ def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
     if has_chroma:
         t.a.uvmode[cbx4 : cbx4 + cbw4] = M.DC_PRED
         t.l.uvmode[cby4 : cby4 + cbh4] = M.DC_PRED
+
+
+def _read_pal_plane(t, b, pl, sz_ctx, bx4, by4):
+    """reference dav1d_read_pal_plane (src/recon_tmpl.c:2172-2253)."""
+    ts = t.ts
+    f = t.f
+    msac = ts.msac
+    pal_sz = msac.decode_symbol_adapt(ts.cdf.m.pal_sz[pl][sz_ctx], 6) + 2
+    b.pal_sz[pl] = pal_sz
+    cache = []
+    l_cache = int(t.pal_sz_uv[1][by4]) if pl else int(t.l.pal_sz[by4])
+    # don't reuse above palette outside SB64 boundaries
+    a_cache = (int(t.pal_sz_uv[0][bx4]) if pl else int(t.a.pal_sz[bx4])) \
+        if by4 & 15 else 0
+    l = t.al_pal[1, by4, pl]
+    a = t.al_pal[0, bx4, pl]
+    li = ai = 0
+
+    # fill/sort cache (merge of two sorted palettes, deduplicated)
+    while l_cache and a_cache:
+        lv, av = int(l[li]), int(a[ai])
+        if lv < av:
+            if not cache or cache[-1] != lv:
+                cache.append(lv)
+            li += 1
+            l_cache -= 1
+        else:
+            if av == lv:
+                li += 1
+                l_cache -= 1
+            if not cache or cache[-1] != av:
+                cache.append(av)
+            ai += 1
+            a_cache -= 1
+    while l_cache:
+        lv = int(l[li])
+        if not cache or cache[-1] != lv:
+            cache.append(lv)
+        li += 1
+        l_cache -= 1
+    while a_cache:
+        av = int(a[ai])
+        if not cache or cache[-1] != av:
+            cache.append(av)
+        ai += 1
+        a_cache -= 1
+
+    # find reused cache entries
+    used_cache = []
+    for v in cache:
+        if len(used_cache) >= pal_sz:
+            break
+        if msac.decode_bool_equi():
+            used_cache.append(v)
+    n_used_cache = len(used_cache)
+
+    pal = t.scratch_pal[pl]
+    i = n_used_cache
+    if i < pal_sz:
+        bpc = f.seq_hdr.bitdepth
+        new = [0] * pal_sz
+        prev = new[i] = msac.decode_bools(bpc)
+        i += 1
+        if i < pal_sz:
+            bits = bpc - 3 + msac.decode_bools(2)
+            maxv = (1 << bpc) - 1
+            while i < pal_sz:
+                delta = msac.decode_bools(bits)
+                prev = new[i] = min(prev + delta + (not pl), maxv)
+                i += 1
+                if prev + (not pl) >= maxv:
+                    while i < pal_sz:
+                        new[i] = maxv
+                        i += 1
+                    break
+                bits = min(bits, 1 + (maxv - prev - (not pl)).bit_length()
+                           - 1)
+        # merge cache + new entries (both sorted)
+        n = 0
+        m = n_used_cache
+        for i in range(pal_sz):
+            if n < n_used_cache and (m >= pal_sz
+                                     or used_cache[n] <= new[m]):
+                pal[i] = used_cache[n]
+                n += 1
+            else:
+                pal[i] = new[m]
+                m += 1
+    else:
+        pal[:n_used_cache] = used_cache
+    trace("Post-pal[pl=%d,sz=%d,cache_size=%d,used_cache=%d]: r=%d",
+          pl, pal_sz, len(cache), n_used_cache, msac.rng)
+
+
+def _read_pal_uv(t, b, sz_ctx, bx4, by4):
+    """reference dav1d_read_pal_uv (src/recon_tmpl.c:2278-2320)."""
+    _read_pal_plane(t, b, 1, sz_ctx, bx4, by4)
+    ts = t.ts
+    msac = ts.msac
+    pal = t.scratch_pal[2]
+    bpc = t.f.seq_hdr.bitdepth
+    if msac.decode_bool_equi():
+        bits = bpc - 4 + msac.decode_bools(2)
+        maxv = (1 << bpc) - 1
+        prev = pal[0] = msac.decode_bools(bpc)
+        for i in range(1, b.pal_sz[1]):
+            delta = msac.decode_bools(bits)
+            if delta and msac.decode_bool_equi():
+                delta = -delta
+            prev = pal[i] = (int(prev) + delta) & maxv
+    else:
+        for i in range(b.pal_sz[1]):
+            pal[i] = msac.decode_bools(bpc)
+    trace("Post-pal[pl=2]: r=%d", msac.rng)
+
+
+def _order_palette(tmp, i, first, last, order, ctxs):
+    """Per-diagonal neighbor ordering (reference order_palette,
+    src/decode.c:353-413). tmp is the unpacked index map."""
+    have_top = i > first
+    n = 0
+    for j in range(first, last - 1, -1):
+        row, col = i - j, j
+        have_left = j > 0
+        mask = 0
+        o = []
+
+        def add(v):
+            nonlocal mask
+            o.append(v)
+            mask |= 1 << v
+
+        if not have_left:
+            ctxs[n] = 0
+            add(int(tmp[row - 1, col]))
+        elif not have_top:
+            ctxs[n] = 0
+            add(int(tmp[row, col - 1]))
+        else:
+            lv = int(tmp[row, col - 1])
+            tv = int(tmp[row - 1, col])
+            tlv = int(tmp[row - 1, col - 1])
+            same_t_l = tv == lv
+            same_t_tl = tv == tlv
+            same_l_tl = lv == tlv
+            if same_t_l and same_t_tl and same_l_tl:
+                ctxs[n] = 4
+                add(tv)
+            elif same_t_l:
+                ctxs[n] = 3
+                add(tv)
+                add(tlv)
+            elif same_t_tl or same_l_tl:
+                ctxs[n] = 2
+                add(tlv)
+                add(lv if same_t_tl else tv)
+            else:
+                ctxs[n] = 1
+                add(min(tv, lv))
+                add(max(tv, lv))
+                add(tlv)
+        for bit in range(8):
+            if not (mask & (1 << bit)):
+                o.append(bit)
+        order[n] = o
+        n += 1
+        have_top = True
+
+
+def _read_pal_indices(t, pal_sz, pl, w4, h4, bw4, bh4):
+    """reference read_pal_indices (src/decode.c:414-443) + unpacked
+    pal_idx_finish edge fill (src/pal.c:37-61)."""
+    ts = t.ts
+    msac = ts.msac
+    tmp = np.zeros((bh4 * 4, bw4 * 4), dtype=np.uint8)
+    tmp[0, 0] = msac.decode_uniform(pal_sz)
+    cdf = ts.cdf.m.color_map[pl][pal_sz - 2]
+    order = [None] * 64
+    ctxs = [0] * 64
+    for i in range(1, 4 * (w4 + h4) - 1):
+        first = min(i, w4 * 4 - 1)
+        last = max(0, i - h4 * 4 + 1)
+        _order_palette(tmp, i, first, last, order, ctxs)
+        m = 0
+        for j in range(first, last - 1, -1):
+            color_idx = msac.decode_symbol_adapt(cdf[ctxs[m]], pal_sz - 1)
+            tmp[i - j, j] = order[m][color_idx]
+            m += 1
+    # fill invisible edges (replicate last coded col/row)
+    w_px, h_px = w4 * 4, h4 * 4
+    if w_px < bw4 * 4:
+        tmp[:h_px, w_px:] = tmp[:h_px, w_px - 1 : w_px]
+    if h_px < bh4 * 4:
+        tmp[h_px:] = tmp[h_px - 1]
+    return tmp
 
 
 def _find_matching_ref(t, intra_edge_flags, bw4, bh4, w4, h4, have_left,

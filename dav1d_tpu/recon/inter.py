@@ -234,7 +234,19 @@ def recon_b_inter(t, bs, b) -> None:
     cdst_y = 4 * (t.by >> ss_ver)
     cdst_x = 4 * (t.bx >> ss_hor)
 
-    if b.comp_type == CompInterType.NONE:
+    if f.frame_hdr.frame_type.is_key_or_intra:
+        # intra block copy: bilinear MC from the current (partial) frame
+        # (reference src/recon_tmpl.c:1583-1599)
+        mc_put(t, 0, f.planes[0], dst_y_px, dst_x_px, bw4, bh4, t.bx, t.by,
+               b.mv[0], f.planes, f.frame_hdr.width[0], f.frame_hdr.height,
+               9)
+        if has_chroma:
+            for pl in range(1, 3):
+                mc_put(t, pl, f.planes[pl], cdst_y, cdst_x,
+                       bw4 << (bw4 == ss_hor), bh4 << (bh4 == ss_ver),
+                       t.bx & ~ss_hor, t.by & ~ss_ver, b.mv[0], f.planes,
+                       f.frame_hdr.width[0], f.frame_hdr.height, 9)
+    elif b.comp_type == CompInterType.NONE:
         refslot = f.refp[b.ref[0]]
         ref_planes = refslot.planes
         ref_w, ref_h = refslot.frame_hdr.width[0], refslot.frame_hdr.height

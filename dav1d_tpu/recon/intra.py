@@ -30,6 +30,24 @@ def _sm_uv_flag(ctx, idx) -> int:
         if ctx.uvmode[idx] in SMOOTH_MODES else 0
 
 
+def _coef_y(t, b, bs, bx4, by4, x, y, tw, th, dst_y, dst_x, f, ts,
+            bitdepth) -> None:
+    """Luma coefficient decode + inverse transform add for one tx block."""
+    if not b.skip:
+        eob, txtp, cf, cf_ctx = decode_coefs(
+            t, t.a.lcoef, bx4 + x, t.l.lcoef, by4 + y, b.tx, bs, b, 1, 0)
+        trace("Post-y-cf-blk[tx=%d,txtp=%d,eob=%d]: r=%d",
+              b.tx, txtp, eob, ts.msac.rng)
+        t.a.lcoef[bx4 + x : bx4 + x + min(tw, f.bw - t.bx)] = cf_ctx
+        t.l.lcoef[by4 + y : by4 + y + min(th, f.bh - t.by)] = cf_ctx
+        if eob >= 0:
+            itx_add(f.planes[0], dst_y, dst_x, b.tx, txtp, cf, eob,
+                    bitdepth)
+    else:
+        t.a.lcoef[bx4 + x : bx4 + x + tw] = 0x40
+        t.l.lcoef[by4 + y : by4 + y + th] = 0x40
+
+
 def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
     f = t.f
     ts = t.ts
@@ -61,7 +79,11 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
         sub_ch4 = min(ch4, (init_y + 16) >> ss_ver)
         for init_x in range(0, w4, 16):
             if b.pal_sz[0]:
-                raise NotImplementedError("palette prediction")
+                dst_y0, dst_x0 = 4 * t.by, 4 * t.bx
+                f.planes[0][dst_y0 : dst_y0 + bh4 * 4,
+                            dst_x0 : dst_x0 + bw4 * 4] = \
+                    ipred_mod.pal_pred(t.scratch_pal[0], t.pal_idx_y,
+                                       bw4 * 4, bh4 * 4)
 
             intra_flags = (_sm_flag(t.a, bx4) | _sm_flag(t.l, by4)
                            | intra_edge_filter_flag)
@@ -80,6 +102,12 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                 while x < sub_w4:
                     dst_x = 4 * t.bx
                     dst_y = 4 * t.by
+                    if b.pal_sz[0]:
+                        _coef_y(t, b, bs, bx4, by4, x, y, tw, th, dst_y,
+                                dst_x, f, ts, bitdepth)
+                        x += tw
+                        t.bx += tw
+                        continue
                     angle = b.y_angle
                     edge_flags = (
                         (0 if ((y > init_y or not sb_has_tr)
@@ -105,22 +133,8 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                     f.planes[0][dst_y : dst_y + th * 4,
                                 dst_x : dst_x + tw * 4] = pred
 
-                    if not b.skip:
-                        eob, txtp, cf, cf_ctx = decode_coefs(
-                            t, t.a.lcoef, bx4 + x, t.l.lcoef, by4 + y,
-                            b.tx, bs, b, 1, 0)
-                        trace("Post-y-cf-blk[tx=%d,txtp=%d,eob=%d]: r=%d",
-                              b.tx, txtp, eob, ts.msac.rng)
-                        t.a.lcoef[bx4 + x : bx4 + x
-                                  + min(tw, f.bw - t.bx)] = cf_ctx
-                        t.l.lcoef[by4 + y : by4 + y
-                                  + min(th, f.bh - t.by)] = cf_ctx
-                        if eob >= 0:
-                            itx_add(f.planes[0], dst_y, dst_x, b.tx, txtp,
-                                    cf, eob, bitdepth)
-                    else:
-                        t.a.lcoef[bx4 + x : bx4 + x + tw] = 0x40
-                        t.l.lcoef[by4 + y : by4 + y + th] = 0x40
+                    _coef_y(t, b, bs, bx4, by4, x, y, tw, th, dst_y, dst_x,
+                            f, ts, bitdepth)
                     x += tw
                     t.bx += tw
                 t.bx -= x
@@ -165,6 +179,14 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                                               ac, b.cfl_alpha[pl], bitdepth)
                     f.planes[1 + pl][dst_y : dst_y + uth * 4,
                                      dst_x : dst_x + utw * 4] = pred
+            elif b.pal_sz[1]:
+                dst_x = 4 * (t.bx >> ss_hor)
+                dst_y = 4 * (t.by >> ss_ver)
+                for pl in range(2):
+                    f.planes[1 + pl][dst_y : dst_y + cbh4 * 4,
+                                     dst_x : dst_x + cbw4 * 4] = \
+                        ipred_mod.pal_pred(t.scratch_pal[1 + pl],
+                                           t.pal_idx_uv, cbw4 * 4, cbh4 * 4)
 
             uv_sb_has_tr = (
                 1 if ((init_x + 16) >> ss_hor) < cw4 else 0 if init_y else

@@ -564,14 +564,7 @@ def cfl_pred(mode, edge, ofs, width, height, ac, alpha, bitdepth):
 
 
 def pal_pred(pal, idx, w, h):
-    """Palette expansion (reference pal_pred_c, src/ipred_tmpl.c:717):
-    idx packs 2 3-bit indices per byte."""
-    out = np.zeros((h, w), dtype=np.int32)
-    k = 0
-    for y in range(h):
-        for x in range(0, w, 2):
-            i = int(idx[k])
-            k += 1
-            out[y, x] = pal[i & 7]
-            out[y, x + 1] = pal[i >> 4]
-    return out
+    """Palette expansion (reference pal_pred_c, src/ipred_tmpl.c:717).
+    idx is the unpacked (h, w) index map (the reference packs 2 px/byte as
+    a storage optimization)."""
+    return np.asarray(pal)[idx[:h, :w]].astype(np.int32)

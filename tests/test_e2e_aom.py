@@ -10,6 +10,7 @@ import subprocess
 import sys
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
@@ -20,9 +21,27 @@ from aom_enc import (AomEncoder, gradient_frames,  # noqa: E402
 # Features not yet implemented stay pinned OFF here; each gets flipped on (and
 # removed from this dict) as the decoder grows.  tools/probe_features.py is
 # the discovery harness for that.
-BASE_OPTS = {
-    "enable-palette": 0, "enable-intrabc": 0,
-}
+BASE_OPTS = {}
+
+
+def screen_frames(n, w, h, bitdepth=8, seed=3, ncolors=7):
+    """Flat-color blocks + repeated moving patterns: palette/intrabc bait."""
+    rng = np.random.default_rng(seed)
+    maxv = (1 << bitdepth) - 1
+    colors = rng.integers(0, maxv + 1, size=ncolors)
+    base = colors[rng.integers(0, ncolors, size=(h // 8 + 2, w // 8 + 2))]
+    base = np.repeat(np.repeat(base, 8, 0), 8, 1)
+    frames = []
+    for t in range(n):
+        y = base[:h, :w].copy()
+        patt = colors[rng.integers(0, ncolors, size=(8, 24))]
+        for k in range(6):
+            yy, xx = (k * 16 + t) % (h - 8), (k * 40) % (w - 24)
+            y[yy : yy + 8, xx : xx + 24] = patt
+        u = np.full(((h + 1) // 2, (w + 1) // 2), colors[0])
+        v = np.full(((h + 1) // 2, (w + 1) // 2), colors[min(1, ncolors - 1)])
+        frames.append([y, u, v])
+    return frames
 
 
 def _roundtrip(tmp_path, oracle, name, frames, encargs):
@@ -115,4 +134,24 @@ def test_aom_roundtrip(tmp_path, oracle, name):
     n = genargs.pop("n")
     frames = gradient_frames(n, encargs["width"], encargs["height"],
                              **genargs)
+    _roundtrip(tmp_path, oracle, name, frames, encargs)
+
+
+SCREEN_OPTS = {"enable-palette": 1, "enable-intrabc": 1,
+               "tune-content": "screen"}
+
+SCREEN_CASES = {
+    "screen": (dict(n=6), _args(w=192, h=160, options=SCREEN_OPTS)),
+    "screen_cpu0": (dict(n=4), _args(cpu_used=0, options=SCREEN_OPTS)),
+    "screen_odd": (dict(n=4), _args(w=157, h=117, options=SCREEN_OPTS)),
+    "screen_10bit": (dict(n=4, bitdepth=10),
+                     _args(bitdepth=10, options=SCREEN_OPTS)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCREEN_CASES))
+def test_aom_screen_content(tmp_path, oracle, name):
+    genargs, encargs = SCREEN_CASES[name]
+    n = genargs.pop("n")
+    frames = screen_frames(n, encargs["width"], encargs["height"], **genargs)
     _roundtrip(tmp_path, oracle, name, frames, encargs)
