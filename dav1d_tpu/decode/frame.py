@@ -190,6 +190,13 @@ class FrameContext:
                 self.start_of_tile_row[sby] = 0
                 sby += 1
 
+        # per-tile-column right-edge tx sizes for cross-tile lf fixups
+        # (reference f->lf.tx_lpf_right_edge, src/decode.c:3055-3065)
+        align_h = (self.bh + 31) & ~31
+        self.tx_lpf_right_edge = [
+            np.zeros(align_h * hdr.tiling.cols, dtype=np.uint8),
+            np.zeros((align_h >> ss_ver) * hdr.tiling.cols, dtype=np.uint8)]
+
         # cdef index per 64x64 unit: (sb128h*2, sb128w*2)
         self.cdef_idx = np.full((self.sb128h * 2, self.sb128w * 2), -1,
                                 dtype=np.int32)
@@ -336,6 +343,22 @@ def decode_tile_sbrow(t: TaskContext) -> None:
         t.bx += sb_step
 
     _backup_ipred_edge(t)
+
+    # backup left-ctx tx sizes at the tile's right edge for cross-tile lf
+    # fixups (reference src/decode.c:2732-2740)
+    align_h = (f.bh + 31) & ~31
+    tc = ts.tiling_col
+    off16 = t.by & 16
+    f.tx_lpf_right_edge[0][align_h * tc + t.by :
+                           align_h * tc + t.by + f.sb_step] = \
+        t.l.tx_lpf_y[off16 : off16 + f.sb_step]
+    ss_ver = f.ss_ver
+    ah = align_h >> ss_ver
+    f.tx_lpf_right_edge[1][ah * tc + (t.by >> ss_ver) :
+                           ah * tc + (t.by >> ss_ver)
+                           + (f.sb_step >> ss_ver)] = \
+        t.l.tx_lpf_uv[off16 >> ss_ver :
+                      (off16 >> ss_ver) + (f.sb_step >> ss_ver)]
 
     if t.ts.msac.cnt <= -15:
         raise ValueError("MSAC overread in tile")

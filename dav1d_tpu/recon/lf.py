@@ -473,7 +473,89 @@ def loopfilter_sbrow_rows(f, sby):
 
 
 def _fix_tile_boundaries(f, sby, starty4, endy4, uv_endy4, start_of_tile_row):
-    raise NotImplementedError("tile-boundary lf fixups land with multi-tile")
+    """Cap filter strength across tile boundaries using the neighbour
+    tile's edge tx sizes (reference src/lf_apply_tmpl.c:331-403)."""
+    is_sb64 = int(not f.seq_hdr.sb128)
+    sbl2 = 5 - is_sb64
+    halign = (f.bh + 31) & ~31
+    ss_ver, ss_hor = f.ss_ver, f.ss_hor
+    vmax = 1 << (16 >> ss_ver)
+    hmax = 1 << (16 >> ss_hor)
+    mask_base = (sby >> is_sb64) * f.sb128w
+    hdr = f.frame_hdr
+
+    # tile column boundaries
+    lpf_y_off = sby << sbl2
+    lpf_uv_off = sby << (sbl2 - ss_ver)
+    tile_col = 1
+    while True:
+        x = hdr.tiling.col_start_sb[tile_col]
+        if (x << sbl2) >= f.bw:
+            break
+        bx4 = 16 if (x & is_sb64) else 0
+        cbx4 = bx4 >> ss_hor
+        xsb = x >> is_sb64
+        m = f.lf_masks[mask_base + xsb]
+        lpf_y = f.tx_lpf_right_edge[0]
+        lpf_uv = f.tx_lpf_right_edge[1]
+
+        y_hmask = m.filter_y[0][bx4]  # (3, 2)
+        for y in range(starty4, endy4):
+            mask = 1 << y
+            sidx = int(mask >= 0x10000)
+            smask = mask >> (sidx << 4)
+            idx = 2 * int(bool(y_hmask[2][sidx] & smask)) + \
+                int(bool(y_hmask[1][sidx] & smask))
+            y_hmask[2][sidx] &= (~smask) & 0xFFFF
+            y_hmask[1][sidx] &= (~smask) & 0xFFFF
+            y_hmask[0][sidx] &= (~smask) & 0xFFFF
+            cap = int(lpf_y[lpf_y_off + y - starty4])
+            y_hmask[min(idx, cap)][sidx] |= smask
+
+        if f.layout != PixelLayout.I400:
+            uv_hmask = m.filter_uv[0][cbx4]  # (2, 2)
+            for y in range(starty4 >> ss_ver, uv_endy4):
+                uv_mask = 1 << y
+                sidx = int(uv_mask >= vmax)
+                smask = uv_mask >> (sidx << (4 - ss_ver))
+                idx = int(bool(uv_hmask[1][sidx] & smask))
+                uv_hmask[1][sidx] &= (~smask) & 0xFFFF
+                uv_hmask[0][sidx] &= (~smask) & 0xFFFF
+                cap = int(lpf_uv[lpf_uv_off + y - (starty4 >> ss_ver)])
+                uv_hmask[min(idx, cap)][sidx] |= smask
+        lpf_y_off += halign
+        lpf_uv_off += halign >> ss_ver
+        tile_col += 1
+
+    # tile row boundaries
+    if start_of_tile_row:
+        for x in range(f.sb128w):
+            a = f.a[f.sb128w * (start_of_tile_row - 1) + x]
+            m = f.lf_masks[mask_base + x]
+            y_vmask = m.filter_y[1][starty4]
+            w = min(32, f.w4 - (x << 5))
+            for i in range(w):
+                mask = 1 << i
+                sidx = int(mask >= 0x10000)
+                smask = mask >> (sidx << 4)
+                idx = 2 * int(bool(y_vmask[2][sidx] & smask)) + \
+                    int(bool(y_vmask[1][sidx] & smask))
+                y_vmask[2][sidx] &= (~smask) & 0xFFFF
+                y_vmask[1][sidx] &= (~smask) & 0xFFFF
+                y_vmask[0][sidx] &= (~smask) & 0xFFFF
+                y_vmask[min(idx, int(a.tx_lpf_y[i]))][sidx] |= smask
+
+            if f.layout != PixelLayout.I400:
+                cw = (w + ss_hor) >> ss_hor
+                uv_vmask = m.filter_uv[1][starty4 >> ss_ver]
+                for i in range(cw):
+                    uv_mask = 1 << i
+                    sidx = int(uv_mask >= hmax)
+                    smask = uv_mask >> (sidx << (4 - ss_hor))
+                    idx = int(bool(uv_vmask[1][sidx] & smask))
+                    uv_vmask[1][sidx] &= (~smask) & 0xFFFF
+                    uv_vmask[0][sidx] &= (~smask) & 0xFFFF
+                    uv_vmask[min(idx, int(a.tx_lpf_uv[i]))][sidx] |= smask
 
 
 def _decomp_tx(txa, from_tx, depth, y_off, x_off, tx_masks, y0, x0):

@@ -98,6 +98,16 @@ CASES = {
         _args(lag=8, options={"enable-order-hint": 1,
                               "enable-ref-frame-mvs": 1})),
     "restoration": (dict(n=5), _args()),
+    "tiles_2x2": (dict(n=4),
+                  _args(w=256, h=256,
+                        options={"tile-columns": 1, "tile-rows": 1})),
+    "tiles_full": (
+        dict(n=8),
+        _args(w=256, h=192, cpu_used=2, q=50, lag=8,
+              options={"tile-columns": 1, "tile-rows": 1,
+                       "enable-order-hint": 1, "enable-ref-frame-mvs": 1,
+                       "enable-obmc": 1, "enable-warped-motion": 1,
+                       "enable-masked-comp": 1})),
     "restoration_multiunit": (dict(n=4), _args(w=384, h=256)),
     "restoration_444_odd": (dict(n=4, fmt="444"),
                             _args(w=347, h=251, fmt="444")),
