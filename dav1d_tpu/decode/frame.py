@@ -144,14 +144,22 @@ class FrameContext:
         # per-ref scaling + global-motion warp gates
         # (reference src/decode.c:3466-3489)
         self.svc_scale = [0] * 7  # nonzero => scaled reference
+        self.svc = [[(0, 0), (0, 0)] for _ in range(7)]  # (scale, step) x/y
         self.gmv_warp_allowed = [0] * 7
         if hdr.frame_type.is_inter_or_switch and self.refs[0] is not None:
             from ..warpmv import get_shear_params
+
+            def scale_fac(ref_sz, this_sz):
+                return ((ref_sz << 14) + (this_sz >> 1)) // this_sz
+
             for i in range(7):
                 r = self.refs[i]
                 if r is not None and r.frame_hdr is not None and \
                         (hdr.width[0] != r.frame_hdr.width[1]
                          or hdr.height != r.frame_hdr.height):
+                    sx = scale_fac(r.frame_hdr.width[1], hdr.width[0])
+                    sy = scale_fac(r.frame_hdr.height, hdr.height)
+                    self.svc[i] = [(sx, (sx + 8) >> 4), (sy, (sy + 8) >> 4)]
                     self.svc_scale[i] = 1
                 self.gmv_warp_allowed[i] = int(
                     hdr.gmv[i].type > 1  # > TRANSLATION
@@ -539,6 +547,14 @@ def decode_frame(f: FrameContext, tile_groups) -> None:
         from ..recon.cdef import cdef_frame
         cdef_frame(f)
 
+    # super-resolution: horizontal upscale after CDEF, before restoration
+    # (reference filter_sbrow_resize, src/recon_tmpl.c:2053-2087)
+    f.sr_planes = f.planes
+    if hdr.width[0] != hdr.width[1]:
+        f.sr_planes = _superres_frame(f, f.planes)
+        if f.pre_cdef is not None:
+            f.pre_cdef = _superres_frame(f, f.pre_cdef)
+
     if f.restore_planes:
         from ..recon.lr_apply import lr_frame
         lr_frame(f)
@@ -546,6 +562,48 @@ def decode_frame(f: FrameContext, tile_groups) -> None:
     if hdr.refresh_context:
         f.out_cdf.update(f.ts[hdr.tiling.update].cdf,
                          frame_is_intra=f.frame_is_intra)
+
+
+def _cdiv(a, b):
+    """C-style truncating integer division."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _superres_frame(f: FrameContext, planes):
+    """Upscale all planes horizontally (reference resize_c via
+    backup_lpf/filter_sbrow_resize; step/start per src/decode.c:3524-3539)."""
+    from ..recon.mc_np import resize_row
+    hdr = f.frame_hdr
+    w0, w1 = hdr.width[0], hdr.width[1]
+
+    def scale_fac(ref_sz, this_sz):
+        return ((ref_sz << 14) + (this_sz >> 1)) // this_sz
+
+    def upscale_x0(in_w, out_w, step):
+        err = out_w * step - (in_w << 14)
+        x0 = _cdiv(-((out_w - in_w) << 13) + (out_w >> 1), out_w) + 128 \
+            - _cdiv(err, 2)
+        return x0 & 0x3FFF
+
+    out_planes = []
+    for pl, p in enumerate(planes):
+        ss_hor = f.ss_hor if pl else 0
+        ss_ver = f.ss_ver if pl else 0
+        in_w = (w0 + ss_hor) >> ss_hor
+        out_w = (w1 + ss_hor) >> ss_hor
+        # the reference clamps reads at the PADDED coded width (4*bw), so
+        # edge taps see real decoded padding pixels (recon_tmpl.c:2079)
+        src_w = (4 * f.bw + ss_hor) >> ss_hor
+        h = (hdr.height + ss_ver) >> ss_ver
+        step = scale_fac(in_w, out_w)
+        mx0 = upscale_x0(in_w, out_w, step)
+        alloc_w = ((out_w + 127) & ~127)
+        dst = np.zeros((p.shape[0], alloc_w), dtype=np.int32)
+        dst[:h, :out_w] = resize_row(p[:h, :src_w], out_w, src_w, step, mx0,
+                                     f.bitdepth)
+        out_planes.append(dst)
+    return out_planes
 
 
 def _filter_sbrow(f: FrameContext, sby: int) -> None:

@@ -227,7 +227,7 @@ class Decoder:
                 slot = self.refs[i]
                 slot.frame_hdr = hdr
                 slot.seq_hdr = seq
-                slot.planes = f.planes
+                slot.planes = f.sr_planes
                 slot.segmap = f.cur_segmap
                 slot.cdf = out_cdf
                 slot.showable = bool(hdr.showable_frame)
@@ -268,19 +268,35 @@ class Decoder:
         hdr = f.frame_hdr
         w = hdr.width[1]
         h = hdr.height
-        planes = [f.planes[0][:h, :w]]
+        planes = [f.sr_planes[0][:h, :w]]
         if f.layout != PixelLayout.I400:
             cw = (w + f.ss_hor) >> f.ss_hor
             ch = (h + f.ss_ver) >> f.ss_ver
-            planes += [p[:ch, :cw] for p in f.planes[1:]]
+            planes += [p[:ch, :cw] for p in f.sr_planes[1:]]
         return Picture(planes=planes, width=w, height=h, layout=f.layout,
                        bitdepth=f.bitdepth, seq_hdr=f.seq_hdr, frame_hdr=hdr)
 
     # -- output --------------------------------------------------------------
 
+    def _maybe_apply_grain(self, pic: Picture) -> Picture:
+        """Output-stage film grain (reference output_image, src/lib.c:311;
+        reference pictures stay grain-free)."""
+        hdr = pic.frame_hdr
+        if not self.settings.apply_grain or hdr is None:
+            return pic
+        fg = hdr.film_grain
+        d = fg.data
+        if not fg.present or not (d.num_y_points or d.num_uv_points[0]
+                                  or d.num_uv_points[1]):
+            return pic
+        from .recon.filmgrain import apply_grain
+        pic.planes = [p.copy() for p in pic.planes]
+        apply_grain(pic)
+        return pic
+
     def get_picture(self) -> Optional[Picture]:
         if self.out_queue:
-            return self.out_queue.pop(0)
+            return self._maybe_apply_grain(self.out_queue.pop(0))
         return None
 
     def flush(self) -> None:

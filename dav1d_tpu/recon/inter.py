@@ -16,10 +16,21 @@ from .itx import itx_add
 
 
 def mc_put(t, pl, dst_plane, dst_y, dst_x, bw4, bh4, bx, by, mv, ref_planes,
-           ref_w, ref_h, filter_2d):
-    """Translation MC into the picture (reference mc(), src/recon_tmpl.c:938;
-    unscaled path)."""
+           ref_w, ref_h, filter_2d, refidx=None):
+    """Translation MC into the picture (reference mc(), src/recon_tmpl.c:938).
+    ref_w/ref_h are the reference picture's (post-super-res) dimensions; a
+    mismatch with the current coded size selects the scaled path."""
     f = t.f
+    if refidx is not None and (ref_w != f.frame_hdr.width[0]
+                               or ref_h != f.frame_hdr.height):
+        ss_ver = int(bool(pl)) and f.ss_ver
+        ss_hor = int(bool(pl)) and f.ss_hor
+        h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+        blk = _mc_scaled(t, pl, bw4, bh4, bx, by, mv, ref_planes, ref_w,
+                         ref_h, filter_2d, refidx, prep=False)
+        dst_plane[dst_y : dst_y + bh4 * v_mul,
+                  dst_x : dst_x + bw4 * h_mul] = blk
+        return
     ss_ver = int(bool(pl)) and f.ss_ver
     ss_hor = int(bool(pl)) and f.ss_hor
     h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
@@ -43,8 +54,13 @@ def mc_put(t, pl, dst_plane, dst_y, dst_x, bw4, bh4, bx, by, mv, ref_planes,
     dst_plane[dst_y : dst_y + bh_px, dst_x : dst_x + bw_px] = blk
 
 
-def mc_prep(t, pl, bw4, bh4, bx, by, mv, ref_planes, ref_w, ref_h, filter_2d):
+def mc_prep(t, pl, bw4, bh4, bx, by, mv, ref_planes, ref_w, ref_h,
+            filter_2d, refidx=None):
     f = t.f
+    if refidx is not None and (ref_w != f.frame_hdr.width[0]
+                               or ref_h != f.frame_hdr.height):
+        return _mc_scaled(t, pl, bw4, bh4, bx, by, mv, ref_planes, ref_w,
+                          ref_h, filter_2d, refidx, prep=True)
     ss_ver = int(bool(pl)) and f.ss_ver
     ss_hor = int(bool(pl)) and f.ss_hor
     h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
@@ -83,6 +99,36 @@ def _filter_type(filter_2d):
     return _F2D_TO_TYPE[int(filter_2d)]
 
 
+def _mc_scaled(t, pl, bw4, bh4, bx, by, mv, ref_planes, ref_w, ref_h,
+               filter_2d, refidx, prep):
+    """Scaled-reference MC (reference mc(), src/recon_tmpl.c:992-1050)."""
+    f = t.f
+    ss_ver = int(bool(pl)) and f.ss_ver
+    ss_hor = int(bool(pl)) and f.ss_hor
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    mvy, mvx = mv
+    orig_pos_y = (by * v_mul << 4) + mvy * (1 << (not ss_ver))
+    orig_pos_x = (bx * h_mul << 4) + mvx * (1 << (not ss_hor))
+
+    def scale_mv(val, scale):
+        tmp = val * scale + (scale - 0x4000) * 8
+        v = (abs(tmp) + 128) >> 8
+        return (-v if tmp < 0 else v) + 32
+
+    pos_x = scale_mv(orig_pos_x, f.svc[refidx][0][0])
+    pos_y = scale_mv(orig_pos_y, f.svc[refidx][1][0])
+    left = pos_x >> 10
+    top = pos_y >> 10
+    w = (ref_w + ss_hor) >> ss_hor
+    h = (ref_h + ss_ver) >> ss_ver
+    if filter_2d == 9:
+        raise NotImplementedError("scaled bilinear MC")
+    return mc_np.put_8tap_scaled(
+        ref_planes[pl], w, h, top, left, bw4 * h_mul, bh4 * v_mul,
+        pos_x & 0x3FF, pos_y & 0x3FF, f.svc[refidx][0][1],
+        f.svc[refidx][1][1], _filter_type(filter_2d), f.bitdepth, prep=prep)
+
+
 def warp_affine(t, pl, b_dim, refslot, wmp, prep):
     """Warped prediction over 8x8 tiles (reference warp_affine,
     src/recon_tmpl.c:1115-1174). Returns the full block."""
@@ -93,7 +139,7 @@ def warp_affine(t, pl, b_dim, refslot, wmp, prep):
     bw_px, bh_px = b_dim[0] * h_mul, b_dim[1] * v_mul
     mat = wmp.matrix
     abcd = wmp.abcd
-    width = (refslot.frame_hdr.width[0] + ss_hor) >> ss_hor
+    width = (refslot.frame_hdr.width[1] + ss_hor) >> ss_hor
     height = (refslot.frame_hdr.height + ss_ver) >> ss_ver
     plane = refslot.planes[pl]
     out = np.zeros((bh_px, bw_px), dtype=np.int32)
@@ -147,8 +193,9 @@ def obmc(t, pl, b, bw4, bh4, w4, h4, bx4, by4):
                 mc_put(t, pl, lap, 0, 0, ow4, (oh4 * 3 + 3) >> 2,
                        t.bx + x, t.by,
                        (int(a_r["mv"][0][0]), int(a_r["mv"][0][1])),
-                       refslot.planes, refslot.frame_hdr.width[0],
-                       refslot.frame_hdr.height, f2d)
+                       refslot.planes, refslot.frame_hdr.width[1],
+                       refslot.frame_hdr.height, f2d,
+                       refidx=int(a_r["ref"][0]) - 1)
                 dstv = plane[dst_y:, dst_x + x * h_mul:]
                 mc_np.blend_h(dstv, lap, h_mul * ow4, v_mul * oh4)
                 i += 1
@@ -170,8 +217,9 @@ def obmc(t, pl, b, bw4, bh4, w4, h4, bx4, by4):
                 lap = np.zeros((oh4 * v_mul, ow4 * h_mul), dtype=np.int32)
                 mc_put(t, pl, lap, 0, 0, ow4, oh4, t.bx, t.by + y,
                        (int(l_r["mv"][0][0]), int(l_r["mv"][0][1])),
-                       refslot.planes, refslot.frame_hdr.width[0],
-                       refslot.frame_hdr.height, f2d)
+                       refslot.planes, refslot.frame_hdr.width[1],
+                       refslot.frame_hdr.height, f2d,
+                       refidx=int(l_r["ref"][0]) - 1)
                 dstv = plane[dst_y + y * v_mul:, dst_x:]
                 mc_np.blend_v(dstv, lap, h_mul * ow4, v_mul * oh4)
                 i += 1
@@ -238,18 +286,17 @@ def recon_b_inter(t, bs, b) -> None:
         # intra block copy: bilinear MC from the current (partial) frame
         # (reference src/recon_tmpl.c:1583-1599)
         mc_put(t, 0, f.planes[0], dst_y_px, dst_x_px, bw4, bh4, t.bx, t.by,
-               b.mv[0], f.planes, f.frame_hdr.width[0], f.frame_hdr.height,
-               9)
+               b.mv[0], f.planes, f.bw * 4, f.bh * 4, 9)
         if has_chroma:
             for pl in range(1, 3):
                 mc_put(t, pl, f.planes[pl], cdst_y, cdst_x,
                        bw4 << (bw4 == ss_hor), bh4 << (bh4 == ss_ver),
                        t.bx & ~ss_hor, t.by & ~ss_ver, b.mv[0], f.planes,
-                       f.frame_hdr.width[0], f.frame_hdr.height, 9)
+                       f.bw * 4, f.bh * 4, 9)
     elif b.comp_type == CompInterType.NONE:
         refslot = f.refp[b.ref[0]]
         ref_planes = refslot.planes
-        ref_w, ref_h = refslot.frame_hdr.width[0], refslot.frame_hdr.height
+        ref_w, ref_h = refslot.frame_hdr.width[1], refslot.frame_hdr.height
         use_warp_y = min(bw4, bh4) > 1 and (
             (b.inter_mode == InterPredMode.GLOBALMV
              and f.gmv_warp_allowed[b.ref[0]])
@@ -262,7 +309,8 @@ def recon_b_inter(t, bs, b) -> None:
                         dst_x_px : dst_x_px + bw4 * 4] = blk
         else:
             mc_put(t, 0, f.planes[0], dst_y_px, dst_x_px, bw4, bh4, t.bx,
-                   t.by, b.mv[0], ref_planes, ref_w, ref_h, b.filter2d)
+                   t.by, b.mv[0], ref_planes, ref_w, ref_h, b.filter2d,
+                   refidx=b.ref[0])
             if b.motion_mode == MotionMode.OBMC:
                 obmc(t, 0, b, bw4, bh4, w4, h4, bx4, by4)
         if b.interintra_type:
@@ -298,7 +346,8 @@ def recon_b_inter(t, bs, b) -> None:
                                bw4 << (bw4 == ss_hor),
                                bh4 << (bh4 == ss_ver),
                                t.bx & ~ss_hor, t.by & ~ss_ver, b.mv[0],
-                               ref_planes, ref_w, ref_h, b.filter2d)
+                               ref_planes, ref_w, ref_h, b.filter2d,
+                               refidx=b.ref[0])
                         if b.motion_mode == MotionMode.OBMC:
                             obmc(t, pl, b, bw4, bh4, w4, h4, bx4, by4)
                 if b.interintra_type:
@@ -320,8 +369,9 @@ def recon_b_inter(t, bs, b) -> None:
                                      f.frame_hdr.gmv[b.ref[i]], True)
             else:
                 tmp[i] = mc_prep(t, 0, bw4, bh4, t.bx, t.by, b.mv[i],
-                                 refslot.planes, refslot.frame_hdr.width[0],
-                                 refslot.frame_hdr.height, b.filter2d)
+                                 refslot.planes, refslot.frame_hdr.width[1],
+                                 refslot.frame_hdr.height, b.filter2d,
+                                 refidx=b.ref[i])
         if b.comp_type == CompInterType.AVG:
             blk = mc_np.avg(tmp[0], tmp[1], bitdepth)
         elif b.comp_type == CompInterType.WEIGHTED_AVG:
@@ -356,9 +406,9 @@ def recon_b_inter(t, bs, b) -> None:
                     else:
                         tmp[i] = mc_prep(t, pl, bw4, bh4, t.bx, t.by,
                                          b.mv[i], refslot.planes,
-                                         refslot.frame_hdr.width[0],
+                                         refslot.frame_hdr.width[1],
                                          refslot.frame_hdr.height,
-                                         b.filter2d)
+                                         b.filter2d, refidx=b.ref[i])
                 if b.comp_type == CompInterType.AVG:
                     blk = mc_np.avg(tmp[0], tmp[1], bitdepth)
                 elif b.comp_type == CompInterType.WEIGHTED_AVG:
@@ -456,7 +506,8 @@ def _sub8x8_chroma(t, b, bw4, bh4, cdst_y, cdst_x, ss_ver, by4, bx4):
         for pl in range(1, 3):
             mc_put(t, pl, f.planes[pl], cdst_y + dst_dy, cdst_x + dst_dx,
                    bw4, bh4, bx, by, mv, refslot.planes,
-                   refslot.frame_hdr.width[0], refslot.frame_hdr.height, fil)
+                   refslot.frame_hdr.width[1], refslot.frame_hdr.height, fil,
+                   refidx=int(rr["ref"][0]) - 1)
 
     h_off = v_off = 0
     if bw4 == 1 and bh4 == ss_ver:
@@ -478,8 +529,8 @@ def _sub8x8_chroma(t, b, bw4, bh4, cdst_y, cdst_x, ss_ver, by4, bx4):
     for pl in range(1, 3):
         mc_put(t, pl, f.planes[pl], cdst_y + v_off, cdst_x + h_off, bw4, bh4,
                t.bx, t.by, b.mv[0], refslot.planes,
-               refslot.frame_hdr.width[0], refslot.frame_hdr.height,
-               b.filter2d)
+               refslot.frame_hdr.width[1], refslot.frame_hdr.height,
+               b.filter2d, refidx=b.ref[0])
 
 
 def read_coef_tree(t, bs, b, ytx, depth, tx_split, x_off, y_off, do_recon):

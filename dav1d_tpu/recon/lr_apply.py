@@ -33,7 +33,7 @@ def lr_frame(f) -> None:
     if not f.restore_planes:
         return
     hdr = f.frame_hdr
-    src_planes = [p.copy() for p in f.planes]  # post-CDEF input (pre-LR)
+    src_planes = [p.copy() for p in f.sr_planes]  # post-CDEF+SR input
     for pl in range(3):
         if not ((f.restore_planes >> pl) & 1):
             continue
@@ -96,7 +96,7 @@ def _lr_stripes(f, pl, src, x, y, unit_w, row_h, lr, edges, ss_ver,
     bitdepth = f.bitdepth
     stripe_h = min((64 - 8 * (y == 0)) >> ss_ver, row_h - y)
     ty = lr["type"]
-    out = f.planes[pl]
+    out = f.sr_planes[pl]
     pre_cdef = f.pre_cdef[pl]
     # the sbrow this stripe run belongs to -- loop-invariant (reference
     # lr_stripe computes it once from the starting y)

@@ -229,6 +229,97 @@ def w_mask(t1, t2, sign, ss_hor, ss_ver, bitdepth):
     return out, mask.astype(np.uint8)
 
 
+def _scaled_filters(filter_type, w, h, sub):
+    """Subpel filter row for scaled MC; sub in 1..15, None if 0."""
+    tbl = tables.mc_subpel_filters
+    if sub == 0:
+        return None
+    if w > 4:
+        return tbl[filter_type & 3][sub - 1].astype(np.int64)
+    return tbl[3 + (filter_type & 1)][sub - 1].astype(np.int64)
+
+
+def put_8tap_scaled(plane, valid_w, valid_h, top, left, w, h, mx, my,
+                    dx, dy, filter_type, bitdepth, prep=False):
+    """Scaled-reference MC (reference put/prep_8tap_scaled_c,
+    src/mc_tmpl.c:190-310). (top, left) = integer source position of the
+    first sample; mx/my = 10-bit subpel phases; dx/dy = 10-bit steps."""
+    ib = _intermediate_bits(bitdepth)
+    tbl = tables.mc_subpel_filters
+
+    # horizontal sample positions (shared by all rows)
+    ioffs = np.empty(w, dtype=np.int64)
+    fh_idx = np.empty(w, dtype=np.int64)
+    imx, ioff = mx, 0
+    for x in range(w):
+        fh_idx[x] = imx >> 6
+        ioffs[x] = ioff
+        imx += dx
+        ioff += imx >> 10
+        imx &= 0x3FF
+    max_src_y = (my + (h - 1) * dy) >> 10
+    n_rows = max_src_y + 8
+    win = get_window(plane, valid_w, valid_h, top - 3, left - 3,
+                     n_rows, int(ioffs[-1]) + 8)
+
+    # horizontal pass: mid[r, x] over all source rows
+    mid = np.empty((n_rows, w), dtype=np.int64)
+    rnd_h = (1 << (6 - ib)) >> 1
+    for x in range(w):
+        sub = int(fh_idx[x])
+        col = int(ioffs[x])
+        if sub == 0:
+            mid[:, x] = win[:, col + 3] << ib
+        else:
+            fh = (tbl[filter_type & 3][sub - 1] if w > 4
+                  else tbl[3 + (filter_type & 1)][sub - 1]).astype(np.int64)
+            mid[:, x] = (win[:, col : col + 8] @ fh + rnd_h) >> (6 - ib)
+
+    out = np.empty((h, w), dtype=np.int64)
+    irnd = (1 << ib) >> 1
+    rnd_v = (1 << (6 + ib)) >> 1
+    prep_bias = 0 if bitdepth == 8 else 8192
+    for y in range(h):
+        myy = my + y * dy
+        src_y = myy >> 10
+        sub = (myy & 0x3FF) >> 6
+        if sub == 0:
+            row = mid[src_y + 3]
+            if prep:
+                out[y] = row - prep_bias
+            else:
+                out[y] = np.clip((row + irnd) >> ib, 0,
+                                 (1 << bitdepth) - 1)
+        else:
+            fv = (tbl[filter_type >> 2][sub - 1] if h > 4
+                  else tbl[3 + ((filter_type >> 2) & 1)][sub - 1]) \
+                .astype(np.int64)
+            acc = fv @ mid[src_y : src_y + 8]
+            if prep:
+                out[y] = ((acc + 32) >> 6) - prep_bias
+            else:
+                out[y] = np.clip((acc + rnd_v) >> (6 + ib), 0,
+                                 (1 << bitdepth) - 1)
+    return out.astype(np.int32)
+
+
+def resize_row(src_rows, dst_w, src_w, dx, mx0, bitdepth):
+    """Horizontal super-res upscale of (n, src_w) rows to (n, dst_w)
+    (reference resize_c, src/mc_tmpl.c)."""
+    rf = tables.resize_filter.astype(np.int64)
+    out = np.empty((src_rows.shape[0], dst_w), dtype=np.int64)
+    mx, src_x = mx0, -1
+    for x in range(dst_w):
+        F = rf[mx >> 8]
+        cols = np.clip(np.arange(src_x - 3, src_x + 5), 0, src_w - 1)
+        acc = -(src_rows[:, cols].astype(np.int64) @ F)
+        out[:, x] = (acc + 64) >> 7
+        mx += dx
+        src_x += mx >> 14
+        mx &= 0x3FFF
+    return np.clip(out, 0, (1 << bitdepth) - 1).astype(np.int32)
+
+
 def warp8x8(plane, valid_w, valid_h, dy, dx, abcd, mx, my, bitdepth,
             prep=False):
     """One warped 8x8 tile (reference warp_affine_8x8_c / _8x8t_c,

@@ -98,6 +98,19 @@ CASES = {
         _args(lag=8, options={"enable-order-hint": 1,
                               "enable-ref-frame-mvs": 1})),
     "restoration": (dict(n=5), _args()),
+    "grain": (dict(n=5),
+              _args(options={"denoise-noise-level": 25})),
+    "grain_10bit": (dict(n=4, bitdepth=10),
+                    _args(bitdepth=10,
+                          options={"denoise-noise-level": 15})),
+    "superres_lr": (dict(n=6),
+                    _args(w=256, h=192, superres=(1, 16, 16, 63, 63))),
+    "superres_random": (dict(n=8),
+                        _args(w=320, h=180, superres=(3, 8, 8, 30, 30))),
+    "resize_refs": (dict(n=6),
+                    _args(w=320, h=180,
+                          cfg_raw={"rc_resize_mode": 1,
+                                   "rc_resize_denominator": 12})),
     "tiles_2x2": (dict(n=4),
                   _args(w=256, h=256,
                         options={"tile-columns": 1, "tile-rows": 1})),
