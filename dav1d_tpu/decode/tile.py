@@ -540,9 +540,11 @@ def decode_b(t: TaskContext, bl: int, bs: int, bp: int,
             from .frame import init_quant_tables
             ts.dqmem = init_quant_tables(f.seq_hdr, hdr, ts.last_qidx)
             ts.dq = ts.dqmem
-        if ts.last_delta_lf != [0, 0, 0, 0] and \
-                ts.last_delta_lf != prev_delta_lf:
-            pass  # lf level recompute lands with the deblock stage
+        if ts.last_delta_lf == [0, 0, 0, 0]:
+            ts.lflvl = f.lf_lvl
+        elif ts.last_delta_lf != prev_delta_lf:
+            from ..recon.lf import calc_lf_values
+            ts.lflvl = calc_lf_values(hdr, ts.last_delta_lf)
 
     # intra/inter flag
     if b.skip_mode:
@@ -1378,6 +1380,8 @@ def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
     if has_chroma:
         t.a.uvmode[cbx4 : cbx4 + cbw4] = M.DC_PRED
         t.l.uvmode[cby4 : cby4 + cbh4] = M.DC_PRED
+    if hdr.segmentation.enabled and hdr.segmentation.update_map:
+        f.cur_segmap[t.by : t.by + bh4, t.bx : t.bx + bw4] = b.seg_id
 
 
 def _read_pal_plane(t, b, pl, sz_ctx, bx4, by4):

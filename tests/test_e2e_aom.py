@@ -98,6 +98,17 @@ CASES = {
         _args(lag=8, options={"enable-order-hint": 1,
                               "enable-ref-frame-mvs": 1})),
     "restoration": (dict(n=5), _args()),
+    "lossless": (dict(n=3), _args(q=0)),
+    "segmentation_aq3": (dict(n=6),
+                         _args(q=None, bitrate=150, lag=8,
+                               options={"aq-mode": 3})),
+    "deltaq_deltalf": (dict(n=6),
+                       _args(q=None, bitrate=120,
+                             options={"aq-mode": 3, "deltaq-mode": 1,
+                                      "delta-lf-mode": 1})),
+    "sframe": (dict(n=12),
+               _args(lag=8, cfg_raw={"sframe_dist": 4, "sframe_mode": 1},
+                     options={"enable-order-hint": 1})),
     "grain": (dict(n=5),
               _args(options={"denoise-noise-level": 25})),
     "grain_10bit": (dict(n=4, bitdepth=10),
