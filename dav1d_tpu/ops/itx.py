@@ -1,0 +1,132 @@
+"""Batched inverse transforms on device (JAX/XLA).
+
+TPU-native pass-2 kernel: one jitted program per (tx size, tx type,
+bitdepth) processes a whole batch of coefficient blocks at once — the
+decoder's per-block scalar transform becomes (B, n)-lane integer vector
+math that XLA maps onto the VPU. Bit-exact with the scalar golden model
+(dav1d_tpu.recon.itx; reference src/itx_1d.c + src/itx_tmpl.c:44-121):
+the 1-D butterfly kernels are shared — they are polymorphic over the
+lane container, so the same code runs on Python ints (golden) and on
+batched int32 jnp arrays (device).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..levels import TxfmType
+from ..recon.itx import _1D_FNS, TX1D_TYPES, TX_SHIFT, wht4
+
+
+@functools.lru_cache(maxsize=None)
+def _txinfo(tx):
+    t_dim = tables.txfm_info()[tx]
+    return (4 * int(t_dim[0]), 4 * int(t_dim[1]), int(t_dim[2]),
+            int(t_dim[3]))
+
+
+def _itx_core(cf, tx, txtp, bitdepth):
+    """cf: (B, sh*sw) int32 column-major coefficients (as stored by the
+    coefficient decoder). Returns (B, h, w) int32 residuals (pre-add,
+    already (x + 8) >> 4 scaled)."""
+    w, h, lw, lh = _txinfo(tx)
+    sw, sh = min(w, 32), min(h, 32)
+    maxp = (1 << bitdepth) - 1
+    B = cf.shape[0]
+
+    if txtp == TxfmType.WHT_WHT:
+        grid = (cf >> 2).reshape(B, 4, 4)  # [x][y]
+        lanes = [grid[:, x, y] for y in range(4) for x in range(4)]
+        for y in range(4):
+            wht4(lanes, y * 4, 1)
+        for x in range(4):
+            wht4(lanes, x, 4)
+        return jnp.stack(lanes, axis=1).reshape(B, 4, 4)
+
+    is_rect2 = (w * 2 == h) or (h * 2 == w)
+    shift = TX_SHIFT[tx]
+    rnd = (1 << shift) >> 1
+
+    if bitdepth == 8:
+        row_min = col_min = -(1 << 15)
+    else:
+        row_min = -(maxp + 1) << 7
+        col_min = -(maxp + 1) << 5
+    row_max, col_max = ~row_min, ~col_min
+
+    def rclip(v):
+        return jnp.clip(v, row_min, row_max)
+
+    def cclip(v):
+        return jnp.clip(v, col_min, col_max)
+
+    row_t, col_t = TX1D_TYPES[txtp]
+    first_fn = _1D_FNS[(lw, row_t)]
+    second_fn = _1D_FNS[(lh, col_t)]
+
+    grid = cf.reshape(B, sw, sh)  # [x][y]
+    if is_rect2:
+        grid = (grid * 181 + 128) >> 8
+
+    # row pass: lanes indexed by x, each (B, sh)
+    zero = jnp.zeros((B, sh), dtype=cf.dtype)
+    lanes = [grid[:, x, :] if x < sw else zero for x in range(w)]
+    first_fn(lanes, 0, 1, rclip)
+    lanes = [cclip((ln + rnd) >> shift) for ln in lanes]
+
+    # column pass: lanes indexed by y, each (B, w)
+    mid = jnp.stack(lanes, axis=2)  # (B, sh, w)
+    zero = jnp.zeros((B, w), dtype=cf.dtype)
+    lanes = [mid[:, y, :] if y < sh else zero for y in range(h)]
+    second_fn(lanes, 0, 1, cclip)
+
+    out = jnp.stack(lanes, axis=1)  # (B, h, w)
+    return (out + 8) >> 4
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_itx(tx, txtp, bitdepth):
+    return jax.jit(lambda cf: _itx_core(cf, tx, txtp, bitdepth))
+
+
+def itx_batch(cf, tx, txtp, bitdepth):
+    """Batched inverse transform: (B, sh*sw) int32 -> (B, h, w) residuals.
+    12-bit intermediates exceed int32 at the canonical 12-bit rotation
+    scale, so hbd-12 lanes run in int64 (the reference's int32 asm relies
+    on rewritten half-scale forms instead, src/itx_1d.c comments)."""
+    if bitdepth == 12:
+        jax.config.update("jax_enable_x64", True)
+        dt = jnp.int64
+    else:
+        dt = jnp.int32
+    return _jit_itx(int(tx), int(txtp), int(bitdepth))(
+        jnp.asarray(cf, dtype=dt))
+
+
+def _dc_core(dc, tx, bitdepth):
+    w, h, _, _ = _txinfo(tx)
+    is_rect2 = (w * 2 == h) or (h * 2 == w)
+    shift = TX_SHIFT[tx]
+    rnd = (1 << shift) >> 1
+    if is_rect2:
+        dc = (dc * 181 + 128) >> 8
+    dc = (dc * 181 + 128) >> 8
+    dc = (dc + rnd) >> shift
+    # final >>4 is folded into the last rounding (reference itx_tmpl.c:90)
+    return (dc * 181 + 128 + 2048) >> 12
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_dc(tx, bitdepth):
+    return jax.jit(lambda dc: _dc_core(dc, tx, bitdepth))
+
+
+def dc_only_batch(dc, tx, bitdepth):
+    """DC-only fast path: (B,) int32 DC coefs -> (B,) residual values
+    (constant over the block)."""
+    return _jit_dc(int(tx), int(bitdepth))(jnp.asarray(dc, dtype=jnp.int32))
