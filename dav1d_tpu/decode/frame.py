@@ -350,7 +350,8 @@ def decode_tile_sbrow(t: TaskContext) -> None:
             lf_idx += 1
         t.bx += sb_step
 
-    _backup_ipred_edge(t)
+    if t.pass_ != 1:
+        _backup_ipred_edge(t)
 
     # backup left-ctx tx sizes at the tile's right edge for cross-tile lf
     # fixups (reference src/decode.c:2732-2740)
@@ -510,11 +511,19 @@ def _backup_ipred_edge(t: TaskContext) -> None:
                                  ts.col_end * 4 >> ss_hor]
 
 
-def decode_frame(f: FrameContext, tile_groups) -> None:
-    """Single-threaded frame decode (reference dav1d_decode_frame_main)."""
+def decode_frame(f: FrameContext, tile_groups, two_pass: bool = False) \
+        -> None:
+    """Frame decode (reference dav1d_decode_frame_main). two_pass splits
+    entropy (pass 1, task capture) from reconstruction (pass 2: batched
+    device stages + sequential replay) — the reference's frame-threading
+    architecture (src/internal.h:276-293), re-expressed for a host/TPU
+    split."""
     split_tiles(f, tile_groups)
     hdr = f.frame_hdr
     t = TaskContext(f)
+    if two_pass:
+        f.tasks = []
+        t.pass_ = 1
 
     for a in f.a:
         a.reset(f.frame_is_intra)
@@ -532,7 +541,14 @@ def decode_frame(f: FrameContext, tile_groups) -> None:
                 decode_tile_sbrow(t)
             if hdr.frame_type.is_inter_or_switch and f.rf is not None:
                 save_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
-            # loopfilter -> cdef -> super-res -> restoration per sbrow
+            if not two_pass:
+                # loopfilter -> cdef -> super-res -> restoration per sbrow
+                _filter_sbrow(f, sby)
+
+    if two_pass:
+        from ..pipeline import run_pass2
+        run_pass2(f)
+        for sby in range(f.sbh):
             _filter_sbrow(f, sby)
 
     # pre-CDEF snapshot = the reference's lpf line buffer (dav1d_copy_lpf,

@@ -140,6 +140,11 @@ class TaskContext:
         self.scratch_pal = np.zeros((3, 8), dtype=np.uint16)
         self.pal_idx_y = None  # unpacked (bh4*4, bw4*4) index map
         self.pal_idx_uv = None
+        # two-pass pipeline: 0 = fused, 1 = capture (no pixels),
+        # 2 = replay (pixels from captured coefs)
+        self.pass_ = 0
+        self.cur_rec = None
+        self.rec_coef_pos = 0
 
 
 def get_partition_ctx(a, l, bl, yb8, xb8):
@@ -701,6 +706,13 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
 
     # reconstruction (pass 0: fused)
     from ..recon.intra import recon_b_intra
+    if t.pass_ == 1:
+        t.cur_rec = dict(kind="intra", ts=t.ts, bx=t.bx, by=t.by, bs=bs, b=b,
+                         edge_flags=intra_edge_flags, coefs=[],
+                         pal=(t.scratch_pal.copy(), t.pal_idx_y,
+                              t.pal_idx_uv)
+                         if b.pal_sz[0] or b.pal_sz[1] else None)
+        t.f.tasks.append(t.cur_rec)
     recon_b_intra(t, bs, intra_edge_flags, b)
 
     if hdr.loopfilter.level_y[0] or hdr.loopfilter.level_y[1]:
@@ -847,6 +859,10 @@ def _decode_b_intrabc(t, b, bl, bs, bp, intra_edge_flags, b_dim,
     read_vartx_tree(t, b, bs, bx4, by4)
 
     from ..recon.inter import recon_b_inter
+    if t.pass_ == 1:
+        t.cur_rec = dict(kind="intrabc", ts=t.ts, bx=t.bx, by=t.by, bs=bs, b=b,
+                         coefs=[])
+        t.f.tasks.append(t.cur_rec)
     recon_b_inter(t, bs, b)
 
     splat_mv(f.rf, t.by, t.bx, bw4, bh4, b.mv[0], (0, 0), 0, -1, bs, 0)
@@ -1319,6 +1335,14 @@ def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
 
     # reconstruction
     from ..recon.inter import recon_b_inter
+    if t.pass_ == 1:
+        t.cur_rec = dict(kind="inter", ts=t.ts, bx=t.bx, by=t.by, bs=bs, b=b,
+                         coefs=[], warpmv=t.warpmv,
+                         obmc=_capture_obmc(t, b, bw4, bh4, w4, h4,
+                                            bx4, by4)
+                         if b.motion_mode == MotionMode.OBMC else None,
+                         sub8x8=_capture_sub8x8(t, b, bw4, bh4, by4, bx4))
+        t.f.tasks.append(t.cur_rec)
     recon_b_inter(t, bs, b)
 
     if hdr.loopfilter.level_y[0] or hdr.loopfilter.level_y[1]:
@@ -1382,6 +1406,55 @@ def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
         t.l.uvmode[cby4 : cby4 + cbh4] = M.DC_PRED
     if hdr.segmentation.enabled and hdr.segmentation.update_map:
         f.cur_segmap[t.by : t.by + bh4, t.bx : t.bx + bw4] = b.seg_id
+
+
+def _capture_obmc(t, b, bw4, bh4, w4, h4, bx4, by4):
+    """Snapshot OBMC neighbour parameters at parse time (above/left
+    contexts are only valid then); replayed by recon.inter.obmc."""
+    f = t.f
+    r = f.rf.r
+    b_dim = tables.block_dimensions[b.bs]
+    tasks = []
+    if t.by > t.ts.row_start:
+        i = x = 0
+        while x < w4 and i < min(int(b_dim[2]), 4):
+            a_r = r[t.by - 1, t.bx + x + 1]
+            step4 = max(2, min(16, int(
+                tables.block_dimensions[int(a_r["bs"])][0])))
+            if int(a_r["ref"][0]) > 0:
+                f2d = int(tables.filter_2d[t.a.filter[1][bx4 + x + 1]]
+                          [t.a.filter[0][bx4 + x + 1]])
+                tasks.append(("top", x,
+                              (int(a_r["mv"][0][0]), int(a_r["mv"][0][1])),
+                              int(a_r["ref"][0]) - 1, f2d, step4))
+                i += 1
+            x += step4
+    if t.bx > t.ts.col_start:
+        i = y = 0
+        while y < h4 and i < min(int(b_dim[3]), 4):
+            l_r = r[t.by + y + 1, t.bx - 1]
+            step4 = max(2, min(16, int(
+                tables.block_dimensions[int(l_r["bs"])][1])))
+            if int(l_r["ref"][0]) > 0:
+                f2d = int(tables.filter_2d[t.l.filter[1][by4 + y + 1]]
+                          [t.l.filter[0][by4 + y + 1]])
+                tasks.append(("left", y,
+                              (int(l_r["mv"][0][0]), int(l_r["mv"][0][1])),
+                              int(l_r["ref"][0]) - 1, f2d, step4))
+                i += 1
+            y += step4
+    return tasks
+
+
+def _capture_sub8x8(t, b, bw4, bh4, by4, bx4):
+    """Snapshot the left/top filter types needed by the sub-8x8 chroma
+    path (valid only at parse time)."""
+    ss_ver = t.f.ss_ver
+    if not (bw4 == 1 or bh4 == ss_ver):
+        return None
+    return (t.tl_4x4_filter,
+            int(tables.filter_2d[t.l.filter[1][by4]][t.l.filter[0][by4]]),
+            int(tables.filter_2d[t.a.filter[1][bx4]][t.a.filter[0][bx4]]))
 
 
 def _read_pal_plane(t, b, pl, sz_ctx, bx4, by4):

@@ -32,6 +32,9 @@ class Settings:
     frame_size_limit: int = 0
     strict_std_compliance: bool = False
     output_invisible_frames: bool = False
+    # two-pass host/TPU pipeline: pass 1 entropy+capture, pass 2 batched
+    # device reconstruction + ordered replay
+    two_pass: bool = False
 
 
 @dataclasses.dataclass
@@ -213,7 +216,8 @@ class Decoder:
                          in_cdf=self._in_cdf_for(hdr),
                          refs=[self.refs[hdr.refidx[i]] for i in range(7)]
                          if hdr.frame_type.is_inter_or_switch else None)
-        decode_frame(f, self.tile_groups)
+        decode_frame(f, self.tile_groups,
+                     two_pass=self.settings.two_pass)
 
         # output
         pic = self._make_picture(f)

@@ -163,9 +163,10 @@ def warp_affine(t, pl, b_dim, refslot, wmp, prep):
 
 def obmc(t, pl, b, bw4, bh4, w4, h4, bx4, by4):
     """Overlapped block MC: blend top/left neighbour predictions into the
-    current block (reference obmc(), src/recon_tmpl.c:1052-1114)."""
+    current block (reference obmc(), src/recon_tmpl.c:1052-1114). In
+    replay (pass 2) the neighbour parameters come from the capture-time
+    snapshot (above/left contexts are parse-time state)."""
     f = t.f
-    r = f.rf.r
     b_dim = tables.block_dimensions[b.bs]
     ss_ver = int(bool(pl)) and f.ss_ver
     ss_hor = int(bool(pl)) and f.ss_hor
@@ -173,6 +174,35 @@ def obmc(t, pl, b, bw4, bh4, w4, h4, bx4, by4):
     dst_y = (t.by * 4) >> ss_ver
     dst_x = (t.bx * 4) >> ss_hor
     plane = f.planes[pl]
+
+    if t.pass_ == 2:
+        for kind, off, mv, refidx, f2d, step4 in t.cur_rec["obmc"]:
+            refslot = f.refp[refidx]
+            if kind == "top":
+                if pl and int(b_dim[0]) * h_mul + int(b_dim[1]) * v_mul < 16:
+                    continue
+                ow4 = min(step4, int(b_dim[0]))
+                oh4 = min(int(b_dim[1]), 16) >> 1
+                lap = np.zeros(((((oh4 * 3 + 3) >> 2) * v_mul),
+                                ow4 * h_mul), dtype=np.int32)
+                mc_put(t, pl, lap, 0, 0, ow4, (oh4 * 3 + 3) >> 2,
+                       t.bx + off, t.by, mv, refslot.planes,
+                       refslot.frame_hdr.width[1], refslot.frame_hdr.height,
+                       f2d, refidx=refidx)
+                dstv = plane[dst_y:, dst_x + off * h_mul:]
+                mc_np.blend_h(dstv, lap, h_mul * ow4, v_mul * oh4)
+            else:
+                ow4 = min(int(b_dim[0]), 16) >> 1
+                oh4 = min(step4, int(b_dim[1]))
+                lap = np.zeros((oh4 * v_mul, ow4 * h_mul), dtype=np.int32)
+                mc_put(t, pl, lap, 0, 0, ow4, oh4, t.bx, t.by + off, mv,
+                       refslot.planes, refslot.frame_hdr.width[1],
+                       refslot.frame_hdr.height, f2d, refidx=refidx)
+                dstv = plane[dst_y + off * v_mul:, dst_x:]
+                mc_np.blend_v(dstv, lap, h_mul * ow4, v_mul * oh4)
+        return
+
+    r = f.rf.r
 
     if t.by > t.ts.row_start and \
             (not pl or int(b_dim[0]) * h_mul + int(b_dim[1]) * v_mul >= 16):
@@ -282,7 +312,9 @@ def recon_b_inter(t, bs, b) -> None:
     cdst_y = 4 * (t.by >> ss_ver)
     cdst_x = 4 * (t.bx >> ss_hor)
 
-    if f.frame_hdr.frame_type.is_key_or_intra:
+    if t.pass_ == 1:
+        pass  # prediction happens in pass 2 (device batch + replay)
+    elif f.frame_hdr.frame_type.is_key_or_intra:
         # intra block copy: bilinear MC from the current (partial) frame
         # (reference src/recon_tmpl.c:1583-1599)
         mc_put(t, 0, f.planes[0], dst_y_px, dst_x_px, bw4, bh4, t.bx, t.by,
@@ -422,16 +454,20 @@ def recon_b_inter(t, bs, b) -> None:
 
     t.tl_4x4_filter = b.filter2d
 
+    if t.pass_ == 2 and getattr(t, "device_resid", False):
+        return  # residuals applied by the batched device stage
+
     cw4 = (w4 + ss_hor) >> ss_hor
     ch4 = (h4 + ss_ver) >> ss_ver
 
     if b.skip:
-        t.a.lcoef[bx4 : bx4 + bw4] = 0x40
-        t.l.lcoef[by4 : by4 + bh4] = 0x40
-        if has_chroma:
-            for pl in range(2):
-                t.a.ccoef[pl][cbx4 : cbx4 + cbw4] = 0x40
-                t.l.ccoef[pl][cby4 : cby4 + cbh4] = 0x40
+        if t.pass_ != 2:
+            t.a.lcoef[bx4 : bx4 + bw4] = 0x40
+            t.l.lcoef[by4 : by4 + bh4] = 0x40
+            if has_chroma:
+                for pl in range(2):
+                    t.a.ccoef[pl][cbx4 : cbx4 + cbw4] = 0x40
+                    t.l.ccoef[pl][cby4 : cby4 + cbh4] = 0x40
         return
 
     uvtx = tables.txfm_info()[b.uvtx]
@@ -469,20 +505,34 @@ def recon_b_inter(t, bs, b) -> None:
                         x = init_x >> ss_hor
                         t.bx += init_x
                         while x < min(cw4, (init_x + 16) >> ss_hor):
-                            txtp = t.txtp_map[by4 + (y << ss_ver),
-                                              bx4 + (x << ss_hor)]
-                            eob, txtp, cf, cf_ctx = decode_coefs(
-                                t, t.a.ccoef[pl], cbx4 + x, t.l.ccoef[pl],
-                                cby4 + y, b.uvtx, bs, b, 0, 1 + pl,
-                                ytxtp=txtp)
-                            trace("Post-uv-cf-blk[pl=%d,tx=%d,txtp=%d,"
-                                  "eob=%d]: r=%d", pl, b.uvtx, txtp, eob,
-                                  ts.msac.rng)
-                            ctw = min(utw, (f.bw - t.bx + ss_hor) >> ss_hor)
-                            cth = min(uth, (f.bh - t.by + ss_ver) >> ss_ver)
-                            t.a.ccoef[pl][cbx4 + x : cbx4 + x + ctw] = cf_ctx
-                            t.l.ccoef[pl][cby4 + y : cby4 + y + cth] = cf_ctx
-                            if eob >= 0:
+                            if t.pass_ == 2:
+                                eob, txtp, cf = \
+                                    t.cur_rec["coefs"][t.rec_coef_pos][:3]
+                                t.rec_coef_pos += 1
+                            else:
+                                txtp = t.txtp_map[by4 + (y << ss_ver),
+                                                  bx4 + (x << ss_hor)]
+                                eob, txtp, cf, cf_ctx = decode_coefs(
+                                    t, t.a.ccoef[pl], cbx4 + x,
+                                    t.l.ccoef[pl], cby4 + y, b.uvtx, bs, b,
+                                    0, 1 + pl, ytxtp=txtp)
+                                trace("Post-uv-cf-blk[pl=%d,tx=%d,txtp=%d,"
+                                      "eob=%d]: r=%d", pl, b.uvtx, txtp,
+                                      eob, ts.msac.rng)
+                                ctw = min(utw,
+                                          (f.bw - t.bx + ss_hor) >> ss_hor)
+                                cth = min(uth,
+                                          (f.bh - t.by + ss_ver) >> ss_ver)
+                                t.a.ccoef[pl][cbx4 + x : cbx4 + x + ctw] = \
+                                    cf_ctx
+                                t.l.ccoef[pl][cby4 + y : cby4 + y + cth] = \
+                                    cf_ctx
+                                if t.pass_ == 1:
+                                    t.cur_rec["coefs"].append(
+                                        (eob, txtp, None if cf is None
+                                         else cf.copy(), 1 + pl, b.uvtx,
+                                         cdst_y + 4 * y, cdst_x + 4 * x))
+                            if t.pass_ != 1 and eob >= 0:
                                 itx_add(f.planes[1 + pl], cdst_y + 4 * y,
                                         cdst_x + 4 * x, b.uvtx, txtp, cf,
                                         eob, bitdepth)
@@ -509,20 +559,24 @@ def _sub8x8_chroma(t, b, bw4, bh4, cdst_y, cdst_x, ss_ver, by4, bx4):
                    refslot.frame_hdr.width[1], refslot.frame_hdr.height, fil,
                    refidx=int(rr["ref"][0]) - 1)
 
+    if t.pass_ == 2:
+        tl_f2d, left_f2d, top_f2d = t.cur_rec["sub8x8"]
+    else:
+        tl_f2d = t.tl_4x4_filter
+        left_f2d = int(tables.filter_2d[t.l.filter[1][by4]][
+            t.l.filter[0][by4]])
+        top_f2d = int(tables.filter_2d[t.a.filter[1][bx4]][
+            t.a.filter[0][bx4]])
     h_off = v_off = 0
     if bw4 == 1 and bh4 == ss_ver:
         neighbour_mc(r[t.by - 1, t.bx - 1], 0, 0, t.bx - 1, t.by - 1,
-                     t.tl_4x4_filter)
+                     tl_f2d)
         v_off = 2
         h_off = 2
     if bw4 == 1:
-        left_f2d = int(tables.filter_2d[t.l.filter[1][by4]][
-            t.l.filter[0][by4]])
         neighbour_mc(r[t.by, t.bx - 1], v_off, 0, t.bx - 1, t.by, left_f2d)
         h_off = 2
     if bh4 == ss_ver:
-        top_f2d = int(tables.filter_2d[t.a.filter[1][bx4]][
-            t.a.filter[0][bx4]])
         neighbour_mc(r[t.by - 1, t.bx], 0, h_off, t.bx, t.by - 1, top_f2d)
         v_off = 2
     refslot = f.refp[b.ref[0]]
@@ -564,13 +618,21 @@ def read_coef_tree(t, bs, b, ytx, depth, tx_split, x_off, y_off, do_recon):
         t.by -= txsh
     else:
         bx4, by4 = t.bx & 31, t.by & 31
-        eob, txtp, cf, cf_ctx = decode_coefs(
-            t, t.a.lcoef, bx4, t.l.lcoef, by4, ytx, bs, b, 0, 0)
-        trace("Post-y-cf-blk[tx=%d,txtp=%d,eob=%d]: r=%d",
-              ytx, txtp, eob, ts.msac.rng)
-        t.a.lcoef[bx4 : bx4 + min(txw, f.bw - t.bx)] = cf_ctx
-        t.l.lcoef[by4 : by4 + min(txh, f.bh - t.by)] = cf_ctx
-        t.txtp_map[by4 : by4 + txh, bx4 : bx4 + txw] = txtp
-        if do_recon and eob >= 0:
+        if t.pass_ == 2:
+            eob, txtp, cf = t.cur_rec["coefs"][t.rec_coef_pos][:3]
+            t.rec_coef_pos += 1
+        else:
+            eob, txtp, cf, cf_ctx = decode_coefs(
+                t, t.a.lcoef, bx4, t.l.lcoef, by4, ytx, bs, b, 0, 0)
+            trace("Post-y-cf-blk[tx=%d,txtp=%d,eob=%d]: r=%d",
+                  ytx, txtp, eob, ts.msac.rng)
+            t.a.lcoef[bx4 : bx4 + min(txw, f.bw - t.bx)] = cf_ctx
+            t.l.lcoef[by4 : by4 + min(txh, f.bh - t.by)] = cf_ctx
+            t.txtp_map[by4 : by4 + txh, bx4 : bx4 + txw] = txtp
+            if t.pass_ == 1:
+                t.cur_rec["coefs"].append(
+                    (eob, txtp, None if cf is None else cf.copy(),
+                     0, ytx, 4 * t.by, 4 * t.bx))
+        if do_recon and t.pass_ != 1 and eob >= 0:
             itx_add(f.planes[0], 4 * t.by, 4 * t.bx, ytx, txtp, cf, eob,
                     f.bitdepth)

@@ -32,20 +32,59 @@ def _sm_uv_flag(ctx, idx) -> int:
 
 def _coef_y(t, b, bs, bx4, by4, x, y, tw, th, dst_y, dst_x, f, ts,
             bitdepth) -> None:
-    """Luma coefficient decode + inverse transform add for one tx block."""
+    """Luma coefficient decode + inverse transform add for one tx block
+    (pass-aware: capture stores coefs, replay pops them)."""
     if not b.skip:
-        eob, txtp, cf, cf_ctx = decode_coefs(
-            t, t.a.lcoef, bx4 + x, t.l.lcoef, by4 + y, b.tx, bs, b, 1, 0)
-        trace("Post-y-cf-blk[tx=%d,txtp=%d,eob=%d]: r=%d",
-              b.tx, txtp, eob, ts.msac.rng)
-        t.a.lcoef[bx4 + x : bx4 + x + min(tw, f.bw - t.bx)] = cf_ctx
-        t.l.lcoef[by4 + y : by4 + y + min(th, f.bh - t.by)] = cf_ctx
-        if eob >= 0:
+        if t.pass_ == 2:
+            eob, txtp, cf = t.cur_rec["coefs"][t.rec_coef_pos][:3]
+            t.rec_coef_pos += 1
+        else:
+            eob, txtp, cf, cf_ctx = decode_coefs(
+                t, t.a.lcoef, bx4 + x, t.l.lcoef, by4 + y, b.tx, bs, b, 1, 0)
+            trace("Post-y-cf-blk[tx=%d,txtp=%d,eob=%d]: r=%d",
+                  b.tx, txtp, eob, ts.msac.rng)
+            t.a.lcoef[bx4 + x : bx4 + x + min(tw, f.bw - t.bx)] = cf_ctx
+            t.l.lcoef[by4 + y : by4 + y + min(th, f.bh - t.by)] = cf_ctx
+            if t.pass_ == 1:
+                t.cur_rec["coefs"].append(
+                    (eob, txtp, None if cf is None else cf.copy(),
+                     0, b.tx, dst_y, dst_x))
+        if t.pass_ != 1 and eob >= 0:
             itx_add(f.planes[0], dst_y, dst_x, b.tx, txtp, cf, eob,
                     bitdepth)
-    else:
+    elif t.pass_ != 2:
         t.a.lcoef[bx4 + x : bx4 + x + tw] = 0x40
         t.l.lcoef[by4 + y : by4 + y + th] = 0x40
+
+
+def _coef_uv(t, b, bs, pl, x, y, cbx4, cby4, utw, uth, dst_y, dst_x, f,
+             ts, bitdepth, ss_hor, ss_ver) -> None:
+    """Chroma coefficient decode + itx add for one tx block (pass-aware)."""
+    if not b.skip:
+        if t.pass_ == 2:
+            eob, txtp, cf = t.cur_rec["coefs"][t.rec_coef_pos][:3]
+            t.rec_coef_pos += 1
+        else:
+            eob, txtp, cf, cf_ctx = decode_coefs(
+                t, t.a.ccoef[pl], cbx4 + x, t.l.ccoef[pl], cby4 + y,
+                b.uvtx, bs, b, 1, 1 + pl)
+            trace("Post-uv-cf-blk[pl=%d,tx=%d,txtp=%d,eob=%d]: r=%d "
+                  "[x=%d,cbx4=%d]", pl, b.uvtx, txtp, eob, ts.msac.rng,
+                  x, cbx4)
+            ctw = min(utw, (f.bw - t.bx + ss_hor) >> ss_hor)
+            cth = min(uth, (f.bh - t.by + ss_ver) >> ss_ver)
+            t.a.ccoef[pl][cbx4 + x : cbx4 + x + ctw] = cf_ctx
+            t.l.ccoef[pl][cby4 + y : cby4 + y + cth] = cf_ctx
+            if t.pass_ == 1:
+                t.cur_rec["coefs"].append(
+                    (eob, txtp, None if cf is None else cf.copy(),
+                     1 + pl, b.uvtx, dst_y, dst_x))
+        if t.pass_ != 1 and eob >= 0:
+            itx_add(f.planes[1 + pl], dst_y, dst_x, b.uvtx, txtp, cf, eob,
+                    bitdepth)
+    elif t.pass_ != 2:
+        t.a.ccoef[pl][cbx4 + x : cbx4 + x + utw] = 0x40
+        t.l.ccoef[pl][cby4 + y : cby4 + y + uth] = 0x40
 
 
 def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
@@ -74,19 +113,28 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
 
     intra_edge_filter_flag = f.seq_hdr.intra_edge_filter << 10
 
+    # neighbour smoothness flags are parse-time (above/left ctx) state
+    if t.pass_ == 2:
+        sm_fl, sm_uv_fl = t.cur_rec["sm"]
+    else:
+        sm_fl = _sm_flag(t.a, bx4) | _sm_flag(t.l, by4)
+        sm_uv_fl = (_sm_uv_flag(t.a, cbx4) | _sm_uv_flag(t.l, cby4)) \
+            if has_chroma else 0
+        if t.pass_ == 1:
+            t.cur_rec["sm"] = (sm_fl, sm_uv_fl)
+
     for init_y in range(0, h4, 16):
         sub_h4 = min(h4, 16 + init_y)
         sub_ch4 = min(ch4, (init_y + 16) >> ss_ver)
         for init_x in range(0, w4, 16):
-            if b.pal_sz[0]:
+            if b.pal_sz[0] and t.pass_ != 1:
                 dst_y0, dst_x0 = 4 * t.by, 4 * t.bx
                 f.planes[0][dst_y0 : dst_y0 + bh4 * 4,
                             dst_x0 : dst_x0 + bw4 * 4] = \
                     ipred_mod.pal_pred(t.scratch_pal[0], t.pal_idx_y,
                                        bw4 * 4, bh4 * 4)
 
-            intra_flags = (_sm_flag(t.a, bx4) | _sm_flag(t.l, by4)
-                           | intra_edge_filter_flag)
+            intra_flags = sm_fl | intra_edge_filter_flag
             sb_has_tr = (1 if init_x + 16 < w4 else 0 if init_y else
                          intra_edge_flags & EDGE_I444_TOP_HAS_RIGHT)
             sb_has_bl = (0 if init_x else 1 if init_y + 16 < h4 else
@@ -102,7 +150,7 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                 while x < sub_w4:
                     dst_x = 4 * t.bx
                     dst_y = 4 * t.by
-                    if b.pal_sz[0]:
+                    if b.pal_sz[0] or t.pass_ == 1:
                         _coef_y(t, b, bs, bx4, by4, x, y, tw, th, dst_y,
                                 dst_x, f, ts, bitdepth)
                         x += tw
@@ -117,11 +165,12 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                                  or (not sb_has_bl and y + th >= sub_h4))
                            else EDGE_I444_LEFT_HAS_BOTTOM))
                     top_sb_edge = None
-                    top_sb_x = 0
                     if not (t.by & (f.sb_step - 1)):
                         sby = t.by >> f.sb_shift
                         if sby > 0:
-                            top_sb_edge = f.ipred_edge[0][sby - 1]
+                            top_sb_edge = f.planes[0][4 * t.by - 1] \
+                                if t.pass_ == 2 else \
+                                f.ipred_edge[0][sby - 1]
                     m, angle, edge, ofs = ipred_mod.prepare_intra_edges(
                         t.bx, t.bx > ts.col_start, t.by, t.by > ts.row_start,
                         ts.col_end, ts.row_end, edge_flags, f.planes[0],
@@ -146,7 +195,9 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                 continue
 
             utw, uth = int(uv_t_dim[0]), int(uv_t_dim[1])
-            if b.uv_mode == M.CFL_PRED:
+            if t.pass_ == 1:
+                pass
+            elif b.uv_mode == M.CFL_PRED:
                 assert not init_x and not init_y
                 y0 = 4 * (t.by & ~ss_ver)
                 x0 = 4 * (t.bx & ~ss_hor)
@@ -164,7 +215,10 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                     if not ((t.by & ~ss_ver) & (f.sb_step - 1)):
                         sby = t.by >> f.sb_shift
                         if sby > 0:
-                            top_sb_edge = f.ipred_edge[1 + pl][sby - 1]
+                            top_sb_edge = f.planes[1 + pl][
+                                (((t.by & ~ss_ver) * 4) >> ss_ver) - 1] \
+                                if t.pass_ == 2 else \
+                                f.ipred_edge[1 + pl][sby - 1]
                     xpos = t.bx >> ss_hor
                     ypos = t.by >> ss_ver
                     dst_x = 4 * xpos
@@ -195,7 +249,6 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                 0 if init_x else 1 if ((init_y + 16) >> ss_ver) < ch4 else
                 intra_edge_flags & ((1 << 5) >> (f.layout - 1)))
             sub_cw4 = min(cw4, (init_x + 16) >> ss_hor)
-            sm_uv_fl = _sm_uv_flag(t.a, cbx4) | _sm_uv_flag(t.l, cby4)
             for pl in range(2):
                 y = init_y >> ss_ver
                 t.by += init_y
@@ -206,26 +259,10 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                         dst_x = 4 * ((t.bx + 0) >> ss_hor)
                         dst_y = 4 * (t.by >> ss_ver)
                         if (b.uv_mode == M.CFL_PRED and b.cfl_alpha[pl]) \
-                                or b.pal_sz[1]:
-                            if not b.skip:
-                                eob, txtp, cf, cf_ctx = decode_coefs(
-                                    t, t.a.ccoef[pl], cbx4 + x,
-                                    t.l.ccoef[pl], cby4 + y, b.uvtx, bs, b,
-                                    1, 1 + pl)
-                                trace("Post-uv-cf-blk[pl=%d,tx=%d,txtp=%d,"
-                                      "eob=%d]: r=%d [x=%d,cbx4=%d]",
-                                      pl, b.uvtx, txtp, eob, ts.msac.rng,
-                                      x, cbx4)
-                                ctw = min(utw, (f.bw - t.bx + ss_hor) >> ss_hor)
-                                cth = min(uth, (f.bh - t.by + ss_ver) >> ss_ver)
-                                t.a.ccoef[pl][cbx4 + x : cbx4 + x + ctw] = cf_ctx
-                                t.l.ccoef[pl][cby4 + y : cby4 + y + cth] = cf_ctx
-                                if eob >= 0:
-                                    itx_add(f.planes[1 + pl], dst_y, dst_x,
-                                            b.uvtx, txtp, cf, eob, bitdepth)
-                            else:
-                                t.a.ccoef[pl][cbx4 + x : cbx4 + x + utw] = 0x40
-                                t.l.ccoef[pl][cby4 + y : cby4 + y + uth] = 0x40
+                                or b.pal_sz[1] or t.pass_ == 1:
+                            _coef_uv(t, b, bs, pl, x, y, cbx4, cby4, utw,
+                                     uth, dst_y, dst_x, f, ts, bitdepth,
+                                     ss_hor, ss_ver)
                             x += utw
                             t.bx += utw << ss_hor
                             continue
@@ -243,7 +280,10 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                         if not ((t.by & ~ss_ver) & (f.sb_step - 1)):
                             sby = t.by >> f.sb_shift
                             if sby > 0:
-                                top_sb_edge = f.ipred_edge[1 + pl][sby - 1]
+                                top_sb_edge = f.planes[1 + pl][
+                                    (((t.by & ~ss_ver) * 4) >> ss_ver) - 1] \
+                                    if t.pass_ == 2 else \
+                                    f.ipred_edge[1 + pl][sby - 1]
                         uv_mode = M.DC_PRED if b.uv_mode == M.CFL_PRED \
                             else b.uv_mode
                         xpos = t.bx >> ss_hor
@@ -266,24 +306,9 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                         f.planes[1 + pl][dst_y : dst_y + uth * 4,
                                          dst_x : dst_x + utw * 4] = pred
 
-                        if not b.skip:
-                            eob, txtp, cf, cf_ctx = decode_coefs(
-                                t, t.a.ccoef[pl], cbx4 + x, t.l.ccoef[pl],
-                                cby4 + y, b.uvtx, bs, b, 1, 1 + pl)
-                            trace("Post-uv-cf-blk[pl=%d,tx=%d,txtp=%d,"
-                                  "eob=%d]: r=%d [x=%d,cbx4=%d]",
-                                  pl, b.uvtx, txtp, eob, ts.msac.rng,
-                                  x, cbx4)
-                            ctw = min(utw, (f.bw - t.bx + ss_hor) >> ss_hor)
-                            cth = min(uth, (f.bh - t.by + ss_ver) >> ss_ver)
-                            t.a.ccoef[pl][cbx4 + x : cbx4 + x + ctw] = cf_ctx
-                            t.l.ccoef[pl][cby4 + y : cby4 + y + cth] = cf_ctx
-                            if eob >= 0:
-                                itx_add(f.planes[1 + pl], dst_y, dst_x,
-                                        b.uvtx, txtp, cf, eob, bitdepth)
-                        else:
-                            t.a.ccoef[pl][cbx4 + x : cbx4 + x + utw] = 0x40
-                            t.l.ccoef[pl][cby4 + y : cby4 + y + uth] = 0x40
+                        _coef_uv(t, b, bs, pl, x, y, cbx4, cby4, utw, uth,
+                                 dst_y, dst_x, f, ts, bitdepth, ss_hor,
+                                 ss_ver)
                         x += utw
                         t.bx += utw << ss_hor
                     t.bx -= x << ss_hor

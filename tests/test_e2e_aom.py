@@ -44,7 +44,7 @@ def screen_frames(n, w, h, bitdepth=8, seed=3, ncolors=7):
     return frames
 
 
-def _roundtrip(tmp_path, oracle, name, frames, encargs):
+def _roundtrip(tmp_path, oracle, name, frames, encargs, settings=None):
     from dav1d_tpu.decoder import Decoder
     from dav1d_tpu.containers import read_ivf
 
@@ -59,7 +59,7 @@ def _roundtrip(tmp_path, oracle, name, frames, encargs):
     assert r.returncode == 0, f"oracle rejected stream: {r.stderr}"
     refs = y4m.read_bytes().split(b"FRAME\n")[1:]
 
-    dec = Decoder()
+    dec = Decoder(settings)
     pics = []
     for tu, _ in read_ivf(ivf.read_bytes()):
         dec.send_data(tu)
@@ -165,10 +165,25 @@ CASES = {
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_aom_roundtrip(tmp_path, oracle, name):
     genargs, encargs = CASES[name]
+    genargs = dict(genargs)
     n = genargs.pop("n")
     frames = gradient_frames(n, encargs["width"], encargs["height"],
                              **genargs)
     _roundtrip(tmp_path, oracle, name, frames, encargs)
+
+
+@pytest.mark.parametrize("name", ["kitchen_sink", "intra"])
+def test_two_pass_device_pipeline(tmp_path, oracle, name):
+    """Two-pass host/TPU pipeline (entropy capture -> batched device
+    residuals + ordered replay) must match the oracle byte-exactly."""
+    from dav1d_tpu.decoder import Settings
+    genargs, encargs = CASES[name]
+    genargs = dict(genargs)
+    n = genargs.pop("n")
+    frames = gradient_frames(n, encargs["width"], encargs["height"],
+                             **genargs)
+    _roundtrip(tmp_path, oracle, name, frames, encargs,
+               settings=Settings(two_pass=True))
 
 
 SCREEN_OPTS = {"enable-palette": 1, "enable-intrabc": 1,
