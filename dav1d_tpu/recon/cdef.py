@@ -193,6 +193,138 @@ def cdef_filter_block(dst, src, y0, x0, w, h, pri_strength, sec_strength,
     dst[y0 : y0 + h, x0 : x0 + w] = out
 
 
+_DIR_DY = np.array([[d[0][0] for d in CDEF_DIRECTIONS],
+                    [d[1][0] for d in CDEF_DIRECTIONS]])  # (2 pass, 12)
+_DIR_DX = np.array([[d[0][1] for d in CDEF_DIRECTIONS],
+                    [d[1][1] for d in CDEF_DIRECTIONS]])
+
+
+def _onehot_maps():
+    """One-hot projection matrices for the batched direction search:
+    (64, bins) per psum accumulator."""
+    ys, xs = np.mgrid[0:8, 0:8]
+    maps = [
+        ((ys + xs).ravel(), 15),          # diag0
+        ((ys + (xs >> 1)).ravel(), 11),   # alt0
+        (ys.ravel(), 8),                  # hv0
+        ((3 + ys - (xs >> 1)).ravel(), 11),
+        ((7 + ys - xs).ravel(), 15),
+        ((3 - (ys >> 1) + xs).ravel(), 11),
+        (xs.ravel(), 8),
+        (((ys >> 1) + xs).ravel(), 11),
+    ]
+    out = []
+    for idx, bins in maps:
+        m = np.zeros((64, bins), dtype=np.int64)
+        m[np.arange(64), idx] = 1
+        out.append(m)
+    return out
+
+
+_ONEHOT = None
+
+
+def cdef_find_dir_batch(blocks, bitdepth):
+    """(N, 8, 8) -> (dirs (N,), vars (N,)) (vectorized cdef_find_dir_c)."""
+    global _ONEHOT
+    if _ONEHOT is None:
+        _ONEHOT = _onehot_maps()
+    shift = bitdepth - 8
+    px = (blocks.reshape(-1, 64).astype(np.int64) >> shift) - 128
+    psum = [px @ m for m in _ONEHOT]
+    diag0, alt0, hv0, alt1, diag1, alt2, hv1, alt3 = psum
+    N = px.shape[0]
+    cost = np.zeros((N, 8), dtype=np.int64)
+    cost[:, 2] = (hv0 * hv0).sum(axis=1) * 105
+    cost[:, 6] = (hv1 * hv1).sum(axis=1) * 105
+    div = np.array([840, 420, 280, 210, 168, 140, 120], dtype=np.int64)
+    for diag, ci in ((diag0, 0), (diag1, 4)):
+        sq = diag * diag
+        cost[:, ci] = ((sq[:, :7] + sq[:, 8:][:, ::-1]) * div).sum(axis=1) \
+            + sq[:, 7] * 105
+    div_alt = np.array([420, 210, 140], dtype=np.int64)
+    for n, alt in enumerate((alt0, alt1, alt2, alt3)):
+        sq = alt * alt
+        c = sq[:, 3:8].sum(axis=1) * 105
+        c += ((sq[:, :3] + sq[:, 8:][:, ::-1]) * div_alt).sum(axis=1)
+        cost[:, n * 2 + 1] = c
+    best = np.argmax(cost, axis=1)
+    best_cost = np.take_along_axis(cost, best[:, None], 1)[:, 0]
+    alt_cost = np.take_along_axis(cost, (best ^ 4)[:, None], 1)[:, 0]
+    return best.astype(np.int64), (best_cost - alt_cost) >> 10
+
+
+def cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs, damping,
+                      bitdepth):
+    """Filter a batch of (h, w) units. canvas: plane with a 2px INT16_MIN
+    border (border index 0); ys/xs: unit top-left in canvas coordinates
+    (i.e. +2). Returns (N, h, w) filtered pixels
+    (vectorized cdef_filter_block_c)."""
+    N = len(ys)
+    yy = (ys[:, None, None] + np.arange(-2, h + 2)[None, :, None])
+    xx = (xs[:, None, None] + np.arange(-2, w + 2)[None, None, :])
+    tmp = canvas[yy, xx]  # (N, h+4, w+4)
+    px = tmp[:, 2 : 2 + h, 2 : 2 + w]
+
+    bdmin8 = bitdepth - 8
+    pri_nz = pri > 0
+    sec_nz = sec > 0
+    both = pri_nz & sec_nz
+    safe_pri = np.maximum(pri, 1)
+    safe_sec = np.maximum(sec, 1)
+    def ulog2(v):
+        # exact for the small positive strengths involved
+        return (np.frexp(v.astype(np.float64))[1] - 1).astype(np.int64)
+
+    pri_shift = np.maximum(0, damping - ulog2(safe_pri))[:, None, None]
+    sec_shift = (damping - ulog2(safe_sec))[:, None, None]
+    pri_thr = pri[:, None, None]
+    sec_thr = sec[:, None, None]
+    pri_tap = (4 - ((pri >> bdmin8) & 1))[:, None, None]
+
+    def tap(dy, dx):
+        iy = ys[:, None, None] + dy[:, None, None] \
+            + np.arange(h)[None, :, None]
+        ix = xs[:, None, None] + dx[:, None, None] \
+            + np.arange(w)[None, None, :]
+        return canvas[iy, ix]
+
+    sum_ = np.zeros((N, h, w), dtype=np.int64)
+    mn = px.copy()
+    mx = px.copy()
+
+    def acc_minmax(v):
+        nonlocal mn, mx
+        u = np.where(v == INT16_MIN, np.int64(0xFFFF8000), v)
+        np.minimum(mn, u, out=mn)
+        np.maximum(mx, v, out=mx)
+
+    for k in range(2):
+        dy = _DIR_DY[k][2 + dirs]
+        dx = _DIR_DX[k][2 + dirs]
+        p0 = tap(dy, dx)
+        p1 = tap(-dy, -dx)
+        ptk = pri_tap if k == 0 else (pri_tap & 3) | 2
+        pc = ptk * (_constrain(p0 - px, pri_thr, pri_shift)
+                    + _constrain(p1 - px, pri_thr, pri_shift))
+        sum_ += np.where(pri_nz[:, None, None], pc, 0)
+        acc_minmax(np.where(both[:, None, None], p0, px))
+        acc_minmax(np.where(both[:, None, None], p1, px))
+        sec_tap = 2 - k
+        for sdir_off in (4, 0):
+            dy2 = _DIR_DY[k][sdir_off + dirs]
+            dx2 = _DIR_DX[k][sdir_off + dirs]
+            for sgn in (1, -1):
+                s = tap(sgn * dy2, sgn * dx2)
+                sc = sec_tap * _constrain(s - px, sec_thr, sec_shift)
+                sum_ += np.where(sec_nz[:, None, None], sc, 0)
+                acc_minmax(np.where(both[:, None, None], s, px))
+
+    out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
+    clipped = np.clip(out, mn, mx)
+    return np.where(both[:, None, None], clipped, out)
+
+
 def adjust_strength(strength: int, var: int) -> int:
     if not var:
         return 0
@@ -216,12 +348,14 @@ def cdef_frame(f) -> None:
     has_chroma = layout != PixelLayout.I400
     uv_dir_map = UV_DIRS_422 if layout == PixelLayout.I422 else UV_DIRS_420
 
-    src = [p.copy() for p in f.planes]
     sb64w = (f.bw + 15) >> 4
 
+    # collect units (cheap host loop), then filter each plane as one batch
+    # (the batched form is the device kernel shape: direction search =
+    # one-hot matmuls, filtering = per-tap gathers over (N, h, w) lanes)
+    dir_blocks = []  # (by, bx) needing direction search
+    units = []       # (pl, by, bx, pri-or-None-for-adjust, sec, use_dir)
     for by in range(0, f.bh, 2):
-        have_top = by > 0
-        have_bottom = by + 2 < f.bh
         for sbx in range(sb64w):
             cdef_idx = int(f.cdef_idx[by >> 4, sbx])
             if cdef_idx == -1:
@@ -241,33 +375,54 @@ def cdef_frame(f) -> None:
             for bx in range(sbx * 16, min((sbx + 1) * 16, f.bw), 2):
                 if not f.noskip[by >> 1, bx : bx + 2].any():
                     continue
-                edges = (HAVE_LEFT * int(bx > 0)
-                         | HAVE_RIGHT * int(bx + 2 < f.bw)
-                         | HAVE_TOP * int(have_top)
-                         | HAVE_BOTTOM * int(have_bottom))
-                dir_ = 0
-                var = 0
-                if y_pri or uv_pri:
-                    dir_, var = cdef_find_dir(
-                        src[0][by * 4 : by * 4 + 8, bx * 4 : bx * 4 + 8],
-                        bitdepth)
-                if y_pri:
-                    adj = adjust_strength(y_pri, var)
-                    if adj or y_sec:
-                        cdef_filter_block(f.planes[0], src[0], by * 4,
-                                          bx * 4, 8, 8, adj, y_sec, dir_,
-                                          damping, edges, bitdepth)
-                elif y_sec:
-                    cdef_filter_block(f.planes[0], src[0], by * 4, bx * 4,
-                                      8, 8, 0, y_sec, 0, damping, edges,
-                                      bitdepth)
-                if uv_lvl and has_chroma:
-                    uvdir = uv_dir_map[dir_] if uv_pri else 0
-                    cw = 8 >> ss_hor
-                    ch = 8 >> ss_ver
-                    cy0 = (by * 4) >> ss_ver
-                    cx0 = (bx * 4) >> ss_hor
-                    for pl in (1, 2):
-                        cdef_filter_block(f.planes[pl], src[pl], cy0, cx0,
-                                          cw, ch, uv_pri, uv_sec, uvdir,
-                                          damping - 1, edges, bitdepth)
+                need_dir = bool(y_pri or uv_pri)
+                dir_idx = -1
+                if need_dir:
+                    dir_idx = len(dir_blocks)
+                    dir_blocks.append((by, bx))
+                units.append((by, bx, y_pri, y_sec, uv_pri, uv_sec,
+                              bool(uv_lvl), dir_idx))
+    if not units:
+        return
+
+    src0 = f.planes[0]
+    if dir_blocks:
+        blk = np.stack([src0[by * 4 : by * 4 + 8, bx * 4 : bx * 4 + 8]
+                        for by, bx in dir_blocks])
+        dirs_arr, vars_arr = cdef_find_dir_batch(blk, bitdepth)
+    plane_units = {0: [], 1: [], 2: []}
+    for by, bx, y_pri, y_sec, uv_pri, uv_sec, uv_on, dir_idx in units:
+        dir_ = int(dirs_arr[dir_idx]) if dir_idx >= 0 else 0
+        var = int(vars_arr[dir_idx]) if dir_idx >= 0 else 0
+        if y_pri:
+            adj = adjust_strength(y_pri, var)
+            if adj or y_sec:
+                plane_units[0].append((by * 4, bx * 4, adj, y_sec, dir_))
+        elif y_sec:
+            plane_units[0].append((by * 4, bx * 4, 0, y_sec, 0))
+        if uv_on and has_chroma:
+            uvdir = uv_dir_map[dir_] if uv_pri else 0
+            cy0 = (by * 4) >> ss_ver
+            cx0 = (bx * 4) >> ss_hor
+            for pl in (1, 2):
+                plane_units[pl].append((cy0, cx0, uv_pri, uv_sec, uvdir))
+
+    for pl in range(3 if has_chroma else 1):
+        ul = plane_units[pl]
+        if not ul:
+            continue
+        sv = ss_ver if pl else 0
+        sh = ss_hor if pl else 0
+        w, h = 8 >> sh, 8 >> sv
+        pw, ph = (f.bw * 4) >> sh, (f.bh * 4) >> sv
+        canvas = np.full((ph + 4, pw + 4), INT16_MIN, dtype=np.int64)
+        canvas[2 : 2 + ph, 2 : 2 + pw] = f.planes[pl][:ph, :pw]
+        ys = np.array([u[0] + 2 for u in ul])
+        xs = np.array([u[1] + 2 for u in ul])
+        pri = np.array([u[2] for u in ul], dtype=np.int64)
+        sec = np.array([u[3] for u in ul], dtype=np.int64)
+        dirs = np.array([u[4] for u in ul], dtype=np.int64)
+        out = cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs,
+                                damping - (1 if pl else 0), bitdepth)
+        for i, u in enumerate(ul):
+            f.planes[pl][u[0] : u[0] + h, u[1] : u[1] + w] = out[i]

@@ -28,8 +28,16 @@ def _z():
     return np.load(_DATA)
 
 
+_cache: dict = {}
+
+
 def _get(name: str) -> np.ndarray:
-    return _z()[name]
+    # np.load is lazy: indexing re-reads+decompresses the member each time,
+    # so cache materialized arrays
+    arr = _cache.get(name)
+    if arr is None:
+        arr = _cache[name] = _z()[name]
+    return arr
 
 
 def __getattr__(name: str):
