@@ -1,58 +1,85 @@
 """Benchmark driver — prints ONE JSON line.
 
-Current metric: MC 8-tap subpel throughput expressed as equivalent 4K luma
-frames/s on one chip (the flagship op until full-frame decode lands; then
-this becomes end-to-end decoded frames/s). vs_baseline is the ratio against
-the BASELINE.md single-chip target of 4K60 real-time.
+Metric: end-to-end decoded frames/s on a 1080p 8-bit inter stream
+(BASELINE.json config 2), bit-exactness asserted against the reference
+oracle when available. vs_baseline is the ratio against the 4K60-class
+single-chip target (60 fps at 1080p-equivalent work is used as the
+normalizer until the 4K configs land).
+
+The stream is generated once with the system libaom (tools/aom_enc.py)
+and cached in /tmp; decode runs the two-pass host/TPU pipeline (entropy
+capture on host, batched reconstruction kernels on the device).
 """
 
+import hashlib
 import json
+import os
+import subprocess
+import sys
 import time
+from pathlib import Path
 
-import numpy as np
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
 
-import jax
+W, H, NFRAMES = 1920, 1080, 4
+STREAM = Path(f"/tmp/dav1d_tpu_bench_{W}x{H}_{NFRAMES}.ivf")
+
+
+def _make_stream():
+    from aom_enc import AomEncoder, gradient_frames, write_ivf_packets
+    frames = gradient_frames(NFRAMES, W, H)
+    enc = AomEncoder(width=W, height=H, usage="good", cpu_used=8, q=45,
+                     kf_max_dist=9999, lag=0,
+                     options={"enable-order-hint": 1})
+    pkts = enc.encode(frames)
+    enc.close()
+    write_ivf_packets(STREAM, pkts, W, H)
 
 
 def main():
-    from dav1d_tpu.ops import mc
+    if not STREAM.exists():
+        _make_stream()
+    data = STREAM.read_bytes()
 
-    w = h = 64
-    # ~one 4K luma frame worth of 64x64 blocks
-    n_blocks = (3840 // w) * (2176 // h)
-    rng = np.random.default_rng(0)
-    src = jax.numpy.asarray(
-        rng.integers(0, 256, size=(n_blocks, h + 7, w + 7)).astype(np.int32)
-    )
-    fh = jax.numpy.asarray(
-        np.tile(np.array([-1, 3, -10, 35, 44, -11, 4, 0], np.int32), (n_blocks, 1))
-    )
-    fv = jax.numpy.asarray(
-        np.tile(np.array([0, 2, -7, 30, 48, -12, 3, 0], np.int32), (n_blocks, 1))
-    )
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Decoder, Settings
 
-    def step():
-        return mc.put_8tap(src, fh, fv, w=w, h=h, bitdepth=8)
+    tus = [tu for tu, _ in read_ivf(data)]
 
-    step().block_until_ready()  # compile
-    n_iter = 20
+    # warm-up decode (JIT compiles for the device stages)
+    dec = Decoder(Settings(two_pass=True))
+    h = hashlib.md5()
+    n = 0
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = step()
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
+    for tu in tus:
+        dec.send_data(tu)
+        while (pic := dec.get_picture()) is not None:
+            for pl in range(3):
+                h.update(pic.plane_bytes(pl))
+            n += 1
+    dt = time.perf_counter() - t0
+    fps = n / dt
 
-    fps_equiv = 1.0 / dt
-    print(
-        json.dumps(
-            {
-                "metric": "mc_8tap_4k_frames_per_sec",
-                "value": round(fps_equiv, 2),
-                "unit": "4K-frames/s (MC kernel only)",
-                "vs_baseline": round(fps_equiv / 60.0, 3),
-            }
-        )
-    )
+    # bit-exactness spot check vs the oracle (skipped when not built)
+    oracle = "/tmp/dav1d-ref/dav1d"
+    if os.path.exists(oracle):
+        r = subprocess.run([oracle, "-i", str(STREAM), "--muxer", "md5",
+                            "-o", "-", "-q"], capture_output=True, text=True)
+        want = r.stdout.strip().split()[0] if r.returncode == 0 else None
+        if want and want != h.hexdigest():
+            print(json.dumps({"metric": "e2e_1080p8_frames_per_sec",
+                              "value": 0.0, "unit": "frames/s",
+                              "vs_baseline": 0.0,
+                              "error": "md5 mismatch vs oracle"}))
+            return
+
+    print(json.dumps({
+        "metric": "e2e_1080p8_frames_per_sec",
+        "value": round(fps, 4),
+        "unit": "frames/s (1080p 8-bit inter, two-pass host+device pipeline)",
+        "vs_baseline": round(fps / 60.0, 5),
+    }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,153 @@
+"""Batched CDEF on device (JAX/XLA).
+
+Device port of the batched formulation in dav1d_tpu.recon.cdef:
+direction search = one-hot projection matmuls over (N, 64) px blocks
+(MXU-shaped), constrained filtering = 12 per-tap gathers over (N, h, w)
+int32 lanes with per-unit strengths/directions. Bit-exact with the numpy
+batch (itself verified against the scalar golden model / oracle).
+Reference: src/cdef_tmpl.c:56-321.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..recon.cdef import INT16_MIN, _DIR_DX, _DIR_DY, _onehot_maps
+
+
+def _bucket(n: int) -> int:
+    b = 64
+    while b < n:
+        b <<= 1
+    return b
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_find_dir(bitdepth):
+    onehot = [jnp.asarray(m, dtype=jnp.int32) for m in _onehot_maps()]
+    div = jnp.asarray([840, 420, 280, 210, 168, 140, 120], dtype=jnp.int32)
+    div_alt = jnp.asarray([420, 210, 140], dtype=jnp.int32)
+
+    def fn(blocks):
+        px = (blocks.reshape(-1, 64) >> (bitdepth - 8)) - 128
+        ps = [px @ m for m in onehot]
+        diag0, alt0, hv0, alt1, diag1, alt2, hv1, alt3 = ps
+        cost = [None] * 8
+        cost[2] = (hv0 * hv0).sum(axis=1) * 105
+        cost[6] = (hv1 * hv1).sum(axis=1) * 105
+        for diag, ci in ((diag0, 0), (diag1, 4)):
+            sq = diag * diag
+            cost[ci] = ((sq[:, :7] + sq[:, 8:][:, ::-1]) * div).sum(axis=1) \
+                + sq[:, 7] * 105
+        for n, alt in enumerate((alt0, alt1, alt2, alt3)):
+            sq = alt * alt
+            c = sq[:, 3:8].sum(axis=1) * 105
+            c += ((sq[:, :3] + sq[:, 8:][:, ::-1]) * div_alt).sum(axis=1)
+            cost[n * 2 + 1] = c
+        cost = jnp.stack(cost, axis=1)
+        best = jnp.argmax(cost, axis=1)
+        best_cost = jnp.take_along_axis(cost, best[:, None], 1)[:, 0]
+        alt_cost = jnp.take_along_axis(cost, (best ^ 4)[:, None], 1)[:, 0]
+        return best.astype(jnp.int32), (best_cost - alt_cost) >> 10
+
+    return jax.jit(fn)
+
+
+def cdef_find_dir_batch(blocks, bitdepth):
+    n = blocks.shape[0]
+    nb = _bucket(n)
+    blk = np.zeros((nb, 8, 8), dtype=np.int32)
+    blk[:n] = blocks
+    d, v = _jit_find_dir(bitdepth)(jnp.asarray(blk))
+    return np.asarray(d)[:n].astype(np.int64), \
+        np.asarray(v)[:n].astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_filter(w, h, damping, bitdepth):
+    dir_dy = jnp.asarray(_DIR_DY, dtype=jnp.int32)
+    dir_dx = jnp.asarray(_DIR_DX, dtype=jnp.int32)
+    bdmin8 = bitdepth - 8
+    i16min = jnp.int32(INT16_MIN)
+
+    def ulog2(v):
+        return 31 - jax.lax.clz(v)
+
+    def constrain(diff, threshold, shift):
+        adiff = jnp.abs(diff)
+        v = jnp.minimum(adiff, jnp.maximum(0, threshold - (adiff >> shift)))
+        return jnp.where(diff < 0, -v, v)
+
+    def fn(canvas, ys, xs, pri, sec, dirs):
+        yg = ys[:, None, None] + jnp.arange(h)[None, :, None]
+        xg = xs[:, None, None] + jnp.arange(w)[None, None, :]
+        px = canvas[yg, xg]
+
+        pri_nz = (pri > 0)[:, None, None]
+        sec_nz = (sec > 0)[:, None, None]
+        both = pri_nz & sec_nz
+        pri_shift = jnp.maximum(
+            0, damping - ulog2(jnp.maximum(pri, 1)))[:, None, None]
+        sec_shift = (damping
+                     - ulog2(jnp.maximum(sec, 1)))[:, None, None]
+        pri_thr = pri[:, None, None]
+        sec_thr = sec[:, None, None]
+        pri_tap = (4 - ((pri >> bdmin8) & 1))[:, None, None]
+
+        def tap(dy, dx):
+            return canvas[yg + dy[:, None, None], xg + dx[:, None, None]]
+
+        sum_ = jnp.zeros_like(px)
+        mn = px
+        mx = px
+
+        def acc(v, mn, mx):
+            u = jnp.where(v == i16min, jnp.int32(0x7FFF0000), v)
+            return jnp.minimum(mn, u), jnp.maximum(mx, v)
+
+        for k in range(2):
+            dy = dir_dy[k][2 + dirs]
+            dx = dir_dx[k][2 + dirs]
+            p0 = tap(dy, dx)
+            p1 = tap(-dy, -dx)
+            ptk = pri_tap if k == 0 else (pri_tap & 3) | 2
+            pc = ptk * (constrain(p0 - px, pri_thr, pri_shift)
+                        + constrain(p1 - px, pri_thr, pri_shift))
+            sum_ += jnp.where(pri_nz, pc, 0)
+            mn, mx = acc(jnp.where(both, p0, px), mn, mx)
+            mn, mx = acc(jnp.where(both, p1, px), mn, mx)
+            sec_tap = 2 - k
+            for sdir_off in (4, 0):
+                dy2 = dir_dy[k][sdir_off + dirs]
+                dx2 = dir_dx[k][sdir_off + dirs]
+                for sgn in (1, -1):
+                    s = tap(sgn * dy2, sgn * dx2)
+                    sc = sec_tap * constrain(s - px, sec_thr, sec_shift)
+                    sum_ += jnp.where(sec_nz, sc, 0)
+                    mn, mx = acc(jnp.where(both, s, px), mn, mx)
+
+        out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
+        return jnp.where(both, jnp.clip(out, mn, mx), out)
+
+    return jax.jit(fn)
+
+
+def cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs, damping,
+                      bitdepth):
+    """Same interface as recon.cdef.cdef_filter_batch; runs on device."""
+    n = len(ys)
+    nb = _bucket(n)
+
+    def pad(a, fill=0):
+        out = np.full(nb, fill, dtype=np.int32)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    out = _jit_filter(w, h, int(damping), int(bitdepth))(
+        jnp.asarray(canvas, dtype=jnp.int32), pad(ys, 2), pad(xs, 2),
+        pad(pri), pad(sec), pad(dirs))
+    return np.asarray(out)[:n].astype(np.int64)

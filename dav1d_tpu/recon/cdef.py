@@ -295,7 +295,9 @@ def cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs, damping,
 
     def acc_minmax(v):
         nonlocal mn, mx
-        u = np.where(v == INT16_MIN, np.int64(0xFFFF8000), v)
+        # any value above the pixel range works as the "ignore" sentinel
+        # for the unsigned-min trick (golden uses 0xFFFF8000)
+        u = np.where(v == INT16_MIN, np.int32(0x7FFF0000), v)
         np.minimum(mn, u, out=mn)
         np.maximum(mx, v, out=mx)
 
@@ -385,11 +387,19 @@ def cdef_frame(f) -> None:
     if not units:
         return
 
+    # device kernels win once the batch amortizes dispatch+transfer;
+    # small frames stay on the host numpy batch
+    use_device = len(units) >= 2048
+    if use_device:
+        from ..ops import cdef as dcdef
     src0 = f.planes[0]
     if dir_blocks:
         blk = np.stack([src0[by * 4 : by * 4 + 8, bx * 4 : bx * 4 + 8]
                         for by, bx in dir_blocks])
-        dirs_arr, vars_arr = cdef_find_dir_batch(blk, bitdepth)
+        if use_device:
+            dirs_arr, vars_arr = dcdef.cdef_find_dir_batch(blk, bitdepth)
+        else:
+            dirs_arr, vars_arr = cdef_find_dir_batch(blk, bitdepth)
     plane_units = {0: [], 1: [], 2: []}
     for by, bx, y_pri, y_sec, uv_pri, uv_sec, uv_on, dir_idx in units:
         dir_ = int(dirs_arr[dir_idx]) if dir_idx >= 0 else 0
@@ -415,14 +425,19 @@ def cdef_frame(f) -> None:
         sh = ss_hor if pl else 0
         w, h = 8 >> sh, 8 >> sv
         pw, ph = (f.bw * 4) >> sh, (f.bh * 4) >> sv
-        canvas = np.full((ph + 4, pw + 4), INT16_MIN, dtype=np.int64)
+        canvas = np.empty((ph + 4, pw + 4), dtype=np.int32)
+        canvas[:2] = INT16_MIN
+        canvas[-2:] = INT16_MIN
+        canvas[:, :2] = INT16_MIN
+        canvas[:, -2:] = INT16_MIN
         canvas[2 : 2 + ph, 2 : 2 + pw] = f.planes[pl][:ph, :pw]
         ys = np.array([u[0] + 2 for u in ul])
         xs = np.array([u[1] + 2 for u in ul])
         pri = np.array([u[2] for u in ul], dtype=np.int64)
         sec = np.array([u[3] for u in ul], dtype=np.int64)
         dirs = np.array([u[4] for u in ul], dtype=np.int64)
-        out = cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs,
-                                damping - (1 if pl else 0), bitdepth)
+        fb = dcdef.cdef_filter_batch if use_device else cdef_filter_batch
+        out = fb(canvas, ys, xs, w, h, pri, sec, dirs,
+                 damping - (1 if pl else 0), bitdepth)
         for i, u in enumerate(ul):
             f.planes[pl][u[0] : u[0] + h, u[1] : u[1] + w] = out[i]

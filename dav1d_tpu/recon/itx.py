@@ -775,13 +775,40 @@ def itx_add(plane, dst_y, dst_x, tx, txtp, cf, eob, bitdepth):
     col_max = ~col_min
 
     def rclip(v):
-        return min(max(v, row_min), row_max)
+        return np.clip(v, row_min, row_max)
 
     def cclip(v):
-        return min(max(v, col_min), col_max)
+        return np.clip(v, col_min, col_max)
 
     first_fn = _1D_FNS[(lw, row_t)]
     second_fn = _1D_FNS[(lh, col_t)]
+
+    if w * h >= 256:
+        # lane formulation (same shape as the batched device kernel,
+        # dav1d_tpu.ops.itx): the 1-D kernels are polymorphic over the
+        # lane container -- here each lane is an int64 numpy vector
+        grid = np.asarray(cf[: sw * sh], dtype=np.int64).reshape(sw, sh)
+        if is_rect2:
+            grid = (grid * 181 + 128) >> 8
+        zrow = np.zeros(sh, dtype=np.int64)
+        lanes = [grid[x].copy() if x < sw else zrow.copy()
+                 for x in range(w)]
+        first_fn(lanes, 0, 1, rclip)
+        mid = cclip((np.stack(lanes, axis=1) + rnd) >> shift)  # (sh, w)
+        zcol = np.zeros(w, dtype=np.int64)
+        lanes = [mid[y].copy() if y < sh else zcol.copy()
+                 for y in range(h)]
+        second_fn(lanes, 0, 1, cclip)
+        blk = np.stack(lanes, axis=0)  # (h, w)
+        np.clip(dst + ((blk + 8) >> 4), 0, maxp, out=dst)
+        return
+
+    # small transforms: scalar lanes beat numpy per-op overhead
+    def rclip_s(v):
+        return min(max(v, row_min), row_max)
+
+    def cclip_s(v):
+        return min(max(v, col_min), col_max)
 
     tmp = [0] * (w * h)
     for y in range(sh):
@@ -791,13 +818,10 @@ def itx_add(plane, dst_y, dst_x, tx, txtp, cf, eob, bitdepth):
         else:
             for x in range(sw):
                 tmp[y * w + x] = int(cf[y + x * sh])
-        first_fn(tmp, y * w, 1, rclip)
-
+        first_fn(tmp, y * w, 1, rclip_s)
     for i in range(w * sh):
-        tmp[i] = cclip((tmp[i] + rnd) >> shift)
-
+        tmp[i] = cclip_s((tmp[i] + rnd) >> shift)
     for x in range(w):
-        second_fn(tmp, x, w, cclip)
-
+        second_fn(tmp, x, w, cclip_s)
     blk = np.array(tmp, dtype=np.int64).reshape(h, w)
     np.clip(dst + ((blk + 8) >> 4), 0, maxp, out=dst)
