@@ -38,6 +38,8 @@ def _make_stream():
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     if not STREAM.exists():
         _make_stream()
     data = STREAM.read_bytes()
@@ -47,7 +49,14 @@ def main():
 
     tus = [tu for tu, _ in read_ivf(data)]
 
-    # warm-up decode (JIT compiles for the device stages)
+    # warm-up decode (JIT compiles for the device stages; the persistent
+    # compilation cache makes repeat runs cheap)
+    warm = Decoder(Settings(two_pass=True))
+    for tu in tus:
+        warm.send_data(tu)
+        while warm.get_picture() is not None:
+            pass
+
     dec = Decoder(Settings(two_pass=True))
     h = hashlib.md5()
     n = 0

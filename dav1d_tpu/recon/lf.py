@@ -307,11 +307,147 @@ def _loop_filter(plane, py, px, E, I, H, along_rows, wd, bitdepth):
                 put(1, max(0, min(maxp, q1 - f)))
 
 
-def _lf_sb(plane, py, px, vmask3, _unused, lvl_get, e_lut, i_lut, is_h, is_uv,
-           bitdepth):
+def _loop_filter_batch(plane, ys, xs, E, I, H, along_rows, wd, bitdepth):
+    """Vectorized _loop_filter over N 4-line edge segments of one width
+    class. Within a pass, segments never read each other's writes (edge
+    spacing >= the tx width implied by wd exceeds read+write reach), so
+    batching is exact (reference loop_filter, src/loopfilter_tmpl.c:36)."""
+    bd_m8 = bitdepth - 8
+    F = 1 << bd_m8
+    maxp = (1 << bitdepth) - 1
+    cd_lim = 128 << bd_m8
+    E = (E << bd_m8)[:, None]
+    I = (I << bd_m8)[:, None]
+    H = (H << bd_m8)[:, None]
+    m = {4: 2, 6: 3, 8: 4, 16: 7}[wd]
+    n = len(ys)
+    lines = np.arange(4)
+    taps = np.arange(2 * m) - m
+    if along_rows:  # vertical edge: lines advance down rows
+        ridx = ys[:, None, None] + lines[None, :, None]
+        cidx = xs[:, None, None] + taps[None, None, :]
+        W = plane[ridx, cidx].astype(np.int64)  # (N, 4, 2m)
+    else:           # horizontal edge: lines advance across columns
+        ridx = ys[:, None, None] + taps[None, :, None]
+        cidx = xs[:, None, None] + lines[None, None, :]
+        W = plane[ridx, cidx].astype(np.int64).transpose(0, 2, 1)
+
+    def P(k):
+        return W[:, :, m - 1 - k]
+
+    def Q(k):
+        return W[:, :, m + k]
+
+    p1, p0, q0, q1 = P(1), P(0), Q(0), Q(1)
+    fm = ((np.abs(p1 - p0) <= I) & (np.abs(q1 - q0) <= I)
+          & (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= E))
+    if wd > 4:
+        p2, q2 = P(2), Q(2)
+        fm &= (np.abs(p2 - p1) <= I) & (np.abs(q2 - q1) <= I)
+        if wd > 6:
+            p3, q3 = P(3), Q(3)
+            fm &= (np.abs(p3 - p2) <= I) & (np.abs(q3 - q2) <= I)
+
+    out = {}  # offset -> (cond, value)
+
+    def emit(o, cond, val):
+        if o in out:
+            pc, pv = out[o]
+            out[o] = (pc | cond, np.where(cond, val, pv))
+        else:
+            out[o] = (cond, val)
+
+    big = None
+    if wd >= 16:
+        p6, p5, p4 = P(6), P(5), P(4)
+        q4, q5, q6 = Q(4), Q(5), Q(6)
+        flat8out = ((np.abs(p6 - p0) <= F) & (np.abs(p5 - p0) <= F)
+                    & (np.abs(p4 - p0) <= F) & (np.abs(q4 - q0) <= F)
+                    & (np.abs(q5 - q0) <= F) & (np.abs(q6 - q0) <= F))
+    flat8in = None
+    if wd >= 6:
+        flat8in = ((np.abs(p2 - p0) <= F) & (np.abs(p1 - p0) <= F)
+                   & (np.abs(q1 - q0) <= F) & (np.abs(q2 - q0) <= F))
+        if wd >= 8:
+            flat8in &= (np.abs(p3 - p0) <= F) & (np.abs(q3 - q0) <= F)
+
+    if wd >= 16:
+        big = fm & flat8out & flat8in
+        emit(-6, big, (p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0
+                       + 8) >> 4)
+        emit(-5, big, (p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0
+                       + q0 + q1 + 8) >> 4)
+        emit(-4, big, (p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0
+                       + q0 + q1 + q2 + 8) >> 4)
+        emit(-3, big, (p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0
+                       + q0 + q1 + q2 + q3 + 8) >> 4)
+        emit(-2, big, (p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2
+                       + q0 + q1 + q2 + q3 + q4 + 8) >> 4)
+        emit(-1, big, (p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2
+                       + q1 + q2 + q3 + q4 + q5 + 8) >> 4)
+        emit(0, big, (p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 * 2
+                      + q2 + q3 + q4 + q5 + q6 + 8) >> 4)
+        emit(1, big, (p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 * 2
+                      + q3 + q4 + q5 + q6 * 2 + 8) >> 4)
+        emit(2, big, (p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 + q3 * 2
+                      + q4 + q5 + q6 * 3 + 8) >> 4)
+        emit(3, big, (p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 * 2
+                      + q5 + q6 * 4 + 8) >> 4)
+        emit(4, big, (p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 * 2
+                      + q6 * 5 + 8) >> 4)
+        emit(5, big, (p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2 + q6 * 7
+                      + 8) >> 4)
+
+    notbig = fm if big is None else (fm & ~big)
+    if wd >= 8:
+        mid = notbig & flat8in
+        emit(-3, mid, (p3 + p3 + p3 + 2 * p2 + p1 + p0 + q0 + 4) >> 3)
+        emit(-2, mid, (p3 + p3 + p2 + 2 * p1 + p0 + q0 + q1 + 4) >> 3)
+        emit(-1, mid, (p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3)
+        emit(0, mid, (p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3)
+        emit(1, mid, (p1 + p0 + q0 + 2 * q1 + q2 + q3 + q3 + 4) >> 3)
+        emit(2, mid, (p0 + q0 + q1 + 2 * q2 + q3 + q3 + q3 + 4) >> 3)
+        narrow = notbig & ~flat8in
+    elif wd == 6:
+        mid = notbig & flat8in
+        emit(-2, mid, (p2 + 2 * p2 + 2 * p1 + 2 * p0 + q0 + 4) >> 3)
+        emit(-1, mid, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+        emit(0, mid, (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3)
+        emit(1, mid, (p0 + 2 * q0 + 2 * q1 + 2 * q2 + q2 + 4) >> 3)
+        narrow = notbig & ~flat8in
+    else:
+        narrow = fm
+
+    def iclip_diff(v):
+        return np.clip(v, -cd_lim, cd_lim - 1)
+
+    hev = (np.abs(p1 - p0) > H) | (np.abs(q1 - q0) > H)
+    fh = iclip_diff(3 * (q0 - p0) + iclip_diff(p1 - q1))
+    fnh = iclip_diff(3 * (q0 - p0))
+    fv = np.where(hev, fh, fnh)
+    f1 = np.minimum(fv + 4, cd_lim - 1) >> 3
+    f2 = np.minimum(fv + 3, cd_lim - 1) >> 3
+    emit(-1, narrow, np.clip(p0 + f2, 0, maxp))
+    emit(0, narrow, np.clip(q0 - f1, 0, maxp))
+    nh = narrow & ~hev
+    fo = (f1 + 1) >> 1
+    emit(-2, nh, np.clip(p1 + fo, 0, maxp))
+    emit(1, nh, np.clip(q1 - fo, 0, maxp))
+
+    for o, (cond, val) in out.items():
+        final = np.where(cond, val, W[:, :, m + o])
+        if along_rows:
+            plane[ys[:, None] + lines[None, :], (xs + o)[:, None]] = final
+        else:
+            plane[(ys + o)[:, None], xs[:, None] + lines[None, :]] = final
+
+
+def _lf_sb(sink, py, px, vmask3, _unused, lvl_get, e_lut, i_lut, is_h,
+           is_uv, bitdepth):
     """loop_filter_sb128{y,uv} over one 4px-aligned strip
-    (reference src/loopfilter_tmpl.c:163-241).
-    is_h: filtering across VERTICAL edges (dav1d 'h' = horizontal taps)."""
+    (reference src/loopfilter_tmpl.c:163-241). Collects segments into
+    sink[wd] for the batched filter (is_h: filtering across VERTICAL
+    edges = the reference's 'h' horizontal-tap direction)."""
     vm = vmask3[0] | vmask3[1] | (vmask3[2] if not is_uv else 0)
     i = 0
     bit = 1
@@ -330,13 +466,21 @@ def _lf_sb(plane, py, px, vmask3, _unused, lvl_get, e_lut, i_lut, is_h, is_uv,
                     idx = int(bool(vmask3[1] & bit))
                     wd = 4 + 2 * idx
                 if is_h:
-                    _loop_filter(plane, py + 4 * i, px, E, I, H, True, wd,
-                                 bitdepth)
+                    sink[wd].append((py + 4 * i, px, E, I, H))
                 else:
-                    _loop_filter(plane, py, px + 4 * i, E, I, H, False, wd,
-                                 bitdepth)
+                    sink[wd].append((py, px + 4 * i, E, I, H))
         bit <<= 1
         i += 1
+
+
+def _lf_flush(plane, sink, along_rows, bitdepth):
+    for wd, segs in sink.items():
+        if not segs:
+            continue
+        a = np.array(segs, dtype=np.int64)
+        _loop_filter_batch(plane, a[:, 0], a[:, 1], a[:, 2], a[:, 3],
+                           a[:, 4], along_rows, wd, bitdepth)
+        segs.clear()
 
 
 def loopfilter_sbrow_cols(f, sby, start_of_tile_row):
@@ -352,6 +496,9 @@ def loopfilter_sbrow_cols(f, sby, start_of_tile_row):
     level = f.lf_level
     py0 = sby * f.sb_step * 4
     cpy0 = py0 >> ss_ver
+    y_sink = {4: [], 6: [], 8: [], 16: []}
+    uv_sinks = {1: {4: [], 6: [], 8: [], 16: []},
+                2: {4: [], 6: [], 8: [], 16: []}}
 
     if f.frame_hdr.tiling.cols > 1 or (start_of_tile_row and
                                        f.frame_hdr.tiling.rows > 1):
@@ -379,8 +526,9 @@ def loopfilter_sbrow_cols(f, sby, start_of_tile_row):
             def lvl_get(i, off, col=col):
                 return int(level[row0 + i, col + off, 0])
 
-            _lf_sb(f.planes[0], py0, col * 4, hm, None, lvl_get,
+            _lf_sb(y_sink, py0, col * 4, hm, None, lvl_get,
                    e_lut, i_lut, True, False, f.bitdepth)
+    _lf_flush(f.planes[0], y_sink, True, f.bitdepth)
 
     if not f.frame_hdr.loopfilter.level_u and \
             not f.frame_hdr.loopfilter.level_v:
@@ -409,8 +557,10 @@ def loopfilter_sbrow_cols(f, sby, start_of_tile_row):
                 def lvl_get(i, off, ccol=ccol, pl=pl):
                     return int(level[crow0 + i, ccol + off, 1 + pl])
 
-                _lf_sb(f.planes[pl], cpy0, ccol * 4, hm + [0], None, lvl_get,
+                _lf_sb(uv_sinks[pl], cpy0, ccol * 4, hm + [0], None, lvl_get,
                        e_lut, i_lut, True, True, f.bitdepth)
+    for pl in (1, 2):
+        _lf_flush(f.planes[pl], uv_sinks[pl], True, f.bitdepth)
 
 
 def loopfilter_sbrow_rows(f, sby):
@@ -426,6 +576,9 @@ def loopfilter_sbrow_rows(f, sby):
     mask_base = (sby >> is_sb64) * f.sb128w
     level = f.lf_level
     py0 = sby * f.sb_step * 4
+    y_sink = {4: [], 6: [], 8: [], 16: []}
+    uv_sinks = {1: {4: [], 6: [], 8: [], 16: []},
+                2: {4: [], 6: [], 8: [], 16: []}}
 
     for x128 in range(f.sb128w):
         m = f.lf_masks[mask_base + x128]
@@ -443,8 +596,9 @@ def loopfilter_sbrow_rows(f, sby):
             def lvl_get(i, off, row=row):
                 return int(level[row + off, colb + i, 1])
 
-            _lf_sb(f.planes[0], py0 + (y - starty4) * 4, colb * 4, vm, None,
+            _lf_sb(y_sink, py0 + (y - starty4) * 4, colb * 4, vm, None,
                    lvl_get, e_lut, i_lut, False, False, f.bitdepth)
+    _lf_flush(f.planes[0], y_sink, False, f.bitdepth)
 
     if not f.frame_hdr.loopfilter.level_u and \
             not f.frame_hdr.loopfilter.level_v:
@@ -467,9 +621,11 @@ def loopfilter_sbrow_rows(f, sby):
                 def lvl_get(i, off, crow=crow, pl=pl):
                     return int(level[crow + off, ccolb + i, 1 + pl])
 
-                _lf_sb(f.planes[pl], cpy0 + (y - cs4) * 4, ccolb * 4,
+                _lf_sb(uv_sinks[pl], cpy0 + (y - cs4) * 4, ccolb * 4,
                        vm + [0], None, lvl_get, e_lut, i_lut, False, True,
                        f.bitdepth)
+    for pl in (1, 2):
+        _lf_flush(f.planes[pl], uv_sinks[pl], False, f.bitdepth)
 
 
 def _fix_tile_boundaries(f, sby, starty4, endy4, uv_endy4, start_of_tile_row):
