@@ -20,7 +20,7 @@ from ..levels import (
     BlockLevel, BlockPartition as BP, BlockSize, IntraPredMode as M,
     TxfmSize, CFL_ALLOWED_MASK, N_PARTITIONS,
 )
-from ..msac import Msac
+from ..msac import Msac, make_msac
 from ..debug import trace
 
 
@@ -98,8 +98,9 @@ class TileState:
         self.cdf = f.in_cdf.copy()
         self.last_qidx = hdr.quant.yac
         self.last_delta_lf = [0, 0, 0, 0]
-        self.msac = Msac(data, start, end,
-                         disable_cdf_update=bool(hdr.disable_cdf_update))
+        self.msac = make_msac(
+            data, start, end,
+            disable_cdf_update=bool(hdr.disable_cdf_update))
         self.tiling_row = tile_row
         self.tiling_col = tile_col
         sb_shift = f.sb_shift

@@ -178,3 +178,78 @@ def _inv_recenter(r: int, v: int) -> int:
     if v & 1:
         return r - ((v + 1) >> 1)
     return (v >> 1) + r
+
+
+# --- native fast path --------------------------------------------------------
+
+from .native import CMsac, lib as _native  # noqa: E402
+
+if _native is not None:
+    import ctypes
+
+    class MsacNative:
+        """ctypes front-end to the C MSAC core (bit-identical to Msac)."""
+
+        __slots__ = ("s", "_data")
+
+        def __init__(self, data, start: int = 0, end: int | None = None,
+                     disable_cdf_update: bool = False):
+            self._data = data  # keep the buffer alive
+            self.s = CMsac()
+            buf = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p)
+            _native.dtpu_msac_init(
+                ctypes.byref(self.s), buf, start,
+                len(data) if end is None else end,
+                int(disable_cdf_update))
+
+        @property
+        def rng(self):
+            return self.s.rng
+
+        @property
+        def cnt(self):
+            return self.s.cnt
+
+        @property
+        def dif(self):
+            return self.s.dif
+
+        @property
+        def allow_update_cdf(self):
+            return bool(self.s.allow_update_cdf)
+
+        def decode_bool_equi(self):
+            return _native.dtpu_decode_bool_equi(ctypes.byref(self.s))
+
+        def decode_bool(self, f):
+            return _native.dtpu_decode_bool(ctypes.byref(self.s), f)
+
+        def decode_bool_adapt(self, cdf):
+            return _native.dtpu_decode_bool_adapt(
+                ctypes.byref(self.s), cdf.ctypes.data)
+
+        def decode_symbol_adapt(self, cdf, n_symbols):
+            return _native.dtpu_decode_symbol_adapt(
+                ctypes.byref(self.s), cdf.ctypes.data, n_symbols)
+
+        def decode_hi_tok(self, cdf):
+            return _native.dtpu_decode_hi_tok(
+                ctypes.byref(self.s), cdf.ctypes.data)
+
+        def decode_bools(self, n):
+            return _native.dtpu_decode_bools(ctypes.byref(self.s), n)
+
+        def decode_uniform(self, n):
+            return _native.dtpu_decode_uniform(ctypes.byref(self.s), n)
+
+        def decode_subexp(self, ref, n, k):
+            return _native.dtpu_decode_subexp(ctypes.byref(self.s), ref,
+                                              n, k)
+
+    def make_msac(data, start=0, end=None, disable_cdf_update=False):
+        return MsacNative(data, start, end, disable_cdf_update)
+else:
+    MsacNative = None
+
+    def make_msac(data, start=0, end=None, disable_cdf_update=False):
+        return Msac(data, start, end, disable_cdf_update)

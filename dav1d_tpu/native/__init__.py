@@ -1,0 +1,95 @@
+"""Native (C) entropy-decode core: build-on-import + ctypes bindings.
+
+The host side of the decoder is Amdahl-bound by the serial MSAC symbol
+loop (SURVEY.md §7 design stance); this module provides the C fast path
+with bit-identical semantics to dav1d_tpu.msac / recon.coef. Set
+DAV1D_TPU_NO_NATIVE=1 to force the pure-Python reference path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "msac_coef.c"
+
+
+def _build() -> Path | None:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = Path("/tmp") / f"dav1d_tpu_native_{tag}.so"
+    if out.exists():
+        return out
+    try:
+        subprocess.run(
+            ["cc", "-O3", "-shared", "-fPIC", "-std=c11",
+             str(_SRC), "-o", str(out)],
+            check=True, capture_output=True)
+    except Exception:
+        return None
+    return out
+
+
+class CMsac(ctypes.Structure):
+    _fields_ = [
+        ("buf", ctypes.c_void_p),
+        ("pos", ctypes.c_uint64),
+        ("end", ctypes.c_uint64),
+        ("dif", ctypes.c_uint64),
+        ("rng", ctypes.c_uint32),
+        ("cnt", ctypes.c_int32),
+        ("allow_update_cdf", ctypes.c_int32),
+    ]
+
+
+def _load():
+    if os.environ.get("DAV1D_TPU_NO_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    P = ctypes.POINTER
+    u16p = ctypes.c_void_p  # numpy .ctypes.data
+    lib.dtpu_msac_init.argtypes = [P(CMsac), ctypes.c_void_p,
+                                   ctypes.c_uint64, ctypes.c_uint64,
+                                   ctypes.c_int]
+    for name in ("dtpu_decode_bool_equi",):
+        getattr(lib, name).argtypes = [P(CMsac)]
+        getattr(lib, name).restype = ctypes.c_int
+    lib.dtpu_decode_bool.argtypes = [P(CMsac), ctypes.c_uint]
+    lib.dtpu_decode_bool.restype = ctypes.c_int
+    lib.dtpu_decode_bool_adapt.argtypes = [P(CMsac), u16p]
+    lib.dtpu_decode_bool_adapt.restype = ctypes.c_int
+    lib.dtpu_decode_symbol_adapt.argtypes = [P(CMsac), u16p,
+                                             ctypes.c_size_t]
+    lib.dtpu_decode_symbol_adapt.restype = ctypes.c_int
+    lib.dtpu_decode_hi_tok.argtypes = [P(CMsac), u16p]
+    lib.dtpu_decode_hi_tok.restype = ctypes.c_int
+    lib.dtpu_decode_bools.argtypes = [P(CMsac), ctypes.c_uint]
+    lib.dtpu_decode_bools.restype = ctypes.c_uint
+    lib.dtpu_decode_uniform.argtypes = [P(CMsac), ctypes.c_uint]
+    lib.dtpu_decode_uniform.restype = ctypes.c_int
+    lib.dtpu_decode_subexp.argtypes = [P(CMsac), ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_uint]
+    lib.dtpu_decode_subexp.restype = ctypes.c_int
+    lib.dtpu_decode_coefs_tail.argtypes = [
+        P(CMsac),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u16p, ctypes.c_int,      # eob_bin cdf, nsym
+        u16p, u16p, u16p, u16p, u16p,  # eob_hi, eob_base, base, br, dc_sign
+        ctypes.c_void_p, ctypes.c_void_p,  # scan, lo_ctx_offsets
+        ctypes.c_int,            # dc_sign_ctx
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_uint32,         # dq0, dq1, qm, dq_shift, cf_max
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+    lib.dtpu_decode_coefs_tail.restype = ctypes.c_int
+    return lib
+
+
+lib = _load()

@@ -1,0 +1,463 @@
+/* Native entropy-decode core: MSAC range decoder + the coefficient
+ * decode tail (the decoder's Amdahl bottleneck).
+ *
+ * Bit-exact with the Python reference implementations
+ * (dav1d_tpu/msac.py, dav1d_tpu/recon/coef.py); semantics follow the
+ * AV1 spec 8.2 symbol decoder with the reference's windowed formulation
+ * (reference src/msac.c:36-220) and the coefficient parse of reference
+ * decode_coefs (src/recon_tmpl.c:321-730).
+ *
+ * Built at import time with the system compiler (no pip deps); driven
+ * via ctypes. CDF arrays are the caller's numpy uint16 buffers, mutated
+ * in place exactly like the Python path.
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+#define EC_PROB_SHIFT 6
+#define EC_MIN_PROB 4
+#define EC_WIN_SIZE 64
+
+typedef struct {
+    const uint8_t *buf;
+    uint64_t pos, end;
+    uint64_t dif;
+    uint32_t rng;
+    int32_t cnt;
+    int32_t allow_update_cdf;
+} DtpuMsac;
+
+static inline int ulog2_u32(uint32_t v) {
+    return 31 - __builtin_clz(v);
+}
+
+static void refill(DtpuMsac *s) {
+    int c = EC_WIN_SIZE - s->cnt - 24;
+    uint64_t dif = s->dif;
+    uint64_t pos = s->pos, end = s->end;
+    const uint8_t *buf = s->buf;
+    for (;;) {
+        if (pos >= end) {
+            dif |= ~(~(uint64_t)0xFF << c);
+            break;
+        }
+        dif |= (uint64_t)(buf[pos] ^ 0xFF) << c;
+        pos++;
+        c -= 8;
+        if (c < 0)
+            break;
+    }
+    s->dif = dif;
+    s->cnt = EC_WIN_SIZE - c - 24;
+    s->pos = pos;
+}
+
+static inline void norm(DtpuMsac *s, uint64_t dif, uint32_t rng) {
+    int d = 15 ^ ulog2_u32(rng);
+    int cnt = s->cnt;
+    s->dif = dif << d;
+    s->rng = rng << d;
+    s->cnt = cnt - d;
+    if (cnt >= 0 && cnt < d)
+        refill(s);
+}
+
+void dtpu_msac_init(DtpuMsac *s, const uint8_t *buf, uint64_t start,
+                    uint64_t end, int disable_cdf_update) {
+    s->buf = buf;
+    s->pos = start;
+    s->end = end;
+    s->dif = 0;
+    s->rng = 0x8000;
+    s->cnt = -15;
+    s->allow_update_cdf = !disable_cdf_update;
+    refill(s);
+}
+
+int dtpu_decode_bool_equi(DtpuMsac *s) {
+    uint32_t r = s->rng;
+    uint64_t dif = s->dif;
+    uint32_t v = ((r >> 8) << 7) + EC_MIN_PROB;
+    uint64_t vw = (uint64_t)v << (EC_WIN_SIZE - 16);
+    int ret;
+    if (dif >= vw) {
+        dif -= vw;
+        v = r - v;
+        ret = 0;
+    } else {
+        ret = 1;
+    }
+    norm(s, dif, v);
+    return ret;
+}
+
+int dtpu_decode_bool(DtpuMsac *s, unsigned f) {
+    uint32_t r = s->rng;
+    uint64_t dif = s->dif;
+    uint32_t v = ((r >> 8) * (f >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT))
+                 + EC_MIN_PROB;
+    uint64_t vw = (uint64_t)v << (EC_WIN_SIZE - 16);
+    int ret;
+    if (dif >= vw) {
+        dif -= vw;
+        v = r - v;
+        ret = 0;
+    } else {
+        ret = 1;
+    }
+    norm(s, dif, v);
+    return ret;
+}
+
+int dtpu_decode_symbol_adapt(DtpuMsac *s, uint16_t *cdf, size_t n_symbols) {
+    uint32_t c = (uint32_t)(s->dif >> (EC_WIN_SIZE - 16));
+    uint32_t r = s->rng >> 8;
+    int val = -1;
+    uint32_t v = s->rng, u;
+    do {
+        val++;
+        u = v;
+        v = r * (cdf[val] >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT);
+        v += EC_MIN_PROB * ((unsigned)n_symbols - val);
+    } while (c < v);
+    norm(s, s->dif - ((uint64_t)v << (EC_WIN_SIZE - 16)), u - v);
+
+    if (s->allow_update_cdf) {
+        uint16_t count = cdf[n_symbols];
+        int rate = 4 + (count >> 4) + (n_symbols > 2);
+        int i = 0;
+        for (; i < val; i++)
+            cdf[i] += (32768 - cdf[i]) >> rate;
+        for (; i < (int)n_symbols; i++)
+            cdf[i] -= cdf[i] >> rate;
+        cdf[n_symbols] = count + (count < 32);
+    }
+    return val;
+}
+
+int dtpu_decode_bool_adapt(DtpuMsac *s, uint16_t *cdf) {
+    int bit = dtpu_decode_bool(s, cdf[0]);
+    if (s->allow_update_cdf) {
+        uint16_t count = cdf[1];
+        int rate = 4 + (count >> 4);
+        if (bit)
+            cdf[0] += (32768 - cdf[0]) >> rate;
+        else
+            cdf[0] -= cdf[0] >> rate;
+        cdf[1] = count + (count < 32);
+    }
+    return bit;
+}
+
+int dtpu_decode_hi_tok(DtpuMsac *s, uint16_t *cdf) {
+    int tok_br = dtpu_decode_symbol_adapt(s, cdf, 3);
+    int tok = 3 + tok_br;
+    if (tok_br == 3) {
+        tok_br = dtpu_decode_symbol_adapt(s, cdf, 3);
+        tok = 6 + tok_br;
+        if (tok_br == 3) {
+            tok_br = dtpu_decode_symbol_adapt(s, cdf, 3);
+            tok = 9 + tok_br;
+            if (tok_br == 3)
+                tok = 12 + dtpu_decode_symbol_adapt(s, cdf, 3);
+        }
+    }
+    return tok;
+}
+
+unsigned dtpu_decode_bools(DtpuMsac *s, unsigned n) {
+    unsigned v = 0;
+    while (n--)
+        v = (v << 1) | dtpu_decode_bool_equi(s);
+    return v;
+}
+
+int dtpu_decode_uniform(DtpuMsac *s, unsigned n) {
+    int l = ulog2_u32(n) + 1;
+    unsigned m = (1u << l) - n;
+    unsigned v = dtpu_decode_bools(s, l - 1);
+    return v < m ? (int)v : (int)((v << 1) - m + dtpu_decode_bool_equi(s));
+}
+
+static int inv_recenter(unsigned r, unsigned v) {
+    if (v > 2 * r)
+        return v;
+    if (v & 1)
+        return r - ((v + 1) >> 1);
+    return (v >> 1) + r;
+}
+
+int dtpu_decode_subexp(DtpuMsac *s, int ref, int n, unsigned k) {
+    unsigned a = 0;
+    if (dtpu_decode_bool_equi(s)) {
+        if (dtpu_decode_bool_equi(s))
+            k += dtpu_decode_bool_equi(s) + 1;
+        a = 1u << k;
+    }
+    unsigned v = dtpu_decode_bools(s, k) + a;
+    return ref * 2 <= n ? inv_recenter(ref, v)
+                        : n - 1 - inv_recenter(n - 1 - ref, v);
+}
+
+static int read_golomb(DtpuMsac *s) {
+    int len = 0;
+    unsigned val = 1;
+    while (!dtpu_decode_bool_equi(s) && len < 32)
+        len++;
+    while (len--)
+        val = (val << 1) + dtpu_decode_bool_equi(s);
+    return val - 1;
+}
+
+/* ---- coefficient decode tail (post-txtp) ------------------------------- */
+
+#define TX_CLASS_2D 0
+#define TX_CLASS_H 1
+#define TX_CLASS_V 2
+
+static inline int get_lo_ctx(const uint8_t *levels, int base, int tx_class,
+                             const uint8_t *ctx_offsets, unsigned x,
+                             unsigned y, int stride, unsigned *out_mag) {
+    unsigned mag = levels[base + stride + 0] + levels[base + 1];
+    unsigned offset;
+    if (tx_class == TX_CLASS_2D) {
+        mag += levels[base + stride + 1];
+        *out_mag = mag;
+        mag += levels[base + 2] + levels[base + 2 * stride];
+        offset = ctx_offsets[5 * (y < 4 ? y : 4) + (x < 4 ? x : 4)];
+    } else {
+        mag += levels[base + 2];
+        *out_mag = mag;
+        mag += levels[base + 3] + levels[base + 4];
+        offset = 26 + (y > 1 ? 10 : y * 5);
+    }
+    return offset + (mag > 512 ? 4 : (mag + 64) >> 7);
+}
+
+/* Returns res_ctx (cul_level | dc_sign_level); fills cf, *eob_out.
+ * cdf row pointers are pre-selected by the caller. */
+int dtpu_decode_coefs_tail(
+    DtpuMsac *s,
+    int tctx, int chroma, int tx2dszctx, int tx_class, int slw, int slh,
+    int dbg_tx_is_rect_nonsq,          /* (tx >= RTX_4X8) + (tx & that) */
+    uint16_t *eob_bin_cdf, int eob_bin_nsym,
+    uint16_t *eob_hi_bit_cdf,          /* (9, 2) row-major */
+    uint16_t *eob_base_tok_cdf,        /* (4, 4) */
+    uint16_t *base_tok_cdf,            /* (41, 4) */
+    uint16_t *br_tok_cdf,              /* (21, 4) */
+    uint16_t *dc_sign_cdf,             /* (3, 2) */
+    const uint16_t *scan,              /* or NULL for 1-D classes */
+    const uint8_t *lo_ctx_offsets,     /* (5,5) or NULL */
+    int dc_sign_ctx,
+    int dq0, int dq1, const uint8_t *qm, int dq_shift, uint32_t cf_max,
+    int32_t *cf, uint8_t *levels_buf, int *eob_out)
+{
+    /* eob */
+    int eob = dtpu_decode_symbol_adapt(s, eob_bin_cdf, eob_bin_nsym);
+    if (eob > 1) {
+        int eob_bin = eob - 2;
+        int hi = dtpu_decode_bool_adapt(s, &eob_hi_bit_cdf[2 * eob_bin]);
+        eob = ((hi | 2) << eob_bin) | dtpu_decode_bools(s, eob_bin);
+    }
+    *eob_out = eob;
+
+    unsigned rc = 0;
+    unsigned dc_tok;
+    int stride, shift, shift2, mask;
+    uint8_t *levels = levels_buf;
+
+    if (eob) {
+        if (tx_class == TX_CLASS_2D) {
+            stride = 4 << slh;
+            shift = slh + 2;
+            shift2 = 0;
+            mask = (4 << slh) - 1;
+            memset(levels, 0, (size_t)stride * ((4 << slw) + 2));
+        } else if (tx_class == TX_CLASS_H) {
+            stride = 16;
+            shift = slh + 2;
+            shift2 = 0;
+            mask = (4 << slh) - 1;
+            memset(levels, 0, (size_t)stride * ((4 << slh) + 2));
+        } else {
+            stride = 16;
+            shift = slw + 2;
+            shift2 = slh + 2;
+            mask = (4 << slw) - 1;
+            memset(levels, 0, (size_t)stride * ((4 << slw) + 2));
+        }
+
+        int ctx = 1 + (eob > (2 << tx2dszctx)) + (eob > (4 << tx2dszctx));
+        int eob_tok = dtpu_decode_symbol_adapt(
+            s, &eob_base_tok_cdf[4 * ctx], 2);
+        unsigned tok = eob_tok + 1;
+        unsigned level_tok = tok * 0x41;
+        unsigned x, y;
+        if (tx_class == TX_CLASS_2D) {
+            rc = scan[eob];
+            x = rc >> shift;
+            y = rc & mask;
+        } else if (tx_class == TX_CLASS_H) {
+            x = eob & mask;
+            y = eob >> shift;
+            rc = eob;
+        } else {
+            x = eob & mask;
+            y = eob >> shift;
+            rc = (x << shift2) | y;
+        }
+        if (eob_tok == 2) {
+            ctx = (tx_class == TX_CLASS_2D ? (x | y) > 1 : y != 0) ? 14 : 7;
+            tok = dtpu_decode_hi_tok(s, &br_tok_cdf[4 * ctx]);
+            level_tok = tok + (3 << 6);
+        }
+        cf[rc] = tok << 11;
+        int lvl_base = tx_class == TX_CLASS_2D ? (int)rc
+                                               : (int)(x * stride + y);
+        levels[lvl_base] = level_tok & 0xFF;
+
+        for (int i = eob - 1; i > 0; i--) {
+            unsigned rc_i;
+            if (tx_class == TX_CLASS_2D) {
+                rc_i = scan[i];
+                x = rc_i >> shift;
+                y = rc_i & mask;
+            } else if (tx_class == TX_CLASS_H) {
+                x = i & mask;
+                y = i >> shift;
+                rc_i = i;
+            } else {
+                x = i & mask;
+                y = i >> shift;
+                rc_i = (x << shift2) | y;
+            }
+            lvl_base = tx_class == TX_CLASS_2D ? (int)rc_i
+                                               : (int)(x * stride + y);
+            unsigned mag;
+            ctx = get_lo_ctx(levels, lvl_base, tx_class, lo_ctx_offsets,
+                             x, y, stride, &mag);
+            if (tx_class == TX_CLASS_2D)
+                y |= x;
+            tok = dtpu_decode_symbol_adapt(s, &base_tok_cdf[4 * ctx], 3);
+            if (tok == 3) {
+                mag &= 63;
+                ctx = (y > (unsigned)(tx_class == TX_CLASS_2D) ? 14 : 7)
+                      + (mag > 12 ? 6 : (mag + 1) >> 1);
+                tok = dtpu_decode_hi_tok(s, &br_tok_cdf[4 * ctx]);
+                levels[lvl_base] = (tok + (3 << 6)) & 0xFF;
+                cf[rc_i] = (int32_t)((tok << 11) | rc);
+                rc = rc_i;
+            } else {
+                tok *= 0x17FF41u;
+                levels[lvl_base] = tok & 0xFF;
+                tok = (tok >> 9) & (rc + ~0x7FFu);
+                if (tok)
+                    rc = rc_i;
+                cf[rc_i] = (int32_t)tok;
+            }
+        }
+
+        /* dc */
+        unsigned mag = 0;
+        if (tx_class == TX_CLASS_2D) {
+            ctx = 0;
+        } else {
+            ctx = get_lo_ctx(levels, 0, tx_class, lo_ctx_offsets, 0, 0,
+                             stride, &mag);
+        }
+        dc_tok = dtpu_decode_symbol_adapt(s, &base_tok_cdf[4 * ctx], 3);
+        if (dc_tok == 3) {
+            if (tx_class == TX_CLASS_2D)
+                mag = (unsigned)levels[1] + levels[stride]
+                      + levels[stride + 1];
+            mag &= 63;
+            ctx = mag > 12 ? 6 : (mag + 1) >> 1;
+            dc_tok = dtpu_decode_hi_tok(s, &br_tok_cdf[4 * ctx]);
+        }
+    } else {
+        int tok_br = dtpu_decode_symbol_adapt(s, &eob_base_tok_cdf[0], 2);
+        dc_tok = 1 + tok_br;
+        if (tok_br == 2)
+            dc_tok = dtpu_decode_hi_tok(s, &br_tok_cdf[0]);
+        rc = 0;
+    }
+
+    /* dequant */
+    unsigned cul_level;
+    unsigned dc_sign_level;
+
+    if (!dc_tok) {
+        cul_level = 0;
+        dc_sign_level = 1 << 6;
+    } else {
+        int dc_sign = dtpu_decode_bool_adapt(s, dc_sign_cdf + 2 * dc_sign_ctx);
+        unsigned dc_dq = dq0;
+        dc_sign_level = (dc_sign - 1) & (2 << 6);
+        if (qm) {
+            dc_dq = (dc_dq * qm[0] + 16) >> 5;
+            if (dc_tok == 15) {
+                dc_tok = (read_golomb(s) + 15) & 0xFFFFF;
+                dc_dq = (dc_dq * dc_tok) & 0xFFFFFF;
+            } else {
+                dc_dq *= dc_tok;
+            }
+            cul_level = dc_tok;
+            dc_dq >>= dq_shift;
+            if (dc_dq > cf_max + dc_sign)
+                dc_dq = cf_max + dc_sign;
+            cf[0] = dc_sign ? -(int32_t)dc_dq : (int32_t)dc_dq;
+        } else {
+            if (dc_tok == 15) {
+                dc_tok = (read_golomb(s) + 15) & 0xFFFFF;
+                dc_dq = ((dc_dq * dc_tok) & 0xFFFFFF) >> dq_shift;
+                if (dc_dq > cf_max + dc_sign)
+                    dc_dq = cf_max + dc_sign;
+            } else {
+                dc_dq = (dc_dq * dc_tok) >> dq_shift;
+            }
+            cul_level = dc_tok;
+            cf[0] = dc_sign ? -(int32_t)dc_dq : (int32_t)dc_dq;
+        }
+    }
+
+    if (rc) {
+        unsigned ac_dq = dq1;
+        for (;;) {
+            int sign = dtpu_decode_bool_equi(s);
+            unsigned rc_tok = (unsigned)cf[rc];
+            unsigned tok, dq;
+            if (qm) {
+                dq = (ac_dq * qm[rc] + 16) >> 5;
+                if (rc_tok >= (15u << 11)) {
+                    tok = (read_golomb(s) + 15) & 0xFFFFF;
+                    dq = (dq * tok) & 0xFFFFFF;
+                } else {
+                    tok = rc_tok >> 11;
+                    dq *= tok;
+                }
+                dq >>= dq_shift;
+                if (dq > cf_max + sign)
+                    dq = cf_max + sign;
+            } else {
+                if (rc_tok >= (15u << 11)) {
+                    tok = (read_golomb(s) + 15) & 0xFFFFF;
+                    dq = ((ac_dq * tok) & 0xFFFFFF) >> dq_shift;
+                    if (dq > cf_max + sign)
+                        dq = cf_max + sign;
+                } else {
+                    tok = rc_tok >> 11;
+                    dq = (ac_dq * tok) >> dq_shift;
+                }
+            }
+            cul_level += tok;
+            cf[rc] = sign ? -(int32_t)dq : (int32_t)dq;
+            rc = rc_tok & 0x3FF;
+            if (!rc)
+                break;
+        }
+    }
+
+    return (int)((cul_level < 63 ? cul_level : 63) | dc_sign_level);
+}

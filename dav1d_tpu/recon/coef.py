@@ -4,7 +4,13 @@ dequant)."""
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
+
+from .. import debug
+from ..msac import MsacNative
+from ..native import lib as _native
 
 from .. import tables
 from ..debug import trace
@@ -143,6 +149,26 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane,
     tx_class = TxClass(int(tables.tx_type_class[txtp]))
     is_1d = int(tx_class != TxClass.TWO_D)
     coef = ts.cdf.coef
+
+    dq_tbl = ts.dq[b.seg_id][plane]
+    qm_tbl = f.qm.get((tx, plane)) if txtp < TxfmType.IDTX else None
+    if _native is not None and isinstance(msac, MsacNative) \
+            and not debug.TRACE:
+        eob, cf, res_ctx = _decode_coefs_tail_native(
+            ts, msac, f, a, a_off, l, l_off, tx, plane, chroma,
+            tctx, tx2dszctx, tx_class, slw, slh, txtp, dq_tbl, qm_tbl)
+        return eob, txtp, cf, res_ctx
+    eob, cf, res_ctx = _decode_coefs_tail_py(
+        msac, coef, a, a_off, l, l_off, tx, plane, chroma, tctx,
+        tx2dszctx, tx_class, slw, slh, txtp, dq_tbl, qm_tbl, f.bitdepth)
+    return eob, txtp, cf, res_ctx
+
+
+def _decode_coefs_tail_py(msac, coef, a, a_off, l, l_off, tx, plane,
+                          chroma, tctx, tx2dszctx, tx_class, slw, slh,
+                          txtp, dq_tbl, qm_tbl, bitdepth):
+    t_dim = tables.txfm_info()[tx]
+    is_1d = int(tx_class != TxClass.TWO_D)
     if tx2dszctx == 0:
         eob = msac.decode_symbol_adapt(coef.eob_bin_16[chroma][is_1d], 4)
     elif tx2dszctx == 1:
@@ -286,10 +312,8 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane,
         rc = 0
 
     # dequant
-    dq_tbl = ts.dq[b.seg_id][plane]
-    qm_tbl = f.qm.get((tx, plane)) if txtp < TxfmType.IDTX else None
     dq_shift = max(0, tctx - 2)
-    cf_max = (~(~127 << (8 if f.bitdepth == 8 else f.bitdepth))) & 0xFFFFFFFF
+    cf_max = (~(~127 << (8 if bitdepth == 8 else bitdepth))) & 0xFFFFFFFF
 
     if not dc_tok:
         cul_level = 0
@@ -358,7 +382,64 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane,
                 break
 
     res_ctx = min(cul_level, 63) | dc_sign_level
-    return eob, txtp, cf, res_ctx
+    return eob, cf, res_ctx
+
+
+def _decode_coefs_tail_native(ts, msac, f, a, a_off, l, l_off, tx,
+                              plane, chroma, tctx, tx2dszctx, tx_class,
+                              slw, slh, txtp, dq_tbl, qm_tbl):
+    """Post-txtp coefficient decode via the C core (bit-identical to the
+    Python path below; dav1d_tpu/native/msac_coef.c)."""
+    coef = ts.cdf.coef
+    eob_rows = ((coef.eob_bin_16, 4), (coef.eob_bin_32, 5),
+                (coef.eob_bin_64, 6), (coef.eob_bin_128, 7),
+                (coef.eob_bin_256, 8), (coef.eob_bin_512, 9),
+                (coef.eob_bin_1024, 10))
+    arr, nsym = eob_rows[tx2dszctx]
+    is_1d = int(tx_class != TxClass.TWO_D)
+    eob_bin = arr[chroma][is_1d] if tx2dszctx < 5 else arr[chroma]
+
+    if tx_class == TxClass.TWO_D:
+        scan = tables.scans()[tx]
+        scan_ptr = scan.ctypes.data
+        nonsquare_tx = int(tx >= RTX_4X8)
+        lo_off = tables.lo_ctx_offsets[nonsquare_tx + (tx & nonsquare_tx)]
+        lo_ptr = lo_off.ctypes.data
+        lvl_n = (4 << slh) * ((4 << slw) + 2)
+    else:
+        scan_ptr = None
+        lo_ptr = None
+        lvl_n = 16 * ((4 << (slw if tx_class == TxClass.V else slh)) + 2)
+
+    n_coef = (4 << slw) * (4 << slh)
+    cf = np.zeros(n_coef, dtype=np.int32)
+    levels = np.empty(lvl_n + 16, dtype=np.uint8)
+
+    qm_ptr = None
+    if qm_tbl is not None:
+        if qm_tbl.dtype != np.uint8:
+            qm_tbl = qm_tbl.astype(np.uint8)
+            f.qm[(tx, plane)] = qm_tbl
+        qm_ptr = qm_tbl.ctypes.data
+    t_dim = tables.txfm_info()[tx]
+    dq_shift = max(0, int(t_dim[7]) - 2)
+    cf_max = (~(~127 << (8 if f.bitdepth == 8 else f.bitdepth))) & 0xFFFFFFFF
+    dc_sign_ctx = get_dc_sign_ctx(tx, a, a_off, l, l_off)
+
+    eob_out = ctypes.c_int(0)
+    res_ctx = _native.dtpu_decode_coefs_tail(
+        ctypes.byref(msac.s), tctx, chroma, tx2dszctx, int(tx_class),
+        slw, slh, 0,
+        eob_bin.ctypes.data, nsym,
+        coef.eob_hi_bit[tctx][chroma].ctypes.data,
+        coef.eob_base_tok[tctx][chroma].ctypes.data,
+        coef.base_tok[tctx][chroma].ctypes.data,
+        coef.br_tok[min(tctx, 3)][chroma].ctypes.data,
+        coef.dc_sign[chroma].ctypes.data,
+        scan_ptr, lo_ptr, dc_sign_ctx,
+        int(dq_tbl[0]), int(dq_tbl[1]), qm_ptr, dq_shift, cf_max,
+        cf.ctypes.data, levels.ctypes.data, ctypes.byref(eob_out))
+    return eob_out.value, cf, res_ctx
 
 
 def get_uv_inter_txtp(uvt_dim, ytxtp):
