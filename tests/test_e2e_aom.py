@@ -204,3 +204,44 @@ def test_aom_screen_content(tmp_path, oracle, name):
     n = genargs.pop("n")
     frames = screen_frames(n, encargs["width"], encargs["height"], **genargs)
     _roundtrip(tmp_path, oracle, name, frames, encargs)
+
+
+def test_containers_annexb_section5(tmp_path, oracle):
+    """annexb + low-overhead (section 5) container demuxing vs oracle."""
+    import hashlib
+    from dav1d_tpu.decoder import Decoder
+    from dav1d_tpu.containers import open_stream
+
+    def decode_md5(raw):
+        dec = Decoder()
+        h = hashlib.md5()
+        for tu, _ in open_stream(raw):
+            dec.send_data(tu)
+            while (p := dec.get_picture()) is not None:
+                for pl in range(3):
+                    h.update(p.plane_bytes(pl))
+        return h.hexdigest()
+
+    def oracle_md5(path):
+        r = subprocess.run([str(oracle), "-i", str(path), "--muxer", "md5",
+                            "-o", "-", "-q"], capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        return r.stdout.strip().split()[0]
+
+    frames = gradient_frames(4, 128, 96)
+    enc = AomEncoder(width=128, height=96, usage="good", cpu_used=6, q=40,
+                     kf_max_dist=9999, lag=0,
+                     cfg_raw={"save_as_annexb": 1})
+    annexb = b"".join(d for _, d in enc.encode(frames))
+    enc.close()
+    f = tmp_path / "t.annexb"
+    f.write_bytes(annexb)
+    assert decode_md5(annexb) == oracle_md5(f)
+
+    enc = AomEncoder(width=128, height=96, usage="good", cpu_used=6, q=40,
+                     kf_max_dist=9999, lag=0)
+    sec5 = b"".join(d for _, d in enc.encode(frames))
+    enc.close()
+    f = tmp_path / "t.obu"
+    f.write_bytes(sec5)
+    assert decode_md5(sec5) == oracle_md5(f)

@@ -15,7 +15,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from dav1d_tpu.containers import ivf_meta, read_ivf
+from dav1d_tpu.containers import ivf_meta, open_stream, probe_ivf
 from dav1d_tpu.decoder import Decoder, Settings
 from dav1d_tpu.headers import PixelLayout
 
@@ -52,17 +52,22 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     data = Path(args.input).read_bytes()
+    fps = (25, 1)
+    if probe_ivf(data):
+        _, _, num, den = ivf_meta(data)
+        if num and den:
+            fps = (num, den)
     dec = Decoder(Settings())
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     md5 = hashlib.md5()
     n = 0
     first = True
-    for tu, _pts in read_ivf(data):
+    for tu, _pts in open_stream(data):
         dec.send_data(tu)
         while (pic := dec.get_picture()) is not None:
             if args.muxer == "y4m":
                 if first:
-                    out.write(y4m_header(pic))
+                    out.write(y4m_header(pic, fps))
                     first = False
                 out.write(b"FRAME\n")
             for pl in range(len(pic.planes)):
