@@ -47,6 +47,9 @@ class Picture:
     seq_hdr: object
     frame_hdr: object
     visible: bool = True
+    content_light: object = None
+    mastering_display: object = None
+    itut_t35: list = dataclasses.field(default_factory=list)
 
     def plane_bytes(self, pl: int) -> bytes:
         arr = self.planes[pl]
@@ -96,6 +99,9 @@ class Decoder:
         self.n_tiles = 0
         self.out_queue: list[Picture] = []
         self.event_flags = 0
+        self.content_light = None
+        self.mastering_display = None
+        self.itut_t35: list = []
 
     # -- input ---------------------------------------------------------------
 
@@ -158,7 +164,7 @@ class Decoder:
             gb = GetBits(payload)
             self._handle_tile_group(payload, gb)
         elif ty == ObuType.METADATA:
-            pass  # CLL/MDCV/T35 attach lands with HDR metadata support
+            self._handle_metadata(payload)
         elif ty == ObuType.TD:
             pass
         # frame-complete trigger
@@ -173,6 +179,48 @@ class Decoder:
                 self.frame_hdr = None
                 self.tile_groups = []
                 self.n_tiles = 0
+
+    def _handle_metadata(self, payload: bytes) -> None:
+        """CLL / MDCV / ITU-T T.35 metadata OBUs (reference src/obu.c
+        :1356-1515); attached to subsequently output pictures."""
+        from .headers import ContentLightLevel, MasteringDisplay
+        gb = GetBits(payload)
+        meta_type = gb.get_uleb128()
+        if meta_type == 1:  # HDR_CLL
+            cll = ContentLightLevel(
+                max_content_light_level=gb.get_bits(16),
+                max_frame_average_light_level=gb.get_bits(16))
+            if not gb.error:
+                self.content_light = cll
+        elif meta_type == 2:  # HDR_MDCV
+            md = MasteringDisplay()
+            md.primaries = [[gb.get_bits(16), gb.get_bits(16)]
+                            for _ in range(3)]
+            md.white_point = [gb.get_bits(16), gb.get_bits(16)]
+            md.max_luminance = gb.get_bits(32)
+            md.min_luminance = gb.get_bits(32)
+            if not gb.error:
+                self.mastering_display = md
+        elif meta_type == 4:  # ITUT_T35
+            data = payload[gb.byte_pos():]
+            # strip trailing bits (trailing_one + zero bytes)
+            size = len(data)
+            while size > 0 and data[size - 1] == 0:
+                size -= 1
+            size -= 1
+            if size <= 0:
+                return
+            country_code = data[0]
+            pos = 1
+            ext = 0
+            if country_code == 0xFF:
+                ext = data[1]
+                pos = 2
+            self.itut_t35.append(
+                dict(country_code=country_code,
+                     country_code_extension_byte=ext,
+                     payload=data[pos:size]))
+        # SCALABILITY (3) / TIMECODE (5): ignored like the reference
 
     def _handle_tile_group(self, payload: bytes, gb: GetBits) -> None:
         hdr = self.frame_hdr
@@ -221,6 +269,7 @@ class Decoder:
 
         # output
         pic = self._make_picture(f)
+        self._attach_metadata(pic)
         if hdr.show_frame:
             self.out_queue.append(pic)
 
@@ -267,6 +316,12 @@ class Decoder:
                 if i == hdr.existing_frame_idx:
                     continue
                 self.refs[i] = slot
+
+    def _attach_metadata(self, pic: Picture) -> None:
+        pic.content_light = self.content_light
+        pic.mastering_display = self.mastering_display
+        pic.itut_t35 = self.itut_t35
+        self.itut_t35 = []
 
     def _make_picture(self, f: FrameContext) -> Picture:
         hdr = f.frame_hdr

@@ -1,0 +1,96 @@
+"""Public API behavior: flush/seek correctness, metadata attachment
+(reference tests/seek_stress.c and src/obu.c metadata handling)."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from aom_enc import AomEncoder, gradient_frames, write_ivf_packets  # noqa
+
+
+def _stream(tmp_path, n=8, kf=4):
+    enc = AomEncoder(width=128, height=96, usage="good", cpu_used=6, q=40,
+                     kf_max_dist=kf, lag=0)
+    pkts = enc.encode(gradient_frames(n, 128, 96))
+    enc.close()
+    ivf = tmp_path / "seek.ivf"
+    write_ivf_packets(ivf, pkts, 128, 96)
+    return ivf.read_bytes()
+
+
+def _decode_all(dec, tus):
+    from dav1d_tpu.containers import read_ivf  # noqa
+    out = []
+    for tu in tus:
+        dec.send_data(tu)
+        while (p := dec.get_picture()) is not None:
+            out.append(p.plane_bytes(0))
+    return out
+
+
+def test_flush_and_seek(tmp_path):
+    from dav1d_tpu.decoder import Decoder
+    from dav1d_tpu.containers import read_ivf
+
+    data = _stream(tmp_path)
+    tus = [tu for tu, _ in read_ivf(data)]
+
+    ref = _decode_all(Decoder(), tus)
+    assert len(ref) == 8
+
+    # decode 2 TUs, flush, then seek to the mid-stream keyframe (TU 4)
+    dec = Decoder()
+    _decode_all(dec, tus[:2])
+    dec.flush()
+    got = _decode_all(dec, tus[4:])
+    assert got == ref[4:]
+
+
+def test_flush_clears_output_queue(tmp_path):
+    from dav1d_tpu.decoder import Decoder
+    from dav1d_tpu.containers import read_ivf
+
+    data = _stream(tmp_path)
+    tus = [tu for tu, _ in read_ivf(data)]
+    dec = Decoder()
+    dec.send_data(tus[0])
+    dec.flush()
+    assert dec.get_picture() is None
+
+
+def test_metadata_attach(tmp_path):
+    from dav1d_tpu.decoder import Decoder
+    from dav1d_tpu.containers import read_ivf
+
+    def obu(payload):
+        hdr = bytes([(5 << 3) | 0x02])  # METADATA, has_size
+        out = bytearray(hdr)
+        n = len(payload)
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                break
+        return bytes(out) + payload
+
+    cll = obu(bytes([1, 0x12, 0x34, 0x56, 0x78, 0x80]))
+    t35 = obu(bytes([4, 0xB5]) + b"payload" + b"\x80")
+
+    data = _stream(tmp_path, n=2, kf=1)
+    tus = [tu for tu, _ in read_ivf(data)]
+    dec = Decoder()
+    dec.send_data(cll + t35 + tus[0])
+    pic = dec.get_picture()
+    assert pic.content_light.max_content_light_level == 0x1234
+    assert pic.content_light.max_frame_average_light_level == 0x5678
+    assert pic.itut_t35[0]["country_code"] == 0xB5
+    assert pic.itut_t35[0]["payload"] == b"payload"
+    # T35 consumed by the first picture only
+    dec.send_data(tus[1])
+    pic2 = dec.get_picture()
+    assert pic2.itut_t35 == []
+    assert pic2.content_light is not None
