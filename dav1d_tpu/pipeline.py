@@ -61,9 +61,18 @@ def _device_residuals(f, recs) -> None:
                 (cf, pl, dst_y, dst_x))
     maxp = (1 << f.bitdepth) - 1
     for (tx, txtp), items in groups.items():
-        cfs = np.stack([it[0] for it in items])
+        # pad the batch to a power-of-two bucket so XLA programs are
+        # reused across frames instead of recompiling per batch size
+        n = len(items)
+        nb = 1
+        while nb < n:
+            nb <<= 1
+        cfs = np.zeros((nb, items[0][0].shape[0]),
+                       dtype=np.int32)
+        for i, it in enumerate(items):
+            cfs[i] = it[0]
         resid = np.asarray(itx_batch(cfs, tx, txtp, f.bitdepth),
-                           dtype=np.int64)
+                           dtype=np.int64)[:n]
         h, w = resid.shape[1], resid.shape[2]
         for i, (_, pl, dst_y, dst_x) in enumerate(items):
             dst = f.planes[pl][dst_y : dst_y + h, dst_x : dst_x + w]

@@ -92,8 +92,12 @@ def cdef_find_dir(img: np.ndarray, bitdepth: int):
 
 def _constrain(diff, threshold: int, shift: int):
     adiff = np.abs(diff)
-    v = np.minimum(adiff, np.maximum(0, threshold - (adiff >> shift)))
-    return np.where(diff < 0, -v, v)
+    t = adiff >> shift
+    np.subtract(threshold, t, out=t)
+    np.maximum(t, 0, out=t)
+    np.minimum(t, adiff, out=t)
+    np.negative(t, out=adiff)
+    return np.where(diff < 0, adiff, t)
 
 
 def _pad(src, y0, x0, w, h, edges):
@@ -263,8 +267,10 @@ def cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs, damping,
     N = len(ys)
     yy = (ys[:, None, None] + np.arange(-2, h + 2)[None, :, None])
     xx = (xs[:, None, None] + np.arange(-2, w + 2)[None, None, :])
-    tmp = canvas[yy, xx]  # (N, h+4, w+4)
-    px = tmp[:, 2 : 2 + h, 2 : 2 + w]
+    # one gather of the padded per-unit windows; all taps then index the
+    # small contiguous (N, h+4, w+4) buffer instead of the full plane
+    tmp = np.ascontiguousarray(canvas[yy, xx], dtype=np.int32)
+    px = np.ascontiguousarray(tmp[:, 2 : 2 + h, 2 : 2 + w])
 
     bdmin8 = bitdepth - 8
     pri_nz = pri > 0
@@ -276,20 +282,23 @@ def cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs, damping,
         # exact for the small positive strengths involved
         return (np.frexp(v.astype(np.float64))[1] - 1).astype(np.int64)
 
-    pri_shift = np.maximum(0, damping - ulog2(safe_pri))[:, None, None]
-    sec_shift = (damping - ulog2(safe_sec))[:, None, None]
-    pri_thr = pri[:, None, None]
-    sec_thr = sec[:, None, None]
-    pri_tap = (4 - ((pri >> bdmin8) & 1))[:, None, None]
+    pri_shift = np.maximum(0, damping - ulog2(safe_pri)) \
+        .astype(np.int32)[:, None, None]
+    sec_shift = (damping - ulog2(safe_sec)).astype(np.int32)[:, None, None]
+    pri_thr = pri.astype(np.int32)[:, None, None]
+    sec_thr = sec.astype(np.int32)[:, None, None]
+    pri_tap = (4 - ((pri >> bdmin8) & 1)).astype(np.int32)[:, None, None]
+
+    nidx = np.arange(N)[:, None, None]
+    hidx = np.arange(h)[None, :, None]
+    widx = np.arange(w)[None, None, :]
 
     def tap(dy, dx):
-        iy = ys[:, None, None] + dy[:, None, None] \
-            + np.arange(h)[None, :, None]
-        ix = xs[:, None, None] + dx[:, None, None] \
-            + np.arange(w)[None, None, :]
-        return canvas[iy, ix]
+        iy = 2 + dy[:, None, None] + hidx
+        ix = 2 + dx[:, None, None] + widx
+        return tmp[nidx, iy, ix]
 
-    sum_ = np.zeros((N, h, w), dtype=np.int64)
+    sum_ = np.zeros((N, h, w), dtype=np.int32)
     mn = px.copy()
     mx = px.copy()
 
@@ -387,9 +396,15 @@ def cdef_frame(f) -> None:
     if not units:
         return
 
-    # device kernels win once the batch amortizes dispatch+transfer;
-    # small frames stay on the host numpy batch
-    use_device = len(units) >= 2048
+    # The jitted device CDEF (ops/cdef.py) is dispatch/transfer-bound on
+    # this environment's tunneled single chip (1080p: ~4.3s device vs
+    # ~1.7s for the host batch once the allocator keeps buffers hot, see
+    # dav1d_tpu.__init__._tune_malloc), so the host batch is the default;
+    # co-located deployments set DAV1D_TPU_CDEF_DEVICE_MIN to the unit
+    # count where the device wins.
+    import os
+    thresh = int(os.environ.get("DAV1D_TPU_CDEF_DEVICE_MIN", 1 << 30))
+    use_device = len(units) >= thresh
     if use_device:
         from ..ops import cdef as dcdef
     src0 = f.planes[0]
