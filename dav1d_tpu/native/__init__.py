@@ -15,11 +15,11 @@ import subprocess
 from pathlib import Path
 
 _HERE = Path(__file__).parent
-_SRC = _HERE / "msac_coef.c"
+_SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c"]
 
 
 def _build() -> Path | None:
-    src = _SRC.read_bytes()
+    src = b"".join(p.read_bytes() for p in _SRCS)
     tag = hashlib.sha256(src).hexdigest()[:16]
     out = Path("/tmp") / f"dav1d_tpu_native_{tag}.so"
     if out.exists():
@@ -27,7 +27,7 @@ def _build() -> Path | None:
     try:
         subprocess.run(
             ["cc", "-O3", "-shared", "-fPIC", "-std=c11",
-             str(_SRC), "-o", str(out)],
+             *map(str, _SRCS), "-o", str(out)],
             check=True, capture_output=True)
     except Exception:
         return None
@@ -89,6 +89,17 @@ def _load():
         ctypes.c_uint32,         # dq0, dq1, qm, dq_shift, cf_max
         ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
     lib.dtpu_decode_coefs_tail.restype = ctypes.c_int
+    lib.dtpu_cdef_filter_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,              # canvas, stride
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # ys, xs, n
+        ctypes.c_int, ctypes.c_int,                   # w, h
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pri, sec, dirs
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p]  # damping, bd, out
+    lib.dtpu_cdef_filter_batch.restype = None
+    lib.dtpu_cdef_find_dir_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.dtpu_cdef_find_dir_batch.restype = None
     return lib
 
 

@@ -30,10 +30,11 @@ def _txinfo(tx):
             int(t_dim[3]))
 
 
-def _itx_core(cf, tx, txtp, bitdepth):
+def _itx_core(cf, tx, txtp, bitdepth, xp=jnp):
     """cf: (B, sh*sw) int32 column-major coefficients (as stored by the
     coefficient decoder). Returns (B, h, w) int32 residuals (pre-add,
-    already (x + 8) >> 4 scaled)."""
+    already (x + 8) >> 4 scaled). The 1-D kernels are polymorphic over
+    the lane container; pass xp=numpy for the host-batched variant."""
     w, h, lw, lh = _txinfo(tx)
     sw, sh = min(w, 32), min(h, 32)
     maxp = (1 << bitdepth) - 1
@@ -46,7 +47,7 @@ def _itx_core(cf, tx, txtp, bitdepth):
             wht4(lanes, y * 4, 1)
         for x in range(4):
             wht4(lanes, x, 4)
-        return jnp.stack(lanes, axis=1).reshape(B, 4, 4)
+        return xp.stack(lanes, axis=1).reshape(B, 4, 4)
 
     is_rect2 = (w * 2 == h) or (h * 2 == w)
     shift = TX_SHIFT[tx]
@@ -60,10 +61,10 @@ def _itx_core(cf, tx, txtp, bitdepth):
     row_max, col_max = ~row_min, ~col_min
 
     def rclip(v):
-        return jnp.clip(v, row_min, row_max)
+        return xp.clip(v, row_min, row_max)
 
     def cclip(v):
-        return jnp.clip(v, col_min, col_max)
+        return xp.clip(v, col_min, col_max)
 
     row_t, col_t = TX1D_TYPES[txtp]
     first_fn = _1D_FNS[(lw, row_t)]
@@ -74,24 +75,32 @@ def _itx_core(cf, tx, txtp, bitdepth):
         grid = (grid * 181 + 128) >> 8
 
     # row pass: lanes indexed by x, each (B, sh)
-    zero = jnp.zeros((B, sh), dtype=cf.dtype)
+    zero = xp.zeros((B, sh), dtype=cf.dtype)
     lanes = [grid[:, x, :] if x < sw else zero for x in range(w)]
     first_fn(lanes, 0, 1, rclip)
     lanes = [cclip((ln + rnd) >> shift) for ln in lanes]
 
     # column pass: lanes indexed by y, each (B, w)
-    mid = jnp.stack(lanes, axis=2)  # (B, sh, w)
-    zero = jnp.zeros((B, w), dtype=cf.dtype)
+    mid = xp.stack(lanes, axis=2)  # (B, sh, w)
+    zero = xp.zeros((B, w), dtype=cf.dtype)
     lanes = [mid[:, y, :] if y < sh else zero for y in range(h)]
     second_fn(lanes, 0, 1, cclip)
 
-    out = jnp.stack(lanes, axis=1)  # (B, h, w)
+    out = xp.stack(lanes, axis=1)  # (B, h, w)
     return (out + 8) >> 4
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_itx(tx, txtp, bitdepth):
     return jax.jit(lambda cf: _itx_core(cf, tx, txtp, bitdepth))
+
+
+def itx_batch_np(cf, tx, txtp, bitdepth):
+    """Host-batched inverse transform (same shared 1-D kernels, numpy
+    lanes): (B, sh*sw) -> (B, h, w) int32 residuals."""
+    dt = np.int64 if bitdepth == 12 else np.int32
+    return _itx_core(np.asarray(cf, dtype=dt), int(tx), int(txtp),
+                     int(bitdepth), xp=np)
 
 
 def itx_batch(cf, tx, txtp, bitdepth):

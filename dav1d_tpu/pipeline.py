@@ -5,20 +5,23 @@ captures per-block tasks: mode info, dequantized coefficients, and
 parse-time context snapshots (OBMC neighbours, sub8x8 filters, warp
 params). Pass 2 executes the pixel work:
 
-  1. device stage: batched inverse transforms for inter-block residuals
-     (grouped by tx size/type) run as one XLA program per group — the TPU
-     pass of the reference's pass-1/pass-2 frame-threading split
-     (src/internal.h:276-293)
-  2. sequential replay: inter predictions (MC/OBMC/warp/compound), then
-     coefficients are applied; intra blocks replay in decode order (their
-     prediction reads reconstructed neighbours)
-
-Inter predictions never read current-frame pixels (except intrabc, which
-replays sequentially), so batching inter residuals ahead of the ordered
-replay is exact.
+  1. residual stage: EVERY captured inverse transform (intra and inter)
+     is evaluated up front, batched per (tx size, tx type) — the
+     transform depends only on the coefficients, never on reconstructed
+     pixels, so this is exact. Batches run either on the host (shared
+     1-D lane kernels over numpy, default) or as one XLA program per
+     group on the device (DAV1D_TPU_ITX_DEVICE_MIN) — the TPU pass of
+     the reference's pass-1/pass-2 frame-threading split
+     (src/internal.h:276-293).
+  2. inter predictions replay order-free (they read only reference
+     frames) with their cached residuals added at the capture points.
+  3. intra/intrabc/interintra blocks replay in decode order (their
+     prediction reads reconstructed neighbours), adding cached residuals.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -45,58 +48,59 @@ def _replay_one(t, rec) -> None:
         recon_b_inter(t, rec["bs"], b)
 
 
-def _device_residuals(f, recs) -> None:
-    """Batched inverse transforms for the captured residuals of `recs`:
-    grouped by (tx size, tx type), one XLA program per group, then
-    added+clipped into the frame planes."""
-    from .ops.itx import itx_batch
+def _compute_residuals(f) -> None:
+    """Evaluate every captured inverse transform batched per
+    (tx size, tx type); stash results in rec["resid"] aligned with
+    rec["coefs"] for the replay to add (recon.itx.itx_add_cached)."""
     groups = {}
-    for rec in recs:
-        for ent in rec["coefs"]:
+    for rec in f.tasks:
+        coefs = rec["coefs"]
+        rec["resid"] = [None] * len(coefs)
+        for i, ent in enumerate(coefs):
             eob, txtp, cf = ent[0], ent[1], ent[2]
             if eob < 0 or cf is None:
                 continue
-            pl, tx, dst_y, dst_x = ent[3], ent[4], ent[5], ent[6]
-            groups.setdefault((tx, txtp), []).append(
-                (cf, pl, dst_y, dst_x))
-    maxp = (1 << f.bitdepth) - 1
+            groups.setdefault((ent[4], txtp), []).append((cf, rec, i))
+
+    device_min = int(os.environ.get("DAV1D_TPU_ITX_DEVICE_MIN", 1 << 30))
+    from .ops.itx import itx_batch, itx_batch_np
     for (tx, txtp), items in groups.items():
-        # pad the batch to a power-of-two bucket so XLA programs are
-        # reused across frames instead of recompiling per batch size
         n = len(items)
-        nb = 1
-        while nb < n:
-            nb <<= 1
-        cfs = np.zeros((nb, items[0][0].shape[0]),
-                       dtype=np.int32)
-        for i, it in enumerate(items):
-            cfs[i] = it[0]
-        resid = np.asarray(itx_batch(cfs, tx, txtp, f.bitdepth),
-                           dtype=np.int64)[:n]
-        h, w = resid.shape[1], resid.shape[2]
-        for i, (_, pl, dst_y, dst_x) in enumerate(items):
-            dst = f.planes[pl][dst_y : dst_y + h, dst_x : dst_x + w]
-            np.clip(dst + resid[i], 0, maxp, out=dst)
+        if n >= device_min:
+            # pad the batch to a power-of-two bucket so XLA programs are
+            # reused across frames instead of recompiling per batch size
+            nb = 1
+            while nb < n:
+                nb <<= 1
+            cfs = np.zeros((nb, items[0][0].shape[0]), dtype=np.int32)
+            for j, it in enumerate(items):
+                cfs[j] = it[0]
+            resid = np.asarray(itx_batch(cfs, tx, txtp, f.bitdepth))[:n]
+        else:
+            cfs = np.stack([it[0] for it in items]).astype(np.int32)
+            resid = itx_batch_np(cfs, tx, txtp, f.bitdepth)
+        for j, (_, rec, i) in enumerate(items):
+            rec["resid"][i] = resid[j]
 
 
 def run_pass2(f, device: bool = True) -> None:
     t = TaskContext(f)
     t.pass_ = 2
 
-    # interintra blends an intra prediction (reads current-frame
-    # neighbours) -> stays in the ordered sequential phase
-    inter_recs = [r for r in f.tasks if r["kind"] == "inter"
-                  and not r["b"].interintra_type] if device else []
+    if device:
+        _compute_residuals(f)
+        # interintra blends an intra prediction (reads current-frame
+        # neighbours) -> stays in the ordered sequential phase
+        inter_recs = [r for r in f.tasks if r["kind"] == "inter"
+                      and not r["b"].interintra_type]
+    else:
+        inter_recs = []
     if inter_recs:
-        # phase A: inter predictions (read only reference frames; order
-        # among inter blocks is irrelevant)
-        t.device_resid = True
+        # phase A: inter blocks (read only reference frames; order among
+        # inter blocks is irrelevant) — prediction + cached residual add
         for rec in inter_recs:
             _replay_one(t, rec)
-        # phase B: batched residual transforms on device
-        _device_residuals(f, inter_recs)
-        t.device_resid = False
-        # phase C: ordered replay of intra/intrabc/interintra blocks
+        # phase B: ordered replay of intra/intrabc/interintra blocks
         # (their prediction reads reconstructed neighbours, now final)
         done = set(map(id, inter_recs))
         for rec in f.tasks:

@@ -229,7 +229,25 @@ _ONEHOT = None
 
 
 def cdef_find_dir_batch(blocks, bitdepth):
-    """(N, 8, 8) -> (dirs (N,), vars (N,)) (vectorized cdef_find_dir_c)."""
+    """(N, 8, 8) -> (dirs (N,), vars (N,)) (vectorized cdef_find_dir_c).
+    Dispatches to the native C kernel when available
+    (dav1d_tpu/native/filters.c, bit-identical)."""
+    from ..native import lib as _nlib
+    if _nlib is not None:
+        blk = np.ascontiguousarray(blocks.reshape(-1, 64), dtype=np.int32)
+        n = blk.shape[0]
+        dirs = np.empty(n, dtype=np.int64)
+        variances = np.empty(n, dtype=np.int64)
+        _nlib.dtpu_cdef_find_dir_batch(blk.ctypes.data, n, int(bitdepth),
+                                       dirs.ctypes.data,
+                                       variances.ctypes.data)
+        return dirs, variances
+    return cdef_find_dir_batch_np(blocks, bitdepth)
+
+
+def cdef_find_dir_batch_np(blocks, bitdepth):
+    """Golden numpy batch (the device-kernel shape: one-hot projection
+    matmuls; see cdef_find_dir_batch for the native dispatch)."""
     global _ONEHOT
     if _ONEHOT is None:
         _ONEHOT = _onehot_maps()
@@ -263,7 +281,30 @@ def cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs, damping,
     """Filter a batch of (h, w) units. canvas: plane with a 2px INT16_MIN
     border (border index 0); ys/xs: unit top-left in canvas coordinates
     (i.e. +2). Returns (N, h, w) filtered pixels
-    (vectorized cdef_filter_block_c)."""
+    (vectorized cdef_filter_block_c). Dispatches to the native C kernel
+    when available (dav1d_tpu/native/filters.c, bit-identical)."""
+    from ..native import lib as _nlib
+    if _nlib is not None:
+        c = np.ascontiguousarray(canvas, dtype=np.int32)
+        ysa = np.ascontiguousarray(ys, dtype=np.int64)
+        xsa = np.ascontiguousarray(xs, dtype=np.int64)
+        pa = np.ascontiguousarray(pri, dtype=np.int64)
+        sa = np.ascontiguousarray(sec, dtype=np.int64)
+        da = np.ascontiguousarray(dirs, dtype=np.int64)
+        out = np.empty((len(ysa), h, w), dtype=np.int32)
+        _nlib.dtpu_cdef_filter_batch(
+            c.ctypes.data, c.shape[1], ysa.ctypes.data, xsa.ctypes.data,
+            len(ysa), w, h, pa.ctypes.data, sa.ctypes.data, da.ctypes.data,
+            int(damping), int(bitdepth), out.ctypes.data)
+        return out
+    return cdef_filter_batch_np(canvas, ys, xs, w, h, pri, sec, dirs,
+                                damping, bitdepth)
+
+
+def cdef_filter_batch_np(canvas, ys, xs, w, h, pri, sec, dirs, damping,
+                         bitdepth):
+    """Golden numpy batch (the device kernel shape; see cdef_filter_batch
+    for the native dispatch)."""
     N = len(ys)
     yy = (ys[:, None, None] + np.arange(-2, h + 2)[None, :, None])
     xx = (xs[:, None, None] + np.arange(-2, w + 2)[None, None, :])
@@ -409,8 +450,11 @@ def cdef_frame(f) -> None:
         from ..ops import cdef as dcdef
     src0 = f.planes[0]
     if dir_blocks:
-        blk = np.stack([src0[by * 4 : by * 4 + 8, bx * 4 : bx * 4 + 8]
-                        for by, bx in dir_blocks])
+        dbys = np.array([by * 4 for by, _ in dir_blocks])
+        dbxs = np.array([bx * 4 for _, bx in dir_blocks])
+        ar8 = np.arange(8)
+        blk = src0[dbys[:, None, None] + ar8[None, :, None],
+                   dbxs[:, None, None] + ar8[None, None, :]]
         if use_device:
             dirs_arr, vars_arr = dcdef.cdef_find_dir_batch(blk, bitdepth)
         else:

@@ -12,7 +12,7 @@ from ..levels import (CompInterPredMode, CompInterType, InterIntraType,
                       InterPredMode, MotionMode)
 from . import mc_np
 from .coef import decode_coefs
-from .itx import itx_add
+from .itx import itx_add_cached
 
 
 def mc_put(t, pl, dst_plane, dst_y, dst_x, bw4, bh4, bx, by, mv, ref_planes,
@@ -533,9 +533,10 @@ def recon_b_inter(t, bs, b) -> None:
                                          else cf.copy(), 1 + pl, b.uvtx,
                                          cdst_y + 4 * y, cdst_x + 4 * x))
                             if t.pass_ != 1 and eob >= 0:
-                                itx_add(f.planes[1 + pl], cdst_y + 4 * y,
-                                        cdst_x + 4 * x, b.uvtx, txtp, cf,
-                                        eob, bitdepth)
+                                itx_add_cached(
+                                    t, f.planes[1 + pl], cdst_y + 4 * y,
+                                    cdst_x + 4 * x, b.uvtx, txtp, cf,
+                                    eob, bitdepth)
                             t.bx += utw << ss_hor
                             x += utw
                         t.bx -= x << ss_hor
@@ -634,5 +635,5 @@ def read_coef_tree(t, bs, b, ytx, depth, tx_split, x_off, y_off, do_recon):
                     (eob, txtp, None if cf is None else cf.copy(),
                      0, ytx, 4 * t.by, 4 * t.bx))
         if do_recon and t.pass_ != 1 and eob >= 0:
-            itx_add(f.planes[0], 4 * t.by, 4 * t.bx, ytx, txtp, cf, eob,
-                    f.bitdepth)
+            itx_add_cached(t, f.planes[0], 4 * t.by, 4 * t.bx, ytx, txtp,
+                           cf, eob, f.bitdepth)

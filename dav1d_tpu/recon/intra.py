@@ -13,7 +13,7 @@ from ..levels import IntraPredMode as M, TxfmSize
 from . import ipred as ipred_mod
 from .coef import decode_coefs
 from ..debug import trace
-from .itx import itx_add
+from .itx import itx_add_cached
 
 SMOOTH_MODES = (M.SMOOTH_PRED, M.SMOOTH_H_PRED, M.SMOOTH_V_PRED)
 
@@ -50,8 +50,8 @@ def _coef_y(t, b, bs, bx4, by4, x, y, tw, th, dst_y, dst_x, f, ts,
                     (eob, txtp, None if cf is None else cf.copy(),
                      0, b.tx, dst_y, dst_x))
         if t.pass_ != 1 and eob >= 0:
-            itx_add(f.planes[0], dst_y, dst_x, b.tx, txtp, cf, eob,
-                    bitdepth)
+            itx_add_cached(t, f.planes[0], dst_y, dst_x, b.tx, txtp, cf,
+                           eob, bitdepth)
     elif t.pass_ != 2:
         t.a.lcoef[bx4 + x : bx4 + x + tw] = 0x40
         t.l.lcoef[by4 + y : by4 + y + th] = 0x40
@@ -80,8 +80,8 @@ def _coef_uv(t, b, bs, pl, x, y, cbx4, cby4, utw, uth, dst_y, dst_x, f,
                     (eob, txtp, None if cf is None else cf.copy(),
                      1 + pl, b.uvtx, dst_y, dst_x))
         if t.pass_ != 1 and eob >= 0:
-            itx_add(f.planes[1 + pl], dst_y, dst_x, b.uvtx, txtp, cf, eob,
-                    bitdepth)
+            itx_add_cached(t, f.planes[1 + pl], dst_y, dst_x, b.uvtx,
+                           txtp, cf, eob, bitdepth)
     elif t.pass_ != 2:
         t.a.ccoef[pl][cbx4 + x : cbx4 + x + utw] = 0x40
         t.l.ccoef[pl][cby4 + y : cby4 + y + uth] = 0x40

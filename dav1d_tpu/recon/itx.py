@@ -725,6 +725,24 @@ for _lsz, _n in ((0, 4), (1, 8), (2, 16), (3, 32), (4, 64)):
         _1D_FNS[(_lsz, IDENTITY)] = identity(_n)
 
 
+def itx_add_cached(t, plane, dst_y, dst_x, tx, txtp, cf, eob, bitdepth):
+    """itx_add, but in pass-2 replay prefer the residual precomputed by
+    the batched pass-2 stage (dav1d_tpu.pipeline): the inverse transform
+    depends only on the coefficients, so pipeline.run_pass2 evaluates all
+    of them up front in (tx, txtp)-grouped batches and replay just adds."""
+    rec = getattr(t, "cur_rec", None)
+    if t.pass_ == 2 and rec is not None:
+        resid_list = rec.get("resid")
+        if resid_list is not None:
+            r = resid_list[t.rec_coef_pos - 1]
+            if r is not None:
+                h, w = r.shape
+                dst = plane[dst_y : dst_y + h, dst_x : dst_x + w]
+                np.clip(dst + r, 0, (1 << bitdepth) - 1, out=dst)
+                return
+    itx_add(plane, dst_y, dst_x, tx, txtp, cf, eob, bitdepth)
+
+
 def itx_add(plane, dst_y, dst_x, tx, txtp, cf, eob, bitdepth):
     """2-D inverse transform + add (reference inv_txfm_add_c,
     src/itx_tmpl.c:44-121). cf is the column-major coefficient vector."""
