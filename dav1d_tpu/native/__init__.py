@@ -100,6 +100,23 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p]
     lib.dtpu_cdef_find_dir_batch.restype = None
+    ci = ctypes.c_int
+    lib.dtpu_put_8tap.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ci, ci, ci, ci, ci, ci,
+        ctypes.c_void_p, ctypes.c_void_p,  # fh, fv (int64[8] or NULL)
+        ci, ci, ci, ci, ctypes.c_void_p]   # ib, maxp, prep, bias, out
+    lib.dtpu_put_8tap.restype = None
+    lib.dtpu_warp8x8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ci, ci, ci, ci,
+        ctypes.c_void_p, ci, ci,           # abcd (int32[4]), mx, my
+        ci, ci, ci, ci,                    # ib, maxp, prep, bias
+        ctypes.c_void_p, ctypes.c_void_p]  # warp filter table, out
+    lib.dtpu_warp8x8.restype = None
+    lib.dtpu_ipred.argtypes = [
+        ci, ctypes.c_void_p, ci, ci, ci, ci, ci, ci, ci,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # sm, dr, taps
+        ctypes.c_void_p]
+    lib.dtpu_ipred.restype = None
     return lib
 
 

@@ -40,6 +40,552 @@ static inline int constrain(int diff, int thr, int shift)
     return diff < 0 ? -v : v;
 }
 
+static inline int clampi(int v, int lo, int hi)
+{
+    return v < lo ? lo : v > hi ? hi : v;
+}
+
+/* ---- intra prediction ---------------------------------------------------
+ * Port of the golden model dav1d_tpu/recon/ipred.py (reference DSP family
+ * src/ipred_tmpl.c:40-744). The edge buffer is laid out as there: edge[ofs]
+ * is the top-left pixel, top row at ofs+1.., left column mirrored below
+ * (left[i] = edge[ofs-1-i]). Implementation-mode numbering matches
+ * dav1d_tpu.levels (DC=0 V=1 H=2 LEFT_DC=3 TOP_DC=4 DC128=5 Z1=6 Z2=7 Z3=8
+ * SMOOTH=9 SM_V=10 SM_H=11 PAETH=12 FILTER=13). */
+
+static int get_filter_strength(int wh, int angle, int is_sm)
+{
+    if (is_sm) {
+        if (wh <= 8) {
+            if (angle >= 64) return 2;
+            if (angle >= 40) return 1;
+        } else if (wh <= 16) {
+            if (angle >= 48) return 2;
+            if (angle >= 20) return 1;
+        } else if (wh <= 24) {
+            if (angle >= 4) return 3;
+        } else {
+            return 3;
+        }
+    } else {
+        if (wh <= 8) {
+            if (angle >= 56) return 1;
+        } else if (wh <= 16) {
+            if (angle >= 40) return 1;
+        } else if (wh <= 24) {
+            if (angle >= 32) return 3;
+            if (angle >= 16) return 2;
+            if (angle >= 8) return 1;
+        } else if (wh <= 32) {
+            if (angle >= 32) return 3;
+            if (angle >= 4) return 2;
+            return 1;
+        } else {
+            return 3;
+        }
+    }
+    return 0;
+}
+
+static const int edge_kernels[3][5] = {
+    {0, 4, 8, 4, 0}, {0, 5, 6, 5, 0}, {2, 4, 4, 4, 2}};
+
+/* out[i] for i in [0, sz): filtered edge (reference filter_edge). inp is
+ * indexed inp[base + clamp(i, frm, to-1)]. */
+static void filter_edge_c(int64_t *out, int sz, int lim_from, int lim_to,
+                          const int64_t *inp, int base, int frm, int to,
+                          int strength)
+{
+    const int *k = edge_kernels[strength - 1];
+    for (int i = 0; i < sz; i++) {
+        if (i < (sz < lim_from ? sz : lim_from) ||
+            i >= (lim_to < sz ? lim_to : sz)) {
+            out[i] = inp[base + clampi(i, frm, to - 1)];
+        } else {
+            int64_t s = 0;
+            for (int j = 0; j < 5; j++)
+                s += inp[base + clampi(i - 2 + j, frm, to - 1)] * k[j];
+            out[i] = (s + 8) >> 4;
+        }
+    }
+}
+
+static int get_upsample(int wh, int angle, int is_sm)
+{
+    return angle < 40 && wh <= (16 >> is_sm);
+}
+
+/* out[0 .. 2*hsz-2]: upsampled edge (reference upsample_edge). */
+static void upsample_edge_c(int64_t *out, int hsz, const int64_t *inp,
+                            int base, int frm, int to, int maxp)
+{
+    for (int i = 0; i < hsz - 1; i++) {
+        out[i * 2] = inp[base + clampi(i, frm, to - 1)];
+        int64_t s = -inp[base + clampi(i - 1, frm, to - 1)] +
+                    9 * inp[base + clampi(i, frm, to - 1)] +
+                    9 * inp[base + clampi(i + 1, frm, to - 1)] -
+                    inp[base + clampi(i + 2, frm, to - 1)];
+        out[i * 2 + 1] = clampi((int)((s + 8) >> 4), 0, maxp);
+    }
+    out[(hsz - 1) * 2] = inp[base + clampi(hsz - 1, frm, to - 1)];
+}
+
+void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
+                int height, int angle_in, int max_w, int max_h,
+                int bitdepth, const uint8_t *sm_weights,
+                const uint16_t *dr_deriv, const int8_t *filter_taps,
+                int32_t *out)
+{
+    const int half = (1 << bitdepth) >> 1;
+    const int maxp = (1 << bitdepth) - 1;
+    const int32_t *top = edge + ofs + 1;
+    /* left[i] = edge[ofs - 1 - i] */
+
+    switch (mode) {
+    case 0: case 3: case 4: case 5: { /* DC family */
+        int64_t dc;
+        if (mode == 5) {
+            dc = half;
+        } else if (mode == 4) { /* TOP_DC */
+            dc = width >> 1;
+            for (int i = 0; i < width; i++)
+                dc += top[i];
+            dc >>= 31 - __builtin_clz((unsigned)width);
+        } else if (mode == 3) { /* LEFT_DC */
+            dc = height >> 1;
+            for (int i = 0; i < height; i++)
+                dc += edge[ofs - 1 - i];
+            dc >>= 31 - __builtin_clz((unsigned)height);
+        } else {
+            dc = (width + height) >> 1;
+            for (int i = 0; i < width; i++)
+                dc += top[i];
+            for (int i = 0; i < height; i++)
+                dc += edge[ofs - 1 - i];
+            dc >>= __builtin_ctz((unsigned)(width + height));
+            if (width != height) {
+                if (width > height * 2 || height > width * 2)
+                    dc = bitdepth == 8 ? (dc * 0x3334) >> 16
+                                       : (dc * 0x6667) >> 17;
+                else
+                    dc = bitdepth == 8 ? (dc * 0x5556) >> 16
+                                       : (dc * 0xAAAB) >> 17;
+            }
+        }
+        for (int i = 0; i < width * height; i++)
+            out[i] = (int32_t)dc;
+        return;
+    }
+    case 1: /* VERT */
+        for (int y = 0; y < height; y++)
+            for (int x = 0; x < width; x++)
+                out[y * width + x] = top[x];
+        return;
+    case 2: /* HOR */
+        for (int y = 0; y < height; y++) {
+            const int32_t l = edge[ofs - 1 - y];
+            for (int x = 0; x < width; x++)
+                out[y * width + x] = l;
+        }
+        return;
+    case 12: { /* PAETH */
+        const int tl = edge[ofs];
+        for (int y = 0; y < height; y++) {
+            const int l = edge[ofs - 1 - y];
+            for (int x = 0; x < width; x++) {
+                const int t = top[x];
+                const int base = l + t - tl;
+                const int ld = base > l ? base - l : l - base;
+                const int td = base > t ? base - t : t - base;
+                const int tld = base > tl ? base - tl : tl - base;
+                out[y * width + x] =
+                    (ld <= td && ld <= tld) ? l : (td <= tld ? t : tl);
+            }
+        }
+        return;
+    }
+    case 9: { /* SMOOTH */
+        const uint8_t *wh_ = sm_weights + width;
+        const uint8_t *wv = sm_weights + height;
+        const int right = top[width - 1] /* edge[ofs+width] */;
+        const int bottom = edge[ofs - height];
+        for (int y = 0; y < height; y++)
+            for (int x = 0; x < width; x++) {
+                int64_t p = (int64_t)wv[y] * top[x] +
+                            (int64_t)(256 - wv[y]) * bottom +
+                            (int64_t)wh_[x] * edge[ofs - 1 - y] +
+                            (int64_t)(256 - wh_[x]) * right;
+                out[y * width + x] = (int32_t)((p + 256) >> 9);
+            }
+        return;
+    }
+    case 10: { /* SMOOTH_V */
+        const uint8_t *wv = sm_weights + height;
+        const int bottom = edge[ofs - height];
+        for (int y = 0; y < height; y++)
+            for (int x = 0; x < width; x++) {
+                int64_t p = (int64_t)wv[y] * top[x] +
+                            (int64_t)(256 - wv[y]) * bottom;
+                out[y * width + x] = (int32_t)((p + 128) >> 8);
+            }
+        return;
+    }
+    case 11: { /* SMOOTH_H */
+        const uint8_t *wh_ = sm_weights + width;
+        const int right = top[width - 1];
+        for (int y = 0; y < height; y++)
+            for (int x = 0; x < width; x++) {
+                int64_t p = (int64_t)wh_[x] * edge[ofs - 1 - y] +
+                            (int64_t)(256 - wh_[x]) * right;
+                out[y * width + x] = (int32_t)((p + 128) >> 8);
+            }
+        return;
+    }
+    case 6: { /* Z1 */
+        const int is_sm = (angle_in >> 9) & 1;
+        const int en_filter = angle_in >> 10;
+        const int angle = angle_in & 511;
+        int dx = dr_deriv[angle >> 1];
+        int64_t top_in[129], filt[258];
+        const int64_t *t;
+        int max_base_x;
+        for (int i = 0; i <= width + height; i++)
+            top_in[i] = edge[ofs + i]; /* [0] = topleft */
+        const int upsample_above =
+            en_filter ? get_upsample(width + height, 90 - angle, is_sm) : 0;
+        if (upsample_above) {
+            upsample_edge_c(filt, width + height, top_in, 1, -1,
+                            width + (width < height ? width : height),
+                            maxp);
+            t = filt;
+            max_base_x = 2 * (width + height) - 2;
+            dx <<= 1;
+        } else {
+            const int strength =
+                en_filter
+                    ? get_filter_strength(width + height, 90 - angle, is_sm)
+                    : 0;
+            if (strength) {
+                filter_edge_c(filt, width + height, 0, width + height,
+                              top_in, 1, -1,
+                              width + (width < height ? width : height),
+                              strength);
+                t = filt;
+                max_base_x = width + height - 1;
+            } else {
+                t = top_in + 1;
+                max_base_x =
+                    width + (width < height ? width : height) - 1;
+            }
+        }
+        const int base_inc = 1 + upsample_above;
+        for (int y = 0; y < height; y++) {
+            const int xpos = dx * (y + 1);
+            const int frac = xpos & 0x3E;
+            for (int x = 0; x < width; x++) {
+                const int base = (xpos >> 6) + base_inc * x;
+                if (base < max_base_x) {
+                    int64_t v = t[base] * (64 - frac) + t[base + 1] * frac;
+                    out[y * width + x] = (int32_t)((v + 32) >> 6);
+                } else {
+                    for (int xx = x; xx < width; xx++)
+                        out[y * width + xx] = (int32_t)t[max_base_x];
+                    break;
+                }
+            }
+        }
+        return;
+    }
+    case 7: { /* Z2 */
+        const int is_sm = (angle_in >> 9) & 1;
+        const int en_filter = angle_in >> 10;
+        const int angle = angle_in & 511;
+        int dy = dr_deriv[(angle - 90) >> 1];
+        int dx = dr_deriv[(180 - angle) >> 1];
+        const int upsample_left =
+            en_filter ? get_upsample(width + height, 180 - angle, is_sm)
+                      : 0;
+        const int upsample_above =
+            en_filter ? get_upsample(width + height, angle - 90, is_sm) : 0;
+        int64_t buf[129];
+        const int tl = 64;
+        int64_t top_in[65], left_in[65];
+        for (int i = 0; i <= width; i++)
+            top_in[i] = edge[ofs + i]; /* [0] = topleft */
+        for (int i = 0; i <= height; i++)
+            left_in[i] = edge[ofs - height + i]; /* [height] = topleft */
+        for (int i = 0; i < 129; i++)
+            buf[i] = 0;
+        if (upsample_above) {
+            upsample_edge_c(buf + tl, width + 1, top_in, 0, 0, width + 1,
+                            maxp);
+            dx <<= 1;
+        } else {
+            const int strength =
+                en_filter
+                    ? get_filter_strength(width + height, angle - 90, is_sm)
+                    : 0;
+            if (strength)
+                filter_edge_c(buf + tl + 1, width, 0, max_w, top_in, 1, -1,
+                              width, strength);
+            else
+                for (int i = 0; i < width; i++)
+                    buf[tl + 1 + i] = top_in[1 + i];
+        }
+        if (upsample_left) {
+            upsample_edge_c(buf + tl - height * 2, height + 1, left_in, 0,
+                            0, height + 1, maxp);
+            dy <<= 1;
+        } else {
+            const int strength =
+                en_filter ? get_filter_strength(width + height, 180 - angle,
+                                                is_sm)
+                          : 0;
+            if (strength)
+                filter_edge_c(buf + tl - height, height, height - max_h,
+                              height, left_in, 0, 0, height + 1, strength);
+            else
+                for (int i = 0; i < height; i++)
+                    buf[tl - height + i] = left_in[i];
+        }
+        buf[tl] = edge[ofs];
+        const int base_inc_x = 1 + upsample_above;
+        const int left_base = tl - (1 + upsample_left);
+        for (int y = 0; y < height; y++) {
+            const int xpos = ((1 + upsample_above) << 6) - dx * (y + 1);
+            const int base_x0 = xpos >> 6;
+            const int frac_x = xpos & 0x3E;
+            int ypos = (y << (6 + upsample_left)) - dy;
+            for (int x = 0; x < width; x++) {
+                const int base_x = base_x0 + base_inc_x * x;
+                int64_t v;
+                if (base_x >= 0) {
+                    v = buf[tl + base_x] * (64 - frac_x) +
+                        buf[tl + base_x + 1] * frac_x;
+                } else {
+                    const int base_y = ypos >> 6;
+                    const int frac_y = ypos & 0x3E;
+                    v = buf[left_base - base_y] * (64 - frac_y) +
+                        buf[left_base - (base_y + 1)] * frac_y;
+                }
+                out[y * width + x] = (int32_t)((v + 32) >> 6);
+                ypos -= dy;
+            }
+        }
+        return;
+    }
+    case 8: { /* Z3 */
+        const int is_sm = (angle_in >> 9) & 1;
+        const int en_filter = angle_in >> 10;
+        const int angle = angle_in & 511;
+        int dy = dr_deriv[(270 - angle) >> 1];
+        const int n = width + height;
+        const int upsample_left =
+            en_filter ? get_upsample(n, angle - 180, is_sm) : 0;
+        int64_t lo[129], filt[258];
+        const int64_t *left_vec;
+        int left_top, max_base_y;
+        for (int i = 0; i <= n; i++)
+            lo[i] = edge[ofs - n + i]; /* lo[n] = topleft */
+        const int frm = width - height > 0 ? width - height : 0;
+        if (upsample_left) {
+            upsample_edge_c(filt, n, lo, 0, frm, n + 1, maxp);
+            left_vec = filt;
+            left_top = 2 * n - 2;
+            max_base_y = 2 * n - 2;
+            dy <<= 1;
+        } else {
+            const int strength =
+                en_filter ? get_filter_strength(n, angle - 180, is_sm) : 0;
+            if (strength) {
+                filter_edge_c(filt, n, 0, n, lo, 0, frm, n + 1, strength);
+                left_vec = filt;
+                left_top = n - 1;
+                max_base_y = n - 1;
+            } else {
+                left_vec = lo;
+                left_top = n - 1; /* lo[n-1] = topleft_in[-1] */
+                max_base_y =
+                    height + (width < height ? width : height) - 1;
+            }
+        }
+        const int base_inc = 1 + upsample_left;
+        for (int x = 0; x < width; x++) {
+            const int ypos = dy * (x + 1);
+            const int frac = ypos & 0x3E;
+            int base = ypos >> 6;
+            for (int y = 0; y < height; y++) {
+                if (base < max_base_y) {
+                    int64_t v = left_vec[left_top - base] * (64 - frac) +
+                                left_vec[left_top - (base + 1)] * frac;
+                    out[y * width + x] = (int32_t)((v + 32) >> 6);
+                } else {
+                    for (int yy = y; yy < height; yy++)
+                        out[yy * width + x] =
+                            (int32_t)left_vec[left_top - max_base_y];
+                    break;
+                }
+                base += base_inc;
+            }
+        }
+        return;
+    }
+    case 13: { /* FILTER (up to 32x32) */
+        const int filt_idx = angle_in & 511;
+        const int8_t *flt = filter_taps + filt_idx * 64;
+        int32_t canvas[33][33];
+        canvas[0][0] = edge[ofs];
+        for (int i = 0; i < width; i++)
+            canvas[0][1 + i] = top[i];
+        for (int i = 0; i < height; i++)
+            canvas[1 + i][0] = edge[ofs - 1 - i];
+        for (int y = 0; y < height; y += 2)
+            for (int x = 0; x < width; x += 4) {
+                const int p0 = canvas[y][x];
+                const int p1 = canvas[y][x + 1], p2 = canvas[y][x + 2];
+                const int p3 = canvas[y][x + 3], p4 = canvas[y][x + 4];
+                const int p5 = canvas[y + 1][x];
+                const int p6 = canvas[y + 2][x];
+                for (int yy = 0; yy < 2; yy++)
+                    for (int xx = 0; xx < 4; xx++) {
+                        const int fi = xx + yy * 4;
+                        const int acc =
+                            flt[fi] * p0 + flt[fi + 8] * p1 +
+                            flt[fi + 16] * p2 + flt[fi + 24] * p3 +
+                            flt[fi + 32] * p4 + flt[fi + 40] * p5 +
+                            flt[fi + 48] * p6;
+                        canvas[y + 1 + yy][x + 1 + xx] =
+                            clampi((acc + 8) >> 4, 0, maxp);
+                    }
+            }
+        for (int y = 0; y < height; y++)
+            for (int x = 0; x < width; x++)
+                out[y * width + x] = canvas[1 + y][1 + x];
+        return;
+    }
+    }
+}
+
+/* 8-tap subpel MC for one block, put (clipped pixels) or prep
+ * (intermediates minus prep_bias) — semantics of the golden model
+ * dav1d_tpu/recon/mc_np.py put_8tap/prep_8tap (reference put_8tap_c,
+ * src/mc_tmpl.c:130). Edge replication via clamped gather (emu_edge).
+ * fh/fv: 8-tap int64 rows or NULL. */
+void dtpu_put_8tap(const int32_t *plane, int64_t stride, int vw, int vh,
+                   int dy, int dx, int w, int h, const int64_t *fh,
+                   const int64_t *fv, int ib, int maxp, int prep,
+                   int prep_bias, int32_t *out)
+{
+    if (fh && fv) {
+        int32_t mid[135][128]; /* max h+7=135, max w=128 */
+        const int rnd_h = (1 << (6 - ib)) >> 1;
+        for (int y = 0; y < h + 7; y++) {
+            const int32_t *row =
+                plane + (int64_t)clampi(dy - 3 + y, 0, vh - 1) * stride;
+            for (int x = 0; x < w; x++) {
+                int64_t acc = 0;
+                for (int t = 0; t < 8; t++)
+                    acc += fh[t] * row[clampi(dx - 3 + x + t, 0, vw - 1)];
+                mid[y][x] = (int32_t)((acc + rnd_h) >> (6 - ib));
+            }
+        }
+        const int rnd_v = prep ? 32 : ((1 << (6 + ib)) >> 1);
+        const int sh_v = prep ? 6 : (6 + ib);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int64_t acc = 0;
+                for (int t = 0; t < 8; t++)
+                    acc += fv[t] * mid[y + t][x];
+                int v = (int)((acc + rnd_v) >> sh_v);
+                out[y * w + x] =
+                    prep ? v - prep_bias : clampi(v, 0, maxp);
+            }
+    } else if (fh) {
+        const int rnd = prep ? ((1 << (6 - ib)) >> 1)
+                             : 32 + ((1 << (6 - ib)) >> 1);
+        const int sh = prep ? (6 - ib) : 6;
+        for (int y = 0; y < h; y++) {
+            const int32_t *row =
+                plane + (int64_t)clampi(dy + y, 0, vh - 1) * stride;
+            for (int x = 0; x < w; x++) {
+                int64_t acc = 0;
+                for (int t = 0; t < 8; t++)
+                    acc += fh[t] * row[clampi(dx - 3 + x + t, 0, vw - 1)];
+                int v = (int)((acc + rnd) >> sh);
+                out[y * w + x] =
+                    prep ? v - prep_bias : clampi(v, 0, maxp);
+            }
+        }
+    } else if (fv) {
+        const int rnd = prep ? ((1 << (6 - ib)) >> 1) : 32;
+        const int sh = prep ? (6 - ib) : 6;
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                const int ix = clampi(dx + x, 0, vw - 1);
+                int64_t acc = 0;
+                for (int t = 0; t < 8; t++)
+                    acc += fv[t] *
+                           plane[(int64_t)clampi(dy - 3 + y + t, 0,
+                                                 vh - 1) * stride + ix];
+                int v = (int)((acc + rnd) >> sh);
+                out[y * w + x] =
+                    prep ? v - prep_bias : clampi(v, 0, maxp);
+            }
+    } else {
+        for (int y = 0; y < h; y++) {
+            const int32_t *row =
+                plane + (int64_t)clampi(dy + y, 0, vh - 1) * stride;
+            for (int x = 0; x < w; x++) {
+                const int v = row[clampi(dx + x, 0, vw - 1)];
+                out[y * w + x] = prep ? (v << ib) - prep_bias : v;
+            }
+        }
+    }
+}
+
+/* One warped 8x8 tile (golden model mc_np.warp8x8; reference
+ * warp_affine_8x8_c / _8x8t_c, src/mc_tmpl.c). wf: (193, 8) int64. */
+void dtpu_warp8x8(const int32_t *plane, int64_t stride, int vw, int vh,
+                  int dy, int dx, const int32_t *abcd, int mx, int my,
+                  int ib, int maxp, int prep, int prep_bias,
+                  const int64_t *wf, int32_t *out)
+{
+    int32_t win[15][15];
+    for (int y = 0; y < 15; y++) {
+        const int32_t *row =
+            plane + (int64_t)clampi(dy - 3 + y, 0, vh - 1) * stride;
+        for (int x = 0; x < 15; x++)
+            win[y][x] = row[clampi(dx - 3 + x, 0, vw - 1)];
+    }
+    int32_t mid[15][8];
+    const int rnd_h = (1 << (7 - ib)) >> 1;
+    for (int y = 0; y < 15; y++) {
+        int tmx = mx + y * abcd[1];
+        for (int x = 0; x < 8; x++) {
+            const int64_t *fil = wf + 8 * (64 + ((tmx + 512) >> 10));
+            int64_t acc = 0;
+            for (int t = 0; t < 8; t++)
+                acc += fil[t] * win[y][x + t];
+            mid[y][x] = (int32_t)((acc + rnd_h) >> (7 - ib));
+            tmx += abcd[0];
+        }
+    }
+    const int rnd_v = prep ? 64 : ((1 << (7 + ib)) >> 1);
+    const int sh_v = prep ? 7 : (7 + ib);
+    for (int y = 0; y < 8; y++) {
+        int tmy = my + y * abcd[3];
+        for (int x = 0; x < 8; x++) {
+            const int64_t *fil = wf + 8 * (64 + ((tmy + 512) >> 10));
+            int64_t acc = 0;
+            for (int t = 0; t < 8; t++)
+                acc += fil[t] * mid[y + t][x];
+            const int v = (int)((acc + rnd_v) >> sh_v);
+            out[y * 8 + x] = prep ? v - prep_bias : clampi(v, 0, maxp);
+            tmy += abcd[2];
+        }
+    }
+}
+
 /* 8x8 direction search per unit (semantics of the golden model
  * dav1d_tpu/recon/cdef.py cdef_find_dir, reference cdef_find_dir_c
  * src/cdef_tmpl.c:239): 8 directional projections, squared-sum costs

@@ -197,6 +197,21 @@ def cdef_filter_block(dst, src, y0, x0, w, h, pri_strength, sec_strength,
     dst[y0 : y0 + h, x0 : x0 + w] = out
 
 
+_SCRATCH = {}
+
+
+def _scratch(key, shape, dtype=np.int32):
+    """Reused flat buffers for the per-frame batches: fresh multi-MB
+    allocations each frame fault in new pages every time; reuse keeps
+    them hot (same rationale as dav1d_tpu.__init__._tune_malloc)."""
+    need = int(np.prod(shape))
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < need or buf.dtype != np.dtype(dtype):
+        buf = np.empty(need, dtype=dtype)
+        _SCRATCH[key] = buf
+    return buf[:need].reshape(shape)
+
+
 _DIR_DY = np.array([[d[0][0] for d in CDEF_DIRECTIONS],
                     [d[1][0] for d in CDEF_DIRECTIONS]])  # (2 pass, 12)
 _DIR_DX = np.array([[d[0][1] for d in CDEF_DIRECTIONS],
@@ -291,7 +306,7 @@ def cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs, damping,
         pa = np.ascontiguousarray(pri, dtype=np.int64)
         sa = np.ascontiguousarray(sec, dtype=np.int64)
         da = np.ascontiguousarray(dirs, dtype=np.int64)
-        out = np.empty((len(ysa), h, w), dtype=np.int32)
+        out = _scratch("flt_out", (len(ysa), h, w))
         _nlib.dtpu_cdef_filter_batch(
             c.ctypes.data, c.shape[1], ysa.ctypes.data, xsa.ctypes.data,
             len(ysa), w, h, pa.ctypes.data, sa.ctypes.data, da.ctypes.data,
@@ -401,102 +416,106 @@ def cdef_frame(f) -> None:
     uv_dir_map = UV_DIRS_422 if layout == PixelLayout.I422 else UV_DIRS_420
 
     sb64w = (f.bw + 15) >> 4
+    sb64h = (f.bh + 15) >> 4
 
-    # collect units (cheap host loop), then filter each plane as one batch
-    # (the batched form is the device kernel shape: direction search =
-    # one-hot matmuls, filtering = per-tap gathers over (N, h, w) lanes)
-    dir_blocks = []  # (by, bx) needing direction search
-    units = []       # (pl, by, bx, pri-or-None-for-adjust, sec, use_dir)
-    for by in range(0, f.bh, 2):
-        for sbx in range(sb64w):
-            cdef_idx = int(f.cdef_idx[by >> 4, sbx])
-            if cdef_idx == -1:
-                continue
-            y_lvl = hdr.cdef.y_strength[cdef_idx]
-            uv_lvl = hdr.cdef.uv_strength[cdef_idx]
-            if not y_lvl and not uv_lvl:
-                continue
-            y_pri = (y_lvl >> 2) << bdmin8
-            y_sec = y_lvl & 3
-            y_sec += int(y_sec == 3)
-            y_sec <<= bdmin8
-            uv_pri = (uv_lvl >> 2) << bdmin8
-            uv_sec = uv_lvl & 3
-            uv_sec += int(uv_sec == 3)
-            uv_sec <<= bdmin8
-            for bx in range(sbx * 16, min((sbx + 1) * 16, f.bw), 2):
-                if not f.noskip[by >> 1, bx : bx + 2].any():
-                    continue
-                need_dir = bool(y_pri or uv_pri)
-                dir_idx = -1
-                if need_dir:
-                    dir_idx = len(dir_blocks)
-                    dir_blocks.append((by, bx))
-                units.append((by, bx, y_pri, y_sec, uv_pri, uv_sec,
-                              bool(uv_lvl), dir_idx))
-    if not units:
+    # unit collection, fully vectorized: 8x8 units on the 2-aligned block
+    # grid where the superblock has a cdef index with nonzero strengths
+    # and any 4x4 in the unit is non-skip
+    nrows, ncols = (f.bh + 1) >> 1, (f.bw + 1) >> 1
+    cdef_idx = f.cdef_idx[:sb64h, :sb64w]
+    ystr = np.asarray(list(hdr.cdef.y_strength) + [0], dtype=np.int64)
+    uvstr = np.asarray(list(hdr.cdef.uv_strength) + [0], dtype=np.int64)
+    ylvl_sb = ystr[cdef_idx]    # idx -1 -> trailing 0
+    uvlvl_sb = uvstr[cdef_idx]
+    on_sb = (cdef_idx >= 0) & ((ylvl_sb | uvlvl_sb) != 0)
+    rs8 = np.arange(nrows) >> 3
+    cs8 = np.arange(ncols) >> 3
+    ns = f.noskip[:nrows]
+    skip_grid = ns[:, 0 : 2 * ncols : 2].copy()
+    if 2 * ncols <= ns.shape[1]:
+        skip_grid |= ns[:, 1 : 2 * ncols : 2]
+    else:  # odd bw: last unit is a single 4x4 column
+        skip_grid[:, :-1] |= ns[:, 1 : 2 * ncols - 1 : 2]
+    sel = on_sb[np.ix_(rs8, cs8)] & skip_grid
+    rr, cc = np.nonzero(sel)
+    if rr.size == 0:
         return
+    bys = rr << 1
+    bxs = cc << 1
+    ylvl = ylvl_sb[rr >> 3, cc >> 3]
+    uvlvl = uvlvl_sb[rr >> 3, cc >> 3]
+    y_pri = (ylvl >> 2) << bdmin8
+    y_sec = ylvl & 3
+    y_sec += (y_sec == 3)
+    y_sec <<= bdmin8
+    uv_pri = (uvlvl >> 2) << bdmin8
+    uv_sec = uvlvl & 3
+    uv_sec += (uv_sec == 3)
+    uv_sec <<= bdmin8
 
-    # The jitted device CDEF (ops/cdef.py) is dispatch/transfer-bound on
-    # this environment's tunneled single chip (1080p: ~4.3s device vs
-    # ~1.7s for the host batch once the allocator keeps buffers hot, see
-    # dav1d_tpu.__init__._tune_malloc), so the host batch is the default;
-    # co-located deployments set DAV1D_TPU_CDEF_DEVICE_MIN to the unit
-    # count where the device wins.
-    import os
-    thresh = int(os.environ.get("DAV1D_TPU_CDEF_DEVICE_MIN", 1 << 30))
-    use_device = len(units) >= thresh
-    if use_device:
-        from ..ops import cdef as dcdef
-    src0 = f.planes[0]
-    if dir_blocks:
-        dbys = np.array([by * 4 for by, _ in dir_blocks])
-        dbxs = np.array([bx * 4 for _, bx in dir_blocks])
+    need_dir = (y_pri | uv_pri) > 0
+    dirs = np.zeros(rr.size, dtype=np.int64)
+    variances = np.zeros(rr.size, dtype=np.int64)
+    if need_dir.any():
+        src0 = f.planes[0]
+        dbys = bys[need_dir] * 4
+        dbxs = bxs[need_dir] * 4
         ar8 = np.arange(8)
         blk = src0[dbys[:, None, None] + ar8[None, :, None],
                    dbxs[:, None, None] + ar8[None, None, :]]
-        if use_device:
-            dirs_arr, vars_arr = dcdef.cdef_find_dir_batch(blk, bitdepth)
+        import os
+        thresh = int(os.environ.get("DAV1D_TPU_CDEF_DEVICE_MIN", 1 << 30))
+        if rr.size >= thresh:
+            from ..ops import cdef as dcdef
+            d, v = dcdef.cdef_find_dir_batch(blk, bitdepth)
+            d, v = np.asarray(d), np.asarray(v)
         else:
-            dirs_arr, vars_arr = cdef_find_dir_batch(blk, bitdepth)
-    plane_units = {0: [], 1: [], 2: []}
-    for by, bx, y_pri, y_sec, uv_pri, uv_sec, uv_on, dir_idx in units:
-        dir_ = int(dirs_arr[dir_idx]) if dir_idx >= 0 else 0
-        var = int(vars_arr[dir_idx]) if dir_idx >= 0 else 0
-        if y_pri:
-            adj = adjust_strength(y_pri, var)
-            if adj or y_sec:
-                plane_units[0].append((by * 4, bx * 4, adj, y_sec, dir_))
-        elif y_sec:
-            plane_units[0].append((by * 4, bx * 4, 0, y_sec, 0))
-        if uv_on and has_chroma:
-            uvdir = uv_dir_map[dir_] if uv_pri else 0
-            cy0 = (by * 4) >> ss_ver
-            cx0 = (bx * 4) >> ss_hor
-            for pl in (1, 2):
-                plane_units[pl].append((cy0, cx0, uv_pri, uv_sec, uvdir))
+            d, v = cdef_find_dir_batch(blk, bitdepth)
+        dirs[need_dir] = d
+        variances[need_dir] = v
+
+    # vectorized adjust_strength (reference adjust_strength, cdef_apply)
+    v6 = variances >> 6
+    i = np.zeros_like(variances)
+    nz = v6 > 0
+    i[nz] = np.minimum(np.frexp(v6[nz].astype(np.float64))[1] - 1, 12)
+    y_adj = np.where(variances != 0, (y_pri * (4 + i) + 8) >> 4, 0)
 
     for pl in range(3 if has_chroma else 1):
-        ul = plane_units[pl]
-        if not ul:
-            continue
-        sv = ss_ver if pl else 0
-        sh = ss_hor if pl else 0
+        if pl == 0:
+            m_pri = y_pri > 0
+            m = (m_pri & ((y_adj | y_sec) != 0)) | (~m_pri & (y_sec > 0))
+            if not m.any():
+                continue
+            upri = np.where(m_pri, y_adj, 0)[m]
+            usec = y_sec[m]
+            udir = np.where(m_pri, dirs, 0)[m]
+            uys = bys[m] * 4
+            uxs = bxs[m] * 4
+            sv = sh = 0
+        else:
+            m = uvlvl != 0
+            if not m.any():
+                continue
+            upri = uv_pri[m]
+            usec = uv_sec[m]
+            uvdm = np.asarray(uv_dir_map, dtype=np.int64)
+            udir = np.where(uv_pri > 0, uvdm[dirs], 0)[m]
+            uys = (bys[m] * 4) >> ss_ver
+            uxs = (bxs[m] * 4) >> ss_hor
+            sv, sh = ss_ver, ss_hor
         w, h = 8 >> sh, 8 >> sv
         pw, ph = (f.bw * 4) >> sh, (f.bh * 4) >> sv
-        canvas = np.empty((ph + 4, pw + 4), dtype=np.int32)
+        canvas = _scratch("canvas%d" % min(pl, 1), (ph + 4, pw + 4))
         canvas[:2] = INT16_MIN
         canvas[-2:] = INT16_MIN
         canvas[:, :2] = INT16_MIN
         canvas[:, -2:] = INT16_MIN
         canvas[2 : 2 + ph, 2 : 2 + pw] = f.planes[pl][:ph, :pw]
-        ys = np.array([u[0] + 2 for u in ul])
-        xs = np.array([u[1] + 2 for u in ul])
-        pri = np.array([u[2] for u in ul], dtype=np.int64)
-        sec = np.array([u[3] for u in ul], dtype=np.int64)
-        dirs = np.array([u[4] for u in ul], dtype=np.int64)
-        fb = dcdef.cdef_filter_batch if use_device else cdef_filter_batch
-        out = fb(canvas, ys, xs, w, h, pri, sec, dirs,
-                 damping - (1 if pl else 0), bitdepth)
-        for i, u in enumerate(ul):
-            f.planes[pl][u[0] : u[0] + h, u[1] : u[1] + w] = out[i]
+        out = cdef_filter_batch(canvas, uys + 2, uxs + 2, w, h,
+                                upri, usec, udir,
+                                damping - (1 if pl else 0), bitdepth)
+        arh = np.arange(h)
+        arw = np.arange(w)
+        f.planes[pl][uys[:, None, None] + arh[None, :, None],
+                     uxs[:, None, None] + arw[None, None, :]] = out

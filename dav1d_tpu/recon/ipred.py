@@ -184,8 +184,38 @@ def dc_gen(edge, ofs, width, height):
 _BD8 = True  # toggled per call via dc-mode wrapper
 
 
+_IPRED_TABLES = None
+
+
 def ipred(mode, edge, ofs, width, height, angle, max_w, max_h, bitdepth):
-    """Dispatch like the reference fn table dsp->ipred.intra_pred[m]."""
+    """Dispatch like the reference fn table dsp->ipred.intra_pred[m].
+    Uses the native C port (dav1d_tpu/native/filters.c dtpu_ipred,
+    bit-identical) when available; numpy golden model otherwise."""
+    from ..native import lib as _nlib
+    if _nlib is not None and edge.dtype == np.int32 \
+            and edge.flags.c_contiguous:
+        global _IPRED_TABLES
+        if _IPRED_TABLES is None:
+            _IPRED_TABLES = (
+                np.ascontiguousarray(tables.sm_weights, dtype=np.uint8),
+                np.ascontiguousarray(tables.dr_intra_derivative,
+                                     dtype=np.uint16),
+                np.ascontiguousarray(tables.filter_intra_taps,
+                                     dtype=np.int8))
+        smw, drd, fit = _IPRED_TABLES
+        out = np.empty((height, width), dtype=np.int32)
+        _nlib.dtpu_ipred(int(mode), edge.ctypes.data, int(ofs),
+                         int(width), int(height), int(angle),
+                         int(max_w), int(max_h), int(bitdepth),
+                         smw.ctypes.data, drd.ctypes.data, fit.ctypes.data,
+                         out.ctypes.data)
+        return out
+    return ipred_np(mode, edge, ofs, width, height, angle, max_w, max_h,
+                    bitdepth)
+
+
+def ipred_np(mode, edge, ofs, width, height, angle, max_w, max_h, bitdepth):
+    """Golden numpy model (see ipred for the native dispatch)."""
     global _BD8
     _BD8 = bitdepth == 8
     half = (1 << bitdepth) >> 1

@@ -47,9 +47,32 @@ def _vfilt(win, f, h):
     return sum(int(f[t]) * win[t : t + h, :] for t in range(8))
 
 
+def _native_8tap(plane, valid_w, valid_h, dy, dx, w, h, mx, my,
+                 filter_type, bitdepth, prep):
+    """Dispatch to the native C 8-tap kernel (dav1d_tpu/native/filters.c,
+    bit-identical to the numpy paths below); None if unavailable."""
+    from ..native import lib as _nlib
+    if _nlib is None or plane.dtype != np.int32 \
+            or not plane.flags.c_contiguous:
+        return None
+    fh, fv = _get_filters(filter_type, w, h, mx, my)
+    out = np.empty((h, w), dtype=np.int32)
+    _nlib.dtpu_put_8tap(
+        plane.ctypes.data, plane.shape[1], valid_w, valid_h, dy, dx, w, h,
+        None if fh is None else fh.ctypes.data,
+        None if fv is None else fv.ctypes.data,
+        _intermediate_bits(bitdepth), (1 << bitdepth) - 1, int(prep),
+        0 if bitdepth == 8 else 8192, out.ctypes.data)
+    return out
+
+
 def put_8tap(plane, valid_w, valid_h, dy, dx, w, h, mx, my, filter_type,
              bitdepth):
     """(h, w) int32 prediction block."""
+    out = _native_8tap(plane, valid_w, valid_h, dy, dx, w, h, mx, my,
+                       filter_type, bitdepth, prep=False)
+    if out is not None:
+        return out
     ib = _intermediate_bits(bitdepth)
     maxp = (1 << bitdepth) - 1
     fh, fv = _get_filters(filter_type, w, h, mx, my)
@@ -75,6 +98,10 @@ def put_8tap(plane, valid_w, valid_h, dy, dx, w, h, mx, my, filter_type,
 def prep_8tap(plane, valid_w, valid_h, dy, dx, w, h, mx, my, filter_type,
               bitdepth):
     """(h, w) int16-range intermediates (reference prep_8tap_c)."""
+    out = _native_8tap(plane, valid_w, valid_h, dy, dx, w, h, mx, my,
+                       filter_type, bitdepth, prep=True)
+    if out is not None:
+        return out
     ib = _intermediate_bits(bitdepth)
     prep_bias = 0 if bitdepth == 8 else 8192
     fh, fv = _get_filters(filter_type, w, h, mx, my)
@@ -320,11 +347,30 @@ def resize_row(src_rows, dst_w, src_w, dx, mx0, bitdepth):
     return np.clip(out, 0, (1 << bitdepth) - 1).astype(np.int32)
 
 
+_WARP_FILTER_I64 = None
+
+
 def warp8x8(plane, valid_w, valid_h, dy, dx, abcd, mx, my, bitdepth,
             prep=False):
     """One warped 8x8 tile (reference warp_affine_8x8_c / _8x8t_c,
     src/mc_tmpl.c). (dy, dx) is the top-left of the 8x8 source tile minus
     the (3, 3) filter margin handled here via clamped gather (emu_edge)."""
+    from ..native import lib as _nlib
+    if _nlib is not None and plane.dtype == np.int32 \
+            and plane.flags.c_contiguous:
+        global _WARP_FILTER_I64
+        if _WARP_FILTER_I64 is None:
+            _WARP_FILTER_I64 = np.ascontiguousarray(
+                tables.mc_warp_filter, dtype=np.int64)
+        abcd32 = np.asarray(abcd, dtype=np.int32)
+        out = np.empty((8, 8), dtype=np.int32)
+        _nlib.dtpu_warp8x8(
+            plane.ctypes.data, plane.shape[1], valid_w, valid_h, dy, dx,
+            abcd32.ctypes.data, int(mx), int(my),
+            _intermediate_bits(bitdepth), (1 << bitdepth) - 1, int(prep),
+            0 if bitdepth == 8 else 8192, _WARP_FILTER_I64.ctypes.data,
+            out.ctypes.data)
+        return out
     ib = _intermediate_bits(bitdepth)
     wf = tables.mc_warp_filter.astype(np.int64)
     win = get_window(plane, valid_w, valid_h, dy - 3, dx - 3, 15, 15)
