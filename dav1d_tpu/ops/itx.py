@@ -97,10 +97,12 @@ def _jit_itx(tx, txtp, bitdepth):
 
 def itx_batch_np(cf, tx, txtp, bitdepth):
     """Host-batched inverse transform (same shared 1-D kernels, numpy
-    lanes): (B, sh*sw) -> (B, h, w) int32 residuals."""
+    lanes): (B, sh*sw) -> (B, h, w) int32 residuals. Always copies: the
+    identity 1-D kernels update lanes in place, which with numpy views
+    would write through to the caller's coefficient buffer."""
     dt = np.int64 if bitdepth == 12 else np.int32
-    return _itx_core(np.asarray(cf, dtype=dt), int(tx), int(txtp),
-                     int(bitdepth), xp=np)
+    return _itx_core(np.array(cf, dtype=dt, copy=True), int(tx),
+                     int(txtp), int(bitdepth), xp=np)
 
 
 def itx_batch(cf, tx, txtp, bitdepth):

@@ -63,10 +63,16 @@ def _compute_residuals(f) -> None:
             groups.setdefault((ent[4], txtp), []).append((cf, rec, i))
 
     device_min = int(os.environ.get("DAV1D_TPU_ITX_DEVICE_MIN", 1 << 30))
+    use_pallas = os.environ.get("DAV1D_TPU_ITX_PALLAS") == "1"
     from .ops.itx import itx_batch, itx_batch_np
+    if use_pallas:
+        from .ops.pallas_itx import itx_batch_pallas, supported
     for (tx, txtp), items in groups.items():
         n = len(items)
-        if n >= device_min:
+        if use_pallas and supported(f.bitdepth):
+            cfs = np.stack([it[0] for it in items]).astype(np.int32)
+            resid = itx_batch_pallas(cfs, tx, txtp, f.bitdepth)
+        elif n >= device_min:
             # pad the batch to a power-of-two bucket so XLA programs are
             # reused across frames instead of recompiling per batch size
             nb = 1
