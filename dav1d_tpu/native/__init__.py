@@ -15,7 +15,7 @@ import subprocess
 from pathlib import Path
 
 _HERE = Path(__file__).parent
-_SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c"]
+_SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c", _HERE / "lf.c"]
 
 
 def _build() -> Path | None:
@@ -32,6 +32,35 @@ def _build() -> Path | None:
     except Exception:
         return None
     return out
+
+
+class DtpuCoefCtx(ctypes.Structure):
+    """Mirror of native/msac_coef.c DtpuCoefCtx (per-tile pointer set for
+    the one-call coefficient decode)."""
+    _fields_ = [
+        ("skip", ctypes.c_void_p),
+        ("txtp_intra1", ctypes.c_void_p),
+        ("txtp_intra2", ctypes.c_void_p),
+        ("txtp_inter1", ctypes.c_void_p),
+        ("txtp_inter2", ctypes.c_void_p),
+        ("txtp_inter3", ctypes.c_void_p),
+        ("eob_bin", ctypes.c_void_p * 7),
+        ("eob_hi_bit", ctypes.c_void_p),
+        ("eob_base_tok", ctypes.c_void_p),
+        ("base_tok", ctypes.c_void_p),
+        ("br_tok", ctypes.c_void_p),
+        ("dc_sign", ctypes.c_void_p),
+        ("txfm_info", ctypes.c_void_p),
+        ("block_dim", ctypes.c_void_p),
+        ("skip_ctx_tbl", ctypes.c_void_p),
+        ("txtp_from_uvmode", ctypes.c_void_p),
+        ("tx_types_per_set", ctypes.c_void_p),
+        ("tx_type_class", ctypes.c_void_p),
+        ("lo_ctx_offsets", ctypes.c_void_p),
+        ("scans", ctypes.c_void_p * 19),
+        ("layout", ctypes.c_int32),
+        ("cf_max", ctypes.c_uint32),
+    ]
 
 
 class CMsac(ctypes.Structure):
@@ -89,6 +118,16 @@ def _load():
         ctypes.c_uint32,         # dq0, dq1, qm, dq_shift, cf_max
         ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
     lib.dtpu_decode_coefs_tail.restype = ctypes.c_int
+    lib.dtpu_decode_coefs.argtypes = [
+        ctypes.POINTER(DtpuCoefCtx), P(CMsac),
+        ctypes.c_void_p, ctypes.c_int,        # a, a_off
+        ctypes.c_void_p, ctypes.c_int,        # l, l_off
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # ymode, uvmode, ytxtp
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # lossless, qidx, reduced
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p,  # dq0, dq1, qm
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]  # cf, eob_out
+    lib.dtpu_decode_coefs.restype = ctypes.c_int
     lib.dtpu_cdef_filter_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,              # canvas, stride
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # ys, xs, n
@@ -117,6 +156,13 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # sm, dr, taps
         ctypes.c_void_p]
     lib.dtpu_ipred.restype = None
+    lib.dtpu_lf_strip.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ci, ci,     # plane, stride, py, px
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,  # vm0..2
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # lvl, i/off strides
+        ctypes.c_void_p, ctypes.c_void_p,            # e_lut, i_lut
+        ci, ci, ci]                                  # is_h, is_uv, bitdepth
+    lib.dtpu_lf_strip.restype = None
     return lib
 
 

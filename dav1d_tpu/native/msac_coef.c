@@ -461,3 +461,196 @@ int dtpu_decode_coefs_tail(
 
     return (int)((cul_level < 63 ? cul_level : 63) | dc_sign_level);
 }
+
+/* ---- full coefficient decode (skip ctx + txtp + tail) ------------------- */
+
+/* Mirrors recon/coef.py decode_coefs end to end (reference decode_coefs,
+ * src/recon_tmpl.c:321-730) so the Python hot loop makes ONE native call
+ * per tx block.  Per-tile pointers live in DtpuCoefCtx (built once per
+ * tile state on the Python side); per-call parameters are plain ints. */
+
+typedef struct DtpuCoefCtx {
+    /* per-tile CDF base pointers (numpy uint16, updated in place) */
+    uint16_t *skip;          /* [5][13][2] */
+    uint16_t *txtp_intra1;   /* [2][13][8] */
+    uint16_t *txtp_intra2;   /* [3][13][8] */
+    uint16_t *txtp_inter1;   /* [2][16] */
+    uint16_t *txtp_inter2;   /* [16] */
+    uint16_t *txtp_inter3;   /* [4][2] */
+    uint16_t *eob_bin[7];    /* 16/32/64/128: [2][2][8]; 256: [2][2][16];
+                                512/1024: [2][16] */
+    uint16_t *eob_hi_bit;    /* [5][2][9][2] */
+    uint16_t *eob_base_tok;  /* [5][2][4][4] */
+    uint16_t *base_tok;      /* [5][2][41][4] */
+    uint16_t *br_tok;        /* [4][2][21][4] */
+    uint16_t *dc_sign;       /* [2][3][2] */
+    /* static normative tables */
+    const uint8_t *txfm_info;        /* [19][8]: w4,h4,lw,lh,min,max,sub,ctx */
+    const uint8_t *block_dim;        /* [22][4] */
+    const uint8_t *skip_ctx_tbl;     /* [5][5] */
+    const uint8_t *txtp_from_uvmode; /* [14] */
+    const uint8_t *tx_types_per_set; /* [40] */
+    const uint8_t *tx_type_class;    /* [17] */
+    const uint8_t *lo_ctx_offsets;   /* [3][5][5] */
+    const uint16_t *scans[19];
+    /* frame constants */
+    int32_t layout;                  /* PixelLayout value */
+    uint32_t cf_max;
+} DtpuCoefCtx;
+
+#define TXFM_TYPE_DCT_DCT 0
+#define TXFM_TYPE_IDTX 9
+#define TXFM_TYPE_WHT 16
+#define UV_INTER_DCT_MASK \
+    ((1u << 12) | (1u << 13) | (1u << 14) | (1u << 15)) /* V/H (FLIP)ADST */
+
+/* Returns (txtp << 16) | res_ctx; *eob_out = -1 on all-skip.
+ * y_mode_nofilt: FILTER_PRED already resolved by the caller.  cf must be
+ * n_coef int32s (zero-filled here). */
+int dtpu_decode_coefs(
+    DtpuCoefCtx *cx, DtpuMsac *s,
+    const uint8_t *a, int a_off, const uint8_t *l, int l_off,
+    int tx, int bs, int intra, int plane,
+    int y_mode_nofilt, int uv_mode, int ytxtp,
+    int lossless, int qidx_nonzero, int reduced_txtp_set,
+    int dq0, int dq1, const uint8_t *qm,
+    int32_t *cf, int *eob_out)
+{
+    const uint8_t *ti = cx->txfm_info + 8 * tx;
+    const int lw = ti[2], lh = ti[3];
+    const int tmin = ti[4], tmax = ti[5], tctx = ti[7];
+    const int chroma = plane != 0;
+    const uint8_t *bd = cx->block_dim + 4 * bs;
+    a += a_off;
+    l += l_off;
+
+    /* skip context (reference get_skip_ctx, src/recon_tmpl.c:60-139) */
+    int sctx;
+    if (chroma) {
+        const int ss_ver = cx->layout == 1;
+        const int ss_hor = cx->layout != 3;
+        const int not_one_blk =
+            (bd[2] - ((bd[2] != 0) && ss_hor) > lw) ||
+            (bd[3] - ((bd[3] != 0) && ss_ver) > lh);
+        int ca = 0, cl = 0;
+        for (int i = 0; i < (1 << lw); i++)
+            ca |= a[i] != 0x40;
+        for (int i = 0; i < (1 << lh); i++)
+            cl |= l[i] != 0x40;
+        sctx = 7 + not_one_blk * 3 + ca + cl;
+    } else if (bd[2] == lw && bd[3] == lh) {
+        sctx = 0;
+    } else {
+        unsigned la = 0, ll = 0;
+        int na = 1 << lw, nl = 1 << lh;
+        if (na > 16) na = 16;
+        if (nl > 16) nl = 16;
+        for (int i = 0; i < na; i++)
+            la |= a[i];
+        for (int i = 0; i < nl; i++)
+            ll |= l[i];
+        la &= 0x3F;
+        ll &= 0x3F;
+        sctx = cx->skip_ctx_tbl[5 * (la < 4 ? la : 4) + (ll < 4 ? ll : 4)];
+    }
+
+    const int all_skip =
+        dtpu_decode_bool_adapt(s, cx->skip + 2 * (13 * tctx + sctx));
+    if (all_skip) {
+        *eob_out = -1;
+        return ((lossless ? TXFM_TYPE_WHT : TXFM_TYPE_DCT_DCT) << 16) | 0x40;
+    }
+
+    /* transform type (reference src/recon_tmpl.c:377-434) */
+    int txtp;
+    if (lossless) {
+        txtp = TXFM_TYPE_WHT;
+    } else if (tmax + intra >= 4 /* TX_64X64 */) {
+        txtp = TXFM_TYPE_DCT_DCT;
+    } else if (chroma) {
+        if (intra) {
+            txtp = cx->txtp_from_uvmode[uv_mode];
+        } else if (tmax == 3 /* env.h get_uv_inter_txtp */) {
+            txtp = ytxtp == TXFM_TYPE_IDTX ? TXFM_TYPE_IDTX
+                                           : TXFM_TYPE_DCT_DCT;
+        } else if (tmin == 2 && ((1u << ytxtp) & UV_INTER_DCT_MASK)) {
+            txtp = TXFM_TYPE_DCT_DCT;
+        } else {
+            txtp = ytxtp;
+        }
+    } else if (!qidx_nonzero) {
+        txtp = TXFM_TYPE_DCT_DCT;
+    } else if (intra) {
+        if (reduced_txtp_set || tmin == 2 /* TX_16X16 */) {
+            int idx = dtpu_decode_symbol_adapt(
+                s, cx->txtp_intra2 + 8 * (13 * tmin + y_mode_nofilt), 4);
+            txtp = cx->tx_types_per_set[idx];
+        } else {
+            int idx = dtpu_decode_symbol_adapt(
+                s, cx->txtp_intra1 + 8 * (13 * tmin + y_mode_nofilt), 6);
+            txtp = cx->tx_types_per_set[idx + 5];
+        }
+    } else {
+        if (reduced_txtp_set || tmax == 3 /* TX_32X32 */) {
+            int idx = dtpu_decode_bool_adapt(s, cx->txtp_inter3 + 2 * tmin);
+            txtp = idx ? TXFM_TYPE_DCT_DCT : TXFM_TYPE_IDTX;
+        } else if (tmin == 2 /* TX_16X16 */) {
+            int idx = dtpu_decode_symbol_adapt(s, cx->txtp_inter2, 11);
+            txtp = cx->tx_types_per_set[idx + 12];
+        } else {
+            int idx = dtpu_decode_symbol_adapt(
+                s, cx->txtp_inter1 + 16 * tmin, 15);
+            txtp = cx->tx_types_per_set[idx + 24];
+        }
+    }
+
+    if (txtp >= TXFM_TYPE_IDTX)
+        qm = NULL; /* QM only for the 2-D non-identity types */
+
+    /* tail setup (mirrors recon/coef.py decode_coefs:146-164) */
+    const int slw = lw < 3 ? lw : 3, slh = lh < 3 ? lh : 3;
+    const int tx2dszctx = slw + slh;
+    const int tx_class = cx->tx_type_class[txtp];
+    const int is_1d = tx_class != TX_CLASS_2D;
+
+    static const int eob_nsym[7] = {4, 5, 6, 7, 8, 9, 10};
+    uint16_t *eob_bin_cdf = cx->eob_bin[tx2dszctx];
+    eob_bin_cdf += tx2dszctx < 5
+        ? (2 * chroma + is_1d) * (tx2dszctx == 4 ? 16 : 8)
+        : 16 * chroma;
+
+    const uint16_t *scan = NULL;
+    const uint8_t *lo_ctx_offsets = NULL;
+    if (tx_class == TX_CLASS_2D) {
+        scan = cx->scans[tx];
+        const int nonsq = tx >= 5; /* RTX_4X8 */
+        lo_ctx_offsets = cx->lo_ctx_offsets + 25 * (nonsq + (tx & nonsq));
+    }
+
+    /* dc-sign context (reference get_dc_sign_ctx, src/recon_tmpl.c:141) */
+    {
+        int na = 1 << lw, nl = 1 << lh;
+        int sum = -(na + nl);
+        for (int i = 0; i < na; i++)
+            sum += a[i] >> 6;
+        for (int i = 0; i < nl; i++)
+            sum += l[i] >> 6;
+        int dc_sign_ctx = (sum != 0) + (sum > 0);
+
+        memset(cf, 0, sizeof(int32_t) * ((4 << slw) * (4 << slh)));
+        uint8_t levels_buf[34 * 34 + 16];
+        const int btc = tctx < 3 ? tctx : 3;
+        int res = dtpu_decode_coefs_tail(
+            s, tctx, chroma, tx2dszctx, tx_class, slw, slh, 0,
+            eob_bin_cdf, eob_nsym[tx2dszctx],
+            cx->eob_hi_bit + 2 * 9 * (2 * tctx + chroma),
+            cx->eob_base_tok + 4 * 4 * (2 * tctx + chroma),
+            cx->base_tok + 4 * 41 * (2 * tctx + chroma),
+            cx->br_tok + 4 * 21 * (2 * btc + chroma),
+            cx->dc_sign + 2 * 3 * chroma,
+            scan, lo_ctx_offsets, dc_sign_ctx,
+            dq0, dq1, qm, tctx > 2 ? tctx - 2 : 0, cx->cf_max,
+            cf, levels_buf, eob_out);
+        return (txtp << 16) | res;
+    }
+}

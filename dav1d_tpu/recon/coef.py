@@ -5,6 +5,7 @@ dequant)."""
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
 
@@ -18,6 +19,12 @@ from ..levels import (
     TxClass, TxfmSize, TxfmType, IntraPredMode as M,
     RTX_4X8,
 )
+
+
+# full-native decode_coefs (one C call per tx block); the staged
+# Python-front-end + native-tail path below remains as the fallback and
+# the parity reference
+_FULL_NATIVE = os.environ.get("DAV1D_TPU_NO_COEF_FULL") != "1"
 
 
 def read_golomb(msac) -> int:
@@ -88,6 +95,10 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane,
                  ytxtp=None):
     """Returns (eob, txtp, cf, res_ctx). cf is an int32 array indexed by
     rc = (x << (slh+2)) | y (the reference's transposed layout)."""
+    if _FULL_NATIVE and _native is not None \
+            and isinstance(t.ts.msac, MsacNative) and not debug.TRACE:
+        return decode_coefs_native(t, a, a_off, l, l_off, tx, bs, b,
+                                   intra, plane, ytxtp)
     ts = t.ts
     f = t.f
     chroma = int(bool(plane))
@@ -162,6 +173,100 @@ def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane,
         msac, coef, a, a_off, l, l_off, tx, plane, chroma, tctx,
         tx2dszctx, tx_class, slw, slh, txtp, dq_tbl, qm_tbl, f.bitdepth)
     return eob, txtp, cf, res_ctx
+
+
+def _make_coef_ctx(ts, f):
+    """Build the per-tile native DtpuCoefCtx pointer set (see
+    native/msac_coef.c).  The keepalive tuple pins every array whose
+    raw pointer the struct holds."""
+    from ..native import DtpuCoefCtx
+    coef = ts.cdf.coef
+    m = ts.cdf.m
+    cx = DtpuCoefCtx()
+    cx.skip = coef.skip.ctypes.data
+    cx.txtp_intra1 = m.txtp_intra1.ctypes.data
+    cx.txtp_intra2 = m.txtp_intra2.ctypes.data
+    cx.txtp_inter1 = m.txtp_inter1.ctypes.data
+    cx.txtp_inter2 = m.txtp_inter2.ctypes.data
+    cx.txtp_inter3 = m.txtp_inter3.ctypes.data
+    eob_bins = (coef.eob_bin_16, coef.eob_bin_32, coef.eob_bin_64,
+                coef.eob_bin_128, coef.eob_bin_256, coef.eob_bin_512,
+                coef.eob_bin_1024)
+    for i, arr in enumerate(eob_bins):
+        cx.eob_bin[i] = arr.ctypes.data
+    cx.eob_hi_bit = coef.eob_hi_bit.ctypes.data
+    cx.eob_base_tok = coef.eob_base_tok.ctypes.data
+    cx.base_tok = coef.base_tok.ctypes.data
+    cx.br_tok = coef.br_tok.ctypes.data
+    cx.dc_sign = coef.dc_sign.ctypes.data
+    ti = tables.txfm_info()
+    scans = tables.scans()
+    cx.txfm_info = ti.ctypes.data
+    cx.block_dim = tables.block_dimensions.ctypes.data
+    cx.skip_ctx_tbl = tables.skip_ctx.ctypes.data
+    cx.txtp_from_uvmode = tables.txtp_from_uvmode.ctypes.data
+    cx.tx_types_per_set = tables.tx_types_per_set.ctypes.data
+    cx.tx_type_class = tables.tx_type_class.ctypes.data
+    cx.lo_ctx_offsets = tables.lo_ctx_offsets.ctypes.data
+    for i in range(19):
+        cx.scans[i] = scans[i].ctypes.data
+    cx.layout = int(f.layout)
+    cx.cf_max = (~(~127 << (8 if f.bitdepth == 8
+                            else f.bitdepth))) & 0xFFFFFFFF
+    cx._keepalive = (coef, m, eob_bins, ti, scans)
+    return cx
+
+
+_N_COEF = None  # per-tx flat coefficient counts, filled lazily
+
+
+def decode_coefs_native(t, a, a_off, l, l_off, tx, bs, b, intra, plane,
+                        ytxtp=None):
+    """One-call native decode_coefs (skip ctx + txtp + tail in C);
+    bit-identical to decode_coefs above (parity: tests/test_native.py).
+    txtp comes back as a plain int (IntEnum-compatible downstream)."""
+    ts = t.ts
+    f = t.f
+    hdr = f.frame_hdr
+    cxe = getattr(ts, "_ncoef", None)
+    if cxe is None or cxe[0] is not ts.cdf:
+        global _N_COEF
+        if _N_COEF is None:
+            ti = tables.txfm_info()
+            _N_COEF = [(4 << min(int(r[2]), 3)) * (4 << min(int(r[3]), 3))
+                       for r in ti]
+        cx = _make_coef_ctx(ts, f)
+        cxe = (ts.cdf, ctypes.byref(cx), ctypes.byref(ts.msac.s), cx)
+        ts._ncoef = cxe
+    _, cx_ref, msac_ref, _ = cxe
+
+    if intra and not plane:
+        ymn = int(tables.filter_mode_to_y_mode[b.y_angle]) \
+            if b.y_mode == M.FILTER_PRED else b.y_mode
+    else:
+        ymn = 0
+    qm_tbl = f.qm.get((tx, plane))
+    qm_ptr = None
+    if qm_tbl is not None:
+        if qm_tbl.dtype != np.uint8:
+            qm_tbl = qm_tbl.astype(np.uint8)
+            f.qm[(tx, plane)] = qm_tbl
+        qm_ptr = qm_tbl.ctypes.data
+    dq_tbl = ts.dq[b.seg_id][plane]
+    seg = hdr.segmentation
+    cf = np.empty(_N_COEF[tx], dtype=np.int32)
+    eob_out = ctypes.c_int(0)
+    ret = _native.dtpu_decode_coefs(
+        cx_ref, msac_ref,
+        a.ctypes.data, a_off, l.ctypes.data, l_off,
+        tx, bs, intra, plane,
+        ymn, b.uv_mode, 0 if ytxtp is None else ytxtp,
+        seg.lossless[b.seg_id], 1 if seg.qidx[b.seg_id] else 0,
+        hdr.reduced_txtp_set,
+        int(dq_tbl[0]), int(dq_tbl[1]), qm_ptr,
+        cf.ctypes.data, ctypes.byref(eob_out))
+    eob = eob_out.value
+    return eob, ret >> 16, (cf if eob >= 0 else None), ret & 0xFFFF
 
 
 def _decode_coefs_tail_py(msac, coef, a, a_off, l, l_off, tx, plane,

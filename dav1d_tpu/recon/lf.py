@@ -12,6 +12,7 @@ import numpy as np
 
 from .. import tables
 from ..headers import PixelLayout
+from ..native import lib as _native
 
 
 class Av1Filter:
@@ -505,23 +506,40 @@ def loopfilter_sbrow_cols(f, sby, start_of_tile_row):
         _fix_tile_boundaries(f, sby, starty4, endy4, uv_endy4,
                              start_of_tile_row)
 
+    use_nat = _native is not None
+    if use_nat:
+        lvl_rs = level.shape[1] * 4
+        lvl_base = level.ctypes.data
+        e_ptr, i_ptr = e_lut.ctypes.data, i_lut.ctypes.data
+
     for x128 in range(f.sb128w):
         m = f.lf_masks[mask_base + x128]
         w = min(32, f.w4 - x128 * 32)
         row0 = sby * sbsz
         colb = x128 * 32
+        fy = m.filter_y[0].tolist()
         for x in range(w):
             if x128 == 0 and x == 0:
                 continue
+            fx = fy[x]
             if not starty4:
-                hm = [int(m.filter_y[0][x][k][0])
-                      | (int(m.filter_y[0][x][k][1]) << 16 if endy4 > 16 else 0)
-                      for k in range(3)]
+                if endy4 > 16:
+                    hm = [fx[k][0] | (fx[k][1] << 16) for k in range(3)]
+                else:
+                    hm = [fx[k][0] for k in range(3)]
             else:
-                hm = [int(m.filter_y[0][x][k][1]) for k in range(3)]
+                hm = [fx[k][1] for k in range(3)]
             if not (hm[0] | hm[1] | hm[2]):
                 continue
             col = colb + x
+
+            if use_nat:
+                _native.dtpu_lf_strip(
+                    f.planes[0].ctypes.data, f.planes[0].shape[1],
+                    py0, col * 4, hm[0], hm[1], hm[2],
+                    lvl_base + row0 * lvl_rs + col * 4, lvl_rs, -4,
+                    e_ptr, i_ptr, 1, 0, f.bitdepth)
+                continue
 
             def lvl_get(i, off, col=col):
                 return int(level[row0 + i, col + off, 0])
@@ -539,21 +557,31 @@ def loopfilter_sbrow_cols(f, sby, start_of_tile_row):
         crow0 = (sby * sbsz) >> ss_ver
         ccolb = x128 * (32 >> ss_hor)
         sh = 16 >> ss_ver
+        fuv = m.filter_uv[0].tolist()
         for x in range(cw):
             if x128 == 0 and x == 0:
                 continue
+            fx = fuv[x]
             cs4 = starty4 >> ss_ver
             if not cs4:
-                hm = [int(m.filter_uv[0][x][k][0])
-                      | (int(m.filter_uv[0][x][k][1]) << sh
-                         if uv_endy4 > sh else 0)
-                      for k in range(2)]
+                if uv_endy4 > sh:
+                    hm = [fx[k][0] | (fx[k][1] << sh) for k in range(2)]
+                else:
+                    hm = [fx[k][0] for k in range(2)]
             else:
-                hm = [int(m.filter_uv[0][x][k][1]) for k in range(2)]
+                hm = [fx[k][1] for k in range(2)]
             if not (hm[0] | hm[1]):
                 continue
             ccol = ccolb + x
             for pl in (1, 2):
+                if use_nat:
+                    _native.dtpu_lf_strip(
+                        f.planes[pl].ctypes.data, f.planes[pl].shape[1],
+                        cpy0, ccol * 4, hm[0], hm[1], 0,
+                        lvl_base + crow0 * lvl_rs + ccol * 4 + 1 + pl,
+                        lvl_rs, -4, e_ptr, i_ptr, 1, 1, f.bitdepth)
+                    continue
+
                 def lvl_get(i, off, ccol=ccol, pl=pl):
                     return int(level[crow0 + i, ccol + off, 1 + pl])
 
@@ -580,18 +608,34 @@ def loopfilter_sbrow_rows(f, sby):
     uv_sinks = {1: {4: [], 6: [], 8: [], 16: []},
                 2: {4: [], 6: [], 8: [], 16: []}}
 
+    use_nat = _native is not None
+    if use_nat:
+        lvl_rs = level.shape[1] * 4
+        lvl_base = level.ctypes.data
+        e_ptr, i_ptr = e_lut.ctypes.data, i_lut.ctypes.data
+
     for x128 in range(f.sb128w):
         m = f.lf_masks[mask_base + x128]
         w = min(32, f.w4 - x128 * 32)
         colb = x128 * 32
+        fy = m.filter_y[1].tolist()
         for y in range(starty4, endy4):
             if not have_top and not y:
                 continue
-            vm = [int(m.filter_y[1][y][k][0])
-                  | (int(m.filter_y[1][y][k][1]) << 16) for k in range(3)]
+            fr = fy[y]
+            vm = [fr[k][0] | (fr[k][1] << 16) for k in range(3)]
             if not (vm[0] | vm[1] | vm[2]):
                 continue
             row = sby * sbsz + (y - starty4)
+
+            if use_nat:
+                _native.dtpu_lf_strip(
+                    f.planes[0].ctypes.data, f.planes[0].shape[1],
+                    py0 + (y - starty4) * 4, colb * 4,
+                    vm[0], vm[1], vm[2],
+                    lvl_base + row * lvl_rs + colb * 4 + 1, 4, -lvl_rs,
+                    e_ptr, i_ptr, 0, 0, f.bitdepth)
+                continue
 
             def lvl_get(i, off, row=row):
                 return int(level[row + off, colb + i, 1])
@@ -609,15 +653,24 @@ def loopfilter_sbrow_rows(f, sby):
         m = f.lf_masks[mask_base + x128]
         ccolb = x128 * (32 >> ss_hor)
         cs4 = starty4 >> ss_ver
+        fuv = m.filter_uv[1].tolist()
         for y in range(cs4, uv_endy4):
             if not have_top and not y:
                 continue
-            vm = [int(m.filter_uv[1][y][k][0])
-                  | (int(m.filter_uv[1][y][k][1]) << sh) for k in range(2)]
+            fr = fuv[y]
+            vm = [fr[k][0] | (fr[k][1] << sh) for k in range(2)]
             if not (vm[0] | vm[1]):
                 continue
             crow = (sby * sbsz >> ss_ver) + (y - cs4)
             for pl in (1, 2):
+                if use_nat:
+                    _native.dtpu_lf_strip(
+                        f.planes[pl].ctypes.data, f.planes[pl].shape[1],
+                        cpy0 + (y - cs4) * 4, ccolb * 4, vm[0], vm[1], 0,
+                        lvl_base + crow * lvl_rs + ccolb * 4 + 1 + pl,
+                        4, -lvl_rs, e_ptr, i_ptr, 0, 1, f.bitdepth)
+                    continue
+
                 def lvl_get(i, off, crow=crow, pl=pl):
                     return int(level[crow + off, ccolb + i, 1 + pl])
 
