@@ -163,6 +163,23 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,            # e_lut, i_lut
         ci, ci, ci]                                  # is_h, is_uv, bitdepth
     lib.dtpu_lf_strip.restype = None
+    lib.dtpu_mask_edges_intra.argtypes = [
+        ctypes.c_void_p, ci, ci, ci, ci, ci, ci, ci, ci,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.dtpu_mask_edges_intra.restype = None
+    lib.dtpu_mask_edges_chroma.argtypes = [
+        ctypes.c_void_p, ci, ci, ci, ci, ci, ci, ci, ci, ci,
+        ctypes.c_void_p, ctypes.c_void_p, ci, ci]
+    lib.dtpu_mask_edges_chroma.restype = None
+    lib.dtpu_mask_edges_inter.argtypes = [
+        ctypes.c_void_p, ci, ci, ci, ci, ci, ci,
+        ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.dtpu_mask_edges_inter.restype = None
+    lib.dtpu_add_residual.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ci, ci,
+        ctypes.c_void_p, ci, ci, ci]
+    lib.dtpu_add_residual.restype = None
     return lib
 
 

@@ -14,6 +14,7 @@ import numpy as np
 
 from .. import tables
 from ..levels import TxfmType
+from ..native import lib as _native
 
 # per rect-tx-size intermediate down-shift (reference itx_tmpl.c:160-178)
 TX_SHIFT = [0, 1, 2, 2, 2,  # 4x4, 8x8, 16x16, 32x32, 64x64
@@ -737,6 +738,12 @@ def itx_add_cached(t, plane, dst_y, dst_x, tx, txtp, cf, eob, bitdepth):
             r = resid_list[t.rec_coef_pos - 1]
             if r is not None:
                 h, w = r.shape
+                if _native is not None and r.dtype == np.int32 \
+                        and r.flags["C_CONTIGUOUS"]:
+                    _native.dtpu_add_residual(
+                        plane.ctypes.data, plane.shape[1], dst_y, dst_x,
+                        r.ctypes.data, h, w, (1 << bitdepth) - 1)
+                    return
                 dst = plane[dst_y : dst_y + h, dst_x : dst_x + w]
                 np.clip(dst + r, 0, (1 << bitdepth) - 1, out=dst)
                 return

@@ -84,6 +84,12 @@ def mask_edges_intra(masks_y, by4, bx4, w4, h4, tx, a, a_off, l, l_off):
     t_dim = tables.txfm_info()[tx]
     twl4c = min(2, int(t_dim[2]))
     thl4c = min(2, int(t_dim[3]))
+    if _native is not None:
+        _native.dtpu_mask_edges_intra(
+            masks_y.ctypes.data, by4, bx4, w4, h4, twl4c, thl4c,
+            int(t_dim[0]), int(t_dim[1]),
+            a.ctypes.data + a_off, l.ctypes.data + l_off)
+        return
 
     mask = 1 << by4
     for y in range(h4):
@@ -127,6 +133,12 @@ def mask_edges_chroma(masks_uv, cby4, cbx4, cw4, ch4, skip_inter, tx,
     t_dim = tables.txfm_info()[tx]
     twl4c = int(bool(int(t_dim[2])))
     thl4c = int(bool(int(t_dim[3])))
+    if _native is not None:
+        _native.dtpu_mask_edges_chroma(
+            masks_uv.ctypes.data, cby4, cbx4, cw4, ch4, skip_inter,
+            twl4c, thl4c, int(t_dim[0]), int(t_dim[1]),
+            a.ctypes.data + a_off, l.ctypes.data + l_off, ss_hor, ss_ver)
+        return
     vbits, hbits = 4 - ss_ver, 4 - ss_hor
     vmask, hmask = 16 >> ss_ver, 16 >> ss_hor
     vmax, hmax = 1 << vmask, 1 << hmask
@@ -798,7 +810,14 @@ def _decomp_tx(txa, from_tx, depth, y_off, x_off, tx_masks, y0, x0):
 def mask_edges_inter(masks_y, by4, bx4, w4, h4, skip, max_tx, tx_masks,
                      a, a_off, l, l_off):
     """reference mask_edges_inter (src/lf_mask.c:79-147)."""
-    t_dim = tables.txfm_info()[max_tx]
+    ti = tables.txfm_info()
+    if _native is not None:
+        _native.dtpu_mask_edges_inter(
+            masks_y.ctypes.data, by4, bx4, w4, h4, skip, max_tx,
+            int(tx_masks[0]), int(tx_masks[1]), ti.ctypes.data,
+            a.ctypes.data + a_off, l.ctypes.data + l_off)
+        return
+    t_dim = ti[max_tx]
     tw, th = int(t_dim[0]), int(t_dim[1])
     txa = np.zeros((2, 2, 32, 32), dtype=np.uint8)
     y_off = 0
