@@ -29,6 +29,11 @@ def _build() -> Path | None:
             ["cc", "-O3", "-shared", "-fPIC", "-std=c11",
              *map(str, _SRCS), "-o", str(out)],
             check=True, capture_output=True)
+    except subprocess.CalledProcessError as e:  # loud: a silent fallback
+        import sys                              # masks a 4x perf loss
+        print("dav1d_tpu: native build FAILED, using Python fallback:\n"
+              + e.stderr.decode(errors="replace")[:2000], file=sys.stderr)
+        return None
     except Exception:
         return None
     return out
@@ -154,7 +159,7 @@ def _load():
     lib.dtpu_ipred.argtypes = [
         ci, ctypes.c_void_p, ci, ci, ci, ci, ci, ci, ci,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # sm, dr, taps
-        ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_int64]                    # out, ostride
     lib.dtpu_ipred.restype = None
     lib.dtpu_lf_strip.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ci, ci,     # plane, stride, py, px

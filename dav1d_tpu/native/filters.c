@@ -8,6 +8,7 @@
  */
 
 #include <stdint.h>
+#include <stddef.h>
 
 #define CDEF_SENTINEL (-32768) /* INT16_MIN marker outside available edges */
 
@@ -134,7 +135,7 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
                 int height, int angle_in, int max_w, int max_h,
                 int bitdepth, const uint8_t *sm_weights,
                 const uint16_t *dr_deriv, const int8_t *filter_taps,
-                int32_t *out)
+                int32_t *out, int64_t ostride)
 {
     const int half = (1 << bitdepth) >> 1;
     const int maxp = (1 << bitdepth) - 1;
@@ -172,20 +173,21 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
                                        : (dc * 0xAAAB) >> 17;
             }
         }
-        for (int i = 0; i < width * height; i++)
-            out[i] = (int32_t)dc;
+        for (int y = 0; y < height; y++)
+            for (int x = 0; x < width; x++)
+                out[(size_t)y * ostride + x] = (int32_t)dc;
         return;
     }
     case 1: /* VERT */
         for (int y = 0; y < height; y++)
             for (int x = 0; x < width; x++)
-                out[y * width + x] = top[x];
+                out[(size_t)y * ostride + x] = top[x];
         return;
     case 2: /* HOR */
         for (int y = 0; y < height; y++) {
             const int32_t l = edge[ofs - 1 - y];
             for (int x = 0; x < width; x++)
-                out[y * width + x] = l;
+                out[(size_t)y * ostride + x] = l;
         }
         return;
     case 12: { /* PAETH */
@@ -198,7 +200,7 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
                 const int ld = base > l ? base - l : l - base;
                 const int td = base > t ? base - t : t - base;
                 const int tld = base > tl ? base - tl : tl - base;
-                out[y * width + x] =
+                out[(size_t)y * ostride + x] =
                     (ld <= td && ld <= tld) ? l : (td <= tld ? t : tl);
             }
         }
@@ -215,7 +217,7 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
                             (int64_t)(256 - wv[y]) * bottom +
                             (int64_t)wh_[x] * edge[ofs - 1 - y] +
                             (int64_t)(256 - wh_[x]) * right;
-                out[y * width + x] = (int32_t)((p + 256) >> 9);
+                out[(size_t)y * ostride + x] = (int32_t)((p + 256) >> 9);
             }
         return;
     }
@@ -226,7 +228,7 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
             for (int x = 0; x < width; x++) {
                 int64_t p = (int64_t)wv[y] * top[x] +
                             (int64_t)(256 - wv[y]) * bottom;
-                out[y * width + x] = (int32_t)((p + 128) >> 8);
+                out[(size_t)y * ostride + x] = (int32_t)((p + 128) >> 8);
             }
         return;
     }
@@ -237,7 +239,7 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
             for (int x = 0; x < width; x++) {
                 int64_t p = (int64_t)wh_[x] * edge[ofs - 1 - y] +
                             (int64_t)(256 - wh_[x]) * right;
-                out[y * width + x] = (int32_t)((p + 128) >> 8);
+                out[(size_t)y * ostride + x] = (int32_t)((p + 128) >> 8);
             }
         return;
     }
@@ -286,10 +288,10 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
                 const int base = (xpos >> 6) + base_inc * x;
                 if (base < max_base_x) {
                     int64_t v = t[base] * (64 - frac) + t[base + 1] * frac;
-                    out[y * width + x] = (int32_t)((v + 32) >> 6);
+                    out[(size_t)y * ostride + x] = (int32_t)((v + 32) >> 6);
                 } else {
                     for (int xx = x; xx < width; xx++)
-                        out[y * width + xx] = (int32_t)t[max_base_x];
+                        out[(size_t)y * ostride + xx] = (int32_t)t[max_base_x];
                     break;
                 }
             }
@@ -368,7 +370,7 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
                     v = buf[left_base - base_y] * (64 - frac_y) +
                         buf[left_base - (base_y + 1)] * frac_y;
                 }
-                out[y * width + x] = (int32_t)((v + 32) >> 6);
+                out[(size_t)y * ostride + x] = (int32_t)((v + 32) >> 6);
                 ypos -= dy;
             }
         }
@@ -418,10 +420,10 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
                 if (base < max_base_y) {
                     int64_t v = left_vec[left_top - base] * (64 - frac) +
                                 left_vec[left_top - (base + 1)] * frac;
-                    out[y * width + x] = (int32_t)((v + 32) >> 6);
+                    out[(size_t)y * ostride + x] = (int32_t)((v + 32) >> 6);
                 } else {
                     for (int yy = y; yy < height; yy++)
-                        out[yy * width + x] =
+                        out[(size_t)yy * ostride + x] =
                             (int32_t)left_vec[left_top - max_base_y];
                     break;
                 }
@@ -460,7 +462,7 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
             }
         for (int y = 0; y < height; y++)
             for (int x = 0; x < width; x++)
-                out[y * width + x] = canvas[1 + y][1 + x];
+                out[(size_t)y * ostride + x] = canvas[1 + y][1 + x];
         return;
     }
     }

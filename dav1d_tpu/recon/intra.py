@@ -176,11 +176,16 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                         ts.col_end, ts.row_end, edge_flags, f.planes[0],
                         dst_y, dst_x, top_sb_edge, 0, b.y_mode, angle,
                         tw, th, f.seq_hdr.intra_edge_filter, bitdepth)
+                    plane0 = f.planes[0]
                     pred = ipred_mod.ipred(
                         m, edge, ofs, tw * 4, th * 4, angle | intra_flags,
-                        4 * f.bw - 4 * t.bx, 4 * f.bh - 4 * t.by, bitdepth)
-                    f.planes[0][dst_y : dst_y + th * 4,
-                                dst_x : dst_x + tw * 4] = pred
+                        4 * f.bw - 4 * t.bx, 4 * f.bh - 4 * t.by, bitdepth,
+                        out_ptr=plane0.ctypes.data
+                        + (dst_y * plane0.shape[1] + dst_x) * 4,
+                        out_stride=plane0.shape[1])
+                    if pred is not None:
+                        plane0[dst_y : dst_y + th * 4,
+                               dst_x : dst_x + tw * 4] = pred
 
                     _coef_y(t, b, bs, bx4, by4, x, y, tw, th, dst_y, dst_x,
                             f, ts, bitdepth)
@@ -297,14 +302,19 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
                             top_sb_edge, 0, uv_mode, angle, utw, uth,
                             f.seq_hdr.intra_edge_filter, bitdepth)
                         angle |= intra_edge_filter_flag
+                        planec = f.planes[1 + pl]
                         pred = ipred_mod.ipred(
                             m, edge, ofs, utw * 4, uth * 4,
                             angle | sm_uv_fl,
                             (4 * f.bw + ss_hor - 4 * (t.bx & ~ss_hor)) >> ss_hor,
                             (4 * f.bh + ss_ver - 4 * (t.by & ~ss_ver)) >> ss_ver,
-                            bitdepth)
-                        f.planes[1 + pl][dst_y : dst_y + uth * 4,
-                                         dst_x : dst_x + utw * 4] = pred
+                            bitdepth,
+                            out_ptr=planec.ctypes.data
+                            + (dst_y * planec.shape[1] + dst_x) * 4,
+                            out_stride=planec.shape[1])
+                        if pred is not None:
+                            planec[dst_y : dst_y + uth * 4,
+                                   dst_x : dst_x + utw * 4] = pred
 
                         _coef_uv(t, b, bs, pl, x, y, cbx4, cby4, utw, uth,
                                  dst_y, dst_x, f, ts, bitdepth, ss_hor,

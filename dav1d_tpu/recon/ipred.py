@@ -187,10 +187,15 @@ _BD8 = True  # toggled per call via dc-mode wrapper
 _IPRED_TABLES = None
 
 
-def ipred(mode, edge, ofs, width, height, angle, max_w, max_h, bitdepth):
+def ipred(mode, edge, ofs, width, height, angle, max_w, max_h, bitdepth,
+          out_ptr=None, out_stride=0):
     """Dispatch like the reference fn table dsp->ipred.intra_pred[m].
     Uses the native C port (dav1d_tpu/native/filters.c dtpu_ipred,
-    bit-identical) when available; numpy golden model otherwise."""
+    bit-identical) when available; numpy golden model otherwise.
+
+    With out_ptr/out_stride the native kernel writes straight into the
+    caller's int32 canvas and returns None; callers must handle the
+    fallback still returning an array."""
     from ..native import lib as _nlib
     if _nlib is not None and edge.dtype == np.int32 \
             and edge.flags.c_contiguous:
@@ -203,12 +208,16 @@ def ipred(mode, edge, ofs, width, height, angle, max_w, max_h, bitdepth):
                 np.ascontiguousarray(tables.filter_intra_taps,
                                      dtype=np.int8))
         smw, drd, fit = _IPRED_TABLES
-        out = np.empty((height, width), dtype=np.int32)
+        if out_ptr is None:
+            out = np.empty((height, width), dtype=np.int32)
+            dst, dstride = out.ctypes.data, width
+        else:
+            out, dst, dstride = None, out_ptr, out_stride
         _nlib.dtpu_ipred(int(mode), edge.ctypes.data, int(ofs),
                          int(width), int(height), int(angle),
                          int(max_w), int(max_h), int(bitdepth),
                          smw.ctypes.data, drd.ctypes.data, fit.ctypes.data,
-                         out.ctypes.data)
+                         dst, dstride)
         return out
     return ipred_np(mode, edge, ofs, width, height, angle, max_w, max_h,
                     bitdepth)
