@@ -185,6 +185,19 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ci, ci,
         ctypes.c_void_p, ci, ci, ci]
     lib.dtpu_add_residual.restype = None
+    lib.dtpu_intra_coefs_pass1.argtypes = [
+        ctypes.POINTER(DtpuCoefCtx), P(CMsac),
+        ci, ci, ci, ci, ci, ci,          # bx, by, w4, h4, bx4, by4
+        ci, ci, ci, ci, ci,              # fbw, fbh, ss_hor/ver, has_chroma
+        ci, ci, ci, ci,                  # tx, uvtx, bs, skip
+        ci, ci, ci, ci, ci,              # ymode, uvmode, lossless, qidx, red
+        ci, ci, ci, ci, ci, ci,          # dq y/u/v
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # qm y/u/v
+        ctypes.c_void_p, ctypes.c_void_p,  # a/l lcoef
+        ctypes.c_void_p, ctypes.c_void_p,  # a/l ccoef0
+        ctypes.c_void_p, ctypes.c_void_p,  # a/l ccoef1
+        ctypes.c_void_p, ci, ctypes.c_void_p]  # arena, stride, meta
+    lib.dtpu_intra_coefs_pass1.restype = ctypes.c_int
     return lib
 
 

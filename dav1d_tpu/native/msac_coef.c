@@ -654,3 +654,106 @@ int dtpu_decode_coefs(
         return (txtp << 16) | res;
     }
 }
+
+/* ---- pass-1 intra coefficient walk ------------------------------------- */
+
+static inline int cimin(int a, int b) { return a < b ? a : b; }
+
+/* All luma + chroma coefficient blocks of one intra block in pass 1, in
+ * the exact decode order of recon/intra.py recon_b_intra (reference
+ * dav1d_recon_b_intra, src/recon_tmpl.c:1176-1556: 16x16-subblock
+ * raster, luma then u then v per subblock).  Coefficients land in
+ * arena[n * arena_stride ..]; meta[n] = {eob, txtp}.  Returns the entry
+ * count n (skip blocks produce 0 entries but still reset the contexts,
+ * mirroring _coef_y/_coef_uv).  The Python glue rebuilds the capture
+ * records by replaying the same geometry. */
+int dtpu_intra_coefs_pass1(
+    DtpuCoefCtx *cx, DtpuMsac *s,
+    int bx, int by, int w4, int h4, int bx4, int by4,
+    int fbw, int fbh, int ss_hor, int ss_ver, int has_chroma,
+    int tx, int uvtx, int bs, int skip,
+    int y_mode_nofilt, int uv_mode,
+    int lossless, int qidx_nonzero, int reduced_txtp_set,
+    int dqy0, int dqy1, int dqu0, int dqu1, int dqv0, int dqv1,
+    const uint8_t *qm_y, const uint8_t *qm_u, const uint8_t *qm_v,
+    uint8_t *a_lcoef, uint8_t *l_lcoef,
+    uint8_t *a_ccoef0, uint8_t *l_ccoef0,
+    uint8_t *a_ccoef1, uint8_t *l_ccoef1,
+    int32_t *arena, int arena_stride, int32_t *meta)
+{
+    const uint8_t *ti = cx->txfm_info;
+    const int tw = ti[8 * tx + 0], th = ti[8 * tx + 1];
+    const int utw = ti[8 * uvtx + 0], uth = ti[8 * uvtx + 1];
+    const int cbx4 = bx4 >> ss_hor, cby4 = by4 >> ss_ver;
+    const int cw4 = (w4 + ss_hor) >> ss_hor;
+    const int ch4 = (h4 + ss_ver) >> ss_ver;
+    int n = 0;
+
+    for (int init_y = 0; init_y < h4; init_y += 16) {
+        const int sub_h4 = cimin(h4, 16 + init_y);
+        const int sub_ch4 = cimin(ch4, (init_y + 16) >> ss_ver);
+        for (int init_x = 0; init_x < w4; init_x += 16) {
+            const int sub_w4 = cimin(w4, init_x + 16);
+            const int sub_cw4 = cimin(cw4, (init_x + 16) >> ss_hor);
+
+            for (int y = init_y; y < sub_h4; y += th)
+                for (int x = init_x; x < sub_w4; x += tw) {
+                    if (skip) {
+                        memset(a_lcoef + bx4 + x, 0x40, tw);
+                        memset(l_lcoef + by4 + y, 0x40, th);
+                        continue;
+                    }
+                    int eob;
+                    const int ret = dtpu_decode_coefs(
+                        cx, s, a_lcoef, bx4 + x, l_lcoef, by4 + y,
+                        tx, bs, 1, 0, y_mode_nofilt, uv_mode, 0,
+                        lossless, qidx_nonzero, reduced_txtp_set,
+                        dqy0, dqy1, qm_y,
+                        arena + (int64_t)n * arena_stride, &eob);
+                    memset(a_lcoef + bx4 + x, ret & 0xFFFF,
+                           cimin(tw, fbw - (bx + x)));
+                    memset(l_lcoef + by4 + y, ret & 0xFFFF,
+                           cimin(th, fbh - (by + y)));
+                    meta[2 * n] = eob;
+                    meta[2 * n + 1] = ret >> 16;
+                    n++;
+                }
+
+            if (!has_chroma)
+                continue;
+            const int icx = init_x >> ss_hor, icy = init_y >> ss_ver;
+            for (int pl = 0; pl < 2; pl++) {
+                uint8_t *ac = pl ? a_ccoef1 : a_ccoef0;
+                uint8_t *lc = pl ? l_ccoef1 : l_ccoef0;
+                const int dq0 = pl ? dqv0 : dqu0;
+                const int dq1 = pl ? dqv1 : dqu1;
+                const uint8_t *qm = pl ? qm_v : qm_u;
+                for (int y = icy; y < sub_ch4; y += uth)
+                    for (int x = icx; x < sub_cw4; x += utw) {
+                        if (skip) {
+                            memset(ac + cbx4 + x, 0x40, utw);
+                            memset(lc + cby4 + y, 0x40, uth);
+                            continue;
+                        }
+                        int eob;
+                        const int ret = dtpu_decode_coefs(
+                            cx, s, ac, cbx4 + x, lc, cby4 + y,
+                            uvtx, bs, 1, 1 + pl, y_mode_nofilt, uv_mode,
+                            0, lossless, qidx_nonzero, reduced_txtp_set,
+                            dq0, dq1, qm,
+                            arena + (int64_t)n * arena_stride, &eob);
+                        memset(ac + cbx4 + x, ret & 0xFFFF,
+                               cimin(utw, (fbw - (bx + (x << ss_hor))
+                                           + ss_hor) >> ss_hor));
+                        memset(lc + cby4 + y, ret & 0xFFFF,
+                               cimin(uth, (fbh - (by + (y << ss_ver))
+                                           + ss_ver) >> ss_ver));
+                        meta[2 * n] = eob;
+                        meta[2 * n + 1] = ret >> 16;
+                        n++;
+                    }
+            }
+        }
+    }
+    return n;
+}

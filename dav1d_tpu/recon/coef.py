@@ -547,6 +547,121 @@ def _decode_coefs_tail_native(ts, msac, f, a, a_off, l, l_off, tx,
     return eob_out.value, cf, res_ctx
 
 
+def intra_coefs_pass1(t, b, bs, bx4, by4, w4, h4, ss_hor, ss_ver,
+                      has_chroma):
+    """Pass-1 intra coefficient capture via ONE native call per block
+    (dtpu_intra_coefs_pass1 walks every luma/chroma tx block in decode
+    order); rebuilds t.cur_rec["coefs"] by replaying the same geometry.
+    Returns False when the native path is unavailable (caller falls back
+    to the per-tx-block walk)."""
+    ts = t.ts
+    f = t.f
+    if not (_FULL_NATIVE and _native is not None
+            and isinstance(ts.msac, MsacNative) and not debug.TRACE):
+        return False
+    hdr = f.frame_hdr
+    cxe = getattr(ts, "_ncoef", None)
+    if cxe is None or cxe[0] is not ts.cdf:
+        global _N_COEF
+        if _N_COEF is None:
+            ti0 = tables.txfm_info()
+            _N_COEF = [(4 << min(int(r[2]), 3)) * (4 << min(int(r[3]), 3))
+                       for r in ti0]
+        cx = _make_coef_ctx(ts, f)
+        cxe = (ts.cdf, ctypes.byref(cx), ctypes.byref(ts.msac.s), cx)
+        ts._ncoef = cxe
+    _, cx_ref, msac_ref, _ = cxe
+
+    ti = tables.txfm_info()
+    tx, uvtx = b.tx, b.uvtx
+    tdim, utdim = ti[tx], ti[uvtx]
+    tw, th = int(tdim[0]), int(tdim[1])
+    utw, uth = int(utdim[0]), int(utdim[1])
+    cw4 = (w4 + ss_hor) >> ss_hor
+    ch4 = (h4 + ss_ver) >> ss_ver
+    if b.skip:
+        nmax = 0
+        arena = meta = None
+        arena_ptr = meta_ptr = None
+        stride = 0
+    else:
+        n_y = -(-w4 // tw) * -(-h4 // th)
+        n_uv = 2 * -(-cw4 // utw) * -(-ch4 // uth) if has_chroma else 0
+        nmax = n_y + n_uv
+        stride = max(_N_COEF[tx], _N_COEF[uvtx] if has_chroma else 0)
+        arena = np.empty((nmax, stride), dtype=np.int32)
+        meta = np.empty((nmax, 2), dtype=np.int32)
+        arena_ptr, meta_ptr = arena.ctypes.data, meta.ctypes.data
+
+    seg = hdr.segmentation
+    ymn = int(tables.filter_mode_to_y_mode[b.y_angle]) \
+        if b.y_mode == M.FILTER_PRED else b.y_mode
+    dq = ts.dq[b.seg_id]
+    qm_ptrs = []
+    for key in ((tx, 0), (uvtx, 1), (uvtx, 2)):
+        q = f.qm.get(key)
+        if q is None:
+            qm_ptrs.append(None)
+        else:
+            if q.dtype != np.uint8:
+                q = q.astype(np.uint8)
+                f.qm[key] = q
+            qm_ptrs.append(q.ctypes.data)
+
+    n = _native.dtpu_intra_coefs_pass1(
+        cx_ref, msac_ref,
+        t.bx, t.by, w4, h4, bx4, by4, f.bw, f.bh, ss_hor, ss_ver,
+        1 if has_chroma else 0, tx, uvtx, int(bs), 1 if b.skip else 0,
+        ymn, b.uv_mode,
+        seg.lossless[b.seg_id], 1 if seg.qidx[b.seg_id] else 0,
+        hdr.reduced_txtp_set,
+        int(dq[0][0]), int(dq[0][1]), int(dq[1][0]), int(dq[1][1]),
+        int(dq[2][0]), int(dq[2][1]),
+        qm_ptrs[0], qm_ptrs[1], qm_ptrs[2],
+        t.a.lcoef.ctypes.data, t.l.lcoef.ctypes.data,
+        t.a.ccoef[0].ctypes.data, t.l.ccoef[0].ctypes.data,
+        t.a.ccoef[1].ctypes.data, t.l.ccoef[1].ctypes.data,
+        arena_ptr, stride, meta_ptr)
+    assert n == nmax, (n, nmax, w4, h4, tx, uvtx)
+
+    if n:
+        coefs = t.cur_rec["coefs"]
+        ml = meta.tolist()
+        ncy, ncuv = _N_COEF[tx], _N_COEF[uvtx]
+        bxb, byb = t.bx, t.by
+        i = 0
+        for init_y in range(0, h4, 16):
+            sub_h4 = min(h4, 16 + init_y)
+            sub_ch4 = min(ch4, (init_y + 16) >> ss_ver)
+            for init_x in range(0, w4, 16):
+                sub_w4 = min(w4, init_x + 16)
+                sub_cw4 = min(cw4, (init_x + 16) >> ss_hor)
+                for y in range(init_y, sub_h4, th):
+                    dsty = 4 * (byb + y)
+                    for x in range(init_x, sub_w4, tw):
+                        eob, txtp = ml[i]
+                        coefs.append(
+                            (eob, txtp,
+                             arena[i, :ncy] if eob >= 0 else None,
+                             0, tx, dsty, 4 * (bxb + x)))
+                        i += 1
+                if not has_chroma:
+                    continue
+                icx, icy = init_x >> ss_hor, init_y >> ss_ver
+                for pl in range(2):
+                    for y in range(icy, sub_ch4, uth):
+                        dsty = 4 * ((byb + (y << ss_ver)) >> ss_ver)
+                        for x in range(icx, sub_cw4, utw):
+                            eob, txtp = ml[i]
+                            coefs.append(
+                                (eob, txtp,
+                                 arena[i, :ncuv] if eob >= 0 else None,
+                                 1 + pl, uvtx, dsty,
+                                 4 * ((bxb + (x << ss_hor)) >> ss_hor)))
+                            i += 1
+    return True
+
+
 def get_uv_inter_txtp(uvt_dim, ytxtp):
     """reference env.h get_uv_inter_txtp."""
     if int(uvt_dim[5]) == TxfmSize.TX_32X32:

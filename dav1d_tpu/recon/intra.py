@@ -122,6 +122,12 @@ def recon_b_intra(t, bs, intra_edge_flags, b) -> None:
             if has_chroma else 0
         if t.pass_ == 1:
             t.cur_rec["sm"] = (sm_fl, sm_uv_fl)
+            # pass 1 is purely the coefficient walk: one native call per
+            # block when available (recon/coef.py intra_coefs_pass1)
+            from .coef import intra_coefs_pass1
+            if intra_coefs_pass1(t, b, bs, bx4, by4, w4, h4,
+                                 ss_hor, ss_ver, has_chroma):
+                return
 
     for init_y in range(0, h4, 16):
         sub_h4 = min(h4, 16 + init_y)
