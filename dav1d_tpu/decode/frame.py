@@ -222,6 +222,8 @@ class FrameContext:
         self.sr_sb128w = (hdr.width[1] + 127) >> 7
         # (sb_idx, plane, unit_idx) -> restoration unit dict
         self.lr_units = {}
+        # Settings.inloop_filters bitmask: 1 deblock, 2 cdef, 4 lr
+        self.inloop_filters = 7
 
     def lr_unit(self, sb_idx, plane, unit_idx):
         key = (sb_idx, plane, unit_idx)
@@ -555,11 +557,13 @@ def decode_frame(f: FrameContext, tile_groups, two_pass: bool = False) \
     # src/lf_apply_tmpl.c:104): LR stripe-boundary rows read deblocked
     # pre-CDEF pixels
     f.pre_cdef = None
-    if f.restore_planes:
+    do_lr = f.restore_planes and (f.inloop_filters & 4)
+    if do_lr:
         f.pre_cdef = [p.copy() for p in f.planes]
 
     if f.seq_hdr.cdef and not hdr.allow_intrabc and not hdr.all_lossless \
-            and (any(hdr.cdef.y_strength) or any(hdr.cdef.uv_strength)):
+            and (any(hdr.cdef.y_strength) or any(hdr.cdef.uv_strength)) \
+            and (f.inloop_filters & 2):
         from ..recon.cdef import cdef_frame
         cdef_frame(f)
 
@@ -571,7 +575,7 @@ def decode_frame(f: FrameContext, tile_groups, two_pass: bool = False) \
         if f.pre_cdef is not None:
             f.pre_cdef = _superres_frame(f, f.pre_cdef)
 
-    if f.restore_planes:
+    if do_lr:
         from ..recon.lr_apply import lr_frame
         lr_frame(f)
 
@@ -624,7 +628,7 @@ def _superres_frame(f: FrameContext, planes):
 
 def _filter_sbrow(f: FrameContext, sby: int) -> None:
     lf = f.frame_hdr.loopfilter
-    if lf.level_y[0] or lf.level_y[1]:
+    if (lf.level_y[0] or lf.level_y[1]) and (f.inloop_filters & 1):
         loopfilter_sbrow_cols(f, sby, f.start_of_tile_row[sby])
         loopfilter_sbrow_rows(f, sby)
     # cdef runs full-frame after the last sbrow (decode_frame); the

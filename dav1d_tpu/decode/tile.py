@@ -46,7 +46,12 @@ class Av1Block:
 
 
 class BlockContext:
-    """Above/left neighbour context (reference src/env.h:39-57)."""
+    """Above/left neighbour context (reference src/env.h:39-57).
+
+    Backed by ONE contiguous buffer whose layout mirrors the native
+    BlockCtx struct (native/dtpu.h) so the C block-decode layer can
+    address a context through a single base pointer; the attributes are
+    views into it. Field order here defines the C layout."""
 
     FIELDS = [
         ("mode", np.uint8, 32), ("lcoef", np.uint8, 32),
@@ -59,10 +64,18 @@ class BlockContext:
         ("partition", np.uint8, 16), ("uvmode", np.uint8, 32),
         ("pal_sz", np.uint8, 32),
     ]
+    NBYTES = 624  # must equal sizeof(BlockCtx) in native/dtpu.h
 
     def __init__(self):
+        buf = np.zeros(self.NBYTES, dtype=np.uint8)
+        self.buf = buf
+        off = 0
         for name, dt, shape in self.FIELDS:
-            setattr(self, name, np.zeros(shape, dtype=dt))
+            n = int(np.prod(shape))
+            setattr(self, name,
+                    buf[off : off + n].view(dt).reshape(shape))
+            off += n
+        assert off == self.NBYTES
 
     def reset(self, keyframe: bool, pass_: int = 0) -> None:
         """reference reset_context (src/decode.c:2390)."""

@@ -32,6 +32,12 @@ class Settings:
     frame_size_limit: int = 0
     strict_std_compliance: bool = False
     output_invisible_frames: bool = False
+    # bitmask of in-loop filters to apply: 1 deblock, 2 cdef,
+    # 4 restoration (reference Dav1dInloopFilterType, dav1d.h:61-67)
+    inloop_filters: int = 7
+    # 0 all, 1 only frames referenced by others, 2 only intra, 3 only key
+    # (reference Dav1dDecodeFrameType, dav1d.h:69-75)
+    decode_frame_type: int = 0
     # two-pass host/TPU pipeline: pass 1 entropy+capture, pass 2 batched
     # device reconstruction + ordered replay
     two_pass: bool = False
@@ -175,10 +181,32 @@ class Decoder:
                 self.frame_hdr = None
             elif self.n_tiles == hdr.tiling.cols * hdr.tiling.rows \
                     and self.tile_groups:
-                self._submit_frame()
+                if self._skip_frame_type(hdr):
+                    # refresh ref slots with headers only (reference
+                    # src/obu.c:1671-1684 "skip" path)
+                    for i in range(8):
+                        if hdr.refresh_frame_flags & (1 << i):
+                            slot = _RefSlot()
+                            slot.frame_hdr = hdr
+                            slot.seq_hdr = self.seq_hdr
+                            self.refs[i] = slot
+                else:
+                    self._submit_frame()
                 self.frame_hdr = None
                 self.tile_groups = []
                 self.n_tiles = 0
+
+    def _skip_frame_type(self, hdr) -> bool:
+        """decode_frame_type filtering (reference src/obu.c:1640-1657)."""
+        dft = self.settings.decode_frame_type
+        if dft == 0:
+            return False
+        if hdr.frame_type.is_inter_or_switch:
+            return dft > 1 or (dft == 1 and not hdr.refresh_frame_flags)
+        if hdr.frame_type == FrameType.KEY:
+            return False
+        # intra-only
+        return dft > 2 or (dft == 1 and not hdr.refresh_frame_flags)
 
     def _handle_metadata(self, payload: bytes) -> None:
         """CLL / MDCV / ITU-T T.35 metadata OBUs (reference src/obu.c
@@ -254,6 +282,13 @@ class Decoder:
     def _submit_frame(self) -> None:
         hdr = self.frame_hdr
         seq = self.seq_hdr
+        limit = self.settings.frame_size_limit
+        if limit and hdr.width[1] * hdr.height > limit:
+            # reference: picture alloc fails with ERANGE
+            # (src/picture.c:126-131)
+            raise obu_mod.ObuError(
+                f"frame size {hdr.width[1]}x{hdr.height} exceeds "
+                f"frame_size_limit {limit}")
         prev_segmap = None
         if hdr.segmentation.enabled and not hdr.segmentation.update_map \
                 or (hdr.segmentation.enabled and hdr.segmentation.temporal):
@@ -264,13 +299,16 @@ class Decoder:
                          in_cdf=self._in_cdf_for(hdr),
                          refs=[self.refs[hdr.refidx[i]] for i in range(7)]
                          if hdr.frame_type.is_inter_or_switch else None)
+        f.inloop_filters = self.settings.inloop_filters
         decode_frame(f, self.tile_groups,
                      two_pass=self.settings.two_pass)
 
-        # output
+        # output (reference src/decode.c:3544: invisible frames are
+        # output too when output_invisible_frames is set)
         pic = self._make_picture(f)
         self._attach_metadata(pic)
-        if hdr.show_frame:
+        if hdr.show_frame or self.settings.output_invisible_frames:
+            pic.visible = bool(hdr.show_frame)
             self.out_queue.append(pic)
 
         # reference state update (reference src/decode.c:3669-3695)

@@ -16,18 +16,11 @@
 #include <stddef.h>
 #include <string.h>
 
+#include "dtpu.h"
+
 #define EC_PROB_SHIFT 6
 #define EC_MIN_PROB 4
 #define EC_WIN_SIZE 64
-
-typedef struct {
-    const uint8_t *buf;
-    uint64_t pos, end;
-    uint64_t dif;
-    uint32_t rng;
-    int32_t cnt;
-    int32_t allow_update_cdf;
-} DtpuMsac;
 
 static inline int ulog2_u32(uint32_t v) {
     return 31 - __builtin_clz(v);
@@ -211,29 +204,64 @@ static int read_golomb(DtpuMsac *s) {
     return val - 1;
 }
 
-/* ---- coefficient decode tail (post-txtp) ------------------------------- */
+/* ---- coefficient decode tail (post-txtp) -------------------------------
+ *
+ * Own formulation (AV1 spec 5.11.39 coeffs() syntax + 8.3.2 context
+ * derivation), structured as three phases over plain data:
+ *
+ *   1. magnitude phase (reverse scan order, eob..1 then DC): clamped
+ *      magnitudes min(level, 15) land in the `levels` context plane and
+ *      in cf[pos]; nonzero AC positions are collected into nz[].
+ *   2. DC sign + dequant.
+ *   3. AC signs + dequant in forward scan order (nz[] walked backward).
+ *
+ * Neighbor contexts are the spec's sums computed directly:
+ *   coeff_base ctx : offset(pos) + min(4, (1 + sum_{5 nbrs} min(3, lvl)) >> 1)
+ *   coeff_br  ctx : offset(pos) + min(6, (1 + sum_{3 nbrs} lvl) >> 1)
+ * (levels values are <= 15, so the 3-neighbor br sum needs no clamp.)
+ *
+ * cf[] uses this decoder's coefficient-plane ABI: position index
+ * rc = (x << (slh+2)) | y, i.e. a column-major (4<<slw, 4<<slh) plane —
+ * chosen so the batched device itx consumes one fixed layout for every
+ * tx class (see ops/itx.py).
+ */
 
 #define TX_CLASS_2D 0
 #define TX_CLASS_H 1
 #define TX_CLASS_V 2
 
-static inline int get_lo_ctx(const uint8_t *levels, int base, int tx_class,
-                             const uint8_t *ctx_offsets, unsigned x,
-                             unsigned y, int stride, unsigned *out_mag) {
-    unsigned mag = levels[base + stride + 0] + levels[base + 1];
-    unsigned offset;
+/* 5-neighbor base-magnitude and 3-neighbor br-magnitude sums at `base`
+ * in the levels plane.  Neighbor sets per spec: 2D uses (+1 row, +1 col,
+ * +1+1 diag) for br and additionally (+2 row, +2 col) for base; the 1-D
+ * classes scan along their axis (+1..+4 along, +1 across). */
+static inline unsigned min3_(unsigned v) { return v < 3 ? v : 3; }
+
+static inline void nbr_mags(const uint8_t *levels, int base, int tx_class,
+                            int stride, unsigned *base_mag,
+                            unsigned *br_mag) {
+    const unsigned l0 = levels[base + stride], l1 = levels[base + 1];
     if (tx_class == TX_CLASS_2D) {
-        mag += levels[base + stride + 1];
-        *out_mag = mag;
-        mag += levels[base + 2] + levels[base + 2 * stride];
-        offset = ctx_offsets[5 * (y < 4 ? y : 4) + (x < 4 ? x : 4)];
+        const unsigned l2 = levels[base + stride + 1];
+        *br_mag = l0 + l1 + l2;
+        *base_mag = min3_(l0) + min3_(l1) + min3_(l2)
+                    + min3_(levels[base + 2])
+                    + min3_(levels[base + 2 * stride]);
     } else {
-        mag += levels[base + 2];
-        *out_mag = mag;
-        mag += levels[base + 3] + levels[base + 4];
-        offset = 26 + (y > 1 ? 10 : y * 5);
+        const unsigned l2 = levels[base + 2];
+        *br_mag = l0 + l1 + l2;
+        *base_mag = min3_(l0) + min3_(l1) + min3_(l2)
+                    + min3_(levels[base + 3]) + min3_(levels[base + 4]);
     }
-    return offset + (mag > 512 ? 4 : (mag + 64) >> 7);
+}
+
+static inline int base_ctx_from_mag(unsigned mag) {
+    unsigned v = (mag + 1) >> 1;
+    return v < 4 ? (int)v : 4;
+}
+
+static inline int br_ctx_from_mag(unsigned mag) {
+    unsigned v = (mag + 1) >> 1;
+    return v < 6 ? (int)v : 6;
 }
 
 /* Returns res_ctx (cul_level | dc_sign_level); fills cf, *eob_out.
@@ -241,7 +269,7 @@ static inline int get_lo_ctx(const uint8_t *levels, int base, int tx_class,
 int dtpu_decode_coefs_tail(
     DtpuMsac *s,
     int tctx, int chroma, int tx2dszctx, int tx_class, int slw, int slh,
-    int dbg_tx_is_rect_nonsq,          /* (tx >= RTX_4X8) + (tx & that) */
+    int dbg_tx_is_rect_nonsq,          /* unused (kept for ABI) */
     uint16_t *eob_bin_cdf, int eob_bin_nsym,
     uint16_t *eob_hi_bit_cdf,          /* (9, 2) row-major */
     uint16_t *eob_base_tok_cdf,        /* (4, 4) */
@@ -254,7 +282,8 @@ int dtpu_decode_coefs_tail(
     int dq0, int dq1, const uint8_t *qm, int dq_shift, uint32_t cf_max,
     int32_t *cf, uint8_t *levels_buf, int *eob_out)
 {
-    /* eob */
+    /* eob: class symbol, then optional hi bit + literal low bits
+     * (spec eob_pt / eob_extra) */
     int eob = dtpu_decode_symbol_adapt(s, eob_bin_cdf, eob_bin_nsym);
     if (eob > 1) {
         int eob_bin = eob - 2;
@@ -263,12 +292,13 @@ int dtpu_decode_coefs_tail(
     }
     *eob_out = eob;
 
-    unsigned rc = 0;
     unsigned dc_tok;
-    int stride, shift, shift2, mask;
+    uint16_t nz[1023];                 /* nonzero AC positions, high->low */
+    int n_nz = 0;
     uint8_t *levels = levels_buf;
 
     if (eob) {
+        int stride, shift, shift2, mask;
         if (tx_class == TX_CLASS_2D) {
             stride = 4 << slh;
             shift = slh + 2;
@@ -289,12 +319,11 @@ int dtpu_decode_coefs_tail(
             memset(levels, 0, (size_t)stride * ((4 << slw) + 2));
         }
 
+        /* magnitude at the eob position (coeff_base_eob: min level 1) */
         int ctx = 1 + (eob > (2 << tx2dszctx)) + (eob > (4 << tx2dszctx));
-        int eob_tok = dtpu_decode_symbol_adapt(
+        unsigned tok = 1 + dtpu_decode_symbol_adapt(
             s, &eob_base_tok_cdf[4 * ctx], 2);
-        unsigned tok = eob_tok + 1;
-        unsigned level_tok = tok * 0x41;
-        unsigned x, y;
+        unsigned x, y, rc;
         if (tx_class == TX_CLASS_2D) {
             rc = scan[eob];
             x = rc >> shift;
@@ -308,16 +337,16 @@ int dtpu_decode_coefs_tail(
             y = eob >> shift;
             rc = (x << shift2) | y;
         }
-        if (eob_tok == 2) {
+        if (tok == 3) {
             ctx = (tx_class == TX_CLASS_2D ? (x | y) > 1 : y != 0) ? 14 : 7;
             tok = dtpu_decode_hi_tok(s, &br_tok_cdf[4 * ctx]);
-            level_tok = tok + (3 << 6);
         }
-        cf[rc] = tok << 11;
-        int lvl_base = tx_class == TX_CLASS_2D ? (int)rc
-                                               : (int)(x * stride + y);
-        levels[lvl_base] = level_tok & 0xFF;
+        cf[rc] = (int32_t)tok;
+        nz[n_nz++] = (uint16_t)rc;
+        levels[tx_class == TX_CLASS_2D ? (int)rc : (int)(x * stride + y)]
+            = (uint8_t)tok;
 
+        /* remaining AC magnitudes, reverse scan order */
         for (int i = eob - 1; i > 0; i--) {
             unsigned rc_i;
             if (tx_class == TX_CLASS_2D) {
@@ -333,58 +362,54 @@ int dtpu_decode_coefs_tail(
                 y = i >> shift;
                 rc_i = (x << shift2) | y;
             }
-            lvl_base = tx_class == TX_CLASS_2D ? (int)rc_i
-                                               : (int)(x * stride + y);
-            unsigned mag;
-            ctx = get_lo_ctx(levels, lvl_base, tx_class, lo_ctx_offsets,
-                             x, y, stride, &mag);
-            if (tx_class == TX_CLASS_2D)
-                y |= x;
+            const int lvl_base = tx_class == TX_CLASS_2D
+                ? (int)rc_i : (int)(x * stride + y);
+            unsigned base_mag, br_mag;
+            nbr_mags(levels, lvl_base, tx_class, stride, &base_mag, &br_mag);
+            const int offset = tx_class == TX_CLASS_2D
+                ? lo_ctx_offsets[5 * (y < 4 ? y : 4) + (x < 4 ? x : 4)]
+                : 26 + (y > 1 ? 10 : (int)y * 5);
+            ctx = offset + base_ctx_from_mag(base_mag);
             tok = dtpu_decode_symbol_adapt(s, &base_tok_cdf[4 * ctx], 3);
             if (tok == 3) {
-                mag &= 63;
-                ctx = (y > (unsigned)(tx_class == TX_CLASS_2D) ? 14 : 7)
-                      + (mag > 12 ? 6 : (mag + 1) >> 1);
+                const unsigned far = tx_class == TX_CLASS_2D
+                    ? (x | y) > 1 : y > 0;
+                ctx = (far ? 14 : 7) + br_ctx_from_mag(br_mag);
                 tok = dtpu_decode_hi_tok(s, &br_tok_cdf[4 * ctx]);
-                levels[lvl_base] = (tok + (3 << 6)) & 0xFF;
-                cf[rc_i] = (int32_t)((tok << 11) | rc);
-                rc = rc_i;
-            } else {
-                tok *= 0x17FF41u;
-                levels[lvl_base] = tok & 0xFF;
-                tok = (tok >> 9) & (rc + ~0x7FFu);
-                if (tok)
-                    rc = rc_i;
+            }
+            levels[lvl_base] = (uint8_t)tok;
+            if (tok) {
                 cf[rc_i] = (int32_t)tok;
+                nz[n_nz++] = (uint16_t)rc_i;
             }
         }
 
-        /* dc */
-        unsigned mag = 0;
+        /* DC magnitude */
+        unsigned br_mag = 0;
         if (tx_class == TX_CLASS_2D) {
             ctx = 0;
         } else {
-            ctx = get_lo_ctx(levels, 0, tx_class, lo_ctx_offsets, 0, 0,
-                             stride, &mag);
+            unsigned base_mag;
+            nbr_mags(levels, 0, tx_class, stride, &base_mag, &br_mag);
+            ctx = 26 + base_ctx_from_mag(base_mag);
         }
         dc_tok = dtpu_decode_symbol_adapt(s, &base_tok_cdf[4 * ctx], 3);
         if (dc_tok == 3) {
             if (tx_class == TX_CLASS_2D)
-                mag = (unsigned)levels[1] + levels[stride]
-                      + levels[stride + 1];
-            mag &= 63;
-            ctx = mag > 12 ? 6 : (mag + 1) >> 1;
-            dc_tok = dtpu_decode_hi_tok(s, &br_tok_cdf[4 * ctx]);
+                br_mag = (unsigned)levels[1] + levels[stride]
+                         + levels[stride + 1];
+            dc_tok = dtpu_decode_hi_tok(
+                s, &br_tok_cdf[4 * br_ctx_from_mag(br_mag)]);
         }
     } else {
-        int tok_br = dtpu_decode_symbol_adapt(s, &eob_base_tok_cdf[0], 2);
-        dc_tok = 1 + tok_br;
-        if (tok_br == 2)
+        /* eob == 0: DC only */
+        dc_tok = 1 + dtpu_decode_symbol_adapt(s, &eob_base_tok_cdf[0], 2);
+        if (dc_tok == 3)
             dc_tok = dtpu_decode_hi_tok(s, &br_tok_cdf[0]);
-        rc = 0;
     }
 
-    /* dequant */
+    /* DC sign + dequant (spec 7.12.3: golomb extension beyond 15,
+     * 24-bit wrap, clip to the bitdepth's coefficient range) */
     unsigned cul_level;
     unsigned dc_sign_level;
 
@@ -392,71 +417,42 @@ int dtpu_decode_coefs_tail(
         cul_level = 0;
         dc_sign_level = 1 << 6;
     } else {
-        int dc_sign = dtpu_decode_bool_adapt(s, dc_sign_cdf + 2 * dc_sign_ctx);
+        const int dc_sign =
+            dtpu_decode_bool_adapt(s, dc_sign_cdf + 2 * dc_sign_ctx);
         unsigned dc_dq = dq0;
         dc_sign_level = (dc_sign - 1) & (2 << 6);
-        if (qm) {
+        if (qm)
             dc_dq = (dc_dq * qm[0] + 16) >> 5;
-            if (dc_tok == 15) {
-                dc_tok = (read_golomb(s) + 15) & 0xFFFFF;
-                dc_dq = (dc_dq * dc_tok) & 0xFFFFFF;
-            } else {
-                dc_dq *= dc_tok;
-            }
-            cul_level = dc_tok;
-            dc_dq >>= dq_shift;
-            if (dc_dq > cf_max + dc_sign)
-                dc_dq = cf_max + dc_sign;
-            cf[0] = dc_sign ? -(int32_t)dc_dq : (int32_t)dc_dq;
+        if (dc_tok == 15) {
+            dc_tok = (read_golomb(s) + 15) & 0xFFFFF;
+            dc_dq = (dc_dq * dc_tok) & 0xFFFFFF;
         } else {
-            if (dc_tok == 15) {
-                dc_tok = (read_golomb(s) + 15) & 0xFFFFF;
-                dc_dq = ((dc_dq * dc_tok) & 0xFFFFFF) >> dq_shift;
-                if (dc_dq > cf_max + dc_sign)
-                    dc_dq = cf_max + dc_sign;
-            } else {
-                dc_dq = (dc_dq * dc_tok) >> dq_shift;
-            }
-            cul_level = dc_tok;
-            cf[0] = dc_sign ? -(int32_t)dc_dq : (int32_t)dc_dq;
+            dc_dq *= dc_tok;
         }
+        cul_level = dc_tok;
+        dc_dq >>= dq_shift;
+        if (dc_dq > cf_max + dc_sign)
+            dc_dq = cf_max + dc_sign;
+        cf[0] = dc_sign ? -(int32_t)dc_dq : (int32_t)dc_dq;
     }
 
-    if (rc) {
-        unsigned ac_dq = dq1;
-        for (;;) {
-            int sign = dtpu_decode_bool_equi(s);
-            unsigned rc_tok = (unsigned)cf[rc];
-            unsigned tok, dq;
-            if (qm) {
-                dq = (ac_dq * qm[rc] + 16) >> 5;
-                if (rc_tok >= (15u << 11)) {
-                    tok = (read_golomb(s) + 15) & 0xFFFFF;
-                    dq = (dq * tok) & 0xFFFFFF;
-                } else {
-                    tok = rc_tok >> 11;
-                    dq *= tok;
-                }
-                dq >>= dq_shift;
-                if (dq > cf_max + sign)
-                    dq = cf_max + sign;
-            } else {
-                if (rc_tok >= (15u << 11)) {
-                    tok = (read_golomb(s) + 15) & 0xFFFFF;
-                    dq = ((ac_dq * tok) & 0xFFFFFF) >> dq_shift;
-                    if (dq > cf_max + sign)
-                        dq = cf_max + sign;
-                } else {
-                    tok = rc_tok >> 11;
-                    dq = (ac_dq * tok) >> dq_shift;
-                }
-            }
-            cul_level += tok;
-            cf[rc] = sign ? -(int32_t)dq : (int32_t)dq;
-            rc = rc_tok & 0x3FF;
-            if (!rc)
-                break;
+    /* AC signs + dequant, forward scan order */
+    for (int k = n_nz - 1; k >= 0; k--) {
+        const unsigned rc = nz[k];
+        const int sign = dtpu_decode_bool_equi(s);
+        unsigned tok = (unsigned)cf[rc];
+        unsigned dq = qm ? (dq1 * qm[rc] + 16) >> 5 : (unsigned)dq1;
+        if (tok == 15) {
+            tok = (read_golomb(s) + 15) & 0xFFFFF;
+            dq = (dq * tok) & 0xFFFFFF;
+        } else {
+            dq *= tok;
         }
+        dq >>= dq_shift;
+        if (dq > cf_max + sign)
+            dq = cf_max + sign;
+        cul_level += tok;
+        cf[rc] = sign ? -(int32_t)dq : (int32_t)dq;
     }
 
     return (int)((cul_level < 63 ? cul_level : 63) | dc_sign_level);
@@ -468,35 +464,6 @@ int dtpu_decode_coefs_tail(
  * src/recon_tmpl.c:321-730) so the Python hot loop makes ONE native call
  * per tx block.  Per-tile pointers live in DtpuCoefCtx (built once per
  * tile state on the Python side); per-call parameters are plain ints. */
-
-typedef struct DtpuCoefCtx {
-    /* per-tile CDF base pointers (numpy uint16, updated in place) */
-    uint16_t *skip;          /* [5][13][2] */
-    uint16_t *txtp_intra1;   /* [2][13][8] */
-    uint16_t *txtp_intra2;   /* [3][13][8] */
-    uint16_t *txtp_inter1;   /* [2][16] */
-    uint16_t *txtp_inter2;   /* [16] */
-    uint16_t *txtp_inter3;   /* [4][2] */
-    uint16_t *eob_bin[7];    /* 16/32/64/128: [2][2][8]; 256: [2][2][16];
-                                512/1024: [2][16] */
-    uint16_t *eob_hi_bit;    /* [5][2][9][2] */
-    uint16_t *eob_base_tok;  /* [5][2][4][4] */
-    uint16_t *base_tok;      /* [5][2][41][4] */
-    uint16_t *br_tok;        /* [4][2][21][4] */
-    uint16_t *dc_sign;       /* [2][3][2] */
-    /* static normative tables */
-    const uint8_t *txfm_info;        /* [19][8]: w4,h4,lw,lh,min,max,sub,ctx */
-    const uint8_t *block_dim;        /* [22][4] */
-    const uint8_t *skip_ctx_tbl;     /* [5][5] */
-    const uint8_t *txtp_from_uvmode; /* [14] */
-    const uint8_t *tx_types_per_set; /* [40] */
-    const uint8_t *tx_type_class;    /* [17] */
-    const uint8_t *lo_ctx_offsets;   /* [3][5][5] */
-    const uint16_t *scans[19];
-    /* frame constants */
-    int32_t layout;                  /* PixelLayout value */
-    uint32_t cf_max;
-} DtpuCoefCtx;
 
 #define TXFM_TYPE_DCT_DCT 0
 #define TXFM_TYPE_IDTX 9

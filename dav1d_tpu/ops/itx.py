@@ -108,15 +108,14 @@ def itx_batch_np(cf, tx, txtp, bitdepth):
 def itx_batch(cf, tx, txtp, bitdepth):
     """Batched inverse transform: (B, sh*sw) int32 -> (B, h, w) residuals.
     12-bit intermediates exceed int32 at the canonical 12-bit rotation
-    scale, so hbd-12 lanes run in int64 (the reference's int32 asm relies
-    on rewritten half-scale forms instead, src/itx_1d.c comments)."""
+    scale (the reference's int32 asm relies on rewritten half-scale forms
+    instead, src/itx_1d.c comments), so hbd-12 runs on the host int64
+    numpy path rather than mutating the process-wide jax_enable_x64 flag
+    from inside a kernel helper."""
     if bitdepth == 12:
-        jax.config.update("jax_enable_x64", True)
-        dt = jnp.int64
-    else:
-        dt = jnp.int32
+        return itx_batch_np(np.asarray(cf), tx, txtp, bitdepth)
     return _jit_itx(int(tx), int(txtp), int(bitdepth))(
-        jnp.asarray(cf, dtype=dt))
+        jnp.asarray(cf, dtype=jnp.int32))
 
 
 def _dc_core(dc, tx, bitdepth):

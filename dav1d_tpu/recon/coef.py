@@ -76,19 +76,31 @@ def get_dc_sign_ctx(tx, a, a_off, l, l_off) -> int:
 
 
 def get_lo_ctx(levels, base, tx_class, ctx_offsets, x, y, stride):
-    """Returns (ctx, mag); reference get_lo_ctx (src/recon_tmpl.c:294)."""
-    mag = int(levels[base + stride + 0]) + int(levels[base + 1])
+    """Returns (base ctx, br magnitude).
+
+    Spec context derivation (AV1 8.3.2) over the plain clamped-magnitude
+    plane `levels` (values min(level, 3) for base neighbors, raw <= 15
+    for br neighbors):
+      base ctx: offset(pos) + min(4, (1 + sum_{5 nbrs} min(3, lvl)) >> 1)
+      br  mag : sum over the 3 nearest neighbors (clamp-free, lvl <= 15)
+    """
+    l0 = int(levels[base + stride])
+    l1 = int(levels[base + 1])
     if tx_class == TxClass.TWO_D:
-        mag += int(levels[base + stride + 1])
-        hi_mag = mag
-        mag += int(levels[base + 2]) + int(levels[base + 2 * stride])
+        l2 = int(levels[base + stride + 1])
+        br_mag = l0 + l1 + l2
+        mag = (min(l0, 3) + min(l1, 3) + min(l2, 3)
+               + min(int(levels[base + 2]), 3)
+               + min(int(levels[base + 2 * stride]), 3))
         offset = int(ctx_offsets[min(y, 4)][min(x, 4)])
     else:
-        mag += int(levels[base + 2])
-        hi_mag = mag
-        mag += int(levels[base + 3]) + int(levels[base + 4])
+        l2 = int(levels[base + 2])
+        br_mag = l0 + l1 + l2
+        mag = (min(l0, 3) + min(l1, 3) + min(l2, 3)
+               + min(int(levels[base + 3]), 3)
+               + min(int(levels[base + 4]), 3))
         offset = 26 + (10 if y > 1 else y * 5)
-    return offset + (4 if mag > 512 else (mag + 64) >> 7), hi_mag
+    return offset + min(4, (mag + 1) >> 1), br_mag
 
 
 def decode_coefs(t, a, a_off, l, l_off, tx, bs, b, intra, plane,
@@ -325,11 +337,9 @@ def _decode_coefs_tail_py(msac, coef, a, a_off, l, l_off, tx, plane,
             lo_ctx_offsets = None
             levels = np.zeros(stride * ((4 << slw) + 2), dtype=np.uint8)
 
-        # eob position token
+        # magnitude at the eob position (coeff_base_eob: min level 1)
         ctx = 1 + (eob > 2 << tx2dszctx) + (eob > 4 << tx2dszctx)
-        eob_tok = msac.decode_symbol_adapt(eob_cdf[ctx], 2)
-        tok = eob_tok + 1
-        level_tok = tok * 0x41
+        tok = 1 + msac.decode_symbol_adapt(eob_cdf[ctx], 2)
 
         if tx_class == TxClass.TWO_D:
             rc = int(scan[eob])
@@ -342,17 +352,18 @@ def _decode_coefs_tail_py(msac, coef, a, a_off, l, l_off, tx, plane,
             rc = (x << shift2) | y
         trace("Post-lo_tok[%d][%d][%d][%d=%d=%d]: r=%d",
               tctx, chroma, ctx, eob, rc, tok, msac.rng)
-        if eob_tok == 2:
+        if tok == 3:
             ctx = 14 if ((x | y) > 1 if tx_class == TxClass.TWO_D
                          else y != 0) else 7
             tok = msac.decode_hi_tok(hi_cdf[ctx])
             trace("Post-hi_tok[%d][%d][%d][%d=%d=%d]: r=%d",
                   min(tctx, 3), chroma, ctx, eob, rc, tok, msac.rng)
-            level_tok = tok + (3 << 6)
-        cf[rc] = tok << 11
+        cf[rc] = tok
+        nz = [rc]  # nonzero AC positions, descending scan order
         lvl_base = rc if tx_class == TxClass.TWO_D else x * stride + y
-        levels[lvl_base] = level_tok & 0xFF
+        levels[lvl_base] = tok
 
+        # remaining AC magnitudes, reverse scan order
         for i in range(eob - 1, 0, -1):
             if tx_class == TxClass.TWO_D:
                 rc_i = int(scan[i])
@@ -364,49 +375,38 @@ def _decode_coefs_tail_py(msac, coef, a, a_off, l, l_off, tx, plane,
                 x, y = i & mask, i >> shift
                 rc_i = (x << shift2) | y
             lvl_base = rc_i if tx_class == TxClass.TWO_D else x * stride + y
-            ctx, mag = get_lo_ctx(levels, lvl_base, tx_class,
-                                  lo_ctx_offsets, x, y, stride)
-            if tx_class == TxClass.TWO_D:
-                y |= x
+            ctx, br_mag = get_lo_ctx(levels, lvl_base, tx_class,
+                                     lo_ctx_offsets, x, y, stride)
             tok = msac.decode_symbol_adapt(lo_cdf[ctx], 3)
             trace("Post-lo_tok[%d][%d][%d][%d=%d=%d]: r=%d",
                   tctx, chroma, ctx, i, rc_i, tok, msac.rng)
             if tok == 3:
-                mag &= 63
-                ctx = (14 if y > (tx_class == TxClass.TWO_D) else 7) + \
-                    (6 if mag > 12 else (mag + 1) >> 1)
+                far = (x | y) > 1 if tx_class == TxClass.TWO_D else y > 0
+                ctx = (14 if far else 7) + min(6, (br_mag + 1) >> 1)
                 tok = msac.decode_hi_tok(hi_cdf[ctx])
                 trace("Post-hi_tok[%d][%d][%d][%d=%d=%d]: r=%d",
                       min(tctx, 3), chroma, ctx, i, rc_i, tok, msac.rng)
-                levels[lvl_base] = (tok + (3 << 6)) & 0xFF
-                cf[rc_i] = (tok << 11) | rc
-                rc = rc_i
-            else:
-                tok *= 0x17FF41
-                levels[lvl_base] = tok & 0xFF
-                tok = (tok >> 9) & (rc + ~0x7FF & 0xFFFFFFFF)
-                tok &= 0xFFFFFFFF
-                if tok:
-                    rc = rc_i
+            levels[lvl_base] = tok
+            if tok:
                 cf[rc_i] = tok
+                nz.append(rc_i)
 
-        # dc
+        # DC magnitude
         if tx_class == TxClass.TWO_D:
             ctx = 0
+            br_mag = 0
         else:
-            # the hi-token context below reuses this call's hi_mag
-            ctx, mag = get_lo_ctx(levels, 0, tx_class, lo_ctx_offsets,
-                                  0, 0, stride)
+            base_ctx, br_mag = get_lo_ctx(levels, 0, tx_class,
+                                          lo_ctx_offsets, 0, 0, stride)
+            ctx = base_ctx
         dc_tok = msac.decode_symbol_adapt(lo_cdf[ctx], 3)
         trace("Post-dc_lo_tok[%d][%d][%d][%d]: r=%d",
               tctx, chroma, ctx, dc_tok, msac.rng)
         if dc_tok == 3:
             if tx_class == TxClass.TWO_D:
-                mag = int(levels[1]) + int(levels[stride]) + \
+                br_mag = int(levels[1]) + int(levels[stride]) + \
                     int(levels[stride + 1])
-            mag &= 63
-            ctx = 6 if mag > 12 else (mag + 1) >> 1
-            dc_tok = msac.decode_hi_tok(hi_cdf[ctx])
+            dc_tok = msac.decode_hi_tok(hi_cdf[min(6, (br_mag + 1) >> 1)])
             trace("Post-dc_hi_tok[%d][%d][0][%d]: r=%d",
                   min(tctx, 3), chroma, dc_tok, msac.rng)
     else:
@@ -414,7 +414,7 @@ def _decode_coefs_tail_py(msac, coef, a, a_off, l, l_off, tx, plane,
         dc_tok = 1 + tok_br
         if tok_br == 2:
             dc_tok = msac.decode_hi_tok(hi_cdf[0])
-        rc = 0
+        nz = []
 
     # dequant
     dq_shift = max(0, tctx - 2)
@@ -437,54 +437,33 @@ def _decode_coefs_tail_py(msac, coef, a, a_off, l, l_off, tx, plane,
 
         if qm_tbl is not None:
             dc_dq = (dc_dq * int(qm_tbl[0]) + 16) >> 5
-            if dc_tok == 15:
-                dc_tok = (read_golomb(msac) + 15) & 0xFFFFF
-                dc_dq = (dc_dq * dc_tok) & 0xFFFFFF
-            else:
-                dc_dq *= dc_tok
-            cul_level = dc_tok
-            dc_dq >>= dq_shift
-            dc_dq = min(dc_dq, cf_max + dc_sign)
-            cf[0] = -dc_dq if dc_sign else dc_dq
+        if dc_tok == 15:
+            dc_tok = (read_golomb(msac) + 15) & 0xFFFFF
+            dc_dq = (dc_dq * dc_tok) & 0xFFFFFF
         else:
-            if dc_tok == 15:
-                dc_tok = (read_golomb(msac) + 15) & 0xFFFFF
-                dc_dq = ((dc_dq * dc_tok) & 0xFFFFFF) >> dq_shift
-                dc_dq = min(dc_dq, cf_max + dc_sign)
-            else:
-                dc_dq = (dc_dq * dc_tok) >> dq_shift
-            cul_level = dc_tok
-            cf[0] = -dc_dq if dc_sign else dc_dq
+            dc_dq *= dc_tok
+        cul_level = dc_tok
+        dc_dq >>= dq_shift
+        dc_dq = min(dc_dq, cf_max + dc_sign)
+        cf[0] = -dc_dq if dc_sign else dc_dq
 
-    if rc:
-        ac_dq = int(dq_tbl[1])
-        while True:
-            sign = msac.decode_bool_equi()
-            trace("Post-sign[%d=%d]: r=%d", rc, sign, msac.rng)
-            rc_tok = int(cf[rc])
-            if qm_tbl is not None:
-                dq = (ac_dq * int(qm_tbl[rc]) + 16) >> 5
-                if rc_tok >= (15 << 11):
-                    tok = (read_golomb(msac) + 15) & 0xFFFFF
-                    dq = (dq * tok) & 0xFFFFFF
-                else:
-                    tok = rc_tok >> 11
-                    dq *= tok
-                dq >>= dq_shift
-                dq = min(dq, cf_max + sign)
-            else:
-                if rc_tok >= (15 << 11):
-                    tok = (read_golomb(msac) + 15) & 0xFFFFF
-                    dq = ((ac_dq * tok) & 0xFFFFFF) >> dq_shift
-                    dq = min(dq, cf_max + sign)
-                else:
-                    tok = rc_tok >> 11
-                    dq = (ac_dq * tok) >> dq_shift
-            cul_level += tok
-            cf[rc] = -dq if sign else dq
-            rc = rc_tok & 0x3FF
-            if not rc:
-                break
+    # AC signs + dequant, forward scan order (nz[] walked backward)
+    ac_dq = int(dq_tbl[1])
+    for rc in reversed(nz):
+        sign = msac.decode_bool_equi()
+        trace("Post-sign[%d=%d]: r=%d", rc, sign, msac.rng)
+        tok = int(cf[rc])
+        dq = ((ac_dq * int(qm_tbl[rc]) + 16) >> 5) if qm_tbl is not None \
+            else ac_dq
+        if tok == 15:
+            tok = (read_golomb(msac) + 15) & 0xFFFFF
+            dq = (dq * tok) & 0xFFFFFF
+        else:
+            dq *= tok
+        dq >>= dq_shift
+        dq = min(dq, cf_max + sign)
+        cul_level += tok
+        cf[rc] = -dq if sign else dq
 
     res_ctx = min(cul_level, 63) | dc_sign_level
     return eob, cf, res_ctx

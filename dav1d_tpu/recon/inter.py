@@ -122,7 +122,10 @@ def _mc_scaled(t, pl, bw4, bh4, bx, by, mv, ref_planes, ref_w, ref_h,
     w = (ref_w + ss_hor) >> ss_hor
     h = (ref_h + ss_ver) >> ss_ver
     if filter_2d == 9:
-        raise NotImplementedError("scaled bilinear MC")
+        return mc_np.put_bilin_scaled(
+            ref_planes[pl], w, h, top, left, bw4 * h_mul, bh4 * v_mul,
+            pos_x & 0x3FF, pos_y & 0x3FF, f.svc[refidx][0][1],
+            f.svc[refidx][1][1], f.bitdepth, prep=prep)
     return mc_np.put_8tap_scaled(
         ref_planes[pl], w, h, top, left, bw4 * h_mul, bh4 * v_mul,
         pos_x & 0x3FF, pos_y & 0x3FF, f.svc[refidx][0][1],

@@ -330,6 +330,51 @@ def put_8tap_scaled(plane, valid_w, valid_h, top, left, w, h, mx, my,
     return out.astype(np.int32)
 
 
+def put_bilin_scaled(plane, valid_w, valid_h, top, left, w, h, mx, my,
+                     dx, dy, bitdepth, prep=False):
+    """Scaled-reference bilinear MC (reference put/prep_bilin_scaled_c,
+    src/mc_tmpl.c:492-627). Same source-position stepping as
+    put_8tap_scaled, with a 2-tap filter: weights (16-p, p) from the top
+    4 bits of the 10-bit phase. (top, left) = integer source position of
+    the first sample; mx/my = 10-bit subpel phases; dx/dy = 10-bit steps."""
+    ib = _intermediate_bits(bitdepth)
+    ioffs = np.empty(w, dtype=np.int64)
+    hphase = np.empty(w, dtype=np.int64)
+    imx, ioff = mx, 0
+    for x in range(w):
+        hphase[x] = imx >> 6
+        ioffs[x] = ioff
+        imx += dx
+        ioff += imx >> 10
+        imx &= 0x3FF
+    max_src_y = (my + (h - 1) * dy) >> 10
+    n_rows = max_src_y + 2
+    win = get_window(plane, valid_w, valid_h, top, left,
+                     n_rows, int(ioffs[-1]) + 2)
+
+    # horizontal pass over all needed source rows
+    s0 = win[:, ioffs]
+    s1 = win[:, ioffs + 1]
+    rnd_h = (1 << (4 - ib)) >> 1
+    mid = (16 * s0 + hphase[None, :] * (s1 - s0) + rnd_h) >> (4 - ib)
+
+    out = np.empty((h, w), dtype=np.int64)
+    rnd_v = (1 << (4 + ib)) >> 1
+    prep_bias = 0 if bitdepth == 8 else 8192
+    for y in range(h):
+        myy = my + y * dy
+        src_y = myy >> 10
+        p = (myy & 0x3FF) >> 6
+        m1, m2 = mid[src_y], mid[src_y + 1]
+        acc = 16 * m1 + p * (m2 - m1)
+        if prep:
+            out[y] = ((acc + 8) >> 4) - prep_bias
+        else:
+            out[y] = np.clip((acc + rnd_v) >> (4 + ib), 0,
+                             (1 << bitdepth) - 1)
+    return out.astype(np.int32)
+
+
 def resize_row(src_rows, dst_w, src_w, dx, mx0, bitdepth):
     """Horizontal super-res upscale of (n, src_w) rows to (n, dst_w)
     (reference resize_c, src/mc_tmpl.c)."""

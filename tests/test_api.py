@@ -94,3 +94,53 @@ def test_metadata_attach(tmp_path):
     pic2 = dec.get_picture()
     assert pic2.itut_t35 == []
     assert pic2.content_light is not None
+
+
+def test_decode_frame_type_key_only(tmp_path):
+    """decode_frame_type=3 decodes only key frames (reference
+    src/obu.c:1640-1657 skip path)."""
+    from dav1d_tpu.decoder import Decoder, Settings
+    from dav1d_tpu.containers import read_ivf
+
+    data = _stream(tmp_path, n=8, kf=4)  # keyframes at 0 and 4
+    tus = [tu for tu, _ in read_ivf(data)]
+    ref = _decode_all(Decoder(), tus)
+    got = _decode_all(Decoder(Settings(decode_frame_type=3)), tus)
+    assert len(got) == 2
+    assert got[0] == ref[0] and got[1] == ref[4]
+
+
+def test_frame_size_limit(tmp_path):
+    from dav1d_tpu.decoder import Decoder, Settings
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.obu import ObuError
+
+    data = _stream(tmp_path, n=1, kf=1)
+    tus = [tu for tu, _ in read_ivf(data)]
+    with pytest.raises(ObuError):
+        Decoder(Settings(frame_size_limit=64 * 64)).send_data(tus[0])
+    # a generous limit decodes fine
+    dec = Decoder(Settings(frame_size_limit=1 << 20))
+    dec.send_data(tus[0])
+    assert dec.get_picture() is not None
+
+
+def test_inloop_filters_mask(tmp_path):
+    """Selective in-loop-filter disabling (reference Dav1dInloopFilterType):
+    masks decode without error; disabling all filters on a filtered stream
+    changes the output."""
+    from dav1d_tpu.decoder import Decoder, Settings
+    from dav1d_tpu.containers import read_ivf
+
+    enc = AomEncoder(width=128, height=96, usage="good", cpu_used=6, q=55,
+                     kf_max_dist=4, lag=0)
+    pkts = enc.encode(gradient_frames(4, 128, 96, noise=12))
+    enc.close()
+    ivf = tmp_path / "ilf.ivf"
+    write_ivf_packets(ivf, pkts, 128, 96)
+    tus = [tu for tu, _ in read_ivf(ivf.read_bytes())]
+
+    full = _decode_all(Decoder(Settings(inloop_filters=7)), tus)
+    none = _decode_all(Decoder(Settings(inloop_filters=0)), tus)
+    assert len(full) == len(none) == 4
+    assert full != none  # filters did something on this stream

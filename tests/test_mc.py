@@ -106,3 +106,47 @@ def test_avg_and_masks():
             (1 << bitdepth) - 1,
         )
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("bitdepth", [8, 10, 12])
+def test_put_bilin_scaled_unity_matches_bilin(bitdepth):
+    """At unit step (dx=dy=1024) the scaled bilinear kernel must reduce
+    to the plain bilinear kernel at the same 4-bit phase (the plain
+    kernel is oracle-validated e2e)."""
+    from dav1d_tpu.recon import mc_np
+
+    rng = np.random.default_rng(7)
+    vw, vh = 48, 40
+    plane = rng.integers(0, 1 << bitdepth, (vh, vw), dtype=np.int32)
+    for mx4, my4 in [(0, 0), (5, 0), (0, 9), (7, 3), (15, 15)]:
+        for prep in (False, True):
+            got = mc_np.put_bilin_scaled(
+                plane, vw, vh, 4, 6, 16, 8, mx4 << 6, my4 << 6,
+                1024, 1024, bitdepth, prep=prep)
+            if prep:
+                want = mc_np.prep_bilin(plane, vw, vh, 4, 6, 16, 8,
+                                        mx4, my4, bitdepth)
+            else:
+                want = mc_np.put_bilin(plane, vw, vh, 4, 6, 16, 8,
+                                       mx4, my4, bitdepth)
+            np.testing.assert_array_equal(got, want, err_msg=(
+                f"bd={bitdepth} mx={mx4} my={my4} prep={prep}"))
+
+
+def test_put_bilin_scaled_downscale_positions():
+    """Non-unit step: source column positions must match the 8-tap scaled
+    kernel's stepping (same 10-bit phase accumulator). With an identity
+    2-tap (phase 0 at every tap) the output is the nearest-sample gather
+    the accumulator implies."""
+    from dav1d_tpu.recon import mc_np
+
+    rng = np.random.default_rng(3)
+    vw, vh = 64, 48
+    plane = rng.integers(0, 256, (vh, vw), dtype=np.int32)
+    w, h = 8, 8
+    dx = dy = 2048  # 2x downscale, phase stays 0
+    got = mc_np.put_bilin_scaled(plane, vw, vh, 2, 2, w, h, 0, 0,
+                                 dx, dy, 8)
+    ys = 2 + 2 * np.arange(h)
+    xs = 2 + 2 * np.arange(w)
+    np.testing.assert_array_equal(got, plane[np.ix_(ys, xs)])

@@ -156,49 +156,43 @@ def encode_coefs(enc, cdf, a, a_off, l, l_off, tx, bs, y_mode, uv_mode,
             hctx = 14 if ((x | y) > 1 if tx_class == TxClass.TWO_D
                           else y != 0) else 7
             hi_tok_encode(min(tok, 15), hi_cdf[hctx])
-            level_tok = min(tok, 15) + (3 << 6)
-        else:
-            level_tok = tok * 0x41
         lvl_base = rc if tx_class == TxClass.TWO_D else x * stride + y
-        lvl[lvl_base] = level_tok & 0xFF
+        lvl[lvl_base] = min(tok, 15)  # plain clamped magnitude plane
 
         for i in range(eob - 1, 0, -1):
             rc_i = rc_of(i)
             x, y = (rc_i >> shift, rc_i & mask) if tx_class == TxClass.TWO_D \
                 else (i & mask, i >> shift)
             lvl_base = rc_i if tx_class == TxClass.TWO_D else x * stride + y
-            ctx, mag = get_lo_ctx(lvl, lvl_base, tx_class, lo_ctx_offsets,
-                                  x, y, stride)
-            if tx_class == TxClass.TWO_D:
-                y |= x
+            ctx, br_mag = get_lo_ctx(lvl, lvl_base, tx_class,
+                                     lo_ctx_offsets, x, y, stride)
             tok = levels_rc.get(rc_i, 0)
             lo = min(tok, 3)
             msac.encode_symbol(lo, lo_cdf[ctx], 3)
             if lo == 3:
-                mag &= 63
-                hctx = (14 if y > (tx_class == TxClass.TWO_D) else 7) + \
-                    (6 if mag > 12 else (mag + 1) >> 1)
+                far = (x | y) > 1 if tx_class == TxClass.TWO_D else y > 0
+                hctx = (14 if far else 7) + min(6, (br_mag + 1) >> 1)
                 hi_tok_encode(min(tok, 15), hi_cdf[hctx])
-                lvl[lvl_base] = (min(tok, 15) + (3 << 6)) & 0xFF
+                lvl[lvl_base] = min(tok, 15)
             else:
-                lvl[lvl_base] = (lo * 0x41) & 0xFF
+                lvl[lvl_base] = lo
 
         # dc
         if tx_class == TxClass.TWO_D:
             ctx = 0
+            br_mag = 0
         else:
-            # the hi-token context below reuses this call's hi_mag
-            ctx, mag = get_lo_ctx(lvl, 0, tx_class, lo_ctx_offsets,
-                                  0, 0, stride)
+            ctx, br_mag = get_lo_ctx(lvl, 0, tx_class, lo_ctx_offsets,
+                                     0, 0, stride)
         dc_tok_full = levels_rc.get(0, 0)
         lo = min(dc_tok_full, 3)
         msac.encode_symbol(lo, lo_cdf[ctx], 3)
         if lo == 3:
             if tx_class == TxClass.TWO_D:
-                mag = int(lvl[1]) + int(lvl[stride]) + int(lvl[stride + 1])
-            mag &= 63
-            hctx = 6 if mag > 12 else (mag + 1) >> 1
-            hi_tok_encode(min(dc_tok_full, 15), hi_cdf[hctx])
+                br_mag = int(lvl[1]) + int(lvl[stride]) + \
+                    int(lvl[stride + 1])
+            hi_tok_encode(min(dc_tok_full, 15),
+                          hi_cdf[min(6, (br_mag + 1) >> 1)])
         dc_tok = dc_tok_full
     else:
         dc_tok = levels_rc[0]
