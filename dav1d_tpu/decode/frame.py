@@ -15,8 +15,7 @@ from ..cdf import CdfContext
 from ..headers import FrameHeader, PixelLayout, SequenceHeader, TxfmMode
 from ..intra_edge import INTRA_EDGE_TREE
 from ..levels import BlockLevel
-from ..recon.lf import Av1Filter, calc_eih, calc_lf_values, \
-    loopfilter_sbrow_cols, loopfilter_sbrow_rows
+from ..recon.lf import calc_eih, calc_lf_values, deblock_frame
 from .tile import BlockContext, TaskContext, TileState, decode_sb
 
 
@@ -182,11 +181,14 @@ class FrameContext:
             np.zeros((self.sbh, self.sb128w * 128 >> (ss_hor if pl else 0)),
                      dtype=np.int32) for pl in range(n_pl)]
 
-        # deblock state
-        self.lf_level = np.zeros((((self.bh + 31) & ~31), self.b4_stride, 4),
-                                 dtype=np.uint8)
-        self.lf_masks = [Av1Filter()
-                         for _ in range(self.sb128w * self.sb128h)]
+        # deblock state: per-4x4 levels + frame-wide edge width-class
+        # planes ([0] vertical edges, [1] horizontal; see recon/lf.py)
+        h4a = (self.bh + 31) & ~31
+        self.lf_level = np.zeros((h4a, self.b4_stride, 4), dtype=np.uint8)
+        self.lf_wd_y = np.zeros((2, h4a, self.b4_stride), dtype=np.uint8)
+        self.lf_wd_uv = np.zeros(
+            (2, (h4a + ss_ver) >> ss_ver,
+             (self.b4_stride + ss_hor) >> ss_hor), dtype=np.uint8)
         self.lf_lim_lut = calc_eih(hdr.loopfilter.sharpness)
         self.lf_lvl = calc_lf_values(hdr, [0, 0, 0, 0])
         self.start_of_tile_row = [0] * self.sbh
@@ -327,13 +329,10 @@ def decode_tile_sbrow(t: TaskContext) -> None:
         pass  # restoration info reads land with the LR stage
 
     a_base = col_sb128_start + tile_row * f.sb128w
-    lf_base = (t.by >> 5) * f.sb128w + col_sb128_start
     t.bx = ts.col_start
     a_idx = a_base
-    lf_idx = lf_base
     while t.bx < ts.col_end:
         t.a = f.a[a_idx]
-        t.lf_mask = f.lf_masks[lf_idx]
         sb64x = t.bx >> 4
         sb64y = t.by >> 4
         if root_bl == BlockLevel.BL_128X128:
@@ -345,11 +344,8 @@ def decode_tile_sbrow(t: TaskContext) -> None:
             t.cur_sb_cdef_idx[0] = -1
         _read_lr_for_sb(t)
         decode_sb(t, root_bl, INTRA_EDGE_TREE[0 if f.seq_hdr.sb128 else 1])
-        if (t.bx + sb_step) & 16 == 0 or f.seq_hdr.sb128:
-            pass
         if (t.bx & 16) or f.seq_hdr.sb128:
             a_idx += 1
-            lf_idx += 1
         t.bx += sb_step
 
     if t.pass_ != 1:
@@ -543,15 +539,17 @@ def decode_frame(f: FrameContext, tile_groups, two_pass: bool = False) \
                 decode_tile_sbrow(t)
             if hdr.frame_type.is_inter_or_switch and f.rf is not None:
                 save_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
-            if not two_pass:
-                # loopfilter -> cdef -> super-res -> restoration per sbrow
-                _filter_sbrow(f, sby)
 
     if two_pass:
         from ..pipeline import run_pass2
         run_pass2(f)
-        for sby in range(f.sbh):
-            _filter_sbrow(f, sby)
+
+    # full-frame filter chain: deblock -> cdef -> super-res -> restoration
+    # (the reference pipelines these per sbrow; the full-frame formulation
+    # is output-equivalent, see recon/lf.py and recon/cdef.py docstrings)
+    lf = hdr.loopfilter
+    if (lf.level_y[0] or lf.level_y[1]) and (f.inloop_filters & 1):
+        deblock_frame(f)
 
     # pre-CDEF snapshot = the reference's lpf line buffer (dav1d_copy_lpf,
     # src/lf_apply_tmpl.c:104): LR stripe-boundary rows read deblocked
@@ -626,11 +624,3 @@ def _superres_frame(f: FrameContext, planes):
     return out_planes
 
 
-def _filter_sbrow(f: FrameContext, sby: int) -> None:
-    lf = f.frame_hdr.loopfilter
-    if (lf.level_y[0] or lf.level_y[1]) and (f.inloop_filters & 1):
-        loopfilter_sbrow_cols(f, sby, f.start_of_tile_row[sby])
-        loopfilter_sbrow_rows(f, sby)
-    # cdef runs full-frame after the last sbrow (decode_frame); the
-    # per-sbrow pipelining in the reference is equivalent for output
-    # pixels since cdef units read pre-cdef deblocked neighbours

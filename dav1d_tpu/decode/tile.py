@@ -141,7 +141,6 @@ class TaskContext:
         self.a: BlockContext | None = None  # above ctx (slice of f.a list)
         self.l = BlockContext()
         self.cur_sb_cdef_idx = None  # list of 4 ints view
-        self.lf_mask = None
         self.frame_thread_pass = 0
         self.tl_4x4_filter = 0
         self.txtp_map = np.zeros((32, 32), dtype=np.uint8)
@@ -732,7 +731,7 @@ def _decode_b_intra(t, b, bl, bs, bp, intra_edge_flags, b_dim,
     if hdr.loopfilter.level_y[0] or hdr.loopfilter.level_y[1]:
         from ..recon.lf import create_lf_mask_intra
         create_lf_mask_intra(
-            t.lf_mask, f.lf_level, f.b4_stride, ts.lflvl[b.seg_id],
+            f, f.lf_level, ts.lflvl[b.seg_id],
             t.bx, t.by, f.w4, f.h4, bs, b.tx, b.uvtx, f.layout,
             t.a.tx_lpf_y, bx4, t.l.tx_lpf_y, by4,
             t.a.tx_lpf_uv if has_chroma else None, cbx4,
@@ -1369,7 +1368,7 @@ def _decode_b_inter(t, b, bl, bs, bp, intra_edge_flags, b_dim,
         if hdr.segmentation.lossless[b.seg_id]:
             ytx_lf = uvtx_lf = TxfmSize.TX_4X4
         create_lf_mask_inter(
-            t.lf_mask, f.lf_level, f.b4_stride, lf_lvls,
+            f, f.lf_level, lf_lvls,
             t.bx, t.by, f.w4, f.h4, b.skip, bs, ytx_lf,
             (b.tx_split0, b.tx_split1), uvtx_lf, f.layout,
             t.a.tx_lpf_y, bx4, t.l.tx_lpf_y, by4,

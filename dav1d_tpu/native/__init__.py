@@ -15,7 +15,8 @@ import subprocess
 from pathlib import Path
 
 _HERE = Path(__file__).parent
-_SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c", _HERE / "lf.c"]
+_SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c", _HERE / "lf.c",
+         _HERE / "refmvs.c"]
 
 
 def _build() -> Path | None:
@@ -77,6 +78,36 @@ class CMsac(ctypes.Structure):
         ("rng", ctypes.c_uint32),
         ("cnt", ctypes.c_int32),
         ("allow_update_cdf", ctypes.c_int32),
+    ]
+
+
+class CGmv(ctypes.Structure):
+    """Mirror of native/dtpu.h DtpuGmv."""
+    _fields_ = [("type", ctypes.c_int32), ("matrix", ctypes.c_int32 * 6)]
+
+
+class CRefMvsFrame(ctypes.Structure):
+    """Mirror of native/dtpu.h DtpuRefMvsFrame."""
+    _fields_ = [
+        ("r", ctypes.c_void_p),
+        ("rp", ctypes.c_void_p),
+        ("rp_ref", ctypes.c_void_p * 7),
+        ("rp_proj", ctypes.c_void_p),
+        ("r_stride", ctypes.c_int32), ("rp_stride", ctypes.c_int32),
+        ("iw4", ctypes.c_int32), ("ih4", ctypes.c_int32),
+        ("iw8", ctypes.c_int32), ("ih8", ctypes.c_int32),
+        ("sign_bias", ctypes.c_int32 * 7),
+        ("mfmv_sign", ctypes.c_int32 * 7),
+        ("pocdiff", ctypes.c_int32 * 7),
+        ("n_mfmvs", ctypes.c_int32),
+        ("mfmv_ref", ctypes.c_int32 * 3),
+        ("mfmv_ref2cur", ctypes.c_int32 * 3),
+        ("mfmv_ref2ref", (ctypes.c_int32 * 7) * 3),
+        ("use_ref_frame_mvs", ctypes.c_int32),
+        ("force_integer_mv", ctypes.c_int32),
+        ("hp", ctypes.c_int32),
+        ("use_frame_ref_mvs_hdr", ctypes.c_int32),
+        ("gmv", CGmv * 7),
     ]
 
 
@@ -161,23 +192,27 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # sm, dr, taps
         ctypes.c_void_p, ctypes.c_int64]                    # out, ostride
     lib.dtpu_ipred.restype = None
-    lib.dtpu_lf_strip.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ci, ci,     # plane, stride, py, px
-        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,  # vm0..2
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # lvl, i/off strides
+    lib.dtpu_lf_apply_edges.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,             # plane, stride
+        ctypes.c_void_p, ctypes.c_void_p,            # ys, xs (int32)
+        ctypes.c_void_p, ctypes.c_void_p,            # cls, L (uint8)
+        ctypes.c_int64,                              # n
         ctypes.c_void_p, ctypes.c_void_p,            # e_lut, i_lut
-        ci, ci, ci]                                  # is_h, is_uv, bitdepth
-    lib.dtpu_lf_strip.restype = None
+        ci, ci, ci]                                  # dir, is_uv, bitdepth
+    lib.dtpu_lf_apply_edges.restype = None
     lib.dtpu_mask_edges_intra.argtypes = [
-        ctypes.c_void_p, ci, ci, ci, ci, ci, ci, ci, ci,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # wd_v/h, stride
+        ci, ci, ci, ci, ci, ci, ci, ci,
         ctypes.c_void_p, ctypes.c_void_p]
     lib.dtpu_mask_edges_intra.restype = None
     lib.dtpu_mask_edges_chroma.argtypes = [
-        ctypes.c_void_p, ci, ci, ci, ci, ci, ci, ci, ci, ci,
-        ctypes.c_void_p, ctypes.c_void_p, ci, ci]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ci, ci, ci, ci, ci, ci, ci, ci, ci,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.dtpu_mask_edges_chroma.restype = None
     lib.dtpu_mask_edges_inter.argtypes = [
-        ctypes.c_void_p, ci, ci, ci, ci, ci, ci,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ci, ci, ci, ci, ci, ci,
         ctypes.c_uint32, ctypes.c_uint32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.dtpu_mask_edges_inter.restype = None
@@ -198,6 +233,20 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,  # a/l ccoef1
         ctypes.c_void_p, ci, ctypes.c_void_p]  # arena, stride, meta
     lib.dtpu_intra_coefs_pass1.restype = ctypes.c_int
+
+    lib.dtpu_refmvs_find.argtypes = [
+        ctypes.POINTER(CRefMvsFrame), ci, ci, ci, ci,  # rf, tile col/row
+        ci, ci, ci, ci, ci, ci,          # ref0/1, bs, edge_flags, by4, bx4
+        ctypes.c_void_p,                 # block_dim
+        ctypes.c_void_p, ctypes.c_void_p]  # mvstack, out_ctx
+    lib.dtpu_refmvs_find.restype = ctypes.c_int
+    lib.dtpu_splat_mv.argtypes = [
+        ctypes.POINTER(CRefMvsFrame), ci, ci, ci, ci,
+        ci, ci, ci, ci, ci, ci, ci, ci]
+    lib.dtpu_splat_mv.restype = None
+    lib.dtpu_load_tmvs.argtypes = [
+        ctypes.POINTER(CRefMvsFrame), ci, ci, ci, ci]
+    lib.dtpu_load_tmvs.restype = None
     return lib
 
 

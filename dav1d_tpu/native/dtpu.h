@@ -79,19 +79,29 @@ int dtpu_decode_coefs(
     int dq0, int dq1, const uint8_t *qm,
     int32_t *cf, int *eob_out);
 
-/* ---- loop-filter masks ---------------------------------------------------- */
+/* ---- deblock edge planes --------------------------------------------------
+ * wd_v / wd_h are the frame-wide byte planes of per-cell edge width
+ * classes (class+1; 0 = no filter), row stride `stride`.  See
+ * recon/lf.py for the formulation. */
 
-void dtpu_mask_edges_intra(uint16_t *my, int by4, int bx4, int w4, int h4,
+void dtpu_mask_edges_intra(uint8_t *wd_v, uint8_t *wd_h, int64_t stride,
+                           int by, int bx, int w4, int h4,
                            int twl4c, int thl4c, int tw, int th,
                            uint8_t *a, uint8_t *l);
-void dtpu_mask_edges_chroma(uint16_t *muv, int cby4, int cbx4, int cw4,
-                            int ch4, int skip_inter, int twl4c, int thl4c,
-                            int tw, int th, uint8_t *a, uint8_t *l,
-                            int ss_hor, int ss_ver);
-void dtpu_mask_edges_inter(uint16_t *my, int by4, int bx4, int w4, int h4,
+void dtpu_mask_edges_chroma(uint8_t *wd_v, uint8_t *wd_h, int64_t stride,
+                            int cby, int cbx, int cw4, int ch4,
+                            int skip_inter, int twl4c, int thl4c,
+                            int tw, int th, uint8_t *a, uint8_t *l);
+void dtpu_mask_edges_inter(uint8_t *wd_v, uint8_t *wd_h, int64_t stride,
+                           int by, int bx, int w4, int h4,
                            int skip, int max_tx, uint32_t tx_split0,
                            uint32_t tx_split1, const uint8_t *ti_tbl,
                            uint8_t *a, uint8_t *l);
+void dtpu_lf_apply_edges(int32_t *plane, int64_t stride,
+                         const int32_t *ys, const int32_t *xs,
+                         const uint8_t *cls, const uint8_t *L, int64_t n,
+                         const int32_t *e_lut, const int32_t *i_lut,
+                         int dir, int is_uv, int bitdepth);
 
 /* ---- ref-MV structures ---------------------------------------------------- */
 

@@ -148,103 +148,60 @@ void dtpu_add_residual(int32_t *plane, int64_t stride, int dy, int dx,
         }
 }
 
-/* ---- deblock mask construction ----------------------------------------- */
+/* ---- deblock edge-plane construction ------------------------------------
+ *
+ * Edge state is two frame-wide byte planes (see recon/lf.py): wd_v holds
+ * the width class of each cell's LEFT (vertical) edge, wd_h its TOP
+ * (horizontal) edge, as class+1 (0 = no filter).  Coordinates are
+ * absolute 4x4 cell positions; `stride` is the plane row stride. */
 
 #include <string.h>
 
-/* masks_y layout: [2 dir][32][3 lvl][2 half] uint16 */
-#define MY(m, d, x, k, s) (m)[(((d) * 32 + (x)) * 3 + (k)) * 2 + (s)]
-/* masks_uv layout: [2 dir][32][2 lvl][2 half] uint16 */
-#define MUV(m, d, x, k, s) (m)[(((d) * 32 + (x)) * 2 + (k)) * 2 + (s)]
-
 static inline int imin(int a, int b) { return a < b ? a : b; }
 
-/* reference mask_edges_intra (src/lf_mask.c:149-200); twl4c/thl4c are the
- * clamped tx level codes, tw/th the tx dims in 4px units. */
-void dtpu_mask_edges_intra(uint16_t *my, int by4, int bx4, int w4, int h4,
+/* Intra block: block edges take min(tx, neighbour tx); inner tx edges
+ * take this block's tx class (edge semantics of AV1 spec 7.14.5;
+ * reference mask_edges_intra, src/lf_mask.c:149-200). */
+void dtpu_mask_edges_intra(uint8_t *wd_v, uint8_t *wd_h, int64_t stride,
+                           int by, int bx, int w4, int h4,
                            int twl4c, int thl4c, int tw, int th,
                            uint8_t *a, uint8_t *l)
 {
-    uint64_t mask = 1ull << by4;
-    for (int y = 0; y < h4; y++, mask <<= 1) {
-        const int sidx = mask >= 0x10000;
-        const uint16_t smask = (uint16_t)(mask >> (sidx << 4));
-        MY(my, 0, bx4, imin(twl4c, l[y]), sidx) |= smask;
-    }
-    mask = 1ull << bx4;
-    for (int x = 0; x < w4; x++, mask <<= 1) {
-        const int sidx = mask >= 0x10000;
-        const uint16_t smask = (uint16_t)(mask >> (sidx << 4));
-        MY(my, 1, by4, imin(thl4c, a[x]), sidx) |= smask;
-    }
-
-    uint32_t t = 1u << by4;
-    uint32_t inner = (uint32_t)(((uint64_t)t << h4) - t);
-    uint32_t in1 = inner & 0xFFFF, in2 = inner >> 16;
-    for (int x = tw; x < w4; x += tw) {
-        if (in1)
-            MY(my, 0, bx4 + x, twl4c, 0) |= in1;
-        if (in2)
-            MY(my, 0, bx4 + x, twl4c, 1) |= in2;
-    }
-    t = 1u << bx4;
-    inner = (uint32_t)(((uint64_t)t << w4) - t);
-    in1 = inner & 0xFFFF;
-    in2 = inner >> 16;
-    for (int y = th; y < h4; y += th) {
-        if (in1)
-            MY(my, 1, by4 + y, thl4c, 0) |= in1;
-        if (in2)
-            MY(my, 1, by4 + y, thl4c, 1) |= in2;
-    }
+    uint8_t *v = wd_v + (int64_t)by * stride + bx;
+    uint8_t *h = wd_h + (int64_t)by * stride + bx;
+    for (int y = 0; y < h4; y++)
+        v[(int64_t)y * stride] = (uint8_t)(1 + imin(twl4c, l[y]));
+    for (int x = 0; x < w4; x++)
+        h[x] = (uint8_t)(1 + imin(thl4c, a[x]));
+    for (int x = tw; x < w4; x += tw)
+        for (int y = 0; y < h4; y++)
+            v[(int64_t)y * stride + x] = (uint8_t)(1 + twl4c);
+    for (int y = th; y < h4; y += th)
+        memset(h + (int64_t)y * stride, 1 + thl4c, w4);
 
     memset(a, thl4c, w4);
     memset(l, twl4c, h4);
 }
 
-/* reference mask_edges_chroma (src/lf_mask.c:202-258) */
-void dtpu_mask_edges_chroma(uint16_t *muv, int cby4, int cbx4, int cw4,
-                            int ch4, int skip_inter, int twl4c, int thl4c,
-                            int tw, int th, uint8_t *a, uint8_t *l,
-                            int ss_hor, int ss_ver)
+/* Chroma edges (reference mask_edges_chroma, src/lf_mask.c:202-258);
+ * inner tx edges are skipped for fully-skipped inter blocks. */
+void dtpu_mask_edges_chroma(uint8_t *wd_v, uint8_t *wd_h, int64_t stride,
+                            int cby, int cbx, int cw4, int ch4,
+                            int skip_inter, int twl4c, int thl4c,
+                            int tw, int th, uint8_t *a, uint8_t *l)
 {
-    const int vbits = 4 - ss_ver, hbits = 4 - ss_hor;
-    const int vmask = 16 >> ss_ver, hmask = 16 >> ss_hor;
-    const uint64_t vmax = 1ull << vmask, hmax = 1ull << hmask;
-
-    uint64_t mask = 1ull << cby4;
-    for (int y = 0; y < ch4; y++, mask <<= 1) {
-        const int sidx = mask >= vmax;
-        const uint16_t smask = (uint16_t)(mask >> (sidx << vbits));
-        MUV(muv, 0, cbx4, imin(twl4c, l[y]), sidx) |= smask;
-    }
-    mask = 1ull << cbx4;
-    for (int x = 0; x < cw4; x++, mask <<= 1) {
-        const int sidx = mask >= hmax;
-        const uint16_t smask = (uint16_t)(mask >> (sidx << hbits));
-        MUV(muv, 1, cby4, imin(thl4c, a[x]), sidx) |= smask;
-    }
-
+    uint8_t *v = wd_v + (int64_t)cby * stride + cbx;
+    uint8_t *h = wd_h + (int64_t)cby * stride + cbx;
+    for (int y = 0; y < ch4; y++)
+        v[(int64_t)y * stride] = (uint8_t)(1 + imin(twl4c, l[y]));
+    for (int x = 0; x < cw4; x++)
+        h[x] = (uint8_t)(1 + imin(thl4c, a[x]));
     if (!skip_inter) {
-        uint32_t t = 1u << cby4;
-        uint32_t inner = (uint32_t)(((uint64_t)t << ch4) - t);
-        uint32_t in1 = inner & ((1u << vmask) - 1), in2 = inner >> vmask;
-        for (int x = tw; x < cw4; x += tw) {
-            if (in1)
-                MUV(muv, 0, cbx4 + x, twl4c, 0) |= in1;
-            if (in2)
-                MUV(muv, 0, cbx4 + x, twl4c, 1) |= in2;
-        }
-        t = 1u << cbx4;
-        inner = (uint32_t)(((uint64_t)t << cw4) - t);
-        in1 = inner & ((1u << hmask) - 1);
-        in2 = inner >> hmask;
-        for (int y = th; y < ch4; y += th) {
-            if (in1)
-                MUV(muv, 1, cby4 + y, thl4c, 0) |= in1;
-            if (in2)
-                MUV(muv, 1, cby4 + y, thl4c, 1) |= in2;
-        }
+        for (int x = tw; x < cw4; x += tw)
+            for (int y = 0; y < ch4; y++)
+                v[(int64_t)y * stride + x] = (uint8_t)(1 + twl4c);
+        for (int y = th; y < ch4; y += th)
+            memset(h + (int64_t)y * stride, 1 + thl4c, cw4);
     }
 
     memset(a, thl4c, cw4);
@@ -286,8 +243,10 @@ static void decomp_tx(uint8_t (*txa)[2][32][32], const uint8_t *ti_tbl,
     }
 }
 
-/* reference mask_edges_inter (src/lf_mask.c:79-147) */
-void dtpu_mask_edges_inter(uint16_t *my, int by4, int bx4, int w4, int h4,
+/* Inter block: var-tx tree decomposed to a per-cell tx map, then block
+ * and inner-tx edges (reference mask_edges_inter, src/lf_mask.c:79-147). */
+void dtpu_mask_edges_inter(uint8_t *wd_v, uint8_t *wd_h, int64_t stride,
+                           int by, int bx, int w4, int h4,
                            int skip, int max_tx, uint32_t tm0, uint32_t tm1,
                            const uint8_t *ti_tbl, uint8_t *a, uint8_t *l)
 {
@@ -300,42 +259,32 @@ void dtpu_mask_edges_inter(uint16_t *my, int by4, int bx4, int w4, int h4,
         for (int x = 0, x_off = 0; x < w4; x += tw, x_off++)
             decomp_tx(txa, ti_tbl, max_tx, 0, y_off, x_off, tm0, tm1, y, x);
 
-    uint64_t mask = 1ull << by4;
-    for (int y = 0; y < h4; y++, mask <<= 1) {
-        const int sidx = mask >= 0x10000;
-        const uint16_t smask = (uint16_t)(mask >> (sidx << 4));
-        MY(my, 0, bx4, imin(txa[0][0][y][0], l[y]), sidx) |= smask;
-    }
-    mask = 1ull << bx4;
-    for (int x = 0; x < w4; x++, mask <<= 1) {
-        const int sidx = mask >= 0x10000;
-        const uint16_t smask = (uint16_t)(mask >> (sidx << 4));
-        MY(my, 1, by4, imin(txa[1][0][0][x], a[x]), sidx) |= smask;
-    }
+    uint8_t *v = wd_v + (int64_t)by * stride + bx;
+    uint8_t *h = wd_h + (int64_t)by * stride + bx;
+    for (int y = 0; y < h4; y++)
+        v[(int64_t)y * stride] = (uint8_t)(1 + imin(txa[0][0][y][0], l[y]));
+    for (int x = 0; x < w4; x++)
+        h[x] = (uint8_t)(1 + imin(txa[1][0][0][x], a[x]));
 
     if (!skip) {
-        mask = 1ull << by4;
-        for (int y = 0; y < h4; y++, mask <<= 1) {
-            const int sidx = mask >= 0x10000;
-            const uint16_t smask = (uint16_t)(mask >> (sidx << 4));
+        for (int y = 0; y < h4; y++) {
             int ltx = txa[0][0][y][0];
             int step = txa[0][1][y][0];
             for (int x = step; x < w4; x += step) {
                 const int rtx = txa[0][0][y][x];
-                MY(my, 0, bx4 + x, imin(rtx, ltx), sidx) |= smask;
+                v[(int64_t)y * stride + x] =
+                    (uint8_t)(1 + imin(rtx, ltx));
                 ltx = rtx;
                 step = txa[0][1][y][x];
             }
         }
-        mask = 1ull << bx4;
-        for (int x = 0; x < w4; x++, mask <<= 1) {
-            const int sidx = mask >= 0x10000;
-            const uint16_t smask = (uint16_t)(mask >> (sidx << 4));
+        for (int x = 0; x < w4; x++) {
             int ttx = txa[1][0][0][x];
             int step = txa[1][1][0][x];
             for (int y = step; y < h4; y += step) {
                 const int btx = txa[1][0][y][x];
-                MY(my, 1, by4 + y, imin(ttx, btx), sidx) |= smask;
+                h[(int64_t)y * stride + x] =
+                    (uint8_t)(1 + imin(ttx, btx));
                 ttx = btx;
                 step = txa[1][1][y][x];
             }
@@ -347,39 +296,29 @@ void dtpu_mask_edges_inter(uint16_t *my, int by4, int bx4, int w4, int h4,
     memcpy(a, &txa[1][0][h4 - 1][0], w4);
 }
 
-/* One strip of loop_filter_sb128{y,uv} (recon/lf.py _lf_sb): walk the
- * 32-bit combined edge masks, resolve per-edge level (with the
- * reference's adjacent fallback), pick filter width, filter.
- * lvl points at lvl_get(0, 0); lvl_i / lvl_off are byte strides for the
- * bit index and the off=-1 fallback. */
-void dtpu_lf_strip(int32_t *plane, int64_t stride, int py, int px,
-                   uint32_t vm0, uint32_t vm1, uint32_t vm2,
-                   const uint8_t *lvl, int64_t lvl_i, int64_t lvl_off,
-                   const int32_t *e_lut, const int32_t *i_lut,
-                   int is_h, int is_uv, int bitdepth)
+/* Batched edge apply: filter n recorded edges of one plane/direction.
+ * ys/xs are 4x4 cell coordinates, cls the width class values (1-based),
+ * L the resolved filter levels (nonzero).  dir 0 = vertical edges
+ * (taps run horizontally), 1 = horizontal. */
+void dtpu_lf_apply_edges(int32_t *plane, int64_t stride,
+                         const int32_t *ys, const int32_t *xs,
+                         const uint8_t *cls, const uint8_t *L, int64_t n,
+                         const int32_t *e_lut, const int32_t *i_lut,
+                         int dir, int is_uv, int bitdepth)
 {
-    const uint32_t vm = vm0 | vm1 | (is_uv ? 0 : vm2);
-    for (int i = 0; (vm >> i) != 0 && i < 32; i++) {
-        const uint32_t bit = 1u << i;
-        if (!(vm & bit))
-            continue;
-        int L = lvl[(ptrdiff_t)(i * lvl_i)];
-        if (!L)
-            L = lvl[(ptrdiff_t)(i * lvl_i + lvl_off)];
-        if (!L)
-            continue;
-        const int H = L >> 4;
-        const int E = e_lut[L], I = i_lut[L];
-        int wd;
-        if (!is_uv)
-            wd = 4 << ((vm2 & bit) ? 2 : ((vm1 & bit) ? 1 : 0));
-        else
-            wd = (vm1 & bit) ? 6 : 4;
-        if (is_h)
-            lf_edge4(plane + (int64_t)(py + 4 * i) * stride + px,
+    static const int wd_y_map[4] = {0, 4, 8, 16};
+    static const int wd_uv_map[3] = {0, 4, 6};
+    const int *wd_map = is_uv ? wd_uv_map : wd_y_map;
+    for (int64_t k = 0; k < n; k++) {
+        const int lv = L[k];
+        const int E = e_lut[lv], I = i_lut[lv], H = lv >> 4;
+        const int wd = wd_map[cls[k]];
+        const int py = ys[k] * 4, px = xs[k] * 4;
+        if (dir == 0)
+            lf_edge4(plane + (int64_t)py * stride + px,
                      stride, 1, E, I, H, wd, bitdepth);
         else
-            lf_edge4(plane + (int64_t)py * stride + (px + 4 * i),
+            lf_edge4(plane + (int64_t)py * stride + px,
                      1, stride, E, I, H, wd, bitdepth);
     }
 }

@@ -1,9 +1,27 @@
-"""Deblocking loop filter: masks, levels, and filtering.
+"""Deblocking loop filter: edge planes, levels, and filtering.
 
 Behavioral parity with the reference (src/lf_mask.c:36-468,
-src/loopfilter_tmpl.c:36-241, src/lf_apply_tmpl.c:176-466; AV1 spec 7.14).
-Masks are 32-lane bitmasks per SB128 column/row selecting filter width per
-4px edge; levels live in a per-4x4 cache indexed [y][x][plane_dir].
+src/loopfilter_tmpl.c:36-241, src/lf_apply_tmpl.c:176-466; AV1 spec 7.14),
+in a formulation designed for batched application rather than the
+reference's per-SB128 32-lane bitmasks:
+
+- Edge state is two frame-wide byte planes per plane group
+  (`FrameContext.lf_wd_y` / `lf_wd_uv`, shape (2, h4, w4)): plane [0]
+  holds the filter-width class of the VERTICAL edge on the left side of
+  each 4x4 cell, plane [1] the HORIZONTAL edge on its top side.  The
+  stored value is class+1 (0 = no filter); luma classes 0/1/2 select
+  widths 4/8/16, chroma classes 0/1 select widths 4/6.
+- Filter levels live in the per-4x4 cache `lf_level[y][x][plane_dir]`.
+- Application is full-frame: all vertical edges, then all horizontal
+  edges, each gathered with numpy and filtered in one batch per width
+  class.  Exactness: an edge of width class c has a transform block of
+  at least its class width on both sides, so any two edges in the same
+  direction are separated by at least that many pixels, which exceeds
+  the filters' combined read+write reach for every class pairing - no
+  edge ever reads another edge's writes within a direction pass, and the
+  cols->rows order matches the reference's per-sbrow interleaving
+  because writes never cross a superblock-row boundary except through
+  the boundary edge itself, which belongs to the later rows pass.
 """
 
 from __future__ import annotations
@@ -13,14 +31,6 @@ import numpy as np
 from .. import tables
 from ..headers import PixelLayout
 from ..native import lib as _native
-
-
-class Av1Filter:
-    """Per-128x128 deblock masks (reference src/lf_mask.h:51-57)."""
-
-    def __init__(self):
-        self.filter_y = np.zeros((2, 32, 3, 2), dtype=np.uint16)
-        self.filter_uv = np.zeros((2, 32, 2, 2), dtype=np.uint16)
 
 
 def calc_eih(sharpness: int):
@@ -77,126 +87,83 @@ def calc_lf_values(hdr, lf_delta):
     return out
 
 
-# --- mask construction ------------------------------------------------------
+# --- edge-plane construction ------------------------------------------------
 
-def mask_edges_intra(masks_y, by4, bx4, w4, h4, tx, a, a_off, l, l_off):
-    """reference mask_edges_intra (src/lf_mask.c:149-200)."""
+def mask_edges_intra(wd_y, by, bx, w4, h4, tx, a, a_off, l, l_off):
+    """Record the deblock edges of one intra block into the frame edge
+    planes (same edge semantics as reference mask_edges_intra,
+    src/lf_mask.c:149-200; AV1 spec 7.14.5)."""
     t_dim = tables.txfm_info()[tx]
     twl4c = min(2, int(t_dim[2]))
     thl4c = min(2, int(t_dim[3]))
     if _native is not None:
+        stride = wd_y.shape[2]
         _native.dtpu_mask_edges_intra(
-            masks_y.ctypes.data, by4, bx4, w4, h4, twl4c, thl4c,
+            wd_y.ctypes.data, wd_y.ctypes.data + wd_y.strides[0],
+            stride, by, bx, w4, h4, twl4c, thl4c,
             int(t_dim[0]), int(t_dim[1]),
             a.ctypes.data + a_off, l.ctypes.data + l_off)
         return
 
-    mask = 1 << by4
-    for y in range(h4):
-        sidx = int(mask >= 0x10000)
-        smask = mask >> (sidx << 4)
-        masks_y[0][bx4][min(twl4c, int(l[l_off + y]))][sidx] |= smask
-        mask <<= 1
-    mask = 1 << bx4
-    for x in range(w4):
-        sidx = int(mask >= 0x10000)
-        smask = mask >> (sidx << 4)
-        masks_y[1][by4][min(thl4c, int(a[a_off + x]))][sidx] |= smask
-        mask <<= 1
-
-    hstep = int(t_dim[0])
-    t = 1 << by4
-    inner = ((t << h4) - t) & 0xFFFFFFFF
-    inner1, inner2 = inner & 0xFFFF, inner >> 16
-    for x in range(hstep, w4, hstep):
-        if inner1:
-            masks_y[0][bx4 + x][twl4c][0] |= inner1
-        if inner2:
-            masks_y[0][bx4 + x][twl4c][1] |= inner2
-    vstep = int(t_dim[1])
-    t = 1 << bx4
-    inner = ((t << w4) - t) & 0xFFFFFFFF
-    inner1, inner2 = inner & 0xFFFF, inner >> 16
-    for y in range(vstep, h4, vstep):
-        if inner1:
-            masks_y[1][by4 + y][thl4c][0] |= inner1
-        if inner2:
-            masks_y[1][by4 + y][thl4c][1] |= inner2
+    # block edges: width class = min of the tx sizes on either side
+    wd_y[0, by : by + h4, bx] = \
+        1 + np.minimum(twl4c, l[l_off : l_off + h4])
+    wd_y[1, by, bx : bx + w4] = \
+        1 + np.minimum(thl4c, a[a_off : a_off + w4])
+    # inner tx edges: both sides share this block's tx size
+    tw, th = int(t_dim[0]), int(t_dim[1])
+    for x in range(tw, w4, tw):
+        wd_y[0, by : by + h4, bx + x] = 1 + twl4c
+    for y in range(th, h4, th):
+        wd_y[1, by + y, bx : bx + w4] = 1 + thl4c
 
     a[a_off : a_off + w4] = thl4c
     l[l_off : l_off + h4] = twl4c
 
 
-def mask_edges_chroma(masks_uv, cby4, cbx4, cw4, ch4, skip_inter, tx,
-                      a, a_off, l, l_off, ss_hor, ss_ver):
-    """reference mask_edges_chroma (src/lf_mask.c:202-258)."""
+def mask_edges_chroma(wd_uv, cby, cbx, cw4, ch4, skip_inter, tx,
+                      a, a_off, l, l_off):
+    """Chroma edge recording (same edge semantics as reference
+    mask_edges_chroma, src/lf_mask.c:202-258)."""
     t_dim = tables.txfm_info()[tx]
     twl4c = int(bool(int(t_dim[2])))
     thl4c = int(bool(int(t_dim[3])))
     if _native is not None:
+        stride = wd_uv.shape[2]
         _native.dtpu_mask_edges_chroma(
-            masks_uv.ctypes.data, cby4, cbx4, cw4, ch4, skip_inter,
-            twl4c, thl4c, int(t_dim[0]), int(t_dim[1]),
-            a.ctypes.data + a_off, l.ctypes.data + l_off, ss_hor, ss_ver)
+            wd_uv.ctypes.data, wd_uv.ctypes.data + wd_uv.strides[0],
+            stride, cby, cbx, cw4, ch4, skip_inter, twl4c, thl4c,
+            int(t_dim[0]), int(t_dim[1]),
+            a.ctypes.data + a_off, l.ctypes.data + l_off)
         return
-    vbits, hbits = 4 - ss_ver, 4 - ss_hor
-    vmask, hmask = 16 >> ss_ver, 16 >> ss_hor
-    vmax, hmax = 1 << vmask, 1 << hmask
 
-    mask = 1 << cby4
-    for y in range(ch4):
-        sidx = int(mask >= vmax)
-        smask = mask >> (sidx << vbits)
-        masks_uv[0][cbx4][min(twl4c, int(l[l_off + y]))][sidx] |= smask
-        mask <<= 1
-    mask = 1 << cbx4
-    for x in range(cw4):
-        sidx = int(mask >= hmax)
-        smask = mask >> (sidx << hbits)
-        masks_uv[1][cby4][min(thl4c, int(a[a_off + x]))][sidx] |= smask
-        mask <<= 1
-
+    wd_uv[0, cby : cby + ch4, cbx] = \
+        1 + np.minimum(twl4c, l[l_off : l_off + ch4])
+    wd_uv[1, cby, cbx : cbx + cw4] = \
+        1 + np.minimum(thl4c, a[a_off : a_off + cw4])
     if not skip_inter:
-        hstep = int(t_dim[0])
-        t = 1 << cby4
-        inner = ((t << ch4) - t) & 0xFFFFFFFF
-        inner1 = inner & ((1 << vmask) - 1)
-        inner2 = inner >> vmask
-        for x in range(hstep, cw4, hstep):
-            if inner1:
-                masks_uv[0][cbx4 + x][twl4c][0] |= inner1
-            if inner2:
-                masks_uv[0][cbx4 + x][twl4c][1] |= inner2
-        vstep = int(t_dim[1])
-        t = 1 << cbx4
-        inner = ((t << cw4) - t) & 0xFFFFFFFF
-        inner1 = inner & ((1 << hmask) - 1)
-        inner2 = inner >> hmask
-        for y in range(vstep, ch4, vstep):
-            if inner1:
-                masks_uv[1][cby4 + y][thl4c][0] |= inner1
-            if inner2:
-                masks_uv[1][cby4 + y][thl4c][1] |= inner2
+        tw, th = int(t_dim[0]), int(t_dim[1])
+        for x in range(tw, cw4, tw):
+            wd_uv[0, cby : cby + ch4, cbx + x] = 1 + twl4c
+        for y in range(th, ch4, th):
+            wd_uv[1, cby + y, cbx : cbx + cw4] = 1 + thl4c
 
     a[a_off : a_off + cw4] = thl4c
     l[l_off : l_off + ch4] = twl4c
 
 
-def create_lf_mask_intra(lflvl: Av1Filter, level_cache, b4_stride,
-                         filter_level, bx, by, iw, ih, bs, ytx, uvtx,
-                         layout, ay, ay_off, ly, ly_off,
+def create_lf_mask_intra(f, level_cache, filter_level, bx, by, iw, ih, bs,
+                         ytx, uvtx, layout, ay, ay_off, ly, ly_off,
                          auv, auv_off, luv, luv_off):
     """reference dav1d_create_lf_mask_intra (src/lf_mask.c:259-320)."""
     b_dim = tables.block_dimensions[bs]
     bw4 = min(iw - bx, int(b_dim[0]))
     bh4 = min(ih - by, int(b_dim[1]))
-    bx4 = bx & 31
-    by4 = by & 31
 
     if bw4 and bh4:
         level_cache[by : by + bh4, bx : bx + bw4, 0] = filter_level[0][0][0]
         level_cache[by : by + bh4, bx : bx + bw4, 1] = filter_level[1][0][0]
-        mask_edges_intra(lflvl.filter_y, by4, bx4, bw4, bh4, ytx,
+        mask_edges_intra(f.lf_wd_y, by, bx, bw4, bh4, ytx,
                          ay, ay_off, ly, ly_off)
 
     if auv is None:
@@ -209,13 +176,11 @@ def create_lf_mask_intra(lflvl: Av1Filter, level_cache, b4_stride,
                (int(b_dim[1]) + ss_ver) >> ss_ver)
     if cbw4 <= 0 or cbh4 <= 0:
         return
-    cbx4 = bx4 >> ss_hor
-    cby4 = by4 >> ss_ver
     cy, cx = by >> ss_ver, bx >> ss_hor
     level_cache[cy : cy + cbh4, cx : cx + cbw4, 2] = filter_level[2][0][0]
     level_cache[cy : cy + cbh4, cx : cx + cbw4, 3] = filter_level[3][0][0]
-    mask_edges_chroma(lflvl.filter_uv, cby4, cbx4, cbw4, cbh4, 0, uvtx,
-                      auv, auv_off, luv, luv_off, ss_hor, ss_ver)
+    mask_edges_chroma(f.lf_wd_uv, cy, cx, cbw4, cbh4, 0, uvtx,
+                      auv, auv_off, luv, luv_off)
 
 
 # --- filtering ---------------------------------------------------------------
@@ -455,328 +420,136 @@ def _loop_filter_batch(plane, ys, xs, E, I, H, along_rows, wd, bitdepth):
             plane[(ys + o)[:, None], xs[:, None] + lines[None, :]] = final
 
 
-def _lf_sb(sink, py, px, vmask3, _unused, lvl_get, e_lut, i_lut, is_h,
-           is_uv, bitdepth):
-    """loop_filter_sb128{y,uv} over one 4px-aligned strip
-    (reference src/loopfilter_tmpl.c:163-241). Collects segments into
-    sink[wd] for the batched filter (is_h: filtering across VERTICAL
-    edges = the reference's 'h' horizontal-tap direction)."""
-    vm = vmask3[0] | vmask3[1] | (vmask3[2] if not is_uv else 0)
-    i = 0
-    bit = 1
-    while vm & ~(bit - 1):
-        if vm & bit:
-            L = lvl_get(i, 0)
-            if not L:
-                L = lvl_get(i, -1)
-            if L:
-                H = L >> 4
-                E, I = int(e_lut[L]), int(i_lut[L])
-                if not is_uv:
-                    idx = 2 if (vmask3[2] & bit) else int(bool(vmask3[1] & bit))
-                    wd = 4 << idx
-                else:
-                    idx = int(bool(vmask3[1] & bit))
-                    wd = 4 + 2 * idx
-                if is_h:
-                    sink[wd].append((py + 4 * i, px, E, I, H))
-                else:
-                    sink[wd].append((py, px + 4 * i, E, I, H))
-        bit <<= 1
-        i += 1
-
-
-def _lf_flush(plane, sink, along_rows, bitdepth):
-    for wd, segs in sink.items():
-        if not segs:
+def _apply_edges(plane, level, wd_plane, pd_idx, dir_, wd_map, e_lut,
+                 i_lut, bitdepth, n_rows, n_cols):
+    """Filter every recorded edge of one plane/direction, batched per
+    width class (replaces the reference's per-sbrow
+    dav1d_loopfilter_sbrow_cols/rows, src/lf_apply_tmpl.c:313-466)."""
+    wd = wd_plane[:n_rows, :n_cols]
+    ys, xs = np.nonzero(wd)
+    if ys.size == 0:
+        return
+    # the frame's own left/top boundary is never filtered
+    keep = (xs > 0) if dir_ == 0 else (ys > 0)
+    ys, xs = ys[keep], xs[keep]
+    if ys.size == 0:
+        return
+    cls = wd[ys, xs]
+    # filter level of the q-side cell, falling back to the p-side cell
+    # (reference loop_filter_sb128 'level_ptr[-1] if !L')
+    L = level[ys, xs, pd_idx].astype(np.int64)
+    fb = L == 0
+    if fb.any():
+        if dir_ == 0:
+            L[fb] = level[ys[fb], xs[fb] - 1, pd_idx]
+        else:
+            L[fb] = level[ys[fb] - 1, xs[fb], pd_idx]
+    on = L != 0
+    ys, xs, cls, L = ys[on], xs[on], cls[on], L[on]
+    if ys.size == 0:
+        return
+    if _native is not None:
+        ys32 = np.ascontiguousarray(ys, dtype=np.int32)
+        xs32 = np.ascontiguousarray(xs, dtype=np.int32)
+        cls8 = np.ascontiguousarray(cls, dtype=np.uint8)
+        L8 = np.ascontiguousarray(L, dtype=np.uint8)
+        _native.dtpu_lf_apply_edges(
+            plane.ctypes.data, plane.shape[1],
+            ys32.ctypes.data, xs32.ctypes.data,
+            cls8.ctypes.data, L8.ctypes.data, ys32.size,
+            e_lut.ctypes.data, i_lut.ctypes.data,
+            dir_, int(pd_idx >= 2), bitdepth)
+        return
+    E = e_lut[L].astype(np.int64)
+    I = i_lut[L].astype(np.int64)
+    H = L >> 4
+    for c, wd_px in wd_map.items():
+        sel = cls == c
+        if not sel.any():
             continue
-        a = np.array(segs, dtype=np.int64)
-        _loop_filter_batch(plane, a[:, 0], a[:, 1], a[:, 2], a[:, 3],
-                           a[:, 4], along_rows, wd, bitdepth)
-        segs.clear()
+        _loop_filter_batch(plane, ys[sel] * 4, xs[sel] * 4, E[sel],
+                           I[sel], H[sel], dir_ == 0, wd_px, bitdepth)
 
 
-def loopfilter_sbrow_cols(f, sby, start_of_tile_row):
-    """reference dav1d_loopfilter_sbrow_cols (src/lf_apply_tmpl.c:313)."""
-    is_sb64 = int(not f.seq_hdr.sb128)
-    starty4 = (sby & is_sb64) << 4
-    sbsz = 32 >> is_sb64
-    ss_ver, ss_hor = f.ss_ver, f.ss_hor
-    endy4 = starty4 + min(f.h4 - sby * sbsz, sbsz)
-    uv_endy4 = (endy4 + ss_ver) >> ss_ver
+def deblock_frame(f) -> None:
+    """Full-frame deblock: all vertical edges, then all horizontal edges
+    (equivalence to the reference's per-sbrow interleaving argued in the
+    module docstring)."""
+    hdr = f.frame_hdr
+    if hdr.tiling.cols > 1 or hdr.tiling.rows > 1:
+        _fix_tile_boundaries(f)
     e_lut, i_lut = f.lf_lim_lut
-    mask_base = (sby >> is_sb64) * f.sb128w
     level = f.lf_level
-    py0 = sby * f.sb_step * 4
-    cpy0 = py0 >> ss_ver
-    y_sink = {4: [], 6: [], 8: [], 16: []}
-    uv_sinks = {1: {4: [], 6: [], 8: [], 16: []},
-                2: {4: [], 6: [], 8: [], 16: []}}
-
-    if f.frame_hdr.tiling.cols > 1 or (start_of_tile_row and
-                                       f.frame_hdr.tiling.rows > 1):
-        _fix_tile_boundaries(f, sby, starty4, endy4, uv_endy4,
-                             start_of_tile_row)
-
-    use_nat = _native is not None
-    if use_nat:
-        lvl_rs = level.shape[1] * 4
-        lvl_base = level.ctypes.data
-        e_ptr, i_ptr = e_lut.ctypes.data, i_lut.ctypes.data
-
-    for x128 in range(f.sb128w):
-        m = f.lf_masks[mask_base + x128]
-        w = min(32, f.w4 - x128 * 32)
-        row0 = sby * sbsz
-        colb = x128 * 32
-        fy = m.filter_y[0].tolist()
-        for x in range(w):
-            if x128 == 0 and x == 0:
-                continue
-            fx = fy[x]
-            if not starty4:
-                if endy4 > 16:
-                    hm = [fx[k][0] | (fx[k][1] << 16) for k in range(3)]
-                else:
-                    hm = [fx[k][0] for k in range(3)]
-            else:
-                hm = [fx[k][1] for k in range(3)]
-            if not (hm[0] | hm[1] | hm[2]):
-                continue
-            col = colb + x
-
-            if use_nat:
-                _native.dtpu_lf_strip(
-                    f.planes[0].ctypes.data, f.planes[0].shape[1],
-                    py0, col * 4, hm[0], hm[1], hm[2],
-                    lvl_base + row0 * lvl_rs + col * 4, lvl_rs, -4,
-                    e_ptr, i_ptr, 1, 0, f.bitdepth)
-                continue
-
-            def lvl_get(i, off, col=col):
-                return int(level[row0 + i, col + off, 0])
-
-            _lf_sb(y_sink, py0, col * 4, hm, None, lvl_get,
-                   e_lut, i_lut, True, False, f.bitdepth)
-    _lf_flush(f.planes[0], y_sink, True, f.bitdepth)
-
-    if not f.frame_hdr.loopfilter.level_u and \
-            not f.frame_hdr.loopfilter.level_v:
-        return
-    for x128 in range(f.sb128w):
-        m = f.lf_masks[mask_base + x128]
-        cw = (min(32, f.w4 - x128 * 32) + ss_hor) >> ss_hor
-        crow0 = (sby * sbsz) >> ss_ver
-        ccolb = x128 * (32 >> ss_hor)
-        sh = 16 >> ss_ver
-        fuv = m.filter_uv[0].tolist()
-        for x in range(cw):
-            if x128 == 0 and x == 0:
-                continue
-            fx = fuv[x]
-            cs4 = starty4 >> ss_ver
-            if not cs4:
-                if uv_endy4 > sh:
-                    hm = [fx[k][0] | (fx[k][1] << sh) for k in range(2)]
-                else:
-                    hm = [fx[k][0] for k in range(2)]
-            else:
-                hm = [fx[k][1] for k in range(2)]
-            if not (hm[0] | hm[1]):
-                continue
-            ccol = ccolb + x
-            for pl in (1, 2):
-                if use_nat:
-                    _native.dtpu_lf_strip(
-                        f.planes[pl].ctypes.data, f.planes[pl].shape[1],
-                        cpy0, ccol * 4, hm[0], hm[1], 0,
-                        lvl_base + crow0 * lvl_rs + ccol * 4 + 1 + pl,
-                        lvl_rs, -4, e_ptr, i_ptr, 1, 1, f.bitdepth)
-                    continue
-
-                def lvl_get(i, off, ccol=ccol, pl=pl):
-                    return int(level[crow0 + i, ccol + off, 1 + pl])
-
-                _lf_sb(uv_sinks[pl], cpy0, ccol * 4, hm + [0], None, lvl_get,
-                       e_lut, i_lut, True, True, f.bitdepth)
-    for pl in (1, 2):
-        _lf_flush(f.planes[pl], uv_sinks[pl], True, f.bitdepth)
-
-
-def loopfilter_sbrow_rows(f, sby):
-    """reference dav1d_loopfilter_sbrow_rows (src/lf_apply_tmpl.c:430)."""
-    have_top = sby > 0
-    is_sb64 = int(not f.seq_hdr.sb128)
-    starty4 = (sby & is_sb64) << 4
-    sbsz = 32 >> is_sb64
     ss_ver, ss_hor = f.ss_ver, f.ss_hor
-    endy4 = starty4 + min(f.h4 - sby * sbsz, sbsz)
-    uv_endy4 = (endy4 + ss_ver) >> ss_ver
-    e_lut, i_lut = f.lf_lim_lut
-    mask_base = (sby >> is_sb64) * f.sb128w
-    level = f.lf_level
-    py0 = sby * f.sb_step * 4
-    y_sink = {4: [], 6: [], 8: [], 16: []}
-    uv_sinks = {1: {4: [], 6: [], 8: [], 16: []},
-                2: {4: [], 6: [], 8: [], 16: []}}
-
-    use_nat = _native is not None
-    if use_nat:
-        lvl_rs = level.shape[1] * 4
-        lvl_base = level.ctypes.data
-        e_ptr, i_ptr = e_lut.ctypes.data, i_lut.ctypes.data
-
-    for x128 in range(f.sb128w):
-        m = f.lf_masks[mask_base + x128]
-        w = min(32, f.w4 - x128 * 32)
-        colb = x128 * 32
-        fy = m.filter_y[1].tolist()
-        for y in range(starty4, endy4):
-            if not have_top and not y:
-                continue
-            fr = fy[y]
-            vm = [fr[k][0] | (fr[k][1] << 16) for k in range(3)]
-            if not (vm[0] | vm[1] | vm[2]):
-                continue
-            row = sby * sbsz + (y - starty4)
-
-            if use_nat:
-                _native.dtpu_lf_strip(
-                    f.planes[0].ctypes.data, f.planes[0].shape[1],
-                    py0 + (y - starty4) * 4, colb * 4,
-                    vm[0], vm[1], vm[2],
-                    lvl_base + row * lvl_rs + colb * 4 + 1, 4, -lvl_rs,
-                    e_ptr, i_ptr, 0, 0, f.bitdepth)
-                continue
-
-            def lvl_get(i, off, row=row):
-                return int(level[row + off, colb + i, 1])
-
-            _lf_sb(y_sink, py0 + (y - starty4) * 4, colb * 4, vm, None,
-                   lvl_get, e_lut, i_lut, False, False, f.bitdepth)
-    _lf_flush(f.planes[0], y_sink, False, f.bitdepth)
-
-    if not f.frame_hdr.loopfilter.level_u and \
-            not f.frame_hdr.loopfilter.level_v:
-        return
-    sh = 16 >> ss_hor
-    cpy0 = py0 >> ss_ver
-    for x128 in range(f.sb128w):
-        m = f.lf_masks[mask_base + x128]
-        ccolb = x128 * (32 >> ss_hor)
-        cs4 = starty4 >> ss_ver
-        fuv = m.filter_uv[1].tolist()
-        for y in range(cs4, uv_endy4):
-            if not have_top and not y:
-                continue
-            fr = fuv[y]
-            vm = [fr[k][0] | (fr[k][1] << sh) for k in range(2)]
-            if not (vm[0] | vm[1]):
-                continue
-            crow = (sby * sbsz >> ss_ver) + (y - cs4)
+    ch4 = (f.h4 + ss_ver) >> ss_ver
+    cw4 = (f.w4 + ss_hor) >> ss_hor
+    do_uv = f.layout != PixelLayout.I400 and \
+        (hdr.loopfilter.level_u or hdr.loopfilter.level_v)
+    y_wd = {1: 4, 2: 8, 3: 16}
+    uv_wd = {1: 4, 2: 6}
+    for dir_ in (0, 1):  # vertical edges first, then horizontal
+        _apply_edges(f.planes[0], level, f.lf_wd_y[dir_], dir_, dir_,
+                     y_wd, e_lut, i_lut, f.bitdepth, f.h4, f.w4)
+        if do_uv:
             for pl in (1, 2):
-                if use_nat:
-                    _native.dtpu_lf_strip(
-                        f.planes[pl].ctypes.data, f.planes[pl].shape[1],
-                        cpy0 + (y - cs4) * 4, ccolb * 4, vm[0], vm[1], 0,
-                        lvl_base + crow * lvl_rs + ccolb * 4 + 1 + pl,
-                        4, -lvl_rs, e_ptr, i_ptr, 0, 1, f.bitdepth)
-                    continue
-
-                def lvl_get(i, off, crow=crow, pl=pl):
-                    return int(level[crow + off, ccolb + i, 1 + pl])
-
-                _lf_sb(uv_sinks[pl], cpy0 + (y - cs4) * 4, ccolb * 4,
-                       vm + [0], None, lvl_get, e_lut, i_lut, False, True,
-                       f.bitdepth)
-    for pl in (1, 2):
-        _lf_flush(f.planes[pl], uv_sinks[pl], False, f.bitdepth)
+                _apply_edges(f.planes[pl], level, f.lf_wd_uv[dir_],
+                             1 + pl, dir_, uv_wd, e_lut, i_lut,
+                             f.bitdepth, ch4, cw4)
 
 
-def _fix_tile_boundaries(f, sby, starty4, endy4, uv_endy4, start_of_tile_row):
-    """Cap filter strength across tile boundaries using the neighbour
-    tile's edge tx sizes (reference src/lf_apply_tmpl.c:331-403)."""
+def _cap_classes(v, cap):
+    """Replace edge classes with min(class, cap); the edge is (re)set
+    even where no edge was recorded, mirroring the reference's
+    unconditional mask rewrite at tile boundaries (every 4px run on a
+    tile boundary is a block edge)."""
+    idx = np.maximum(v.astype(np.int32) - 1, 0)
+    v[:] = (np.minimum(idx, cap) + 1).astype(np.uint8)
+
+
+def _fix_tile_boundaries(f):
+    """Cap filter width across tile boundaries with the neighbour tile's
+    edge tx sizes (reference src/lf_apply_tmpl.c:331-403): decode-time
+    edge classes at a tile boundary used this tile's own a/l tx context,
+    which does not see the other side."""
+    hdr = f.frame_hdr
     is_sb64 = int(not f.seq_hdr.sb128)
     sbl2 = 5 - is_sb64
     halign = (f.bh + 31) & ~31
     ss_ver, ss_hor = f.ss_ver, f.ss_hor
-    vmax = 1 << (16 >> ss_ver)
-    hmax = 1 << (16 >> ss_hor)
-    mask_base = (sby >> is_sb64) * f.sb128w
-    hdr = f.frame_hdr
+    ch4 = (f.h4 + ss_ver) >> ss_ver
+    cw4 = (f.w4 + ss_hor) >> ss_hor
 
-    # tile column boundaries
-    lpf_y_off = sby << sbl2
-    lpf_uv_off = sby << (sbl2 - ss_ver)
-    tile_col = 1
-    while True:
-        x = hdr.tiling.col_start_sb[tile_col]
-        if (x << sbl2) >= f.bw:
+    # tile column boundaries: vertical-edge classes capped by the left
+    # tile's right-edge tx widths (tx_lpf_right_edge, filled per tile)
+    for k in range(1, hdr.tiling.cols):
+        x4 = hdr.tiling.col_start_sb[k] << sbl2
+        if x4 >= f.bw:
             break
-        bx4 = 16 if (x & is_sb64) else 0
-        cbx4 = bx4 >> ss_hor
-        xsb = x >> is_sb64
-        m = f.lf_masks[mask_base + xsb]
-        lpf_y = f.tx_lpf_right_edge[0]
-        lpf_uv = f.tx_lpf_right_edge[1]
-
-        y_hmask = m.filter_y[0][bx4]  # (3, 2)
-        for y in range(starty4, endy4):
-            mask = 1 << y
-            sidx = int(mask >= 0x10000)
-            smask = mask >> (sidx << 4)
-            idx = 2 * int(bool(y_hmask[2][sidx] & smask)) + \
-                int(bool(y_hmask[1][sidx] & smask))
-            y_hmask[2][sidx] &= (~smask) & 0xFFFF
-            y_hmask[1][sidx] &= (~smask) & 0xFFFF
-            y_hmask[0][sidx] &= (~smask) & 0xFFFF
-            cap = int(lpf_y[lpf_y_off + y - starty4])
-            y_hmask[min(idx, cap)][sidx] |= smask
-
+        cap = f.tx_lpf_right_edge[0][halign * (k - 1):
+                                     halign * (k - 1) + f.h4]
+        _cap_classes(f.lf_wd_y[0][:f.h4, x4], cap)
         if f.layout != PixelLayout.I400:
-            uv_hmask = m.filter_uv[0][cbx4]  # (2, 2)
-            for y in range(starty4 >> ss_ver, uv_endy4):
-                uv_mask = 1 << y
-                sidx = int(uv_mask >= vmax)
-                smask = uv_mask >> (sidx << (4 - ss_ver))
-                idx = int(bool(uv_hmask[1][sidx] & smask))
-                uv_hmask[1][sidx] &= (~smask) & 0xFFFF
-                uv_hmask[0][sidx] &= (~smask) & 0xFFFF
-                cap = int(lpf_uv[lpf_uv_off + y - (starty4 >> ss_ver)])
-                uv_hmask[min(idx, cap)][sidx] |= smask
-        lpf_y_off += halign
-        lpf_uv_off += halign >> ss_ver
-        tile_col += 1
+            ha = halign >> ss_ver
+            cap = f.tx_lpf_right_edge[1][ha * (k - 1): ha * (k - 1) + ch4]
+            _cap_classes(f.lf_wd_uv[0][:ch4, x4 >> ss_hor], cap)
 
-    # tile row boundaries
-    if start_of_tile_row:
-        for x in range(f.sb128w):
-            a = f.a[f.sb128w * (start_of_tile_row - 1) + x]
-            m = f.lf_masks[mask_base + x]
-            y_vmask = m.filter_y[1][starty4]
-            w = min(32, f.w4 - (x << 5))
-            for i in range(w):
-                mask = 1 << i
-                sidx = int(mask >= 0x10000)
-                smask = mask >> (sidx << 4)
-                idx = 2 * int(bool(y_vmask[2][sidx] & smask)) + \
-                    int(bool(y_vmask[1][sidx] & smask))
-                y_vmask[2][sidx] &= (~smask) & 0xFFFF
-                y_vmask[1][sidx] &= (~smask) & 0xFFFF
-                y_vmask[0][sidx] &= (~smask) & 0xFFFF
-                y_vmask[min(idx, int(a.tx_lpf_y[i]))][sidx] |= smask
-
-            if f.layout != PixelLayout.I400:
-                cw = (w + ss_hor) >> ss_hor
-                uv_vmask = m.filter_uv[1][starty4 >> ss_ver]
-                for i in range(cw):
-                    uv_mask = 1 << i
-                    sidx = int(uv_mask >= hmax)
-                    smask = uv_mask >> (sidx << (4 - ss_hor))
-                    idx = int(bool(uv_vmask[1][sidx] & smask))
-                    uv_vmask[1][sidx] &= (~smask) & 0xFFFF
-                    uv_vmask[0][sidx] &= (~smask) & 0xFFFF
-                    uv_vmask[min(idx, int(a.tx_lpf_uv[i]))][sidx] |= smask
+    # tile row boundaries: horizontal-edge classes capped by the above
+    # tile row's bottom-edge tx heights (its persistent above context)
+    cpl = 32 >> ss_hor  # chroma cells per sb128 column
+    for sby in range(f.sbh):
+        tr = f.start_of_tile_row[sby]
+        if not tr:
+            continue
+        y4 = sby * f.sb_step
+        cap = np.concatenate(
+            [f.a[f.sb128w * (tr - 1) + x].tx_lpf_y
+             for x in range(f.sb128w)])[:f.w4]
+        _cap_classes(f.lf_wd_y[1][y4, :f.w4], cap)
+        if f.layout != PixelLayout.I400:
+            cap = np.concatenate(
+                [f.a[f.sb128w * (tr - 1) + x].tx_lpf_uv[:cpl]
+                 for x in range(f.sb128w)])[:cw4]
+            _cap_classes(f.lf_wd_uv[1][y4 >> ss_ver, :cw4], cap)
 
 
 def _decomp_tx(txa, from_tx, depth, y_off, x_off, tx_masks, y0, x0):
@@ -807,13 +580,18 @@ def _decomp_tx(txa, from_tx, depth, y_off, x_off, tx_masks, y0, x0):
         txa[1, 1, y0, x0 : x0 + tw] = th
 
 
-def mask_edges_inter(masks_y, by4, bx4, w4, h4, skip, max_tx, tx_masks,
+def mask_edges_inter(wd_y, by, bx, w4, h4, skip, max_tx, tx_masks,
                      a, a_off, l, l_off):
-    """reference mask_edges_inter (src/lf_mask.c:79-147)."""
+    """Inter-block edge recording: the var-tx split tree is decomposed
+    into a per-4x4 tx-size map, then block and inner-tx edges land in
+    the frame edge planes (same edge semantics as reference
+    mask_edges_inter, src/lf_mask.c:79-147)."""
     ti = tables.txfm_info()
     if _native is not None:
+        stride = wd_y.shape[2]
         _native.dtpu_mask_edges_inter(
-            masks_y.ctypes.data, by4, bx4, w4, h4, skip, max_tx,
+            wd_y.ctypes.data, wd_y.ctypes.data + wd_y.strides[0],
+            stride, by, bx, w4, h4, skip, max_tx,
             int(tx_masks[0]), int(tx_masks[1]), ti.ctypes.data,
             a.ctypes.data + a_off, l.ctypes.data + l_off)
         return
@@ -832,75 +610,47 @@ def mask_edges_inter(masks_y, by4, bx4, w4, h4, skip, max_tx, tx_masks,
         y += th
         y_off += 1
 
-    # left block edge
-    mask = 1 << by4
-    for y in range(h4):
-        sidx = int(mask >= 0x10000)
-        smask = mask >> (sidx << 4)
-        masks_y[0][bx4][min(int(txa[0, 0, y, 0]), int(l[l_off + y]))][sidx] \
-            |= smask
-        mask <<= 1
-    # top block edge
-    mask = 1 << bx4
-    for x in range(w4):
-        sidx = int(mask >= 0x10000)
-        smask = mask >> (sidx << 4)
-        masks_y[1][by4][min(int(txa[1, 0, 0, x]), int(a[a_off + x]))][sidx] \
-            |= smask
-        mask <<= 1
+    # block edges
+    wd_y[0, by : by + h4, bx] = 1 + np.minimum(txa[0, 0, :h4, 0],
+                                               l[l_off : l_off + h4])
+    wd_y[1, by, bx : bx + w4] = 1 + np.minimum(txa[1, 0, 0, :w4],
+                                               a[a_off : a_off + w4])
 
     if not skip:
-        # inner (tx) left|right edges
-        mask = 1 << by4
+        # inner tx edges: class = min of the adjacent tx sizes
         for y in range(h4):
-            sidx = int(mask >= 0x10000)
-            smask = mask >> (sidx << 4)
             ltx = int(txa[0, 0, y, 0])
-            step = int(txa[0, 1, y, 0])
-            x = step
+            x = int(txa[0, 1, y, 0])
             while x < w4:
                 rtx = int(txa[0, 0, y, x])
-                masks_y[0][bx4 + x][min(rtx, ltx)][sidx] |= smask
+                wd_y[0, by + y, bx + x] = 1 + min(rtx, ltx)
                 ltx = rtx
-                step = int(txa[0, 1, y, x])
-                x += step
-            mask <<= 1
-        # inner (tx) top|bottom edges
-        mask = 1 << bx4
+                x += int(txa[0, 1, y, x])
         for x in range(w4):
-            sidx = int(mask >= 0x10000)
-            smask = mask >> (sidx << 4)
             ttx = int(txa[1, 0, 0, x])
-            step = int(txa[1, 1, 0, x])
-            y = step
+            y = int(txa[1, 1, 0, x])
             while y < h4:
                 btx = int(txa[1, 0, y, x])
-                masks_y[1][by4 + y][min(ttx, btx)][sidx] |= smask
+                wd_y[1, by + y, bx + x] = 1 + min(ttx, btx)
                 ttx = btx
-                step = int(txa[1, 1, y, x])
-                y += step
-            mask <<= 1
+                y += int(txa[1, 1, y, x])
 
-    for y in range(h4):
-        l[l_off + y] = txa[0, 0, y, w4 - 1]
+    l[l_off : l_off + h4] = txa[0, 0, :h4, w4 - 1]
     a[a_off : a_off + w4] = txa[1, 0, h4 - 1, :w4]
 
 
-def create_lf_mask_inter(lflvl, level_cache, b4_stride, filter_level,
-                         bx, by, iw, ih, skip, bs, max_ytx, tx_masks, uvtx,
-                         layout, ay, ay_off, ly, ly_off,
-                         auv, auv_off, luv, luv_off):
+def create_lf_mask_inter(f, level_cache, filter_level, bx, by, iw, ih,
+                         skip, bs, max_ytx, tx_masks, uvtx, layout,
+                         ay, ay_off, ly, ly_off, auv, auv_off, luv, luv_off):
     """reference dav1d_create_lf_mask_inter (src/lf_mask.c:322-384)."""
     b_dim = tables.block_dimensions[bs]
     bw4 = min(iw - bx, int(b_dim[0]))
     bh4 = min(ih - by, int(b_dim[1]))
-    bx4 = bx & 31
-    by4 = by & 31
 
     if bw4 and bh4:
         level_cache[by : by + bh4, bx : bx + bw4, 0] = filter_level[0][0][0]
         level_cache[by : by + bh4, bx : bx + bw4, 1] = filter_level[1][0][0]
-        mask_edges_inter(lflvl.filter_y, by4, bx4, bw4, bh4, skip, max_ytx,
+        mask_edges_inter(f.lf_wd_y, by, bx, bw4, bh4, skip, max_ytx,
                          tx_masks, ay, ay_off, ly, ly_off)
 
     if auv is None:
@@ -913,10 +663,8 @@ def create_lf_mask_inter(lflvl, level_cache, b4_stride, filter_level,
                (int(b_dim[1]) + ss_ver) >> ss_ver)
     if cbw4 <= 0 or cbh4 <= 0:
         return
-    cbx4 = bx4 >> ss_hor
-    cby4 = by4 >> ss_ver
     cy, cx = by >> ss_ver, bx >> ss_hor
     level_cache[cy : cy + cbh4, cx : cx + cbw4, 2] = filter_level[2][0][0]
     level_cache[cy : cy + cbh4, cx : cx + cbw4, 3] = filter_level[3][0][0]
-    mask_edges_chroma(lflvl.filter_uv, cby4, cbx4, cbw4, cbh4, skip, uvtx,
-                      auv, auv_off, luv, luv_off, ss_hor, ss_ver)
+    mask_edges_chroma(f.lf_wd_uv, cy, cx, cbw4, cbh4, skip, uvtx,
+                      auv, auv_off, luv, luv_off)

@@ -9,11 +9,14 @@ temporal MV projection (save/load_tmvs) follows the same structures.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 from . import tables
 from .headers import WarpedMotionType
 from .intra_edge import EDGE_I444_TOP_HAS_RIGHT
+from .native import lib as _native
 
 INVALID_MV_Y = -32768  # mv.n == 0x80008000 marker (y == x == -32768)
 
@@ -186,6 +189,11 @@ def load_tmvs(rf: RefMvsFrame, col_start8, col_end8, row_start8, row_end8):
     Per-cell formulation: the reference's identical-block run loop writes
     each 8x8 cell with per-cell window checks, so cell-wise iteration is
     exact."""
+    nat = _nat_frame(rf)
+    if nat is not None:
+        _native.dtpu_load_tmvs(ctypes.byref(nat), col_start8, col_end8,
+                               row_start8, row_end8)
+        return
     row_end8 = min(row_end8, rf.ih8)
     col_start8i = max(col_start8 - 8, 0)
     col_end8i = min(col_end8 + 8, rf.iw8)
@@ -263,8 +271,76 @@ class RefMvsTile:
         self.tile_row = (row_start4, min(row_end4, rf.ih4))
 
 
+# Native (C) fast path: one DtpuRefMvsFrame mirror per RefMvsFrame
+# (native/refmvs.c, bit-identical; the Python functions below remain the
+# reference/fallback).
+
+_MVCAND_DT = np.dtype([("mv", np.int32, (2, 2)), ("weight", np.int32)])
+
+
+def _nat_frame(rf: RefMvsFrame):
+    """Build (and cache) the ctypes mirror; returns None when the native
+    path can't be used (lib missing, or a saved tmv plane has a different
+    stride after a resolution switch)."""
+    nat = getattr(rf, "_nat", False)
+    if nat is not False:
+        return nat
+    if _native is None:
+        rf._nat = None
+        return None
+    from .native import CRefMvsFrame
+    c = CRefMvsFrame()
+    ok = True
+    c.r = rf.r.ctypes.data
+    c.rp = rf.rp.ctypes.data
+    for i in range(7):
+        a = rf.rp_ref[i]
+        if a is None:
+            c.rp_ref[i] = None
+        else:
+            if a.shape[1] != rf.rp_stride or not a.flags.c_contiguous:
+                ok = False
+            c.rp_ref[i] = a.ctypes.data
+    c.rp_proj = rf.rp_proj.ctypes.data
+    c.r_stride = rf.r.shape[1]
+    c.rp_stride = rf.rp_stride
+    c.iw4, c.ih4, c.iw8, c.ih8 = rf.iw4, rf.ih4, rf.iw8, rf.ih8
+    for i in range(7):
+        c.sign_bias[i] = int(rf.sign_bias[i])
+        c.mfmv_sign[i] = int(rf.mfmv_sign[i])
+        c.pocdiff[i] = int(rf.pocdiff[i])
+    c.n_mfmvs = rf.n_mfmvs
+    for i in range(rf.n_mfmvs):
+        c.mfmv_ref[i] = int(rf.mfmv_ref[i])
+        c.mfmv_ref2cur[i] = int(rf.mfmv_ref2cur[i])
+        for m in range(7):
+            c.mfmv_ref2ref[i][m] = int(rf.mfmv_ref2ref[i][m])
+    hdr = rf.frm_hdr
+    c.use_ref_frame_mvs = int(rf.use_ref_frame_mvs)
+    c.force_integer_mv = int(hdr.force_integer_mv)
+    c.hp = int(hdr.hp)
+    c.use_frame_ref_mvs_hdr = int(hdr.use_ref_frame_mvs)
+    for i in range(7):
+        g = hdr.gmv[i]
+        c.gmv[i].type = int(g.type)
+        for m in range(6):
+            c.gmv[i].matrix[m] = int(g.matrix[m])
+    rf._nat = c if ok else None
+    if ok:
+        rf._nat_stack = np.zeros(8, dtype=_MVCAND_DT)
+        rf._nat_ctx = ctypes.c_int(0)
+    return rf._nat
+
+
 def splat_mv(rf: RefMvsFrame, by4, bx4, bw4, bh4, mv0, mv1, ref0, ref1,
              bs, mf):
+    nat = _nat_frame(rf)
+    if nat is not None:
+        _native.dtpu_splat_mv(ctypes.byref(nat), by4, bx4, bw4, bh4,
+                              int(mv0[0]), int(mv0[1]),
+                              int(mv1[0]), int(mv1[1]),
+                              int(ref0), int(ref1), int(bs), int(mf))
+        return
     blk = np.zeros((), dtype=RB_DT)
     blk["mv"][0] = mv0
     blk["mv"][1] = mv1
@@ -449,6 +525,20 @@ def refmvs_find(rt: RefMvsTile, ref, bs, edge_flags, by4, bx4):
     mvstack entries: {'mv': [(y,x),(y,x)], 'weight': int}
     (reference dav1d_refmvs_find, src/refmvs.c:348-651)."""
     rf = rt.rf
+    nat = _nat_frame(rf)
+    if nat is not None:
+        stack = rf._nat_stack
+        n = _native.dtpu_refmvs_find(
+            ctypes.byref(nat), rt.tile_col[0], rt.tile_col[1],
+            rt.tile_row[0], rt.tile_row[1], int(ref[0]), int(ref[1]),
+            int(bs), int(edge_flags), by4, bx4,
+            tables.block_dimensions.ctypes.data,
+            stack.ctypes.data, ctypes.byref(rf._nat_ctx))
+        rows = stack["mv"][: max(n, 2)].tolist()
+        ws = stack["weight"][: max(n, 2)].tolist()
+        mvstack = [{"mv": [tuple(mv[0]), tuple(mv[1])], "weight": w}
+                   for mv, w in zip(rows, ws)]
+        return mvstack, n, rf._nat_ctx.value
     hdr = rf.frm_hdr
     b_dim = tables.block_dimensions[bs]
     bw4, bh4 = int(b_dim[0]), int(b_dim[1])
