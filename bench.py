@@ -57,15 +57,27 @@ def main():
         while warm.get_picture() is not None:
             pass
 
-    # measure both pipelines (best of 2 each — the host is a shared,
-    # noisy 1-core box), report the best (configs noted in `unit`)
+    # measure the dispatch-default pipeline (device itx batches on an
+    # accelerator backend) against the forced host tier (best of 2 each —
+    # the host is a shared, noisy 1-core box); the label reports what
+    # actually executed per dispatch.use_device
+    from dav1d_tpu.dispatch import use_device
+
     results = {}
     digest = None
-    for name, settings in (("two_pass+device", Settings(two_pass=True)),
-                           ("fused-host", Settings())):
+    for name, force in (("two_pass+dispatch", None), ("two_pass+host", "0")):
+        if force is None:
+            os.environ.pop("DAV1D_TPU_DEVICE", None)
+        else:
+            os.environ["DAV1D_TPU_DEVICE"] = force
+        use_device.cache_clear()
+        tiers = "itx=%s,cdef=%s" % (
+            "dev" if use_device("itx") else "host",
+            "dev" if use_device("cdef") else "host")
+        name = f"{name}[{tiers}]"
         best = 0.0
         for _ in range(2):
-            dec = Decoder(settings)
+            dec = Decoder(Settings(two_pass=True))
             h = hashlib.md5()
             n = 0
             t0 = time.perf_counter()
@@ -85,6 +97,8 @@ def main():
                                   "error": "pipeline outputs diverge"}))
                 return
         results[name] = best
+    os.environ.pop("DAV1D_TPU_DEVICE", None)
+    use_device.cache_clear()
     best = max(results, key=results.get)
     fps = results[best]
     h = type("H", (), {"hexdigest": staticmethod(lambda: digest)})

@@ -8,6 +8,8 @@ scheduler with batched device stages.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .. import tables
@@ -526,6 +528,21 @@ def decode_frame(f: FrameContext, tile_groups, two_pass: bool = False) \
     for a in f.a:
         a.reset(f.frame_is_intra)
 
+    # native C pass 1: the whole tile-sbrow symbol walk + capture in one
+    # call per (tile, sbrow) (native/decode.c); Python decode_tile_sbrow
+    # remains the fused-mode path and the fallback
+    nat = None
+    if two_pass and os.environ.get("DAV1D_TPU_NO_NATIVE_DECODE") != "1":
+        from .. import debug
+        from ..msac import MsacNative
+        from ..native import decode_glue
+        if decode_glue.available() and not debug.TRACE \
+                and isinstance(f.ts[0].msac, MsacNative):
+            try:
+                nat = decode_glue.NativeFrameDecode(f)
+            except RuntimeError:
+                nat = None
+
     from ..refmvs import load_tmvs, save_tmvs
     for tile_row in range(hdr.tiling.rows):
         sbh_end = min(hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
@@ -536,11 +553,16 @@ def decode_frame(f: FrameContext, tile_groups, two_pass: bool = False) \
                 load_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
             for tile_col in range(hdr.tiling.cols):
                 t.ts = f.ts[tile_row * hdr.tiling.cols + tile_col]
-                decode_tile_sbrow(t)
+                if nat is not None:
+                    nat.decode_tile_sbrow(t)
+                else:
+                    decode_tile_sbrow(t)
             if hdr.frame_type.is_inter_or_switch and f.rf is not None:
                 save_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
 
     if two_pass:
+        if nat is not None:
+            f.tasks = nat.finish()
         from ..pipeline import run_pass2
         run_pass2(f)
 

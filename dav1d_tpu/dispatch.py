@@ -1,0 +1,66 @@
+"""Kernel dispatch: host (numpy/C) vs device (XLA/Pallas) selection.
+
+The analog of the reference's CPU-flag dispatch (dav1d_get_cpu_flags →
+per-ISA fn tables, e.g. src/x86/mc.h:95-210): each batched kernel family
+asks `use_device(kind)` once and the answer is derived from the attached
+backend, not from per-call environment guesswork.
+
+Policy:
+- `DAV1D_TPU_DEVICE=0` forces every family to the host tier,
+  `DAV1D_TPU_DEVICE=1` forces the device tier (used by tests to exercise
+  the device formulations on the CPU backend).
+- Per-family overrides: `DAV1D_TPU_DEVICE_<KIND>=0/1` (e.g.
+  DAV1D_TPU_DEVICE_ITX).
+- Default: the device tier is used when JAX is backed by a real
+  accelerator (platform != "cpu"); the host tier wins on the CPU backend
+  where the batched C/numpy kernels are faster than XLA dispatch.
+
+`tools/kernel_bench.py` (checkasm --bench analog) measures both tiers
+per family/size on the actual machine to validate this policy.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=None)
+def _platform() -> str:
+    try:
+        import jax
+
+        # persistent compile cache: device programs are per (shape, tx
+        # type) and must survive process restarts, or every cold decode
+        # pays tens of seconds of XLA compiles
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("DAV1D_TPU_JAX_CACHE", "/tmp/jax_cache"))
+        return jax.devices()[0].platform
+    except Exception:
+        return "none"
+
+
+# Per-family default on an accelerator backend, from tools/kernel_bench.py
+# measurements on the real chip:
+# - itx: device wins ~20x once all groups are fetched in one transfer
+#   (pipeline._compute_residuals).
+# - cdef: the current formulation re-uploads the padded frame canvas per
+#   plane per frame; through the tunneled chip that transfer alone costs
+#   more than the whole host-C filter, so the host tier stays default
+#   until the filter chain is device-resident.
+_ACCEL_DEFAULT = {"itx": True, "cdef": False}
+
+
+@functools.lru_cache(maxsize=None)
+def use_device(kind: str) -> bool:
+    per = os.environ.get(f"DAV1D_TPU_DEVICE_{kind.upper()}")
+    if per is not None:
+        return per == "1"
+    glob = os.environ.get("DAV1D_TPU_DEVICE")
+    if glob is not None:
+        return glob == "1"
+    if _platform() in ("cpu", "none"):
+        return False
+    return _ACCEL_DEFAULT.get(kind, True)

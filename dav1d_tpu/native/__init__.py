@@ -16,7 +16,7 @@ from pathlib import Path
 
 _HERE = Path(__file__).parent
 _SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c", _HERE / "lf.c",
-         _HERE / "refmvs.c"]
+         _HERE / "refmvs.c", _HERE / "decode.c"]
 
 
 def _build() -> Path | None:
@@ -247,6 +247,13 @@ def _load():
     lib.dtpu_load_tmvs.argtypes = [
         ctypes.POINTER(CRefMvsFrame), ci, ci, ci, ci]
     lib.dtpu_load_tmvs.restype = None
+
+    # block-decode layer (decode.c); struct types live in decode_glue
+    lib.dtpu_decode_tile_sbrow.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.dtpu_decode_tile_sbrow.restype = ctypes.c_int
+    lib.dtpu_abi_sizes.argtypes = [ctypes.c_void_p]
+    lib.dtpu_abi_sizes.restype = None
     return lib
 
 

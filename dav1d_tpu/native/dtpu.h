@@ -252,6 +252,15 @@ typedef struct {
 } DtpuLrUnit;
 #pragma pack(pop)
 
+/* ---- intra-edge availability tree ----------------------------------------
+ * Flattened by the Python glue from intra_edge.py INTRA_EDGE_TREE: branch
+ * nodes' split[] hold child node indices; tip (8x8) nodes' split[] hold
+ * edge-flag values directly (same convention as the Python tree). */
+typedef struct {
+    int32_t o, h[2], v[2], h4, v4;
+    int32_t split[4];
+} DtpuEdgeNode;
+
 /* ---- frame context --------------------------------------------------------- */
 
 typedef struct {
@@ -301,11 +310,21 @@ typedef struct {
     int32_t *cdef_idx;          /* (sb128h*2, sb128w*2) */
     int32_t cdef_idx_stride;
     uint8_t *lf_level;          /* (align32(bh), b4_stride, 4) */
-    uint8_t *lf_mask_buf;       /* (sb128w*sb128h, 640): filter_y + uv */
+    uint8_t *lf_mask_buf;       /* lf_wd_y base: (2, h4a, b4_stride) */
+    int64_t lf_wd_y_plane;      /* h4a * b4_stride */
+    uint8_t *lf_wd_uv;          /* (2, ch4a, cstride) */
+    int64_t lf_wd_uv_plane;     /* ch4a * cstride */
     int32_t sb128w;
     uint16_t *dq_tbl;           /* (3, 256, 2) */
     int32_t dq_tbl_hbd;
     const uint8_t *qm_tbl[19][3]; /* per (rect tx, plane), or NULL */
+
+    /* normative block-size masks (levels.py) */
+    uint32_t cfl_allowed_mask, wedge_allowed_mask, interintra_allowed_mask;
+
+    /* intra-edge tree (root at index 0) */
+    const DtpuEdgeNode *edge_tree;
+    int32_t root_bl; /* 0 = BL_128X128, 1 = BL_64X64 */
 
     /* static tables */
     const uint8_t *block_dim;        /* (22, 4) */
@@ -444,5 +463,9 @@ typedef struct {
 } DtpuTaskCtx;
 
 int dtpu_decode_tile_sbrow(DtpuFrameCtx *f, DtpuTileCtx *ts, DtpuTaskCtx *t);
+
+/* ABI guard: fills sizes[0..5] = sizeof(CapBlock, CapObmc, CapWarp,
+ * DtpuFrameCtx, DtpuTileCtx, DtpuTaskCtx) for the Python mirrors. */
+void dtpu_abi_sizes(int64_t *sizes);
 
 #endif /* DTPU_H */

@@ -21,11 +21,22 @@ params). Pass 2 executes the pixel work:
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
 
 from .decode.tile import TaskContext
+
+
+@functools.lru_cache(maxsize=None)
+def _concat_jit(shapes):
+    """Device-side flatten+concat of the per-group residual outputs, so
+    one transfer fetches the whole frame's residuals."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda *xs: jnp.concatenate([x.reshape(-1) for x in xs]))
 
 
 def _replay_one(t, rec) -> None:
@@ -51,7 +62,14 @@ def _replay_one(t, rec) -> None:
 def _compute_residuals(f) -> None:
     """Evaluate every captured inverse transform batched per
     (tx size, tx type); stash results in rec["resid"] aligned with
-    rec["coefs"] for the replay to add (recon.itx.itx_add_cached)."""
+    rec["coefs"] for the replay to add (recon.itx.itx_add_cached).
+
+    On an accelerator backend every group is LAUNCHED asynchronously
+    (one XLA program per (tx, txtp), batch padded to a power of two so
+    programs are reused across frames), the per-group outputs are
+    flattened and concatenated ON DEVICE, and ONE transfer fetches the
+    whole frame's residuals — the tunnel round-trip latency is paid once
+    per frame instead of once per group (measured 9x on the real chip)."""
     groups = {}
     for rec in f.tasks:
         coefs = rec["coefs"]
@@ -62,31 +80,42 @@ def _compute_residuals(f) -> None:
                 continue
             groups.setdefault((ent[4], txtp), []).append((cf, rec, i))
 
-    device_min = int(os.environ.get("DAV1D_TPU_ITX_DEVICE_MIN", 1 << 30))
+    from .dispatch import use_device
+    device = use_device("itx") and f.bitdepth != 12
     use_pallas = os.environ.get("DAV1D_TPU_ITX_PALLAS") == "1"
     from .ops.itx import itx_batch, itx_batch_np
     if use_pallas:
         from .ops.pallas_itx import itx_batch_pallas, supported
+    launched = []
     for (tx, txtp), items in groups.items():
         n = len(items)
         if use_pallas and supported(f.bitdepth):
             cfs = np.stack([it[0] for it in items]).astype(np.int32)
             resid = itx_batch_pallas(cfs, tx, txtp, f.bitdepth)
-        elif n >= device_min:
-            # pad the batch to a power-of-two bucket so XLA programs are
-            # reused across frames instead of recompiling per batch size
+        elif device:
             nb = 1
             while nb < n:
                 nb <<= 1
             cfs = np.zeros((nb, items[0][0].shape[0]), dtype=np.int32)
             for j, it in enumerate(items):
                 cfs[j] = it[0]
-            resid = np.asarray(itx_batch(cfs, tx, txtp, f.bitdepth))[:n]
+            launched.append((itx_batch(cfs, tx, txtp, f.bitdepth), items))
+            continue
         else:
             cfs = np.stack([it[0] for it in items]).astype(np.int32)
             resid = itx_batch_np(cfs, tx, txtp, f.bitdepth)
         for j, (_, rec, i) in enumerate(items):
             rec["resid"][i] = resid[j]
+    if launched:
+        outs = [fut for fut, _ in launched]
+        flat = np.asarray(_concat_jit(tuple(o.shape for o in outs))(*outs))
+        pos = 0
+        for fut, items in launched:
+            b, h, w = fut.shape
+            resid = flat[pos : pos + b * h * w].reshape(b, h, w)[: len(items)]
+            pos += b * h * w
+            for j, (_, rec, i) in enumerate(items):
+                rec["resid"][i] = resid[j]
 
 
 def run_pass2(f, device: bool = True) -> None:

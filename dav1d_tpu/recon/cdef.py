@@ -463,9 +463,8 @@ def cdef_frame(f) -> None:
         ar8 = np.arange(8)
         blk = src0[dbys[:, None, None] + ar8[None, :, None],
                    dbxs[:, None, None] + ar8[None, None, :]]
-        import os
-        thresh = int(os.environ.get("DAV1D_TPU_CDEF_DEVICE_MIN", 1 << 30))
-        if rr.size >= thresh:
+        from ..dispatch import use_device
+        if use_device("cdef"):
             from ..ops import cdef as dcdef
             d, v = dcdef.cdef_find_dir_batch(blk, bitdepth)
             d, v = np.asarray(d), np.asarray(v)
@@ -512,9 +511,16 @@ def cdef_frame(f) -> None:
         canvas[:, :2] = INT16_MIN
         canvas[:, -2:] = INT16_MIN
         canvas[2 : 2 + ph, 2 : 2 + pw] = f.planes[pl][:ph, :pw]
-        out = cdef_filter_batch(canvas, uys + 2, uxs + 2, w, h,
-                                upri, usec, udir,
-                                damping - (1 if pl else 0), bitdepth)
+        from ..dispatch import use_device
+        if use_device("cdef"):
+            from ..ops import cdef as dcdef
+            out = dcdef.cdef_filter_batch(
+                canvas, uys + 2, uxs + 2, w, h, upri, usec, udir,
+                damping - (1 if pl else 0), bitdepth)
+        else:
+            out = cdef_filter_batch(canvas, uys + 2, uxs + 2, w, h,
+                                    upri, usec, udir,
+                                    damping - (1 if pl else 0), bitdepth)
         arh = np.arange(h)
         arw = np.arange(w)
         f.planes[pl][uys[:, None, None] + arh[None, :, None],

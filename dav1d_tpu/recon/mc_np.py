@@ -24,17 +24,23 @@ def get_window(plane, valid_w, valid_h, dy, dx, h, w):
     return plane[np.ix_(ys, xs)].astype(np.int64)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _filter_row(fset, sub):
+    return np.ascontiguousarray(tables.mc_subpel_filters[fset][sub - 1],
+                                dtype=np.int64)
+
+
 def _get_filters(filter_type, w, h, mx, my):
-    sub = tables.mc_subpel_filters
     fh = fv = None
     if mx:
-        fh = sub[filter_type & 3][mx - 1] if w > 4 else \
-            sub[3 + (filter_type & 1)][mx - 1]
-        fh = fh.astype(np.int64)
+        fh = _filter_row(filter_type & 3 if w > 4
+                         else 3 + (filter_type & 1), mx)
     if my:
-        fv = sub[filter_type >> 2][my - 1] if h > 4 else \
-            sub[3 + ((filter_type >> 2) & 1)][my - 1]
-        fv = fv.astype(np.int64)
+        fv = _filter_row(filter_type >> 2 if h > 4
+                         else 3 + ((filter_type >> 2) & 1), my)
     return fh, fv
 
 

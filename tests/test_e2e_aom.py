@@ -45,7 +45,7 @@ def screen_frames(n, w, h, bitdepth=8, seed=3, ncolors=7):
 
 
 def _roundtrip(tmp_path, oracle, name, frames, encargs, settings=None):
-    from dav1d_tpu.decoder import Decoder
+    from dav1d_tpu.decoder import Decoder, Settings
     from dav1d_tpu.containers import read_ivf
 
     enc = AomEncoder(**encargs)
@@ -59,19 +59,26 @@ def _roundtrip(tmp_path, oracle, name, frames, encargs, settings=None):
     assert r.returncode == 0, f"oracle rejected stream: {r.stderr}"
     refs = y4m.read_bytes().split(b"FRAME\n")[1:]
 
-    dec = Decoder(settings)
-    pics = []
-    for tu, _ in read_ivf(ivf.read_bytes()):
-        dec.send_data(tu)
-        while (pic := dec.get_picture()) is not None:
-            pics.append(pic)
-    assert len(pics) == len(refs)
+    # every stream is decoded in BOTH the fused mode (Python decode path)
+    # and the two-pass mode (native C pass 1 + batched reconstruction) —
+    # the conformance suite is the native layer's parity gauntlet
+    modes = [settings] if settings is not None else \
+        [None, Settings(two_pass=True)]
     n_planes = 1 if encargs.get("monochrome") else 3
-    for i, (pic, ref) in enumerate(zip(pics, refs)):
-        got = b"".join(pic.plane_bytes(pl) for pl in range(n_planes))
-        assert got == ref, (
-            f"{name} frame {i}: first diff at byte "
-            f"{next(j for j in range(len(got)) if got[j] != ref[j])}")
+    for mode in modes:
+        dec = Decoder(mode)
+        pics = []
+        for tu, _ in read_ivf(ivf.read_bytes()):
+            dec.send_data(tu)
+            while (pic := dec.get_picture()) is not None:
+                pics.append(pic)
+        assert len(pics) == len(refs)
+        tag = "two_pass" if mode is not None and mode.two_pass else "fused"
+        for i, (pic, ref) in enumerate(zip(pics, refs)):
+            got = b"".join(pic.plane_bytes(pl) for pl in range(n_planes))
+            assert got == ref, (
+                f"{name} [{tag}] frame {i}: first diff at byte "
+                f"{next(j for j in range(len(got)) if got[j] != ref[j])}")
 
 
 def _args(w=128, h=96, **kw):

@@ -1,0 +1,162 @@
+"""Per-kernel benchmark harness — the checkasm `--bench` analog
+(reference tests/meson.build:95-97, tests/checkasm/*.c bench_new).
+
+Times every kernel family's host tier (numpy / native C) against its
+device tier (XLA / Pallas) across representative sizes on the current
+backend, and prints a table with the measured winner.  Use this to
+validate dav1d_tpu/dispatch.py's policy on a given machine:
+
+    python tools/kernel_bench.py            # all families
+    python tools/kernel_bench.py itx cdef   # a subset
+
+Timing excludes compilation (one warm-up call per program); device
+results include host<->device transfer, because that is what the decoder
+pays per dispatch.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _time(fn, reps=5):
+    fn()  # warm (compile / cache)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3  # ms
+
+
+def _row(name, host_ms, dev_ms):
+    win = "host" if host_ms <= dev_ms else "DEVICE"
+    print(f"{name:<42} {host_ms:>9.3f} {dev_ms:>9.3f}   {win}")
+
+
+def bench_itx():
+    from dav1d_tpu.ops.itx import itx_batch, itx_batch_np, _txinfo
+
+    rng = np.random.default_rng(0)
+    print("\n-- itx (batched inverse transform), ms per call --")
+    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    for tx, txtp, B in [(0, 0, 512), (1, 0, 512), (2, 0, 128),
+                        (3, 0, 32), (4, 0, 8), (5, 4, 256), (9, 1, 128),
+                        (0, 9, 512), (1, 9, 256)]:
+        w, h, _, _ = _txinfo(tx)
+        sw, sh = min(w, 32), min(h, 32)
+        cf = rng.integers(-2000, 2000, (B, sw * sh), dtype=np.int32)
+        host = _time(lambda: itx_batch_np(cf, tx, txtp, 8))
+        dev = _time(lambda: np.asarray(itx_batch(cf, tx, txtp, 8)))
+        _row(f"itx {w}x{h} txtp={txtp} B={B}", host, dev)
+
+
+def bench_cdef():
+    from dav1d_tpu.recon import cdef as hcdef
+    from dav1d_tpu.ops import cdef as dcdef
+
+    rng = np.random.default_rng(1)
+    print("\n-- cdef, ms per call --")
+    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    for B in (64, 512, 2048):
+        blk = rng.integers(0, 256, (B, 8, 8), dtype=np.int64)
+        host = _time(lambda: hcdef.cdef_find_dir_batch(blk, 8))
+        dev = _time(lambda: [np.asarray(x) for x in
+                             dcdef.cdef_find_dir_batch(blk, 8)])
+        _row(f"cdef_dir 8x8 B={B}", host, dev)
+    ph, pw = 1080, 1920
+    canvas = rng.integers(0, 256, (ph + 4, pw + 4), dtype=np.int64) \
+        .astype(np.int64)
+    for B in (512, 2048):
+        ys = rng.integers(2, ph - 10, B).astype(np.int64)
+        xs = rng.integers(2, pw - 10, B).astype(np.int64)
+        pri = np.full(B, 8, dtype=np.int64)
+        sec = np.full(B, 2, dtype=np.int64)
+        dirs = rng.integers(0, 8, B).astype(np.int64)
+        host = _time(lambda: hcdef.cdef_filter_batch(
+            canvas, ys, xs, 8, 8, pri, sec, dirs, 5, 8))
+        dev = _time(lambda: dcdef.cdef_filter_batch(
+            canvas, ys, xs, 8, 8, pri, sec, dirs, 5, 8))
+        _row(f"cdef_filter 8x8 B={B} (1080p canvas)", host, dev)
+
+
+def bench_mc():
+    from dav1d_tpu.recon import mc_np
+    from dav1d_tpu.ops import mc as dmc
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    print("\n-- mc put_8tap, ms per call --")
+    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    for w, h, B in [(8, 8, 256), (16, 16, 128), (32, 32, 32)]:
+        win = rng.integers(0, 256, (B, h + 7, w + 7), dtype=np.int64)
+        jwin = jnp.asarray(win, dtype=jnp.int32)
+
+        def host():
+            for b in range(B):
+                mc_np.put_8tap(win[b], w + 7, h + 7, 0, 0, w, h, 5, 9,
+                               0, 8)
+
+        dev = _time(lambda: np.asarray(
+            dmc.put_8tap(jwin, mx=5, my=9, filter_type=0, bitdepth=8)))
+        _row(f"put_8tap {w}x{h} B={B}", _time(host), dev)
+
+
+def bench_deblock():
+    from dav1d_tpu.native import lib as nat
+    from dav1d_tpu.recon.lf import _loop_filter_batch, calc_eih
+    import ctypes
+
+    rng = np.random.default_rng(3)
+    print("\n-- deblock edge apply, ms per call --")
+    print(f"{'kernel/shape':<42} {'host(np)':>9} {'native':>9}")
+    plane = rng.integers(0, 256, (1088, 1920), dtype=np.int32)
+    e_lut, i_lut = calc_eih(0)
+    N = 4096
+    ys = (rng.integers(1, 270, N) * 4).astype(np.int64)
+    xs = (rng.integers(1, 478, N) * 4).astype(np.int64)
+    L = rng.integers(1, 63, N)
+    E, I, H = e_lut[L].astype(np.int64), i_lut[L].astype(np.int64), L >> 4
+    host = _time(lambda: _loop_filter_batch(
+        plane.copy(), ys, xs, E, I, H, True, 8, 8))
+    if nat is not None:
+        ys32 = (ys // 4).astype(np.int32)
+        xs32 = (xs // 4).astype(np.int32)
+        cls8 = np.full(N, 2, dtype=np.uint8)
+        L8 = L.astype(np.uint8)
+
+        def native():
+            p = plane.copy()
+            nat.dtpu_lf_apply_edges(
+                p.ctypes.data, p.shape[1], ys32.ctypes.data,
+                xs32.ctypes.data, cls8.ctypes.data, L8.ctypes.data, N,
+                e_lut.ctypes.data, i_lut.ctypes.data, 0, 0, 8)
+
+        natms = _time(native)
+    else:
+        natms = float("nan")
+    _row(f"deblock wd8 vertical N={N} (1080p)", host, natms)
+
+
+FAMILIES = {"itx": bench_itx, "cdef": bench_cdef, "mc": bench_mc,
+            "deblock": bench_deblock}
+
+
+def main():
+    import jax
+
+    names = [a for a in sys.argv[1:] if a in FAMILIES] or list(FAMILIES)
+    print(f"backend: {jax.devices()[0].platform} "
+          f"({len(jax.devices())} device(s))")
+    for n in names:
+        FAMILIES[n]()
+
+
+if __name__ == "__main__":
+    main()
