@@ -49,23 +49,27 @@ def main():
 
     tus = [tu for tu, _ in read_ivf(data)]
 
-    # warm-up decode (JIT compiles for the device stages; the persistent
-    # compilation cache makes repeat runs cheap)
+    # warm-up decode under the forced device tier: compiles every device
+    # program this stream needs (the persistent compilation cache in
+    # /tmp/jax_cache makes this a one-time cost across runs)
+    from dav1d_tpu.dispatch import use_device
+
+    os.environ["DAV1D_TPU_DEVICE"] = "1"
+    use_device.cache_clear()
     warm = Decoder(Settings(two_pass=True))
     for tu in tus:
         warm.send_data(tu)
         while warm.get_picture() is not None:
             pass
 
-    # measure the dispatch-default pipeline (device itx batches on an
-    # accelerator backend) against the forced host tier (best of 2 each —
-    # the host is a shared, noisy 1-core box); the label reports what
-    # actually executed per dispatch.use_device
-    from dav1d_tpu.dispatch import use_device
-
+    # measure the dispatch-default pipeline (tier picked by the measured
+    # device round-trip latency) against the forced device tier (best of
+    # 2 each — the host is a shared, noisy 1-core box); the label reports
+    # what actually executed per dispatch.use_device
     results = {}
     digest = None
-    for name, force in (("two_pass+dispatch", None), ("two_pass+host", "0")):
+    for name, force in (("two_pass+dispatch", None),
+                        ("two_pass+forced-device", "1")):
         if force is None:
             os.environ.pop("DAV1D_TPU_DEVICE", None)
         else:
@@ -116,11 +120,15 @@ def main():
                               "error": "md5 mismatch vs oracle"}))
             return
 
+    from dav1d_tpu.dispatch import device_roundtrip_ms
+
     print(json.dumps({
         "metric": "e2e_1080p8_frames_per_sec",
         "value": round(fps, 4),
         "unit": (f"frames/s (1080p 8-bit inter; best of "
-                 f"{ {k: round(v, 4) for k, v in results.items()} })"),
+                 f"{ {k: round(v, 4) for k, v in results.items()} }; "
+                 f"device roundtrip "
+                 f"{device_roundtrip_ms():.1f}ms)"),
         "vs_baseline": round(fps / 60.0, 5),
     }))
 

@@ -42,15 +42,43 @@ def _platform() -> str:
         return "none"
 
 
-# Per-family default on an accelerator backend, from tools/kernel_bench.py
-# measurements on the real chip:
-# - itx: device wins ~20x once all groups are fetched in one transfer
-#   (pipeline._compute_residuals).
+@functools.lru_cache(maxsize=None)
+def device_roundtrip_ms() -> float:
+    """Measured host->device->host latency for a small buffer.  The
+    decoder's device batches move a few MB per frame; when the chip sits
+    behind a network tunnel (this dev harness) a ~35 ms round trip makes
+    per-frame offload structurally unprofitable, while a locally attached
+    chip measures well under 1 ms.  This probe is the dispatch policy's
+    hardware detection (the reference's dav1d_get_cpu_flags analog)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    x = np.zeros(4096, dtype=np.int32)
+    d = jax.device_put(x)
+    np.asarray(d)  # warm the path
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(x))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+# Per-family default on an accelerator backend (tools/kernel_bench.py
+# measurements on the real chip):
+# - itx: the batched device transform is ~20x faster than the host batch,
+#   but only pays off when the per-frame coefficient/residual transfers
+#   are cheap — gate on the measured round-trip latency.
 # - cdef: the current formulation re-uploads the padded frame canvas per
-#   plane per frame; through the tunneled chip that transfer alone costs
-#   more than the whole host-C filter, so the host tier stays default
-#   until the filter chain is device-resident.
-_ACCEL_DEFAULT = {"itx": True, "cdef": False}
+#   plane per frame; host stays default until the filter chain is
+#   device-resident.
+_ACCEL_DEFAULT = {"itx": "latency", "cdef": False}
+
+# Above this measured round-trip latency the chip is effectively remote
+# (tunneled) and per-frame offload of MB-sized batches loses to host C.
+_LATENCY_GATE_MS = 5.0
 
 
 @functools.lru_cache(maxsize=None)
@@ -63,4 +91,7 @@ def use_device(kind: str) -> bool:
         return glob == "1"
     if _platform() in ("cpu", "none"):
         return False
-    return _ACCEL_DEFAULT.get(kind, True)
+    policy = _ACCEL_DEFAULT.get(kind, True)
+    if policy == "latency":
+        return device_roundtrip_ms() < _LATENCY_GATE_MS
+    return bool(policy)

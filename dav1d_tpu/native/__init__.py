@@ -220,6 +220,8 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ci, ci,
         ctypes.c_void_p, ci, ci, ci]
     lib.dtpu_add_residual.restype = None
+    lib.dtpu_add_residual16.argtypes = lib.dtpu_add_residual.argtypes
+    lib.dtpu_add_residual16.restype = None
     lib.dtpu_intra_coefs_pass1.argtypes = [
         ctypes.POINTER(DtpuCoefCtx), P(CMsac),
         ci, ci, ci, ci, ci, ci,          # bx, by, w4, h4, bx4, by4

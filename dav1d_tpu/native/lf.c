@@ -148,6 +148,19 @@ void dtpu_add_residual(int32_t *plane, int64_t stride, int dy, int dx,
         }
 }
 
+/* int16 residual variant (8-bit residuals come back from the device as
+ * int16 to halve the transfer) */
+void dtpu_add_residual16(int32_t *plane, int64_t stride, int dy, int dx,
+                         const int16_t *r, int h, int w, int maxp)
+{
+    int32_t *row = plane + (int64_t)dy * stride + dx;
+    for (int y = 0; y < h; y++, row += stride, r += w)
+        for (int x = 0; x < w; x++) {
+            int v = row[x] + r[x];
+            row[x] = v < 0 ? 0 : v > maxp ? maxp : v;
+        }
+}
+
 /* ---- deblock edge-plane construction ------------------------------------
  *
  * Edge state is two frame-wide byte planes (see recon/lf.py): wd_v holds

@@ -92,6 +92,12 @@ def _itx_core(cf, tx, txtp, bitdepth, xp=jnp):
 
 @functools.lru_cache(maxsize=None)
 def _jit_itx(tx, txtp, bitdepth):
+    # 8-bit coefficients and residuals both fit int16 (the reference's
+    # 8bpc coef type), halving transfer volume to/from the device; the
+    # widening/narrowing casts are free inside the fused program
+    if bitdepth == 8:
+        return jax.jit(lambda cf: _itx_core(
+            cf.astype(jnp.int32), tx, txtp, bitdepth).astype(jnp.int16))
     return jax.jit(lambda cf: _itx_core(cf, tx, txtp, bitdepth))
 
 
@@ -114,8 +120,9 @@ def itx_batch(cf, tx, txtp, bitdepth):
     from inside a kernel helper."""
     if bitdepth == 12:
         return itx_batch_np(np.asarray(cf), tx, txtp, bitdepth)
+    dt = jnp.int16 if bitdepth == 8 else jnp.int32
     return _jit_itx(int(tx), int(txtp), int(bitdepth))(
-        jnp.asarray(cf, dtype=jnp.int32))
+        jnp.asarray(cf, dtype=dt))
 
 
 def _dc_core(dc, tx, bitdepth):

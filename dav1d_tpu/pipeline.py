@@ -29,14 +29,6 @@ import numpy as np
 from .decode.tile import TaskContext
 
 
-@functools.lru_cache(maxsize=None)
-def _concat_jit(shapes):
-    """Device-side flatten+concat of the per-group residual outputs, so
-    one transfer fetches the whole frame's residuals."""
-    import jax
-    import jax.numpy as jnp
-
-    return jax.jit(lambda *xs: jnp.concatenate([x.reshape(-1) for x in xs]))
 
 
 def _replay_one(t, rec) -> None:
@@ -59,17 +51,14 @@ def _replay_one(t, rec) -> None:
         recon_b_inter(t, rec["bs"], b)
 
 
-def _compute_residuals(f) -> None:
-    """Evaluate every captured inverse transform batched per
-    (tx size, tx type); stash results in rec["resid"] aligned with
-    rec["coefs"] for the replay to add (recon.itx.itx_add_cached).
-
-    On an accelerator backend every group is LAUNCHED asynchronously
-    (one XLA program per (tx, txtp), batch padded to a power of two so
-    programs are reused across frames), the per-group outputs are
-    flattened and concatenated ON DEVICE, and ONE transfer fetches the
-    whole frame's residuals — the tunnel round-trip latency is paid once
-    per frame instead of once per group (measured 9x on the real chip)."""
+def _launch_residuals(f):
+    """Group every captured inverse transform per (tx size, tx type) and
+    start evaluating them.  On an accelerator backend each group is
+    LAUNCHED asynchronously (one XLA program per (tx, txtp), batch padded
+    to a power of two so programs are reused across frames) and the
+    device computes + streams results back WHILE the host replays the
+    inter predictions; host groups are computed immediately.  Returns the
+    launched (future, items) list for _collect_residuals."""
     groups = {}
     for rec in f.tasks:
         coefs = rec["coefs"]
@@ -96,26 +85,38 @@ def _compute_residuals(f) -> None:
             nb = 1
             while nb < n:
                 nb <<= 1
-            cfs = np.zeros((nb, items[0][0].shape[0]), dtype=np.int32)
+            dt = np.int16 if f.bitdepth == 8 else np.int32
+            cfs = np.zeros((nb, items[0][0].shape[0]), dtype=dt)
             for j, it in enumerate(items):
                 cfs[j] = it[0]
-            launched.append((itx_batch(cfs, tx, txtp, f.bitdepth), items))
+            fut = itx_batch(cfs, tx, txtp, f.bitdepth)
+            fut.copy_to_host_async()
+            launched.append((fut, items))
             continue
         else:
             cfs = np.stack([it[0] for it in items]).astype(np.int32)
             resid = itx_batch_np(cfs, tx, txtp, f.bitdepth)
         for j, (_, rec, i) in enumerate(items):
             rec["resid"][i] = resid[j]
-    if launched:
-        outs = [fut for fut, _ in launched]
-        flat = np.asarray(_concat_jit(tuple(o.shape for o in outs))(*outs))
-        pos = 0
-        for fut, items in launched:
-            b, h, w = fut.shape
-            resid = flat[pos : pos + b * h * w].reshape(b, h, w)[: len(items)]
-            pos += b * h * w
-            for j, (_, rec, i) in enumerate(items):
-                rec["resid"][i] = resid[j]
+    return launched
+
+
+def _collect_residuals(launched) -> None:
+    for fut, items in launched:
+        resid = np.asarray(fut)[: len(items)]
+        for j, (_, rec, i) in enumerate(items):
+            rec["resid"][i] = resid[j]
+
+
+def _apply_cached_residuals(f, rec, bitdepth) -> None:
+    """Clipped add of a record's cached residuals at their capture
+    positions (the deferred half of recon's itx_add_cached)."""
+    from .recon.itx import add_residual
+
+    for ent, r in zip(rec["coefs"], rec["resid"]):
+        if r is None:
+            continue
+        add_residual(f.planes[ent[3]], ent[5], ent[6], r, bitdepth)
 
 
 def run_pass2(f, device: bool = True) -> None:
@@ -123,18 +124,27 @@ def run_pass2(f, device: bool = True) -> None:
     t.pass_ = 2
 
     if device:
-        _compute_residuals(f)
+        launched = _launch_residuals(f)
         # interintra blends an intra prediction (reads current-frame
         # neighbours) -> stays in the ordered sequential phase
         inter_recs = [r for r in f.tasks if r["kind"] == "inter"
                       and not r["b"].interintra_type]
     else:
+        launched = []
         inter_recs = []
     if inter_recs:
-        # phase A: inter blocks (read only reference frames; order among
-        # inter blocks is irrelevant) — prediction + cached residual add
+        # phase A: inter predictions (read only reference frames; order
+        # among inter blocks is irrelevant).  Residual adds are deferred
+        # so the host prediction replay overlaps the device's residual
+        # batches (recon_b_inter returns early on t.device_resid).
+        t.device_resid = True
         for rec in inter_recs:
             _replay_one(t, rec)
+        t.device_resid = False
+        # device results arrive while phase A ran; fetch + add
+        _collect_residuals(launched)
+        for rec in inter_recs:
+            _apply_cached_residuals(f, rec, f.bitdepth)
         # phase B: ordered replay of intra/intrabc/interintra blocks
         # (their prediction reads reconstructed neighbours, now final)
         done = set(map(id, inter_recs))
@@ -142,5 +152,6 @@ def run_pass2(f, device: bool = True) -> None:
             if id(rec) not in done:
                 _replay_one(t, rec)
     else:
+        _collect_residuals(launched)
         for rec in f.tasks:
             _replay_one(t, rec)

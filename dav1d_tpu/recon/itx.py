@@ -726,6 +726,25 @@ for _lsz, _n in ((0, 4), (1, 8), (2, 16), (3, 32), (4, 64)):
         _1D_FNS[(_lsz, IDENTITY)] = identity(_n)
 
 
+def add_residual(plane, dst_y, dst_x, r, bitdepth):
+    """Clipped residual add at (dst_y, dst_x) (the replay-side half of
+    reference inv_txfm_add, src/itx_tmpl.c:118)."""
+    h, w = r.shape
+    if _native is not None and r.flags["C_CONTIGUOUS"]:
+        if r.dtype == np.int32:
+            _native.dtpu_add_residual(
+                plane.ctypes.data, plane.shape[1], dst_y, dst_x,
+                r.ctypes.data, h, w, (1 << bitdepth) - 1)
+            return
+        if r.dtype == np.int16:
+            _native.dtpu_add_residual16(
+                plane.ctypes.data, plane.shape[1], dst_y, dst_x,
+                r.ctypes.data, h, w, (1 << bitdepth) - 1)
+            return
+    dst = plane[dst_y : dst_y + h, dst_x : dst_x + w]
+    np.clip(dst + r, 0, (1 << bitdepth) - 1, out=dst)
+
+
 def itx_add_cached(t, plane, dst_y, dst_x, tx, txtp, cf, eob, bitdepth):
     """itx_add, but in pass-2 replay prefer the residual precomputed by
     the batched pass-2 stage (dav1d_tpu.pipeline): the inverse transform
@@ -737,15 +756,7 @@ def itx_add_cached(t, plane, dst_y, dst_x, tx, txtp, cf, eob, bitdepth):
         if resid_list is not None:
             r = resid_list[t.rec_coef_pos - 1]
             if r is not None:
-                h, w = r.shape
-                if _native is not None and r.dtype == np.int32 \
-                        and r.flags["C_CONTIGUOUS"]:
-                    _native.dtpu_add_residual(
-                        plane.ctypes.data, plane.shape[1], dst_y, dst_x,
-                        r.ctypes.data, h, w, (1 << bitdepth) - 1)
-                    return
-                dst = plane[dst_y : dst_y + h, dst_x : dst_x + w]
-                np.clip(dst + r, 0, (1 << bitdepth) - 1, out=dst)
+                add_residual(plane, dst_y, dst_x, r, bitdepth)
                 return
     itx_add(plane, dst_y, dst_x, tx, txtp, cf, eob, bitdepth)
 
