@@ -41,6 +41,9 @@ class Settings:
     # two-pass host/TPU pipeline: pass 1 entropy+capture, pass 2 batched
     # device reconstruction + ordered replay
     two_pass: bool = False
+    # optional jax.sharding.Mesh: the pass-2 device batches are sharded
+    # across its first axis (spatial units -> chips, SURVEY §2.7)
+    mesh: object = None
 
 
 @dataclasses.dataclass
@@ -300,8 +303,10 @@ class Decoder:
                          refs=[self.refs[hdr.refidx[i]] for i in range(7)]
                          if hdr.frame_type.is_inter_or_switch else None)
         f.inloop_filters = self.settings.inloop_filters
+        f.mesh = self.settings.mesh
         decode_frame(f, self.tile_groups,
-                     two_pass=self.settings.two_pass)
+                     two_pass=self.settings.two_pass
+                     or self.settings.mesh is not None)
 
         # output (reference src/decode.c:3544: invisible frames are
         # output too when output_invisible_frames is set)

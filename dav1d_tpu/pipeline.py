@@ -70,7 +70,8 @@ def _launch_residuals(f):
             groups.setdefault((ent[4], txtp), []).append((cf, rec, i))
 
     from .dispatch import use_device
-    device = use_device("itx") and f.bitdepth != 12
+    mesh = getattr(f, "mesh", None)
+    device = (use_device("itx") or mesh is not None) and f.bitdepth != 12
     use_pallas = os.environ.get("DAV1D_TPU_ITX_PALLAS") == "1"
     from .ops.itx import itx_batch, itx_batch_np
     if use_pallas:
@@ -86,10 +87,23 @@ def _launch_residuals(f):
             while nb < n:
                 nb <<= 1
             dt = np.int16 if f.bitdepth == 8 else np.int32
+            if mesh is not None:
+                nb = max(nb, mesh.devices.size)
             cfs = np.zeros((nb, items[0][0].shape[0]), dtype=dt)
             for j, it in enumerate(items):
                 cfs[j] = it[0]
-            fut = itx_batch(cfs, tx, txtp, f.bitdepth)
+            if mesh is not None:
+                # multi-chip: the transform batch is the decoder's
+                # spatial-unit axis — shard it across the mesh (SURVEY
+                # §2.7 tiles->chips; each chip transforms its share)
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+                arg = jax.device_put(cfs, sh)
+            else:
+                arg = cfs
+            fut = itx_batch(arg, tx, txtp, f.bitdepth)
             fut.copy_to_host_async()
             launched.append((fut, items))
             continue
