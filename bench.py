@@ -122,15 +122,52 @@ def main():
 
     from dav1d_tpu.dispatch import device_roundtrip_ms
 
+    extra = ""
+    if os.environ.get("DAV1D_TPU_BENCH_FULL") == "1":
+        extra = "; " + "; ".join(
+            f"{name}={_bench_config(**cfg):.3f}fps"
+            for name, cfg in (
+                ("intra_1080p", dict(w=1920, h=1080, n=4, kf=1)),
+                ("inter_4k", dict(w=3840, h=2160, n=3, kf=9999)),
+            ))
+
     print(json.dumps({
         "metric": "e2e_1080p8_frames_per_sec",
         "value": round(fps, 4),
         "unit": (f"frames/s (1080p 8-bit inter; best of "
                  f"{ {k: round(v, 4) for k, v in results.items()} }; "
                  f"device roundtrip "
-                 f"{device_roundtrip_ms():.1f}ms)"),
+                 f"{device_roundtrip_ms():.1f}ms{extra})"),
         "vs_baseline": round(fps / 60.0, 5),
     }))
+
+
+def _bench_config(w, h, n, kf):
+    """Decode fps for one extra configuration (BASELINE configs 1/3)."""
+    from aom_enc import AomEncoder, gradient_frames, write_ivf_packets
+
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Decoder, Settings
+
+    path = Path(f"/tmp/dav1d_tpu_bench_{w}x{h}_{n}_kf{kf}.ivf")
+    if not path.exists():
+        enc = AomEncoder(width=w, height=h, usage="good", cpu_used=8, q=45,
+                         kf_max_dist=kf, lag=0,
+                         options={"enable-order-hint": 1})
+        write_ivf_packets(path, enc.encode(gradient_frames(n, w, h)), w, h)
+        enc.close()
+    tus = [tu for tu, _ in read_ivf(path.read_bytes())]
+    best = 0.0
+    for _ in range(2):
+        dec = Decoder(Settings(two_pass=True))
+        cnt = 0
+        t0 = time.perf_counter()
+        for tu in tus:
+            dec.send_data(tu)
+            while dec.get_picture() is not None:
+                cnt += 1
+        best = max(best, cnt / (time.perf_counter() - t0))
+    return best
 
 
 if __name__ == "__main__":

@@ -74,7 +74,8 @@ def device_roundtrip_ms() -> float:
 # - cdef: the current formulation re-uploads the padded frame canvas per
 #   plane per frame; host stays default until the filter chain is
 #   device-resident.
-_ACCEL_DEFAULT = {"itx": "latency", "cdef": False}
+_ACCEL_DEFAULT = {"itx": "latency", "cdef": False, "deblock": "latency",
+                  "lr": "latency", "fg": "latency"}
 
 # Above this measured round-trip latency the chip is effectively remote
 # (tunneled) and per-frame offload of MB-sized batches loses to host C.

@@ -262,6 +262,23 @@ def apply_grain(pic) -> None:
     if has_chroma and (w & ss_x):
         luma_src = np.pad(luma_src, ((0, 0), (0, 1)), mode="edge")
 
+    from ..dispatch import use_device
+    dev = use_device("fg")
+    sinks = [[], [], []]  # per-plane (y0, src, idx, grain) stripes
+
+    def _apply(pl, y0, src, idx, grain, sc, maxv):
+        """Apply one 32-row stripe, or stash it for the per-plane fused
+        device program."""
+        if dev:
+            sinks[pl].append((y0, src, idx, grain, sc, maxv))
+            return
+        noise = _round2_arr(sc[idx] * grain, data.scaling_shift)
+        out = np.clip(src + noise, min_v, maxv)
+        if pl == 0:
+            pic.planes[0][y0 : y0 + src.shape[0], :w] = out
+        else:
+            pic.planes[pl][y0 : y0 + src.shape[0], : src.shape[1]] = out
+
     n_rows = (h + FG_BLOCK_SIZE - 1) // FG_BLOCK_SIZE
     for row in range(n_rows):
         y0 = row * FG_BLOCK_SIZE
@@ -269,9 +286,7 @@ def apply_grain(pic) -> None:
         if data.num_y_points:
             src = luma_src[y0 : y0 + bh, :w].astype(np.int64)
             grain = _grain_blocks(data, lut_y, row, w, bh, 0, 0, gmin, gmax)
-            noise = _round2_arr(scaling[0][src] * grain, data.scaling_shift)
-            pic.planes[0][y0 : y0 + bh, :w] = np.clip(src + noise, min_v,
-                                                      max_v_y)
+            _apply(0, y0, src, src, grain, scaling[0], max_v_y)
         if not has_chroma or (not data.num_uv_points[0]
                               and not data.num_uv_points[1]
                               and not data.chroma_scaling_from_luma):
@@ -304,6 +319,19 @@ def apply_grain(pic) -> None:
                               (1 << bitdepth) - 1)
             grain = _grain_blocks(data, luts[1 + pl], row, cw, cbh,
                                   ss_x, ss_y, gmin, gmax)
-            noise = _round2_arr(sc[val] * grain, data.scaling_shift)
-            pic.planes[1 + pl][cy0 : cy0 + cbh, :cw] = \
-                np.clip(src + noise, min_v, max_v_uv)
+            _apply(1 + pl, cy0, src, val, grain, sc, max_v_uv)
+
+    if dev:
+        from ..ops.fg import fg_apply_batch
+
+        for pl in range(3):
+            if not sinks[pl]:
+                continue
+            y0 = sinks[pl][0][0]
+            src = np.concatenate([s[1] for s in sinks[pl]])
+            idx = np.concatenate([s[2] for s in sinks[pl]])
+            grain = np.concatenate([s[3] for s in sinks[pl]])
+            sc, maxv = sinks[pl][0][4], sinks[pl][0][5]
+            out = fg_apply_batch(src, grain, sc, data.scaling_shift,
+                                 min_v, maxv, idx=idx)
+            pic.planes[pl][y0 : y0 + out.shape[0], : out.shape[1]] = out

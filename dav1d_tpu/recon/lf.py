@@ -448,6 +448,25 @@ def _apply_edges(plane, level, wd_plane, pd_idx, dir_, wd_map, e_lut,
     ys, xs, cls, L = ys[on], xs[on], cls[on], L[on]
     if ys.size == 0:
         return
+    from ..dispatch import use_device
+    if use_device("deblock"):
+        # device tier: one batched program per width class, the plane
+        # stays device-resident across the classes of this pass
+        from ..ops.lf import loop_filter_batch
+
+        E = e_lut[L].astype(np.int64)
+        I = i_lut[L].astype(np.int64)
+        H = L >> 4
+        dev = plane
+        for c, wd_px in wd_map.items():
+            sel = cls == c
+            if not sel.any():
+                continue
+            dev = loop_filter_batch(dev, ys[sel] * 4, xs[sel] * 4,
+                                    E[sel], I[sel], H[sel], dir_ == 0,
+                                    wd_px, bitdepth)
+        plane[:, :] = np.asarray(dev)
+        return
     if _native is not None:
         ys32 = np.ascontiguousarray(ys, dtype=np.int32)
         xs32 = np.ascontiguousarray(xs, dtype=np.int32)

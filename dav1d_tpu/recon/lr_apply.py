@@ -32,8 +32,14 @@ def lr_frame(f) -> None:
     super-res; reference dav1d_lr_sbrow per sbrow)."""
     if not f.restore_planes:
         return
+    from ..dispatch import use_device
+
     hdr = f.frame_hdr
     src_planes = [p.copy() for p in f.sr_planes]  # post-CDEF+SR input
+    # device tier: wiener stripes are collected per (unit_w, stripe_h)
+    # shape and run as batched device programs (ops/lr.py); SGR stays on
+    # the host (int64 intermediates, see ops/lr.py)
+    f._lr_wiener_sink = {} if use_device("lr") else None
     for pl in range(3):
         if not ((f.restore_planes >> pl) & 1):
             continue
@@ -50,6 +56,17 @@ def lr_frame(f) -> None:
             y_stripe = (sby << shift) - offset
             _lr_plane_sbrow(f, pl, src_planes[pl], y_stripe, w, h, row_h,
                             ss_ver, ss_hor)
+    if f._lr_wiener_sink:
+        from ..ops.lr import wiener_batch
+
+        for (uw, sh), items in f._lr_wiener_sink.items():
+            P = np.stack([it[0] for it in items])
+            fh = np.array([it[1] for it in items])
+            fv = np.array([it[2] for it in items])
+            out = wiener_batch(P, fh, fv, f.bitdepth)
+            for b, (_, _, _, pl, y, x) in enumerate(items):
+                f.sr_planes[pl][y : y + sh, x : x + uw] = out[b]
+    f._lr_wiener_sink = None
 
 
 def _lr_plane_sbrow(f, pl, src, y, w, h, row_h, ss_ver, ss_hor) -> None:
@@ -108,12 +125,19 @@ def _lr_stripes(f, pl, src, x, y, unit_w, row_h, lr, edges, ss_ver,
                                          else 0)
         P = _pad_unit(src, pre_cdef, x, y, unit_w, stripe_h, h, e)
         if ty == RT.WIENER:
-            blk = _wiener(P, lr["filter_h"], lr["filter_v"], unit_w,
-                          stripe_h, bitdepth)
+            sink = getattr(f, "_lr_wiener_sink", None)
+            if sink is not None:
+                sink.setdefault((unit_w, stripe_h), []).append(
+                    (P, lr["filter_h"], lr["filter_v"], pl, y, x))
+                blk = None
+            else:
+                blk = _wiener(P, lr["filter_h"], lr["filter_v"], unit_w,
+                              stripe_h, bitdepth)
         else:
             blk = _sgr(P, src[y : y + stripe_h, x : x + unit_w], lr,
                        unit_w, stripe_h, bitdepth)
-        out[y : y + stripe_h, x : x + unit_w] = blk
+        if blk is not None:
+            out[y : y + stripe_h, x : x + unit_w] = blk
         y += stripe_h
         edges |= LR_HAVE_TOP
         stripe_h = min(64 >> ss_ver, row_h - y)

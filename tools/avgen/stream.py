@@ -43,6 +43,9 @@ class StreamConfig:
     # cdef: None = off, else (damping 3..6, n_bits 0..3,
     # [(y_strength, uv_strength), ...] with 1 << n_bits entries)
     cdef: tuple = None
+    # operating points: tuple of 12-bit idc values ((0,) = single op);
+    # an idc's bit t selects temporal layer t, bit 8+s spatial layer s
+    operating_points: tuple = (0,)
 
 
 OBU_SEQ_HDR = 1
@@ -50,13 +53,19 @@ OBU_TD = 2
 OBU_FRAME = 6
 
 
-def wrap_obu(obu_type: int, payload: bytes) -> bytes:
+def wrap_obu(obu_type: int, payload: bytes, temporal_id: int = None,
+             spatial_id: int = None) -> bytes:
     w = BitWriter()
+    has_ext = temporal_id is not None or spatial_id is not None
     w.put_bit(0)  # forbidden
     w.put_bits(obu_type, 4)
-    w.put_bit(0)  # extension
+    w.put_bit(int(has_ext))  # extension
     w.put_bit(1)  # has length field
     w.put_bit(0)  # reserved
+    if has_ext:
+        w.put_bits(temporal_id or 0, 3)
+        w.put_bits(spatial_id or 0, 2)
+        w.put_bits(0, 3)  # reserved
     w.put_uleb128(len(payload))
     return w.tobytes() + payload
 
@@ -68,10 +77,12 @@ def write_seq_hdr(cfg: StreamConfig) -> bytes:
     w.put_bit(0)  # reduced_still_picture_header
     w.put_bit(0)  # timing_info_present
     w.put_bit(0)  # display_model_info_present
-    w.put_bits(0, 5)  # num_operating_points - 1
-    w.put_bits(0, 12)  # idc
-    w.put_bits(0, 3)  # major_level - 2
-    w.put_bits(0, 2)  # minor_level
+    ops = cfg.operating_points or (0,)
+    w.put_bits(len(ops) - 1, 5)  # num_operating_points - 1
+    for idc in ops:
+        w.put_bits(idc, 12)  # idc
+        w.put_bits(0, 3)  # major_level - 2
+        w.put_bits(0, 2)  # minor_level
     w.put_bits(15, 4)  # width_n_bits - 1
     w.put_bits(15, 4)  # height_n_bits - 1
     w.put_bits(cfg.width - 1, 16)
@@ -101,13 +112,19 @@ def write_seq_hdr(cfg: StreamConfig) -> bytes:
     return w.tobytes()
 
 
-def write_frame_hdr(cfg: StreamConfig, w: BitWriter) -> None:
+def write_frame_hdr(cfg: StreamConfig, w: BitWriter, show_frame=True,
+                    refresh=0xFF) -> None:
     """Key frame header bits (without trailing, for OBU_FRAME)."""
     w.put_bit(0)  # show_existing_frame
     w.put_bits(0, 2)  # frame_type KEY
-    w.put_bit(1)  # show_frame
+    w.put_bit(int(show_frame))  # show_frame
+    if not show_frame:
+        w.put_bit(1)  # showable_frame
+        w.put_bit(1)  # error_resilient_mode (explicit when !show)
     w.put_bit(0)  # disable_cdf_update
     w.put_bit(0)  # frame_size_override
+    if not show_frame:
+        w.put_bits(refresh, 8)  # refresh_frame_flags (explicit)
     w.put_bit(0)  # have_render_size
     w.put_bit(0)  # frame_refresh_context_disabled (refresh_context = 1)
     w.put_bit(1)  # tiling uniform
@@ -465,6 +482,53 @@ def make_stream(cfg: StreamConfig, decide) -> bytes:
     frame_obu = wrap_obu(OBU_FRAME, frame_hdr_bytes + tile_data)
     td = wrap_obu(OBU_TD, b"")
     return td + wrap_obu(OBU_SEQ_HDR, write_seq_hdr(cfg)) + frame_obu
+
+
+def make_svc_stream(cfg: StreamConfig, decide, n_frames: int = 3):
+    """Scalable 2-spatial-layer intra stream (reference obu.c operating-
+    point filtering, src/obu.c:1202-1210): each temporal unit carries a
+    non-shown base-layer KEY frame (spatial_id 0, refreshing slot 0) and
+    a shown enhancement KEY frame (spatial_id 1).  Layers are coded
+    independently (intra) at the same resolution.
+
+    Returns (tus, base_tus, enh_tus): the SVC temporal units plus the
+    equivalent single-layer streams of the base/enhancement frames (same
+    tile payloads, plain headers) for cross-checking layer selection."""
+    assert len(cfg.operating_points) >= 2
+    base_cfg = StreamConfig(**{**cfg.__dict__, "operating_points": (0,)})
+
+    tus, base_tus, enh_tus = [], [], []
+    for n in range(n_frames):
+        layers = []
+        for sid in range(2):
+            rng = np.random.default_rng(cfg.seed + 1000 * n + sid)
+            w = BitWriter()
+            write_frame_hdr(cfg, w, show_frame=(sid == 1),
+                            refresh=(1 << sid))
+            w.bytealign()
+            hdr_noshow = w.tobytes()
+            w = BitWriter()
+            write_frame_hdr(cfg, w, show_frame=True)
+            w.bytealign()
+            hdr_show = w.tobytes()
+            tile = TileEncoder(cfg, rng).encode_frame_tile(decide)
+            layers.append((hdr_noshow, hdr_show, tile))
+
+        td = wrap_obu(OBU_TD, b"")
+        seq = wrap_obu(OBU_SEQ_HDR, write_seq_hdr(cfg)) if n == 0 else b""
+        seq1 = wrap_obu(OBU_SEQ_HDR, write_seq_hdr(base_cfg)) \
+            if n == 0 else b""
+        tus.append(
+            td + seq
+            + wrap_obu(OBU_FRAME, layers[0][0] + layers[0][2],
+                       temporal_id=0, spatial_id=0)
+            + wrap_obu(OBU_FRAME, layers[1][0] + layers[1][2],
+                       temporal_id=0, spatial_id=1))
+        base_tus.append(td + seq1
+                        + wrap_obu(OBU_FRAME, layers[0][1] + layers[0][2]))
+        enh_tus.append(td + seq1
+                       + wrap_obu(OBU_FRAME, layers[1][1] + layers[1][2]))
+    return tus, base_tus, enh_tus
 
 
 def write_ivf(path, frames: list[bytes], width: int, height: int) -> None:

@@ -144,8 +144,48 @@ def bench_deblock():
     _row(f"deblock wd8 vertical N={N} (1080p)", host, natms)
 
 
+def bench_lr():
+    from dav1d_tpu.ops.lr import wiener_batch
+    from dav1d_tpu.recon.lr_apply import _wiener
+
+    rng = np.random.default_rng(5)
+    print("\n-- loop restoration (wiener), ms per call --")
+    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    for uw, sh, B in [(64, 64, 32), (128, 64, 16), (64, 16, 64)]:
+        P = rng.integers(0, 256, (B, sh + 6, uw + 6), dtype=np.int64)
+        fh = rng.integers(-5, 6, (B, 3))
+        fv = rng.integers(-5, 6, (B, 3))
+
+        def host():
+            for b in range(B):
+                _wiener(P[b], list(fh[b]), list(fv[b]), uw, sh, 8)
+
+        dev = _time(lambda: wiener_batch(P, fh, fv, 8))
+        _row(f"wiener {uw}x{sh} B={B}", _time(host), dev)
+
+
+def bench_fg():
+    from dav1d_tpu.ops.fg import fg_apply_batch
+    from dav1d_tpu.recon.filmgrain import _round2_arr
+
+    rng = np.random.default_rng(6)
+    print("\n-- film grain apply, ms per call --")
+    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    for h, w in [(1080, 1920), (544, 960)]:
+        src = rng.integers(0, 256, (h, w), dtype=np.int64)
+        grain = rng.integers(-128, 128, (h, w), dtype=np.int64)
+        lut = rng.integers(0, 256, 256, dtype=np.int64)
+
+        def host():
+            noise = _round2_arr(lut[src] * grain, 8)
+            np.clip(src + noise, 0, 255)
+
+        dev = _time(lambda: fg_apply_batch(src, grain, lut, 8, 0, 255))
+        _row(f"fg_apply {w}x{h}", _time(host), dev)
+
+
 FAMILIES = {"itx": bench_itx, "cdef": bench_cdef, "mc": bench_mc,
-            "deblock": bench_deblock}
+            "deblock": bench_deblock, "lr": bench_lr, "fg": bench_fg}
 
 
 def main():
