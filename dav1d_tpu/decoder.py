@@ -185,13 +185,21 @@ class Decoder:
             elif self.n_tiles == hdr.tiling.cols * hdr.tiling.rows \
                     and self.tile_groups:
                 if self._skip_frame_type(hdr):
-                    # refresh ref slots with headers only (reference
-                    # src/obu.c:1671-1684 "skip" path)
+                    # refresh ref slots with headers only, dropping the
+                    # picture but keeping CDF/segmap/refmvs state like
+                    # the reference (src/obu.c:1671-1684 "skip" path);
+                    # fresh slot objects since slots can be aliased after
+                    # show_existing key-frame propagation
                     for i in range(8):
                         if hdr.refresh_frame_flags & (1 << i):
+                            old = self.refs[i]
                             slot = _RefSlot()
                             slot.frame_hdr = hdr
                             slot.seq_hdr = self.seq_hdr
+                            slot.cdf = old.cdf
+                            slot.segmap = old.segmap
+                            slot.refmvs = old.refmvs
+                            slot.refpoc = old.refpoc
                             self.refs[i] = slot
                 else:
                     self._submit_frame()

@@ -181,6 +181,11 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,  # fh, fv (int64[8] or NULL)
         ci, ci, ci, ci, ctypes.c_void_p]   # ib, maxp, prep, bias, out
     lib.dtpu_put_8tap.restype = None
+    lib.dtpu_put_8tap_into.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ci, ci, ci, ci, ci, ci,
+        ctypes.c_void_p, ctypes.c_void_p,  # fh, fv (int64[8] or NULL)
+        ci, ci, ctypes.c_void_p, ctypes.c_int64]  # ib, maxp, dst, stride
+    lib.dtpu_put_8tap_into.restype = None
     lib.dtpu_warp8x8.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ci, ci, ci, ci,
         ctypes.c_void_p, ci, ci,           # abcd (int32[4]), mx, my

@@ -473,10 +473,11 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
  * dav1d_tpu/recon/mc_np.py put_8tap/prep_8tap (reference put_8tap_c,
  * src/mc_tmpl.c:130). Edge replication via clamped gather (emu_edge).
  * fh/fv: 8-tap int64 rows or NULL. */
-void dtpu_put_8tap(const int32_t *plane, int64_t stride, int vw, int vh,
-                   int dy, int dx, int w, int h, const int64_t *fh,
-                   const int64_t *fv, int ib, int maxp, int prep,
-                   int prep_bias, int32_t *out)
+static void put_8tap_core(const int32_t *plane, int64_t stride, int vw,
+                          int vh, int dy, int dx, int w, int h,
+                          const int64_t *fh, const int64_t *fv, int ib,
+                          int maxp, int prep, int prep_bias, int32_t *out,
+                          int64_t ostride)
 {
     if (fh && fv) {
         int32_t mid[135][128]; /* max h+7=135, max w=128 */
@@ -499,7 +500,7 @@ void dtpu_put_8tap(const int32_t *plane, int64_t stride, int vw, int vh,
                 for (int t = 0; t < 8; t++)
                     acc += fv[t] * mid[y + t][x];
                 int v = (int)((acc + rnd_v) >> sh_v);
-                out[y * w + x] =
+                out[y * ostride + x] =
                     prep ? v - prep_bias : clampi(v, 0, maxp);
             }
     } else if (fh) {
@@ -514,7 +515,7 @@ void dtpu_put_8tap(const int32_t *plane, int64_t stride, int vw, int vh,
                 for (int t = 0; t < 8; t++)
                     acc += fh[t] * row[clampi(dx - 3 + x + t, 0, vw - 1)];
                 int v = (int)((acc + rnd) >> sh);
-                out[y * w + x] =
+                out[y * ostride + x] =
                     prep ? v - prep_bias : clampi(v, 0, maxp);
             }
         }
@@ -530,7 +531,7 @@ void dtpu_put_8tap(const int32_t *plane, int64_t stride, int vw, int vh,
                            plane[(int64_t)clampi(dy - 3 + y + t, 0,
                                                  vh - 1) * stride + ix];
                 int v = (int)((acc + rnd) >> sh);
-                out[y * w + x] =
+                out[y * ostride + x] =
                     prep ? v - prep_bias : clampi(v, 0, maxp);
             }
     } else {
@@ -539,10 +540,30 @@ void dtpu_put_8tap(const int32_t *plane, int64_t stride, int vw, int vh,
                 plane + (int64_t)clampi(dy + y, 0, vh - 1) * stride;
             for (int x = 0; x < w; x++) {
                 const int v = row[clampi(dx + x, 0, vw - 1)];
-                out[y * w + x] = prep ? (v << ib) - prep_bias : v;
+                out[y * ostride + x] = prep ? (v << ib) - prep_bias : v;
             }
         }
     }
+}
+
+void dtpu_put_8tap(const int32_t *plane, int64_t stride, int vw, int vh,
+                   int dy, int dx, int w, int h, const int64_t *fh,
+                   const int64_t *fv, int ib, int maxp, int prep,
+                   int prep_bias, int32_t *out)
+{
+    put_8tap_core(plane, stride, vw, vh, dy, dx, w, h, fh, fv, ib, maxp,
+                  prep, prep_bias, out, w);
+}
+
+/* put straight into the destination plane (replay fast path: no
+ * temporary block, no Python-side copy) */
+void dtpu_put_8tap_into(const int32_t *plane, int64_t stride, int vw,
+                        int vh, int dy, int dx, int w, int h,
+                        const int64_t *fh, const int64_t *fv, int ib,
+                        int maxp, int32_t *dst, int64_t dst_stride)
+{
+    put_8tap_core(plane, stride, vw, vh, dy, dx, w, h, fh, fv, ib, maxp,
+                  0, 0, dst, dst_stride);
 }
 
 /* One warped 8x8 tile (golden model mc_np.warp8x8; reference

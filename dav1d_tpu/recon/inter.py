@@ -11,6 +11,7 @@ from ..headers import PixelLayout
 from ..levels import (CompInterPredMode, CompInterType, InterIntraType,
                       InterPredMode, MotionMode)
 from . import mc_np
+from ..native import lib as _nlib
 from .coef import decode_coefs
 from .itx import itx_add_cached
 
@@ -35,22 +36,35 @@ def mc_put(t, pl, dst_plane, dst_y, dst_x, bw4, bh4, bx, by, mv, ref_planes,
     ss_hor = int(bool(pl)) and f.ss_hor
     h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
     mvy, mvx = mv
-    mx = mvx & (15 >> (not ss_hor))
-    my = mvy & (15 >> (not ss_ver))
+    mx = (mvx & (15 >> (not ss_hor))) << (not ss_hor)
+    my = (mvy & (15 >> (not ss_ver))) << (not ss_ver)
     dx = bx * h_mul + (mvx >> (3 + ss_hor))
     dy = by * v_mul + (mvy >> (3 + ss_ver))
     w = (ref_w + ss_hor) >> ss_hor
     h = (ref_h + ss_ver) >> ss_ver
     bw_px, bh_px = bw4 * h_mul, bh4 * v_mul
+    ref = ref_planes[pl]
+    if filter_2d != 9 and _nlib is not None \
+            and ref.dtype == np.int32 and ref.flags.c_contiguous:
+        # replay fast path: filter straight into the picture
+        ftype = _filter_type(filter_2d)
+        fh, fv = mc_np._get_filters(ftype, bw_px, bh_px, mx, my)
+        _nlib.dtpu_put_8tap_into(
+            ref.ctypes.data, ref.shape[1], w, h, dy, dx, bw_px, bh_px,
+            None if fh is None else fh.ctypes.data,
+            None if fv is None else fv.ctypes.data,
+            mc_np._intermediate_bits(f.bitdepth), (1 << f.bitdepth) - 1,
+            dst_plane.ctypes.data
+            + (dst_y * dst_plane.shape[1] + dst_x) * 4,
+            dst_plane.shape[1])
+        return
     if filter_2d == 9:  # FILTER_2D_BILINEAR
         blk = mc_np.put_bilin(ref_planes[pl], w, h, dy, dx, bw_px, bh_px,
-                              mx << (not ss_hor), my << (not ss_ver),
-                              f.bitdepth)
+                              mx, my, f.bitdepth)
     else:
         ftype = _filter_type(filter_2d)
         blk = mc_np.put_8tap(ref_planes[pl], w, h, dy, dx, bw_px, bh_px,
-                             mx << (not ss_hor), my << (not ss_ver), ftype,
-                             f.bitdepth)
+                             mx, my, ftype, f.bitdepth)
     dst_plane[dst_y : dst_y + bh_px, dst_x : dst_x + bw_px] = blk
 
 
