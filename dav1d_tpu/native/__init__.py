@@ -16,11 +16,12 @@ from pathlib import Path
 
 _HERE = Path(__file__).parent
 _SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c", _HERE / "lf.c",
-         _HERE / "refmvs.c", _HERE / "decode.c"]
+         _HERE / "refmvs.c", _HERE / "decode.c", _HERE / "itx.c"]
+_HDRS = [_HERE / "dtpu.h", _HERE / "itx1d_gen.h"]
 
 
 def _build() -> Path | None:
-    src = b"".join(p.read_bytes() for p in _SRCS)
+    src = b"".join(p.read_bytes() for p in _SRCS + _HDRS)
     tag = hashlib.sha256(src).hexdigest()[:16]
     out = Path("/tmp") / f"dav1d_tpu_native_{tag}.so"
     if out.exists():
@@ -261,6 +262,12 @@ def _load():
     lib.dtpu_decode_tile_sbrow.restype = ctypes.c_int
     lib.dtpu_abi_sizes.argtypes = [ctypes.c_void_p]
     lib.dtpu_abi_sizes.restype = None
+
+    lib.dtpu_itx_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ci, ci,  # cf, nb, w, h
+        ci, ci, ci, ci, ci, ci,  # shift, row_t, col_t, rect2, bd, wht
+        ctypes.c_void_p]
+    lib.dtpu_itx_batch.restype = None
     return lib
 
 

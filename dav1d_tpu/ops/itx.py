@@ -111,6 +111,29 @@ def itx_batch_np(cf, tx, txtp, bitdepth):
                      int(txtp), int(bitdepth), xp=np)
 
 
+def itx_batch_c(cf, tx, txtp, bitdepth):
+    """Native-C host batch (same 1-D arithmetic: the C kernels are
+    generated from _itx_core's Python kernels by tools/gen_itx_c.py);
+    None when the native library is unavailable."""
+    from ..native import lib as _nlib
+
+    if _nlib is None:
+        return None
+    w, h, lw, lh = _txinfo(tx)
+    cf = np.ascontiguousarray(cf, dtype=np.int32)
+    out = np.empty((cf.shape[0], h, w), dtype=np.int32)
+    if txtp == TxfmType.WHT_WHT:
+        _nlib.dtpu_itx_batch(cf.ctypes.data, cf.shape[0], 4, 4, 0, 0, 0,
+                             0, bitdepth, 1, out.ctypes.data)
+        return out
+    row_t, col_t = TX1D_TYPES[TxfmType(txtp)]
+    is_rect2 = int((w * 2 == h) or (h * 2 == w))
+    _nlib.dtpu_itx_batch(cf.ctypes.data, cf.shape[0], w, h,
+                         int(TX_SHIFT[tx]), int(row_t), int(col_t),
+                         is_rect2, int(bitdepth), 0, out.ctypes.data)
+    return out
+
+
 def itx_batch(cf, tx, txtp, bitdepth):
     """Batched inverse transform: (B, sh*sw) int32 -> (B, h, w) residuals.
     12-bit intermediates exceed int32 at the canonical 12-bit rotation

@@ -1,0 +1,48 @@
+"""Parity of the native-C batched inverse transforms (generated 1-D
+kernels, native/itx.c + itx1d_gen.h) against the Python golden batch."""
+
+import numpy as np
+import pytest
+
+from dav1d_tpu.levels import TxfmType
+from dav1d_tpu.ops.itx import _txinfo, itx_batch_c, itx_batch_np
+from dav1d_tpu.recon.itx import TX1D_TYPES
+
+
+def _legal_txtps(tx):
+    w, h, lw, lh = _txinfo(tx)
+    out = []
+    for t, (rt, ct) in TX1D_TYPES.items():
+        if (rt in (1, 2) and w > 16) or (ct in (1, 2) and h > 16):
+            continue  # ADST caps at 16
+        if (rt == 3 and w > 32) or (ct == 3 and h > 32):
+            continue  # identity caps at 32
+        out.append(int(t))
+    return out
+
+
+@pytest.mark.parametrize("bitdepth", [8, 10, 12])
+@pytest.mark.parametrize("tx", range(19))
+def test_native_itx_matches_python(tx, bitdepth):
+    if itx_batch_c(np.zeros((1, 16), np.int32), 0, 0, 8) is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(tx * 31 + bitdepth)
+    w, h, _, _ = _txinfo(tx)
+    sw, sh = min(w, 32), min(h, 32)
+    lim = 1 << (bitdepth + 3)
+    for txtp in _legal_txtps(tx):
+        cf = rng.integers(-lim, lim, (9, sw * sh), dtype=np.int32)
+        want = itx_batch_np(cf, tx, txtp, bitdepth)
+        got = itx_batch_c(cf, tx, txtp, bitdepth)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"tx={tx} txtp={txtp} bd={bitdepth}")
+
+
+def test_native_itx_wht():
+    if itx_batch_c(np.zeros((1, 16), np.int32), 0, 0, 8) is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    cf = rng.integers(-4000, 4000, (7, 16), dtype=np.int32)
+    want = itx_batch_np(cf, 0, int(TxfmType.WHT_WHT), 8)
+    got = itx_batch_c(cf, 0, int(TxfmType.WHT_WHT), 8)
+    np.testing.assert_array_equal(got, want)
