@@ -518,6 +518,17 @@ def decode_frame(f: FrameContext, tile_groups, two_pass: bool = False) \
     device stages + sequential replay) — the reference's frame-threading
     architecture (src/internal.h:276-293), re-expressed for a host/TPU
     split."""
+    decode_frame_pass1(f, tile_groups, two_pass)
+    decode_frame_finish(f)
+
+
+def decode_frame_pass1(f: FrameContext, tile_groups,
+                       two_pass: bool = False) -> None:
+    """Everything whose outputs the NEXT frame's pass 1 needs: the symbol
+    decode (capture in two-pass mode, fused pixels otherwise), the CDF
+    refresh, segmap/refmvs state — plus the async device-residual launch
+    so the device computes while the host parses the next frame
+    (the reference's frame-threading overlap, src/lib.c:109-126)."""
     split_tiles(f, tile_groups)
     hdr = f.frame_hdr
     t = TaskContext(f)
@@ -560,11 +571,29 @@ def decode_frame(f: FrameContext, tile_groups, two_pass: bool = False) \
             if hdr.frame_type.is_inter_or_switch and f.rf is not None:
                 save_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
 
+    f._two_pass = two_pass
+    f._launched = None
     if two_pass:
         if nat is not None:
             f.tasks = nat.finish()
+        from ..pipeline import _launch_residuals
+        f._launched = _launch_residuals(f)
+
+    # CDF refresh is a pass-1 product (the next frame's in_cdf)
+    if hdr.refresh_context:
+        f.out_cdf.update(f.ts[hdr.tiling.update].cdf,
+                         frame_is_intra=f.frame_is_intra)
+
+
+def decode_frame_finish(f: FrameContext) -> None:
+    """Pass 2 (prediction replay + residuals) and the in-loop filter
+    chain; deferred behind pass 1 of subsequent frames when frames are
+    in flight (Settings.max_frame_delay)."""
+    hdr = f.frame_hdr
+    if f._two_pass:
         from ..pipeline import run_pass2
-        run_pass2(f)
+        run_pass2(f, launched=f._launched)
+        f._launched = None
 
     # full-frame filter chain: deblock -> cdef -> super-res -> restoration
     # (the reference pipelines these per sbrow; the full-frame formulation
@@ -598,10 +627,6 @@ def decode_frame(f: FrameContext, tile_groups, two_pass: bool = False) \
     if do_lr:
         from ..recon.lr_apply import lr_frame
         lr_frame(f)
-
-    if hdr.refresh_context:
-        f.out_cdf.update(f.ts[hdr.tiling.update].cdf,
-                         frame_is_intra=f.frame_is_intra)
 
 
 def _cdiv(a, b):

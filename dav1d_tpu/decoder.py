@@ -14,7 +14,8 @@ from typing import Optional
 import numpy as np
 
 from .cdf import CdfContext
-from .decode.frame import FrameContext, decode_frame
+from .decode.frame import (FrameContext, decode_frame, decode_frame_pass1,
+                           decode_frame_finish)
 from .getbits import GetBits
 from .headers import FrameType, ObuType, PixelLayout, PRIMARY_REF_NONE
 from . import obu as obu_mod
@@ -111,6 +112,11 @@ class Decoder:
         self.content_light = None
         self.mastering_display = None
         self.itut_t35: list = []
+        # frames submitted (pass 1 done, device residual batches in
+        # flight) but not yet finished (pass 2 + filters) — the frame
+        # pipeline (reference frame threading, src/lib.c:109-126 /
+        # src/thread_task.c); bounded by Settings.max_frame_delay
+        self._pending: list = []
 
     # -- input ---------------------------------------------------------------
 
@@ -145,7 +151,8 @@ class Decoder:
             if self.seq_hdr is None:
                 self.frame_hdr = None
             elif not seq.equal_binary_content(self.seq_hdr):
-                # new sequence: drop all state
+                # new sequence: finish in-flight frames, drop all state
+                self._drain_pending()
                 self.frame_hdr = None
                 self.refs = [_RefSlot() for _ in range(8)]
             self.seq_hdr = seq
@@ -312,26 +319,27 @@ class Decoder:
                          if hdr.frame_type.is_inter_or_switch else None)
         f.inloop_filters = self.settings.inloop_filters
         f.mesh = self.settings.mesh
-        decode_frame(f, self.tile_groups,
-                     two_pass=self.settings.two_pass
-                     or self.settings.mesh is not None)
+        two_pass = self.settings.two_pass or self.settings.mesh is not None
+        if not two_pass:
+            # fused reconstruction reads ref pixels during pass 1 —
+            # cannot overlap with unfinished frames
+            self._drain_pending()
+        decode_frame_pass1(f, self.tile_groups, two_pass=two_pass)
 
-        # output (reference src/decode.c:3544: invisible frames are
-        # output too when output_invisible_frames is set)
-        pic = self._make_picture(f)
-        self._attach_metadata(pic)
-        if hdr.show_frame or self.settings.output_invisible_frames:
-            pic.visible = bool(hdr.show_frame)
-            self.out_queue.append(pic)
-
-        # reference state update (reference src/decode.c:3669-3695)
+        # reference state update with the PASS-1 products (reference
+        # src/decode.c:3669-3695).  Fresh slot objects: earlier
+        # still-in-flight frames hold the old slot objects as their refs,
+        # so a refresh must not mutate them.  slot.planes stays None
+        # until this frame's pass 2 finishes — no later frame's pass 1
+        # reads pixels, and finishes run in submission order, so a
+        # dependent frame's pass 2 always sees filled ref planes.
         out_cdf = f.out_cdf if hdr.refresh_context else f.in_cdf
+        slots = []
         for i in range(8):
             if hdr.refresh_frame_flags & (1 << i):
-                slot = self.refs[i]
+                slot = _RefSlot()
                 slot.frame_hdr = hdr
                 slot.seq_hdr = seq
-                slot.planes = f.sr_planes
                 slot.segmap = f.cur_segmap
                 slot.cdf = out_cdf
                 slot.showable = bool(hdr.showable_frame)
@@ -339,8 +347,44 @@ class Decoder:
                 slot.refmvs = (f.rf.rp if f.rf is not None
                                and not hdr.allow_intrabc else None)
                 slot.refpoc = list(f.refpoc)
+                self.refs[i] = slot
+                slots.append(slot)
+
+        # picture metadata binds at submission time (T.35 applies to the
+        # next frame after the metadata OBU, reference src/obu.c:1500-1515)
+        meta = (self.content_light, self.mastering_display, self.itut_t35)
+        self.itut_t35 = []
+        self._pending.append((f, hdr, meta, slots))
+        delay = self.settings.max_frame_delay
+        if delay <= 0:
+            # auto: one frame in flight when the two-pass pipeline can
+            # overlap device residual batches with the next pass 1
+            delay = 2 if (self.settings.two_pass
+                          or self.settings.mesh is not None) else 1
+        while len(self._pending) > delay:
+            self._finish_one()
+
+    def _finish_one(self) -> None:
+        """Pass 2 + filter chain for the oldest in-flight frame; fills its
+        ref-slot planes and emits its output picture."""
+        f, hdr, meta, slots = self._pending.pop(0)
+        decode_frame_finish(f)
+        for slot in slots:
+            slot.planes = f.sr_planes
+        # output (reference src/decode.c:3544: invisible frames are
+        # output too when output_invisible_frames is set)
+        pic = self._make_picture(f)
+        pic.content_light, pic.mastering_display, pic.itut_t35 = meta
+        if hdr.show_frame or self.settings.output_invisible_frames:
+            pic.visible = bool(hdr.show_frame)
+            self.out_queue.append(pic)
+
+    def _drain_pending(self) -> None:
+        while self._pending:
+            self._finish_one()
 
     def _show_existing(self) -> None:
+        self._drain_pending()  # the shown slot's planes may be in flight
         hdr = self.frame_hdr
         slot = self.refs[hdr.existing_frame_idx]
         if slot.frame_hdr is None or slot.planes is None:
@@ -367,12 +411,6 @@ class Decoder:
                 if i == hdr.existing_frame_idx:
                     continue
                 self.refs[i] = slot
-
-    def _attach_metadata(self, pic: Picture) -> None:
-        pic.content_light = self.content_light
-        pic.mastering_display = self.mastering_display
-        pic.itut_t35 = self.itut_t35
-        self.itut_t35 = []
 
     def _make_picture(self, f: FrameContext) -> Picture:
         hdr = f.frame_hdr
@@ -405,11 +443,17 @@ class Decoder:
         return pic
 
     def get_picture(self) -> Optional[Picture]:
+        while not self.out_queue and self._pending:
+            self._finish_one()
         if self.out_queue:
             return self._maybe_apply_grain(self.out_queue.pop(0))
         return None
 
     def flush(self) -> None:
+        """Discard in-flight frames and queued output (reference
+        dav1d_flush, src/lib.c:610-664 — pending frames are dropped, the
+        caller restarts at a random access point)."""
+        self._pending.clear()
         self.out_queue.clear()
         self.frame_hdr = None
         self.tile_groups = []

@@ -137,12 +137,16 @@ def _apply_cached_residuals(f, rec, bitdepth) -> None:
         add_residual(f.planes[ent[3]], ent[5], ent[6], r, bitdepth)
 
 
-def run_pass2(f, device: bool = True) -> None:
+def run_pass2(f, launched=None, device: bool = True) -> None:
+    """launched: a residual-batch list already started by
+    decode_frame_pass1 (frame pipelining: the device computes frame N's
+    residuals while the host parses frame N+1); None launches here."""
     t = TaskContext(f)
     t.pass_ = 2
 
     if device:
-        launched = _launch_residuals(f)
+        if launched is None:
+            launched = _launch_residuals(f)
         # interintra blends an intra prediction (reads current-frame
         # neighbours) -> stays in the ordered sequential phase
         inter_recs = [r for r in f.tasks if r["kind"] == "inter"
