@@ -26,19 +26,27 @@ def _build() -> Path | None:
     out = Path("/tmp") / f"dav1d_tpu_native_{tag}.so"
     if out.exists():
         return out
-    try:
-        subprocess.run(
-            ["cc", "-O3", "-shared", "-fPIC", "-std=c11",
-             *map(str, _SRCS), "-o", str(out)],
-            check=True, capture_output=True)
-    except subprocess.CalledProcessError as e:  # loud: a silent fallback
-        import sys                              # masks a 4x perf loss
-        print("dav1d_tpu: native build FAILED, using Python fallback:\n"
-              + e.stderr.decode(errors="replace")[:2000], file=sys.stderr)
-        return None
-    except Exception:
-        return None
-    return out
+    # -march=native: the .so is built on import per host (hash-tagged),
+    # so host-specific codegen is always safe; retried without in case
+    # the local cc doesn't support it
+    for extra in (["-march=native"], []):
+        try:
+            subprocess.run(
+                ["cc", "-O3", *extra, "-shared", "-fPIC", "-std=c11",
+                 *map(str, _SRCS), "-o", str(out)],
+                check=True, capture_output=True)
+            return out
+        except subprocess.CalledProcessError as e:
+            if extra:
+                continue
+            import sys  # loud: a silent fallback masks a 4x perf loss
+            print("dav1d_tpu: native build FAILED, using Python fallback:\n"
+                  + e.stderr.decode(errors="replace")[:2000],
+                  file=sys.stderr)
+            return None
+        except Exception:
+            return None
+    return None
 
 
 class DtpuCoefCtx(ctypes.Structure):
@@ -268,6 +276,8 @@ def _load():
         ci, ci, ci, ci, ci, ci,  # shift, row_t, col_t, rect2, bd, wht
         ctypes.c_void_p]
     lib.dtpu_itx_batch.restype = None
+    lib.dtpu_itx_batch_ptrs.argtypes = lib.dtpu_itx_batch.argtypes
+    lib.dtpu_itx_batch_ptrs.restype = None
     return lib
 
 

@@ -691,58 +691,96 @@ void dtpu_cdef_filter_batch(const int32_t *canvas, int64_t stride,
                     o[y * w + x] = base[y * stride + x];
             continue;
         }
-        const int both = p && s;
         const int pri_shift_raw = p ? damping - ulog2i(p) : 0;
         const int pri_shift = pri_shift_raw < 0 ? 0 : pri_shift_raw;
         const int sec_shift = s ? damping - ulog2i(s) : 0;
         const int pri_tap0 = 4 - ((p >> bdmin8) & 1);
         const int pri_tap1 = (pri_tap0 & 3) | 2;
 
-        for (int y = 0; y < h; y++)
-            for (int x = 0; x < w; x++) {
-                const int32_t *px_at = base + y * stride + x;
-                const int px = px_at[0];
-                int sum = 0, mn = px, mx = px;
-                for (int k = 0; k < 2; k++) {
-                    if (p) {
-                        const int dy = cdef_dirs[2 + dir][k][0];
-                        const int dx = cdef_dirs[2 + dir][k][1];
-                        const int p0 = px_at[dy * stride + dx];
-                        const int p1 = px_at[-dy * stride - dx];
+        /* per-unit tap offsets: the direction is constant over the
+         * unit, so the 4 primary / 8 secondary neighbour offsets are
+         * hoisted out of the pixel loop (same hoist the reference asm
+         * does by specializing per direction) */
+        int64_t poff[4], soff[8];
+        for (int k = 0; k < 2; k++) {
+            poff[k * 2] = cdef_dirs[2 + dir][k][0] * stride +
+                          cdef_dirs[2 + dir][k][1];
+            poff[k * 2 + 1] = -poff[k * 2];
+            soff[k * 4] = cdef_dirs[4 + dir][k][0] * stride +
+                          cdef_dirs[4 + dir][k][1];
+            soff[k * 4 + 1] = -soff[k * 4];
+            soff[k * 4 + 2] = cdef_dirs[dir][k][0] * stride +
+                              cdef_dirs[dir][k][1];
+            soff[k * 4 + 3] = -soff[k * 4 + 2];
+        }
+
+        if (p && s) {
+            for (int y = 0; y < h; y++) {
+                const int32_t *row = base + y * stride;
+                int32_t *orow = o + y * w;
+                for (int x = 0; x < w; x++) {
+                    const int32_t *px_at = row + x;
+                    const int px = px_at[0];
+                    int sum = 0, mn = px, mx = px;
+                    for (int k = 0; k < 2; k++) {
+                        const int p0 = px_at[poff[k * 2]];
+                        const int p1 = px_at[poff[k * 2 + 1]];
                         const int ptk = k ? pri_tap1 : pri_tap0;
                         sum += ptk * (constrain(p0 - px, p, pri_shift) +
                                       constrain(p1 - px, p, pri_shift));
-                        if (both) {
-                            if (p0 != CDEF_SENTINEL && p0 < mn) mn = p0;
-                            if (p1 != CDEF_SENTINEL && p1 < mn) mn = p1;
-                            if (p0 > mx) mx = p0;
-                            if (p1 > mx) mx = p1;
+                        if (p0 != CDEF_SENTINEL && p0 < mn) mn = p0;
+                        if (p1 != CDEF_SENTINEL && p1 < mn) mn = p1;
+                        if (p0 > mx) mx = p0;
+                        if (p1 > mx) mx = p1;
+                        const int sec_tap = 2 - k;
+                        for (int j = 0; j < 4; j++) {
+                            const int v = px_at[soff[k * 4 + j]];
+                            sum += sec_tap * constrain(v - px, s, sec_shift);
+                            if (v != CDEF_SENTINEL && v < mn) mn = v;
+                            if (v > mx) mx = v;
                         }
                     }
-                    if (s) {
-                        const int sec_tap = 2 - k;
-                        for (int off = 4; off >= 0; off -= 4)
-                            for (int sgn = 1; sgn >= -1; sgn -= 2) {
-                                const int dy =
-                                    sgn * cdef_dirs[off + dir][k][0];
-                                const int dx =
-                                    sgn * cdef_dirs[off + dir][k][1];
-                                const int v = px_at[dy * stride + dx];
-                                sum += sec_tap *
-                                       constrain(v - px, s, sec_shift);
-                                if (both) {
-                                    if (v != CDEF_SENTINEL && v < mn) mn = v;
-                                    if (v > mx) mx = v;
-                                }
-                            }
-                    }
-                }
-                int res = px + ((sum - (sum < 0) + 8) >> 4);
-                if (both) {
+                    int res = px + ((sum - (sum < 0) + 8) >> 4);
                     if (res < mn) res = mn;
                     if (res > mx) res = mx;
+                    orow[x] = res;
                 }
-                o[y * w + x] = res;
             }
+        } else if (p) {
+            for (int y = 0; y < h; y++) {
+                const int32_t *row = base + y * stride;
+                int32_t *orow = o + y * w;
+                for (int x = 0; x < w; x++) {
+                    const int32_t *px_at = row + x;
+                    const int px = px_at[0];
+                    int sum =
+                        pri_tap0 *
+                            (constrain(px_at[poff[0]] - px, p, pri_shift) +
+                             constrain(px_at[poff[1]] - px, p, pri_shift)) +
+                        pri_tap1 *
+                            (constrain(px_at[poff[2]] - px, p, pri_shift) +
+                             constrain(px_at[poff[3]] - px, p, pri_shift));
+                    orow[x] = px + ((sum - (sum < 0) + 8) >> 4);
+                }
+            }
+        } else {
+            for (int y = 0; y < h; y++) {
+                const int32_t *row = base + y * stride;
+                int32_t *orow = o + y * w;
+                for (int x = 0; x < w; x++) {
+                    const int32_t *px_at = row + x;
+                    const int px = px_at[0];
+                    int sum = 0;
+                    for (int k = 0; k < 2; k++) {
+                        const int sec_tap = 2 - k;
+                        for (int j = 0; j < 4; j++)
+                            sum += sec_tap *
+                                   constrain(px_at[soff[k * 4 + j]] - px,
+                                             s, sec_shift);
+                    }
+                    orow[x] = px + ((sum - (sum < 0) + 8) >> 4);
+                }
+            }
+        }
     }
 }

@@ -5,6 +5,7 @@
  * tools/gen_itx_c.py).  Bit-exact with recon/itx.py itx_batch_np
  * (tests/test_native_itx.py). */
 
+#include <stdlib.h>
 #include <string.h>
 
 #include "dtpu.h"
@@ -20,18 +21,21 @@ static inline int ulg2(int v)
     return n;
 }
 
-/* cf: (nb, sw*sh) int32 column-major coefficient blocks; out: (nb, h, w)
- * int32 residuals ((x + 8) >> 4 scaled). */
-void dtpu_itx_batch(const int32_t *cf, int64_t nb, int w, int h,
-                    int shift, int row_t, int col_t, int is_rect2,
-                    int bitdepth, int is_wht, int32_t *out)
+/* cfp: per-block coefficient pointers ((sw*sh) int32 column-major each);
+ * out: (nb, h, w) int32 residuals ((x + 8) >> 4 scaled).  The pointer
+ * form lets the caller feed blocks straight out of the pass-1 capture
+ * arena with no per-frame stacking copy. */
+void dtpu_itx_batch_ptrs(const int32_t *const *cfp, int64_t nb, int w,
+                         int h, int shift, int row_t, int col_t,
+                         int is_rect2, int bitdepth, int is_wht,
+                         int32_t *out)
 {
     const int sw = w < 32 ? w : 32, sh = h < 32 ? h : 32;
-    const int64_t ncoef = (int64_t)sw * sh;
     const int64_t nout = (int64_t)w * h;
 
     if (is_wht) {
-        for (int64_t b = 0; b < nb; b++, cf += ncoef, out += nout) {
+        for (int64_t b = 0; b < nb; b++, out += nout) {
+            const int32_t *const cf = cfp[b];
             int64_t m[16];
             for (int x = 0; x < 4; x++)
                 for (int y = 0; y < 4; y++)
@@ -57,7 +61,8 @@ void dtpu_itx_batch(const int32_t *cf, int64_t nb, int w, int h,
     const itx1d_fn colfn = itx1d_table[ulg2(h >> 2)][col_t];
 
     static _Thread_local int64_t m[64 * 64];
-    for (int64_t b = 0; b < nb; b++, cf += ncoef, out += nout) {
+    for (int64_t b = 0; b < nb; b++, out += nout) {
+        const int32_t *const cf = cfp[b];
         memset(m, 0, sizeof(int64_t) * w * h);
         for (int x = 0; x < sw; x++)
             for (int y = 0; y < sh; y++) {
@@ -79,4 +84,21 @@ void dtpu_itx_batch(const int32_t *cf, int64_t nb, int w, int h,
             for (int x = 0; x < w; x++)
                 out[y * w + x] = (int32_t)((m[x * h + y] + 8) >> 4);
     }
+}
+
+/* contiguous form: cf is (nb, sw*sh) int32 */
+void dtpu_itx_batch(const int32_t *cf, int64_t nb, int w, int h,
+                    int shift, int row_t, int col_t, int is_rect2,
+                    int bitdepth, int is_wht, int32_t *out)
+{
+    const int sw = w < 32 ? w : 32, sh = h < 32 ? h : 32;
+    const int64_t ncoef = (int64_t)sw * sh;
+    const int32_t **cfp = malloc((size_t)nb * sizeof(*cfp));
+    if (!cfp)
+        return;
+    for (int64_t b = 0; b < nb; b++)
+        cfp[b] = cf + b * ncoef;
+    dtpu_itx_batch_ptrs(cfp, nb, w, h, shift, row_t, col_t, is_rect2,
+                        bitdepth, is_wht, out);
+    free(cfp);
 }

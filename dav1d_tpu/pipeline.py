@@ -108,11 +108,12 @@ def _launch_residuals(f):
             launched.append((fut, items))
             continue
         else:
-            from .ops.itx import itx_batch_c
+            from .ops.itx import itx_batch_c_list
 
-            cfs = np.stack([it[0] for it in items]).astype(np.int32)
-            resid = itx_batch_c(cfs, tx, txtp, f.bitdepth)
+            resid = itx_batch_c_list([it[0] for it in items], tx, txtp,
+                                     f.bitdepth)
             if resid is None:
+                cfs = np.stack([it[0] for it in items]).astype(np.int32)
                 resid = itx_batch_np(cfs, tx, txtp, f.bitdepth)
         for j, (_, rec, i) in enumerate(items):
             rec["resid"][i] = resid[j]

@@ -46,3 +46,29 @@ def test_native_itx_wht():
     want = itx_batch_np(cf, 0, int(TxfmType.WHT_WHT), 8)
     got = itx_batch_c(cf, 0, int(TxfmType.WHT_WHT), 8)
     np.testing.assert_array_equal(got, want)
+
+
+def test_itx_batch_ptrs_parity():
+    """Pointer-array form (blocks fed straight from the capture arena)
+    matches the contiguous native batch on every legal (tx, txtp)."""
+    import numpy as np
+    from dav1d_tpu.ops.itx import itx_batch_c, itx_batch_c_list, _txinfo
+    from dav1d_tpu.recon.itx import TX1D_TYPES, _1D_FNS
+    from dav1d_tpu.levels import TxfmType
+
+    rng = np.random.default_rng(0)
+    for tx in range(19):
+        w, h, lw, lh = _txinfo(tx)
+        sw, sh = min(w, 32), min(h, 32)
+        for txtp, (rt, ct) in TX1D_TYPES.items():
+            if (lw, rt) not in _1D_FNS or (lh, ct) not in _1D_FNS:
+                continue
+            for bd in (8, 10):
+                cfs = rng.integers(-(1 << 12), 1 << 12,
+                                   size=(7, sw * sh)).astype(np.int32)
+                a = itx_batch_c(cfs, tx, txtp, bd)
+                b = itx_batch_c_list(list(cfs), tx, txtp, bd)
+                assert np.array_equal(a, b), (tx, txtp, bd)
+    cfs = rng.integers(-(1 << 10), 1 << 10, size=(5, 16)).astype(np.int32)
+    assert np.array_equal(itx_batch_c(cfs, 0, TxfmType.WHT_WHT, 8),
+                          itx_batch_c_list(list(cfs), 0, TxfmType.WHT_WHT, 8))
