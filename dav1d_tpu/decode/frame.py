@@ -573,6 +573,7 @@ def decode_frame_pass1(f: FrameContext, tile_groups,
 
     f._two_pass = two_pass
     f._launched = None
+    f._nat = nat  # capture arenas stay live for the native pass-2 replay
     if two_pass:
         if nat is not None:
             f.tasks = nat.finish()

@@ -16,7 +16,8 @@ from pathlib import Path
 
 _HERE = Path(__file__).parent
 _SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c", _HERE / "lf.c",
-         _HERE / "refmvs.c", _HERE / "decode.c", _HERE / "itx.c"]
+         _HERE / "refmvs.c", _HERE / "decode.c", _HERE / "itx.c",
+         _HERE / "replay.c"]
 _HDRS = [_HERE / "dtpu.h", _HERE / "itx1d_gen.h"]
 
 
@@ -278,6 +279,11 @@ def _load():
     lib.dtpu_itx_batch.restype = None
     lib.dtpu_itx_batch_ptrs.argtypes = lib.dtpu_itx_batch.argtypes
     lib.dtpu_itx_batch_ptrs.restype = None
+
+    # pass-2 intra replay (replay.c); ctx struct lives in decode_glue
+    lib.dtpu_intra_replay.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+    lib.dtpu_intra_replay.restype = ctypes.c_int64
     return lib
 
 

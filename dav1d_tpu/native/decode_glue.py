@@ -268,6 +268,22 @@ def _flatten_edge_tree(sb128: bool) -> np.ndarray:
 # ---- frame/tile/task builders ---------------------------------------------
 
 
+class CReplayCtx(ctypes.Structure):
+    """Mirror of native/dtpu.h DtpuReplayCtx (field order must match)."""
+    _fields_ = [
+        ("planes", _ptr * 3), ("stride", _i64 * 3),
+        ("bw", _i32), ("bh", _i32),
+        ("ss_hor", _i32), ("ss_ver", _i32), ("layout", _i32),
+        ("bitdepth", _i32), ("intra_edge_filter", _i32),
+        ("resid_elsz", _i32),
+        ("cap_blocks", _ptr), ("coef_meta", _ptr), ("resid_ptrs", _ptr),
+        ("cap_pal", _ptr), ("pal_arena", _ptr),
+        ("tile_of_block", _ptr), ("tile_bounds", _ptr),
+        ("block_dim", _ptr), ("txfm_info", _ptr),
+        ("sm_weights", _ptr), ("dr_deriv", _ptr), ("filter_taps", _ptr),
+    ]
+
+
 def _np_ptr(a):
     return a.ctypes.data if a is not None else None
 
@@ -639,6 +655,61 @@ class NativeFrameDecode:
 
         self.block_tile.append((int(self.c.n_blocks), ts))
 
+    def build_replay_ctx(self, resid_ptrs, resid_elsz):
+        """DtpuReplayCtx for the native pass-2 intra replay (replay.c):
+        plane pointers + the still-live capture arenas + per-meta-row
+        residual pointers from the batched itx stage."""
+        f = self.f
+        rc = CReplayCtx()
+        for pl, p in enumerate(f.planes):
+            rc.planes[pl] = p.ctypes.data
+            rc.stride[pl] = p.shape[1]
+        rc.bw, rc.bh = f.bw, f.bh
+        rc.ss_hor, rc.ss_ver = f.ss_hor, f.ss_ver
+        rc.layout = int(f.layout)
+        rc.bitdepth = f.bitdepth
+        rc.intra_edge_filter = int(f.seq_hdr.intra_edge_filter)
+        rc.resid_elsz = resid_elsz
+        rc.cap_blocks = _np_ptr(self.cap_blocks)
+        rc.coef_meta = _np_ptr(self.cap_coef_meta)
+        rc.resid_ptrs = _np_ptr(resid_ptrs)
+        rc.cap_pal = _np_ptr(self.cap_pal)
+        rc.pal_arena = _np_ptr(self.pal_arena)
+
+        # per-block tile index + tile bounds (block_tile holds the block
+        # count AFTER each sbrow call and its TileState)
+        n = int(self.c.n_blocks)
+        tile_of_block = np.empty(n, dtype=np.int32)
+        ts_idx = {}
+        bounds = []
+        prev = 0
+        for end, ts in self.block_tile:
+            ti = ts_idx.get(id(ts))
+            if ti is None:
+                ti = ts_idx[id(ts)] = len(bounds)
+                bounds.append([ts.col_start, ts.col_end,
+                               ts.row_start, ts.row_end])
+            tile_of_block[prev:end] = ti
+            prev = end
+        tile_bounds = np.ascontiguousarray(bounds, dtype=np.int32) \
+            if bounds else np.zeros((1, 4), dtype=np.int32)
+        rc.tile_of_block = _np_ptr(tile_of_block)
+        rc.tile_bounds = _np_ptr(tile_bounds)
+
+        rc.block_dim = tables.block_dimensions.ctypes.data
+        ti_tbl = tables.txfm_info()
+        rc.txfm_info = ti_tbl.ctypes.data
+        smw = np.ascontiguousarray(tables.sm_weights, dtype=np.uint8)
+        drd = np.ascontiguousarray(tables.dr_intra_derivative,
+                                   dtype=np.uint16)
+        fit = np.ascontiguousarray(tables.filter_intra_taps, dtype=np.int8)
+        rc.sm_weights = _np_ptr(smw)
+        rc.dr_deriv = _np_ptr(drd)
+        rc.filter_taps = _np_ptr(fit)
+        self._replay_keep = (resid_ptrs, tile_of_block, tile_bounds,
+                             tables.block_dimensions, ti_tbl, smw, drd, fit)
+        return rc
+
     def finish(self):
         """Convert the capture arenas into FrameContext.tasks replay
         records + the lr_units dict (bit-identical to the Python pass-1
@@ -717,7 +788,8 @@ class NativeFrameDecode:
                     arr = cf[cf_off: cf_off + nc]
                 coefs.append((eob, txtp, arr, pl, mtx, dst_y, dst_x))
 
-            rec = dict(ts=ts, bx=bx, by=by, bs=bs, b=b, coefs=coefs)
+            rec = dict(ts=ts, bx=bx, by=by, bs=bs, b=b, coefs=coefs,
+                       _cap=(i, coef_start))
             if kind == 0:
                 rec["kind"] = "intra"
                 rec["edge_flags"] = edge_flags

@@ -468,4 +468,42 @@ int dtpu_decode_tile_sbrow(DtpuFrameCtx *f, DtpuTileCtx *ts, DtpuTaskCtx *t);
  * DtpuFrameCtx, DtpuTileCtx, DtpuTaskCtx) for the Python mirrors. */
 void dtpu_abi_sizes(int64_t *sizes);
 
+/* ---- pass-2 intra replay (replay.c) ---------------------------------------- */
+
+/* cross-file kernels used by the replay driver */
+void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
+                int height, int angle_in, int max_w, int max_h,
+                int bitdepth, const uint8_t *sm_weights,
+                const uint16_t *dr_deriv, const int8_t *filter_taps,
+                int32_t *out, int64_t ostride);
+void dtpu_add_residual(int32_t *plane, int64_t stride, int dy, int dx,
+                       const int32_t *r, int h, int w, int maxp);
+void dtpu_add_residual16(int32_t *plane, int64_t stride, int dy, int dx,
+                         const int16_t *r, int h, int w, int maxp);
+
+/* Replay context — mirrored by decode_glue.py CReplayCtx. */
+typedef struct {
+    int32_t *planes[3];
+    int64_t stride[3];
+    int32_t bw, bh; /* frame size in 4x4 blocks */
+    int32_t ss_hor, ss_ver, layout, bitdepth;
+    int32_t intra_edge_filter;
+    int32_t resid_elsz; /* 2 (device int16) or 4 */
+    const CapBlock *cap_blocks;
+    const int32_t *coef_meta;      /* rows of CAP_COEF_WORDS */
+    const uint64_t *resid_ptrs;    /* per meta row; 0 = none */
+    const uint16_t *cap_pal;       /* (n, 3, 8) */
+    const uint8_t *pal_arena;
+    const int32_t *tile_of_block;  /* per capture block */
+    const int32_t *tile_bounds;    /* (n_tiles, 4): col_s, col_e, row_s, row_e */
+    const uint8_t *block_dim;      /* (22, 4) */
+    const uint8_t *txfm_info;      /* (19, 8) */
+    const uint8_t *sm_weights;
+    const uint16_t *dr_deriv;
+    const int8_t *filter_taps;
+} DtpuReplayCtx;
+
+int64_t dtpu_intra_replay(const DtpuReplayCtx *rc, int64_t start,
+                          int64_t end);
+
 #endif /* DTPU_H */

@@ -127,6 +127,67 @@ def _collect_residuals(launched) -> None:
             rec["resid"][i] = resid[j]
 
 
+def _native_phase_b(f, t, ordered) -> bool:
+    """Ordered replay through the native driver (native/replay.c): the C
+    walk predicts + adds residuals for intra blocks straight off the
+    capture arenas, returning to Python only for blocks it does not
+    handle (intrabc, interintra).  Returns False when unavailable (pure
+    Python capture, pallas residuals, non-native build) — caller runs
+    the Python replay instead."""
+    import ctypes
+
+    from .native import lib as _nlib
+    glue = getattr(f, "_nat", None)
+    if _nlib is None or glue is None or not ordered:
+        return False
+
+    # uniform residual element size (int16 device transfers vs int32)
+    elsz = 0
+    for rec in ordered:
+        if rec["kind"] != "intra":
+            continue
+        for r in rec.get("resid") or ():
+            if r is None:
+                continue
+            if not isinstance(r, np.ndarray) or \
+                    not r.flags["C_CONTIGUOUS"] or \
+                    r.dtype not in (np.int16, np.int32):
+                return False
+            if elsz == 0:
+                elsz = r.dtype.itemsize
+            elif elsz != r.dtype.itemsize:
+                return False
+    if elsz == 0:
+        elsz = 4
+
+    ptrs = np.zeros(int(glue.c.n_coef_meta), dtype=np.uint64)
+    for rec in ordered:
+        if rec["kind"] != "intra":
+            continue
+        start = rec["_cap"][1]
+        for k, r in enumerate(rec.get("resid") or ()):
+            if r is not None:
+                ptrs[start + k] = r.ctypes.data
+
+    rc = glue.build_replay_ctx(ptrs, elsz)
+    n = int(glue.c.n_blocks)
+    cursor = 0
+    idx = 0
+    while cursor < n:
+        k = int(_nlib.dtpu_intra_replay(ctypes.byref(rc), cursor, n))
+        cursor += k
+        while idx < len(ordered) and ordered[idx]["_cap"][0] < cursor:
+            idx += 1
+        if cursor < n:
+            # intrabc / interintra (or a consistency stop): Python replay
+            rec = ordered[idx]
+            assert rec["_cap"][0] == cursor
+            _replay_one(t, rec)
+            idx += 1
+            cursor += 1
+    return True
+
+
 def _apply_cached_residuals(f, rec, bitdepth) -> None:
     """Clipped add of a record's cached residuals at their capture
     positions (the deferred half of recon's itx_add_cached)."""
@@ -171,10 +232,15 @@ def run_pass2(f, launched=None, device: bool = True) -> None:
         # phase B: ordered replay of intra/intrabc/interintra blocks
         # (their prediction reads reconstructed neighbours, now final)
         done = set(map(id, inter_recs))
-        for rec in f.tasks:
-            if id(rec) not in done:
+        ordered = [rec for rec in f.tasks if id(rec) not in done]
+        if not _native_phase_b(f, t, ordered):
+            for rec in ordered:
                 _replay_one(t, rec)
     else:
         _collect_residuals(launched)
-        for rec in f.tasks:
-            _replay_one(t, rec)
+        # with device=True an empty inter_recs means no plain inter
+        # blocks exist, so the native driver (which skips them as
+        # phase-A work) covers the whole ordered walk
+        if not (device and _native_phase_b(f, t, f.tasks)):
+            for rec in f.tasks:
+                _replay_one(t, rec)

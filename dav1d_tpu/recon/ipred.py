@@ -164,24 +164,19 @@ def dc_gen_left(edge, ofs, height):
         (height.bit_length() - 1)
 
 
-def dc_gen(edge, ofs, width, height):
+def dc_gen(edge, ofs, width, height, bitdepth=8):
     dc = (width + height) >> 1
     dc += int(edge[ofs + 1 : ofs + 1 + width].sum())
     dc += int(edge[ofs - height : ofs].sum())
     dc >>= ((width + height) & -(width + height)).bit_length() - 1  # ctz
     if width != height:
         # reference ipred_tmpl.c:142-155 (bitdepth-specific multipliers)
-        mul = None
         if width > height * 2 or height > width * 2:
-            mul = 0x3334, 0x6667
+            m8, m16 = 0x3334, 0x6667
         else:
-            mul = 0x5556, 0xAAAB
-        m8, m16 = mul
-        return (dc * m8) >> 16 if _BD8 else (dc * m16) >> 17
+            m8, m16 = 0x5556, 0xAAAB
+        return (dc * m8) >> 16 if bitdepth == 8 else (dc * m16) >> 17
     return dc
-
-
-_BD8 = True  # toggled per call via dc-mode wrapper
 
 
 _IPRED_TABLES = None
@@ -225,15 +220,14 @@ def ipred(mode, edge, ofs, width, height, angle, max_w, max_h, bitdepth,
 
 def ipred_np(mode, edge, ofs, width, height, angle, max_w, max_h, bitdepth):
     """Golden numpy model (see ipred for the native dispatch)."""
-    global _BD8
-    _BD8 = bitdepth == 8
     half = (1 << bitdepth) >> 1
     maxp = (1 << bitdepth) - 1
     top = edge[ofs + 1 : ofs + 1 + width].astype(np.int64)
     left_col = edge[ofs - height : ofs][::-1].astype(np.int64)  # left[i]
 
     if mode == M.DC_PRED:
-        return splat(dc_gen(edge, ofs, width, height), width, height)
+        return splat(dc_gen(edge, ofs, width, height, bitdepth),
+                     width, height)
     if mode == M.TOP_DC_PRED:
         return splat(dc_gen_top(edge, ofs, width), width, height)
     if mode == M.LEFT_DC_PRED:
@@ -589,7 +583,7 @@ def cfl_pred(mode, edge, ofs, width, height, ac, alpha, bitdepth):
     half = (1 << bitdepth) >> 1
     maxp = (1 << bitdepth) - 1
     if mode == M.DC_PRED:
-        dc = dc_gen(edge, ofs, width, height)
+        dc = dc_gen(edge, ofs, width, height, bitdepth)
     elif mode == M.TOP_DC_PRED:
         dc = dc_gen_top(edge, ofs, width)
     elif mode == M.LEFT_DC_PRED:
