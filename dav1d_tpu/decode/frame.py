@@ -575,10 +575,17 @@ def decode_frame_pass1(f: FrameContext, tile_groups,
     f._launched = None
     f._nat = nat  # capture arenas stay live for the native pass-2 replay
     if two_pass:
-        if nat is not None:
-            f.tasks = nat.finish()
-        from ..pipeline import _launch_residuals
-        f._launched = _launch_residuals(f)
+        if nat is not None and os.environ.get("DAV1D_TPU_ITX_PALLAS") != "1":
+            # record-free pass 2: the replay drivers walk the capture
+            # arenas directly (pipeline._run_pass2_native)
+            nat.finish_lr_units()
+            from ..pipeline import _launch_residuals_native
+            f._launched = _launch_residuals_native(f)
+        else:
+            if nat is not None:
+                f.tasks = nat.finish()
+            from ..pipeline import _launch_residuals
+            f._launched = _launch_residuals(f)
 
     # CDF refresh is a pass-1 product (the next frame's in_cdf)
     if hdr.refresh_context:

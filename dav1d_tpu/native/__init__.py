@@ -17,7 +17,7 @@ from pathlib import Path
 _HERE = Path(__file__).parent
 _SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c", _HERE / "lf.c",
          _HERE / "refmvs.c", _HERE / "decode.c", _HERE / "itx.c",
-         _HERE / "replay.c"]
+         _HERE / "replay.c", _HERE / "replay_inter.c"]
 _HDRS = [_HERE / "dtpu.h", _HERE / "itx1d_gen.h"]
 
 
@@ -185,6 +185,20 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p]
     lib.dtpu_cdef_find_dir_batch.restype = None
+    lib.dtpu_cdef_find_dir_pos.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,              # plane, stride
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # ys, xs, n
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]  # bd, dirs, vars
+    lib.dtpu_cdef_find_dir_pos.restype = None
+    lib.dtpu_cdef_filter_plane.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,              # plane, stride
+        ctypes.c_int, ctypes.c_int,                   # pw, ph
+        ctypes.c_void_p,                              # canvas scratch
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # ys, xs, n
+        ctypes.c_int, ctypes.c_int,                   # w, h
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pri, sec, dirs
+        ctypes.c_int, ctypes.c_int]                   # damping, bd
+    lib.dtpu_cdef_filter_plane.restype = None
     ci = ctypes.c_int
     lib.dtpu_put_8tap.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ci, ci, ci, ci, ci, ci,
@@ -284,6 +298,16 @@ def _load():
     lib.dtpu_intra_replay.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
     lib.dtpu_intra_replay.restype = ctypes.c_int64
+    # pass-2 inter replay (replay_inter.c)
+    lib.dtpu_inter_replay.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,             # rc, ic
+        ctypes.c_int64, ctypes.c_int64,               # start, end
+        ctypes.c_int, ctypes.c_void_p]                # add_resid, skipped
+    lib.dtpu_inter_replay.restype = ctypes.c_int64
+    lib.dtpu_add_inter_residuals.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64]
+    lib.dtpu_add_inter_residuals.restype = None
     return lib
 
 

@@ -284,6 +284,40 @@ class CReplayCtx(ctypes.Structure):
     ]
 
 
+class CInterCtx(ctypes.Structure):
+    """Mirror of native/dtpu.h DtpuInterCtx (field order must match)."""
+    _fields_ = [
+        ("ref_planes", (_ptr * 3) * 7), ("ref_stride", (_i64 * 3) * 7),
+        ("ref_w", _i32 * 7), ("ref_h", _i32 * 7), ("ref_ok", _i32 * 7),
+        ("gmv_type", _i32 * 7), ("gmv_matrix", (_i32 * 6) * 7),
+        ("gmv_abcd", (_i32 * 4) * 7), ("gmv_warp_allowed", _i32 * 7),
+        ("jnt_weights", (_i32 * 7) * 7),
+        ("rb", _ptr), ("rb_stride", _i64),
+        ("cap_obmc", _ptr), ("cap_warp", _ptr),
+        ("subpel_filters", _ptr), ("obmc_masks", _ptr),
+        ("masks_blob", _ptr), ("mask_offsets", _ptr),
+        ("warp_filter", _ptr),
+    ]
+
+
+_INTER_TABLES = None
+
+
+def _inter_tables():
+    """Contiguous typed copies of the MC/compound tables the native inter
+    replay reads (cached for the process)."""
+    global _INTER_TABLES
+    if _INTER_TABLES is None:
+        _INTER_TABLES = (
+            np.ascontiguousarray(tables.mc_subpel_filters, dtype=np.int8),
+            np.ascontiguousarray(tables.obmc_masks, dtype=np.uint8),
+            np.ascontiguousarray(tables._get("masks.blob"), dtype=np.uint8),
+            np.ascontiguousarray(tables.mask_offsets(), dtype=np.uint16),
+            np.ascontiguousarray(tables.mc_warp_filter, dtype=np.int64),
+        )
+    return _INTER_TABLES
+
+
 def _np_ptr(a):
     return a.ctypes.data if a is not None else None
 
@@ -710,6 +744,200 @@ class NativeFrameDecode:
                              tables.block_dimensions, ti_tbl, smw, drd, fit)
         return rc
 
+    def build_inter_ctx(self):
+        """DtpuInterCtx for the native phase-A inter replay
+        (replay_inter.c): reference-frame planes + gmv/jnt tables + the
+        refmvs grid for sub8x8 neighbour lookups."""
+        f = self.f
+        hdr = f.frame_hdr
+        ic = CInterCtx()
+        keep = []
+        for i in range(7):
+            slot = f.refp[i] if f.refp is not None else None
+            ok = 0
+            if slot is not None and slot.planes is not None \
+                    and slot.frame_hdr is not None:
+                rw = slot.frame_hdr.width[1]
+                rh = slot.frame_hdr.height
+                ic.ref_w[i], ic.ref_h[i] = rw, rh
+                good = True
+                for pl, p in enumerate(slot.planes[:3]):
+                    if p is None or p.dtype != np.int32 \
+                            or not p.flags.c_contiguous:
+                        good = False
+                        break
+                    ic.ref_planes[i][pl] = p.ctypes.data
+                    ic.ref_stride[i][pl] = p.shape[1]
+                    keep.append(p)
+                ok = int(good and rw == hdr.width[0] and rh == hdr.height)
+            ic.ref_ok[i] = ok
+            g = hdr.gmv[i] if hdr.gmv is not None else None
+            if g is not None:
+                ic.gmv_type[i] = int(g.type)
+                for k in range(6):
+                    ic.gmv_matrix[i][k] = int(g.matrix[k])
+                for k in range(4):
+                    ic.gmv_abcd[i][k] = int(g.abcd[k])
+            ic.gmv_warp_allowed[i] = int(f.gmv_warp_allowed[i])
+        if f.jnt_weights is not None:
+            for i in range(7):
+                for j in range(7):
+                    ic.jnt_weights[i][j] = int(f.jnt_weights[i][j])
+        if f.rf is not None:  # None on intra frames (no inter blocks)
+            r = f.rf.r
+            ic.rb = r.ctypes.data
+            ic.rb_stride = r.shape[1]
+            keep.append(r)
+        ic.cap_obmc = _np_ptr(self.cap_obmc)
+        ic.cap_warp = _np_ptr(self.cap_warp)
+        tbls = _inter_tables()
+        (ic.subpel_filters, ic.obmc_masks, ic.masks_blob,
+         ic.mask_offsets, ic.warp_filter) = (t.ctypes.data for t in tbls)
+        self._inter_keep = (keep, tbls)
+        return ic
+
+    def ts_of_block(self, i):
+        """TileState owning capture block i (block_tile holds the block
+        count AFTER each sbrow call and its TileState)."""
+        for end, ts in self.block_tile:
+            if i < end:
+                return ts
+        raise IndexError(i)
+
+    def meta_rows(self):
+        """The raw coefficient-meta arena as an (n, 6) int32 view."""
+        return self.cap_coef_meta[: int(self.c.n_coef_meta)]
+
+    def build_record(self, i, resid_of_meta=None):
+        """One FrameContext.tasks-style replay record for capture block
+        i (the Python-fallback path of the native phase-A/B replay:
+        scaled references, intrabc, interintra).  resid_of_meta maps a
+        meta-row index to its precomputed residual (pipeline batch)."""
+        from ..decode.tile import Av1Block
+        from ..headers import WarpedMotionParams
+
+        f = self.f
+        row = self.cap_blocks[i]
+        bdim = tables.block_dimensions
+        cf = self.cf_arena
+        kind = int(row["kind"])
+
+        b = Av1Block()
+        b.bl, b.bs, b.bp = int(row["bl"]), int(row["bs"]), int(row["bp"])
+        b.intra = int(kind == 0)
+        b.seg_id = int(row["seg_id"])
+        b.skip_mode = int(row["skip_mode"])
+        b.skip = int(row["skip"])
+        b.uvtx = int(row["uvtx"])
+        b.y_mode = int(row["y_mode"])
+        b.uv_mode = int(row["uv_mode"])
+        b.tx = int(row["tx"])
+        b.pal_sz = [int(row["pal_sz"][0]), int(row["pal_sz"][1])]
+        b.y_angle = int(row["y_angle"])
+        b.uv_angle = int(row["uv_angle"])
+        b.cfl_alpha = [int(row["cfl_alpha"][0]), int(row["cfl_alpha"][1])]
+        mv = row["mv"]
+        b.mv = [(int(mv[0][0]), int(mv[0][1])),
+                (int(mv[1][0]), int(mv[1][1]))]
+        b.wedge_idx = int(row["wedge_idx"])
+        b.mask_sign = int(row["mask_sign"])
+        b.interintra_mode = int(row["interintra_mode"])
+        b.comp_type = int(row["comp_type"])
+        b.inter_mode = int(row["inter_mode"])
+        b.motion_mode = int(row["motion_mode"])
+        b.drl_idx = int(row["drl_idx"])
+        b.ref = [-1, -1]
+        b.max_ytx = int(row["max_ytx"])
+        b.filter2d = int(row["filter2d"])
+        b.interintra_type = int(row["interintra_type"])
+        b.tx_split0 = int(row["tx_split0"])
+        b.tx_split1 = int(row["tx_split1"])
+
+        coef_start = int(row["coef_start"])
+        coef_count = int(row["coef_count"])
+        coefs = []
+        resid = []
+        for m in range(coef_start, coef_start + coef_count):
+            eob, txtp, pltx, dst_y, dst_x, cf_off = \
+                (int(v) for v in self.cap_coef_meta[m])
+            pl = pltx & 0xFF
+            mtx = pltx >> 8
+            arr = None
+            if cf_off >= 0:
+                arr = cf[cf_off : cf_off + _n_coef(mtx)]
+            coefs.append((eob, txtp, arr, pl, mtx, dst_y, dst_x))
+            resid.append(resid_of_meta(m) if resid_of_meta is not None
+                         and eob >= 0 else None)
+
+        rec = dict(ts=self.ts_of_block(i), bx=int(row["bx"]),
+                   by=int(row["by"]), bs=b.bs, b=b, coefs=coefs,
+                   resid=resid, _cap=(i, coef_start))
+        ss_hor, ss_ver = f.ss_hor, f.ss_ver
+        if kind == 0:
+            rec["kind"] = "intra"
+            rec["edge_flags"] = int(row["edge_flags"])
+            sm_flags = int(row["sm_flags"])
+            rec["sm"] = (512 if sm_flags & 1 else 0,
+                         512 if sm_flags & 2 else 0)
+            pal_idx = int(row["pal_idx"])
+            if pal_idx >= 0:
+                bw4, bh4 = int(bdim[b.bs][0]), int(bdim[b.bs][1])
+                idx_y = idx_uv = None
+                off = int(row["pal_y_off"])
+                if off >= 0:
+                    idx_y = self.pal_arena[off : off + 16 * bw4 * bh4] \
+                        .reshape(bh4 * 4, bw4 * 4)
+                off = int(row["pal_uv_off"])
+                if off >= 0:
+                    cbw4 = (bw4 + ss_hor) >> ss_hor
+                    cbh4 = (bh4 + ss_ver) >> ss_ver
+                    idx_uv = self.pal_arena[off : off + 16 * cbw4 * cbh4] \
+                        .reshape(cbh4 * 4, cbw4 * 4)
+                rec["pal"] = (self.cap_pal[pal_idx], idx_y, idx_uv)
+            else:
+                rec["pal"] = None
+        else:
+            rec["kind"] = "inter" if kind == 1 else "intrabc"
+            if kind == 1:
+                b.ref = [int(row["pad0"]) - 1, int(row["pad1"]) - 1]
+            rec["warpmv"] = None
+            warp_idx = int(row["warp_idx"])
+            if warp_idx >= 0:
+                w = self.cap_warp[warp_idx]
+                wmp = WarpedMotionParams()
+                wmp.matrix = [int(v) for v in w["matrix"]]
+                wmp.abcd = [int(v) for v in w["abcd"]]
+                wmp.type = int(w["type"])
+                rec["warpmv"] = wmp
+            rec["obmc"] = None
+            if b.motion_mode == 1:  # OBMC
+                os_, oc = int(row["obmc_start"]), int(row["obmc_count"])
+                rec["obmc"] = [
+                    ("top" if int(o["kind"]) == 0 else "left",
+                     int(o["off"]), (int(o["mv"][0]), int(o["mv"][1])),
+                     int(o["refidx"]), int(o["f2d"]), int(o["step4"]))
+                    for o in self.cap_obmc[os_ : os_ + oc]]
+            rec["sub8x8"] = None
+            s8 = int(row["sub8x8"])
+            if s8 >= 0:
+                rec["sub8x8"] = (s8 & 0xFF, (s8 >> 8) & 0xFF,
+                                 (s8 >> 16) & 0xFF)
+        return rec
+
+    def finish_lr_units(self):
+        """Restoration units: dense capture grid -> FrameContext dict."""
+        f = self.f
+        lr = self.lr_units
+        nz = np.nonzero(lr["type"] != 0)
+        if nz[0].size == 0:
+            return
+        grid = lr.tolist()
+        for sbp, p, u in zip(*nz):
+            ent = grid[sbp][p][u]
+            f.lr_units[(int(sbp), int(p), int(u))] = dict(
+                type=ent[0], filter_v=list(ent[1]), filter_h=list(ent[2]),
+                sgr_weights=list(ent[3]))
+
     def finish(self):
         """Convert the capture arenas into FrameContext.tasks replay
         records + the lr_units dict (bit-identical to the Python pass-1
@@ -838,16 +1066,7 @@ class NativeFrameDecode:
                                      (sub8x8 >> 16) & 0xFF)
             tasks.append(rec)
 
-        # restoration units: dense grid -> FrameContext dict
-        lr = self.lr_units
-        nz = np.nonzero(lr["type"] != 0)
-        grid = lr.tolist()
-        for sbp, p, u in zip(*nz):
-            ent = grid[sbp][p][u]
-            f.lr_units[(int(sbp), int(p), int(u))] = dict(
-                type=ent[0], filter_v=list(ent[1]), filter_h=list(ent[2]),
-                sgr_weights=list(ent[3]))
-
+        self.finish_lr_units()
         return tasks
 
 

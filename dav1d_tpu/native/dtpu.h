@@ -470,7 +470,19 @@ void dtpu_abi_sizes(int64_t *sizes);
 
 /* ---- pass-2 intra replay (replay.c) ---------------------------------------- */
 
-/* cross-file kernels used by the replay driver */
+/* cross-file kernels used by the replay drivers */
+void dtpu_put_8tap(const int32_t *plane, int64_t stride, int vw, int vh,
+                   int dy, int dx, int w, int h, const int64_t *fh,
+                   const int64_t *fv, int ib, int maxp, int prep,
+                   int prep_bias, int32_t *out);
+void dtpu_put_8tap_into(const int32_t *plane, int64_t stride, int vw,
+                        int vh, int dy, int dx, int w, int h,
+                        const int64_t *fh, const int64_t *fv, int ib,
+                        int maxp, int32_t *dst, int64_t dst_stride);
+void dtpu_warp8x8(const int32_t *plane, int64_t stride, int vw, int vh,
+                  int dy, int dx, const int32_t *abcd, int mx, int my,
+                  int ib, int maxp, int prep, int prep_bias,
+                  const int64_t *wf, int32_t *out);
 void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
                 int height, int angle_in, int max_w, int max_h,
                 int bitdepth, const uint8_t *sm_weights,
@@ -505,5 +517,46 @@ typedef struct {
 
 int64_t dtpu_intra_replay(const DtpuReplayCtx *rc, int64_t start,
                           int64_t end);
+
+/* ---- pass-2 inter replay (replay_inter.c) --------------------------------- */
+
+/* Reference-frame + table context for the order-free phase-A inter
+ * replay — mirrored by decode_glue.py CInterCtx. */
+typedef struct {
+    const int32_t *ref_planes[7][3];
+    int64_t ref_stride[7][3];
+    int32_t ref_w[7], ref_h[7]; /* ref frame_hdr.width[1], height */
+    int32_t ref_ok[7];          /* slot present and unscaled */
+    int32_t gmv_type[7];
+    int32_t gmv_matrix[7][6];
+    int32_t gmv_abcd[7][4];
+    int32_t gmv_warp_allowed[7];
+    int32_t jnt_weights[7][7];
+    const uint8_t *rb;      /* refmvs r grid (RB_DT, 12 bytes/cell) */
+    int64_t rb_stride;      /* cells per row */
+    const CapObmc *cap_obmc;
+    const CapWarp *cap_warp;
+    const int8_t *subpel_filters; /* (6, 15, 8) */
+    const uint8_t *obmc_masks;    /* (64,) */
+    const uint8_t *masks_blob;
+    const uint16_t *mask_offsets; /* (3, 11, 36) */
+    const int64_t *warp_filter;   /* (193, 8) */
+} DtpuInterCtx;
+
+/* Replay every plain inter block (kind 1, no interintra) in
+ * [start, end): prediction straight into the planes, plus (when
+ * add_resid) the cached-residual adds.  Blocks needing the Python
+ * fallback (scaled reference, missing residual) have their indices
+ * appended to skipped[]; returns the skipped count. */
+int64_t dtpu_inter_replay(const DtpuReplayCtx *rc, const DtpuInterCtx *ic,
+                          int64_t start, int64_t end, int add_resid,
+                          int64_t *skipped);
+
+/* Deferred residual adds for plain inter blocks in [start, end) (device
+ * tier: predictions ran while the residual batches were in flight).
+ * skipped: sorted indices to leave to the Python fallback. */
+void dtpu_add_inter_residuals(const DtpuReplayCtx *rc, int64_t start,
+                              int64_t end, const int64_t *skipped,
+                              int64_t n_skipped);
 
 #endif /* DTPU_H */

@@ -9,6 +9,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <string.h>
 
 #define CDEF_SENTINEL (-32768) /* INT16_MIN marker outside available edges */
 
@@ -674,50 +675,60 @@ void dtpu_cdef_find_dir_batch(const int32_t *blocks, int64_t n,
     }
 }
 
-void dtpu_cdef_filter_batch(const int32_t *canvas, int64_t stride,
-                            const int64_t *ys, const int64_t *xs, int64_t n,
-                            int w, int h, const int64_t *pri,
-                            const int64_t *sec, const int64_t *dirs,
-                            int damping, int bitdepth, int32_t *out)
+/* Direction search reading 8x8 blocks straight from the plane (removes
+ * the caller's (N, 8, 8) gather). */
+void dtpu_cdef_find_dir_pos(const int32_t *plane, int64_t stride,
+                            const int64_t *ys, const int64_t *xs,
+                            int64_t n, int bitdepth, int64_t *dirs,
+                            int64_t *variances)
+{
+    for (int64_t u = 0; u < n; u++) {
+        int32_t blk[64];
+        const int32_t *src = plane + ys[u] * stride + xs[u];
+        for (int y = 0; y < 8; y++, src += stride)
+            for (int x = 0; x < 8; x++)
+                blk[y * 8 + x] = src[x];
+        dtpu_cdef_find_dir_batch(blk, 1, bitdepth, dirs + u,
+                                 variances + u);
+    }
+}
+
+/* One unit read from `base` (the sentinel-bordered pre-CDEF canvas),
+ * written to `o` with stride `ostride` (packed batch output, or
+ * straight into the picture plane). */
+static void cdef_filter_unit(const int32_t *base, int64_t stride,
+                             int w, int h, int p, int s, int dir,
+                             int damping, int bitdepth,
+                             int32_t *o, int64_t ostride)
 {
     const int bdmin8 = bitdepth - 8;
-    for (int64_t u = 0; u < n; u++) {
-        const int32_t *base = canvas + ys[u] * stride + xs[u];
-        int32_t *o = out + u * (int64_t)(w * h);
-        const int p = (int)pri[u], s = (int)sec[u], dir = (int)dirs[u];
-        if (!p && !s) {
-            for (int y = 0; y < h; y++)
-                for (int x = 0; x < w; x++)
-                    o[y * w + x] = base[y * stride + x];
-            continue;
-        }
-        const int pri_shift_raw = p ? damping - ulog2i(p) : 0;
-        const int pri_shift = pri_shift_raw < 0 ? 0 : pri_shift_raw;
-        const int sec_shift = s ? damping - ulog2i(s) : 0;
-        const int pri_tap0 = 4 - ((p >> bdmin8) & 1);
-        const int pri_tap1 = (pri_tap0 & 3) | 2;
+    const int pri_shift_raw = p ? damping - ulog2i(p) : 0;
+    const int pri_shift = pri_shift_raw < 0 ? 0 : pri_shift_raw;
+    const int sec_shift = s ? damping - ulog2i(s) : 0;
+    const int pri_tap0 = 4 - ((p >> bdmin8) & 1);
+    const int pri_tap1 = (pri_tap0 & 3) | 2;
 
-        /* per-unit tap offsets: the direction is constant over the
-         * unit, so the 4 primary / 8 secondary neighbour offsets are
-         * hoisted out of the pixel loop (same hoist the reference asm
-         * does by specializing per direction) */
-        int64_t poff[4], soff[8];
-        for (int k = 0; k < 2; k++) {
-            poff[k * 2] = cdef_dirs[2 + dir][k][0] * stride +
-                          cdef_dirs[2 + dir][k][1];
-            poff[k * 2 + 1] = -poff[k * 2];
-            soff[k * 4] = cdef_dirs[4 + dir][k][0] * stride +
-                          cdef_dirs[4 + dir][k][1];
-            soff[k * 4 + 1] = -soff[k * 4];
-            soff[k * 4 + 2] = cdef_dirs[dir][k][0] * stride +
-                              cdef_dirs[dir][k][1];
-            soff[k * 4 + 3] = -soff[k * 4 + 2];
-        }
+    /* per-unit tap offsets: the direction is constant over the
+     * unit, so the 4 primary / 8 secondary neighbour offsets are
+     * hoisted out of the pixel loop (same hoist the reference asm
+     * does by specializing per direction) */
+    int64_t poff[4], soff[8];
+    for (int k = 0; k < 2; k++) {
+        poff[k * 2] = cdef_dirs[2 + dir][k][0] * stride +
+                      cdef_dirs[2 + dir][k][1];
+        poff[k * 2 + 1] = -poff[k * 2];
+        soff[k * 4] = cdef_dirs[4 + dir][k][0] * stride +
+                      cdef_dirs[4 + dir][k][1];
+        soff[k * 4 + 1] = -soff[k * 4];
+        soff[k * 4 + 2] = cdef_dirs[dir][k][0] * stride +
+                          cdef_dirs[dir][k][1];
+        soff[k * 4 + 3] = -soff[k * 4 + 2];
+    }
 
-        if (p && s) {
-            for (int y = 0; y < h; y++) {
-                const int32_t *row = base + y * stride;
-                int32_t *orow = o + y * w;
+    if (p && s) {
+        for (int y = 0; y < h; y++) {
+            const int32_t *row = base + y * stride;
+            int32_t *orow = o + y * ostride;
                 for (int x = 0; x < w; x++) {
                     const int32_t *px_at = row + x;
                     const int px = px_at[0];
@@ -744,43 +755,98 @@ void dtpu_cdef_filter_batch(const int32_t *canvas, int64_t stride,
                     if (res < mn) res = mn;
                     if (res > mx) res = mx;
                     orow[x] = res;
-                }
-            }
-        } else if (p) {
-            for (int y = 0; y < h; y++) {
-                const int32_t *row = base + y * stride;
-                int32_t *orow = o + y * w;
-                for (int x = 0; x < w; x++) {
-                    const int32_t *px_at = row + x;
-                    const int px = px_at[0];
-                    int sum =
-                        pri_tap0 *
-                            (constrain(px_at[poff[0]] - px, p, pri_shift) +
-                             constrain(px_at[poff[1]] - px, p, pri_shift)) +
-                        pri_tap1 *
-                            (constrain(px_at[poff[2]] - px, p, pri_shift) +
-                             constrain(px_at[poff[3]] - px, p, pri_shift));
-                    orow[x] = px + ((sum - (sum < 0) + 8) >> 4);
-                }
-            }
-        } else {
-            for (int y = 0; y < h; y++) {
-                const int32_t *row = base + y * stride;
-                int32_t *orow = o + y * w;
-                for (int x = 0; x < w; x++) {
-                    const int32_t *px_at = row + x;
-                    const int px = px_at[0];
-                    int sum = 0;
-                    for (int k = 0; k < 2; k++) {
-                        const int sec_tap = 2 - k;
-                        for (int j = 0; j < 4; j++)
-                            sum += sec_tap *
-                                   constrain(px_at[soff[k * 4 + j]] - px,
-                                             s, sec_shift);
-                    }
-                    orow[x] = px + ((sum - (sum < 0) + 8) >> 4);
-                }
             }
         }
+    } else if (p) {
+        for (int y = 0; y < h; y++) {
+            const int32_t *row = base + y * stride;
+            int32_t *orow = o + y * ostride;
+            for (int x = 0; x < w; x++) {
+                const int32_t *px_at = row + x;
+                const int px = px_at[0];
+                int sum =
+                    pri_tap0 *
+                        (constrain(px_at[poff[0]] - px, p, pri_shift) +
+                         constrain(px_at[poff[1]] - px, p, pri_shift)) +
+                    pri_tap1 *
+                        (constrain(px_at[poff[2]] - px, p, pri_shift) +
+                         constrain(px_at[poff[3]] - px, p, pri_shift));
+                orow[x] = px + ((sum - (sum < 0) + 8) >> 4);
+            }
+        }
+    } else {
+        for (int y = 0; y < h; y++) {
+            const int32_t *row = base + y * stride;
+            int32_t *orow = o + y * ostride;
+            for (int x = 0; x < w; x++) {
+                const int32_t *px_at = row + x;
+                const int px = px_at[0];
+                int sum = 0;
+                for (int k = 0; k < 2; k++) {
+                    const int sec_tap = 2 - k;
+                    for (int j = 0; j < 4; j++)
+                        sum += sec_tap *
+                               constrain(px_at[soff[k * 4 + j]] - px,
+                                         s, sec_shift);
+                }
+                orow[x] = px + ((sum - (sum < 0) + 8) >> 4);
+            }
+        }
+    }
+}
+
+void dtpu_cdef_filter_batch(const int32_t *canvas, int64_t stride,
+                            const int64_t *ys, const int64_t *xs, int64_t n,
+                            int w, int h, const int64_t *pri,
+                            const int64_t *sec, const int64_t *dirs,
+                            int damping, int bitdepth, int32_t *out)
+{
+    for (int64_t u = 0; u < n; u++) {
+        const int32_t *base = canvas + ys[u] * stride + xs[u];
+        int32_t *o = out + u * (int64_t)(w * h);
+        const int p = (int)pri[u], s = (int)sec[u];
+        if (!p && !s) {
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++)
+                    o[y * w + x] = base[y * stride + x];
+            continue;
+        }
+        cdef_filter_unit(base, stride, w, h, p, s, (int)dirs[u],
+                         damping, bitdepth, o, w);
+    }
+}
+
+/* Whole-plane unit pass: copy the plane into the caller's sentinel-
+ * bordered canvas scratch (the pre-CDEF pixel source, standing in for
+ * the reference's cdef_line backups src/cdef_apply_tmpl.c:40-99), then
+ * filter every unit from the canvas straight back into the plane.
+ * Removes the Python-side plane copy, unit gather and result scatter. */
+void dtpu_cdef_filter_plane(int32_t *plane, int64_t stride, int pw, int ph,
+                            int32_t *canvas, const int64_t *ys,
+                            const int64_t *xs, int64_t n, int w, int h,
+                            const int64_t *pri, const int64_t *sec,
+                            const int64_t *dirs, int damping, int bitdepth)
+{
+    const int64_t cstride = pw + 4;
+    for (int64_t x = 0; x < cstride * 2; x++)
+        canvas[x] = CDEF_SENTINEL;
+    for (int y = 0; y < ph; y++) {
+        int32_t *crow = canvas + (int64_t)(y + 2) * cstride;
+        crow[0] = crow[1] = crow[pw + 2] = crow[pw + 3] = CDEF_SENTINEL;
+        memcpy(crow + 2, plane + (int64_t)y * stride,
+               sizeof(int32_t) * pw);
+    }
+    for (int64_t x = 0; x < cstride * 2; x++)
+        canvas[(int64_t)(ph + 2) * cstride + x] = CDEF_SENTINEL;
+
+    for (int64_t u = 0; u < n; u++) {
+        const int p = (int)pri[u], s = (int)sec[u];
+        if (!p && !s)
+            continue;
+        /* unit positions are plane coords; canvas coords are +2 */
+        const int32_t *base = canvas + (ys[u] + 2) * cstride + xs[u] + 2;
+        int32_t *o = plane + ys[u] * stride + xs[u];
+        cdef_filter_unit(base, cstride, w, h, p, s, (int)dirs[u],
+                         damping, bitdepth, o, stride);
     }
 }

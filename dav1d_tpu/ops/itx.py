@@ -164,6 +164,27 @@ def itx_batch_c_list(cfs, tx, txtp, bitdepth):
     return out
 
 
+def itx_batch_c_ptrs(ptrs, tx, txtp, bitdepth):
+    """Native-C host batch over a uint64 pointer array of coefficient
+    blocks (straight into the pass-1 capture arena — no Python views at
+    all; the record-free variant of itx_batch_c_list)."""
+    from ..native import lib as _nlib
+
+    n = len(ptrs)
+    w, h, lw, lh = _txinfo(tx)
+    out = np.empty((n, h, w), dtype=np.int32)
+    if txtp == TxfmType.WHT_WHT:
+        _nlib.dtpu_itx_batch_ptrs(ptrs.ctypes.data, n, 4, 4, 0, 0, 0,
+                                  0, bitdepth, 1, out.ctypes.data)
+        return out
+    row_t, col_t = TX1D_TYPES[TxfmType(txtp)]
+    is_rect2 = int((w * 2 == h) or (h * 2 == w))
+    _nlib.dtpu_itx_batch_ptrs(ptrs.ctypes.data, n, w, h,
+                              int(TX_SHIFT[tx]), int(row_t), int(col_t),
+                              is_rect2, int(bitdepth), 0, out.ctypes.data)
+    return out
+
+
 def itx_batch(cf, tx, txtp, bitdepth):
     """Batched inverse transform: (B, sh*sw) int32 -> (B, h, w) residuals.
     12-bit intermediates exceed int32 at the canonical 12-bit rotation

@@ -51,6 +51,158 @@ def _replay_one(t, rec) -> None:
         recon_b_inter(t, rec["bs"], b)
 
 
+class _NativeResiduals:
+    """Residual-batch state for the arena-driven (record-free) pass 2:
+    per-meta-row result pointers + keep-alive group results."""
+
+    __slots__ = ("ptrs", "elsz", "pending", "groups")
+
+    def __init__(self, n_meta):
+        self.ptrs = np.zeros(n_meta, dtype=np.uint64)
+        self.elsz = 4
+        self.pending = []  # (future, meta_idxs)
+        self.groups = []   # (meta_idxs, (n, h, w) result array)
+
+    def _register(self, idxs, out):
+        self.groups.append((idxs, out))
+        self.ptrs[idxs] = out.ctypes.data + \
+            np.arange(len(idxs), dtype=np.uint64) * out.strides[0]
+
+    def collect(self):
+        for fut, idxs in self.pending:
+            resid = np.ascontiguousarray(np.asarray(fut)[: len(idxs)])
+            self._register(idxs, resid)
+        self.pending = []
+
+    def resid_of_meta(self, m):
+        for idxs, out in self.groups:
+            j = np.flatnonzero(idxs == m)
+            if j.size:
+                return out[int(j[0])]
+        return None
+
+
+def _launch_residuals_native(f):
+    """Group every captured inverse transform per (tx size, tx type)
+    straight off the coefficient-meta arena (no Python records) and
+    start evaluating: device groups launch asynchronously, host groups
+    run through the native batched itx via a pointer array into the cf
+    arena.  The record-free analog of _launch_residuals."""
+    glue = f._nat
+    meta = glue.meta_rows()
+    st = _NativeResiduals(meta.shape[0])
+    if meta.shape[0] == 0:
+        return st
+    valid = np.flatnonzero(meta[:, 0] >= 0)
+    if valid.size == 0:
+        return st
+    key = (meta[valid, 2].astype(np.int64) >> 8 << 16) | meta[valid, 1]
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    cuts = np.flatnonzero(np.diff(sk)) + 1
+    group_idxs = np.split(valid[order], cuts)
+
+    from .dispatch import use_device
+    mesh = getattr(f, "mesh", None)
+    device = (use_device("itx") or mesh is not None) and f.bitdepth != 12
+    cf_arena = glue.cf_arena
+    cf_base = cf_arena.ctypes.data
+    from .native.decode_glue import _n_coef
+    from .ops.itx import itx_batch, itx_batch_c_ptrs
+
+    if device:
+        st.elsz = 2 if f.bitdepth == 8 else 4
+    for idxs in group_idxs:
+        m0 = meta[idxs[0]]
+        gtx, gtxtp = int(m0[2]) >> 8, int(m0[1])
+        nc = _n_coef(gtx)
+        if device:
+            gath = cf_arena[meta[idxs, 5][:, None] + np.arange(nc)]
+            nb = 1
+            while nb < len(idxs):
+                nb <<= 1
+            dt = np.int16 if f.bitdepth == 8 else np.int32
+            if mesh is not None:
+                nb = max(nb, mesh.devices.size)
+            cfs = np.zeros((nb, nc), dtype=dt)
+            cfs[: len(idxs)] = gath
+            if mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+                arg = jax.device_put(cfs, sh)
+            else:
+                arg = cfs
+            fut = itx_batch(arg, gtx, gtxtp, f.bitdepth)
+            fut.copy_to_host_async()
+            st.pending.append((fut, idxs))
+        else:
+            ptrs = (cf_base +
+                    meta[idxs, 5].astype(np.int64) * 4).astype(np.uint64)
+            out = itx_batch_c_ptrs(ptrs, gtx, gtxtp, f.bitdepth)
+            st._register(idxs, out)
+    return st
+
+
+def _run_pass2_native(f, st) -> None:
+    """Arena-driven pass 2: native phase-A inter replay + native phase-B
+    ordered intra replay, Python only for the blocks C reports back
+    (scaled references, intrabc, interintra, consistency stops)."""
+    import ctypes
+
+    from .native import lib as _nlib
+    from .recon.itx import add_residual
+
+    glue = f._nat
+    t = TaskContext(f)
+    t.pass_ = 2
+    n = int(glue.c.n_blocks)
+    if n == 0:
+        st.collect()
+        return
+    rc = glue.build_replay_ctx(st.ptrs, st.elsz)
+    ic = glue.build_inter_ctx()
+    host_tier = not st.pending
+
+    # phase A: order-free inter predictions (+ residual adds on the host
+    # tier, where the batches are already computed)
+    skipped = np.empty(n, dtype=np.int64)
+    ns = int(_nlib.dtpu_inter_replay(
+        ctypes.byref(rc), ctypes.byref(ic), 0, n, int(host_tier),
+        skipped.ctypes.data))
+    recs = []
+    if ns:
+        t.device_resid = not host_tier
+        for bi in skipped[:ns]:
+            rec = glue.build_record(int(bi), st.resid_of_meta)
+            recs.append(rec)
+            _replay_one(t, rec)
+        t.device_resid = False
+
+    if not host_tier:
+        # device results arrive while phase A ran; fetch + add
+        st.collect()
+        _nlib.dtpu_add_inter_residuals(ctypes.byref(rc), 0, n,
+                                       skipped.ctypes.data, ns)
+        for rec in recs:
+            start = rec["_cap"][1]
+            for k, ent in enumerate(rec["coefs"]):
+                if ent[0] >= 0:
+                    add_residual(f.planes[ent[3]], ent[5], ent[6],
+                                 st.resid_of_meta(start + k), f.bitdepth)
+
+    # phase B: ordered intra walk; C stops at blocks needing Python
+    cursor = 0
+    while cursor < n:
+        k = int(_nlib.dtpu_intra_replay(ctypes.byref(rc), cursor, n))
+        cursor += k
+        if cursor < n:
+            rec = glue.build_record(cursor, st.resid_of_meta)
+            _replay_one(t, rec)
+            cursor += 1
+
+
 def _launch_residuals(f):
     """Group every captured inverse transform per (tx size, tx type) and
     start evaluating them.  On an accelerator backend each group is
@@ -203,6 +355,9 @@ def run_pass2(f, launched=None, device: bool = True) -> None:
     """launched: a residual-batch list already started by
     decode_frame_pass1 (frame pipelining: the device computes frame N's
     residuals while the host parses frame N+1); None launches here."""
+    if isinstance(launched, _NativeResiduals):
+        _run_pass2_native(f, launched)
+        return
     t = TaskContext(f)
     t.pass_ = 2
 

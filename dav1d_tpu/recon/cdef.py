@@ -453,23 +453,35 @@ def cdef_frame(f) -> None:
     uv_sec += (uv_sec == 3)
     uv_sec <<= bdmin8
 
+    from ..dispatch import use_device
+    from ..native import lib as _nlib
+    on_device = use_device("cdef")
+
     need_dir = (y_pri | uv_pri) > 0
     dirs = np.zeros(rr.size, dtype=np.int64)
     variances = np.zeros(rr.size, dtype=np.int64)
     if need_dir.any():
         src0 = f.planes[0]
-        dbys = bys[need_dir] * 4
-        dbxs = bxs[need_dir] * 4
-        ar8 = np.arange(8)
-        blk = src0[dbys[:, None, None] + ar8[None, :, None],
-                   dbxs[:, None, None] + ar8[None, None, :]]
-        from ..dispatch import use_device
-        if use_device("cdef"):
-            from ..ops import cdef as dcdef
-            d, v = dcdef.cdef_find_dir_batch(blk, bitdepth)
-            d, v = np.asarray(d), np.asarray(v)
+        dbys = (bys[need_dir] * 4).astype(np.int64)
+        dbxs = (bxs[need_dir] * 4).astype(np.int64)
+        if _nlib is not None and not on_device:
+            # native path reads the 8x8 windows straight from the plane
+            d = np.empty(dbys.size, dtype=np.int64)
+            v = np.empty(dbys.size, dtype=np.int64)
+            _nlib.dtpu_cdef_find_dir_pos(
+                src0.ctypes.data, src0.shape[1], dbys.ctypes.data,
+                dbxs.ctypes.data, dbys.size, int(bitdepth),
+                d.ctypes.data, v.ctypes.data)
         else:
-            d, v = cdef_find_dir_batch(blk, bitdepth)
+            ar8 = np.arange(8)
+            blk = src0[dbys[:, None, None] + ar8[None, :, None],
+                       dbxs[:, None, None] + ar8[None, None, :]]
+            if on_device:
+                from ..ops import cdef as dcdef
+                d, v = dcdef.cdef_find_dir_batch(blk, bitdepth)
+                d, v = np.asarray(d), np.asarray(v)
+            else:
+                d, v = cdef_find_dir_batch(blk, bitdepth)
         dirs[need_dir] = d
         variances[need_dir] = v
 
@@ -506,13 +518,27 @@ def cdef_frame(f) -> None:
         w, h = 8 >> sh, 8 >> sv
         pw, ph = (f.bw * 4) >> sh, (f.bh * 4) >> sv
         canvas = _scratch("canvas%d" % min(pl, 1), (ph + 4, pw + 4))
+        if _nlib is not None and not on_device:
+            # native whole-plane pass: canvas build + per-unit filter
+            # straight back into the plane, all in C
+            plane = f.planes[pl]
+            uysa = np.ascontiguousarray(uys, dtype=np.int64)
+            uxsa = np.ascontiguousarray(uxs, dtype=np.int64)
+            pa = np.ascontiguousarray(upri, dtype=np.int64)
+            sa = np.ascontiguousarray(usec, dtype=np.int64)
+            da = np.ascontiguousarray(udir, dtype=np.int64)
+            _nlib.dtpu_cdef_filter_plane(
+                plane.ctypes.data, plane.shape[1], pw, ph,
+                canvas.ctypes.data, uysa.ctypes.data, uxsa.ctypes.data,
+                uysa.size, w, h, pa.ctypes.data, sa.ctypes.data,
+                da.ctypes.data, damping - (1 if pl else 0), bitdepth)
+            continue
         canvas[:2] = INT16_MIN
         canvas[-2:] = INT16_MIN
         canvas[:, :2] = INT16_MIN
         canvas[:, -2:] = INT16_MIN
         canvas[2 : 2 + ph, 2 : 2 + pw] = f.planes[pl][:ph, :pw]
-        from ..dispatch import use_device
-        if use_device("cdef"):
+        if on_device:
             from ..ops import cdef as dcdef
             out = dcdef.cdef_filter_batch(
                 canvas, uys + 2, uxs + 2, w, h, upri, usec, udir,
