@@ -55,6 +55,7 @@ def main():
     from dav1d_tpu.dispatch import use_device
 
     os.environ["DAV1D_TPU_DEVICE"] = "1"
+    os.environ["DAV1D_TPU_DEVICE_MC"] = "0"  # see forced-tier note below
     use_device.cache_clear()
     warm = Decoder(Settings(two_pass=True))
     for tu in tus:
@@ -72,15 +73,22 @@ def main():
                         ("two_pass+forced-device", "1")):
         if force is None:
             os.environ.pop("DAV1D_TPU_DEVICE", None)
+            os.environ.pop("DAV1D_TPU_DEVICE_MC", None)
         else:
             os.environ["DAV1D_TPU_DEVICE"] = force
+            # device MC stays off in the forced tier: its per-(w, h)
+            # programs cost minutes of one-time tunnel compiles, which
+            # would swamp the bench budget; the tier is parity-tested
+            # (tests/test_device_e2e.py) and measured per-kernel by
+            # tools/kernel_bench.py.  The label below reports mc=host.
+            os.environ["DAV1D_TPU_DEVICE_MC"] = "0"
         use_device.cache_clear()
-        tiers = "itx=%s,cdef=%s" % (
-            "dev" if use_device("itx") else "host",
-            "dev" if use_device("cdef") else "host")
+        tiers = "mc=%s,itx=%s,cdef=%s" % tuple(
+            "dev" if use_device(k) else "host"
+            for k in ("mc", "itx", "cdef"))
         name = f"{name}[{tiers}]"
         best = 0.0
-        for _ in range(2):
+        for _ in range(3):
             # pipelined decode: all temporal units submitted (pass 1 +
             # async device launches), output drained afterwards — frame
             # N's device batches fly while frame N+1's pass 1 parses
@@ -105,6 +113,7 @@ def main():
                 return
         results[name] = best
     os.environ.pop("DAV1D_TPU_DEVICE", None)
+    os.environ.pop("DAV1D_TPU_DEVICE_MC", None)
     use_device.cache_clear()
     best = max(results, key=results.get)
     fps = results[best]

@@ -45,6 +45,11 @@ class Settings:
     # optional jax.sharding.Mesh: the pass-2 device batches are sharded
     # across its first axis (spatial units -> chips, SURVEY §2.7)
     mesh: object = None
+    # pluggable logger (reference Dav1dLogger, include/dav1d/dav1d.h:48):
+    # a callable taking one formatted message string; None silences.
+    # Decode errors still raise — the logger reports them (and non-fatal
+    # events: sequence resets, skipped frames) before they propagate.
+    logger: object = None
 
 
 @dataclasses.dataclass
@@ -120,10 +125,19 @@ class Decoder:
 
     # -- input ---------------------------------------------------------------
 
+    def _log(self, msg: str) -> None:
+        cb = self.settings.logger
+        if cb is not None:
+            cb(msg)
+
     def send_data(self, data: bytes) -> None:
         """Consume a temporal unit / arbitrary OBU chunk."""
-        for o in obu_mod.split_obus(data):
-            self._handle_obu(data, o)
+        try:
+            for o in obu_mod.split_obus(data):
+                self._handle_obu(data, o)
+        except Exception as e:
+            self._log(f"error: {e}")
+            raise
 
     def _handle_obu(self, data: bytes, o) -> None:
         payload = data[o.payload_start : o.payload_end]
@@ -152,6 +166,8 @@ class Decoder:
                 self.frame_hdr = None
             elif not seq.equal_binary_content(self.seq_hdr):
                 # new sequence: finish in-flight frames, drop all state
+                self._log("sequence header changed: resetting decoder "
+                          "state")
                 self._drain_pending()
                 self.frame_hdr = None
                 self.refs = [_RefSlot() for _ in range(8)]

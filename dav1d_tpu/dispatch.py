@@ -75,7 +75,7 @@ def device_roundtrip_ms() -> float:
 #   plane per frame; host stays default until the filter chain is
 #   device-resident.
 _ACCEL_DEFAULT = {"itx": "latency", "cdef": False, "deblock": "latency",
-                  "lr": "latency", "fg": "latency"}
+                  "lr": "latency", "fg": "latency", "mc": "latency"}
 
 # Above this measured round-trip latency the chip is effectively remote
 # (tunneled) and per-frame offload of MB-sized batches loses to host C.

@@ -302,12 +302,16 @@ def _load():
     lib.dtpu_inter_replay.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p,             # rc, ic
         ctypes.c_int64, ctypes.c_int64,               # start, end
-        ctypes.c_int, ctypes.c_void_p]                # add_resid, skipped
+        ctypes.c_int, ctypes.c_void_p,                # add_resid, skipped
+        ctypes.c_void_p]                              # handled mask
     lib.dtpu_inter_replay.restype = ctypes.c_int64
     lib.dtpu_add_inter_residuals.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_int64]
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.dtpu_add_inter_residuals.restype = None
+    lib.dtpu_add_block_residuals.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.dtpu_add_block_residuals.restype = None
     return lib
 
 

@@ -550,13 +550,17 @@ typedef struct {
  * appended to skipped[]; returns the skipped count. */
 int64_t dtpu_inter_replay(const DtpuReplayCtx *rc, const DtpuInterCtx *ic,
                           int64_t start, int64_t end, int add_resid,
-                          int64_t *skipped);
+                          int64_t *skipped, const uint8_t *handled);
 
 /* Deferred residual adds for plain inter blocks in [start, end) (device
  * tier: predictions ran while the residual batches were in flight).
- * skipped: sorted indices to leave to the Python fallback. */
+ * skipped: sorted indices to leave to the Python fallback; handled:
+ * optional per-block mask of blocks the device-MC stage owns. */
 void dtpu_add_inter_residuals(const DtpuReplayCtx *rc, int64_t start,
                               int64_t end, const int64_t *skipped,
-                              int64_t n_skipped);
+                              int64_t n_skipped, const uint8_t *handled);
+
+void dtpu_add_block_residuals(const DtpuReplayCtx *rc, const int64_t *idxs,
+                              int64_t n);
 
 #endif /* DTPU_H */

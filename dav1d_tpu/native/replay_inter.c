@@ -605,7 +605,7 @@ static int replay_inter_block(ICtx *c, const CapBlock *cb)
 
 int64_t dtpu_inter_replay(const DtpuReplayCtx *rc, const DtpuInterCtx *ic,
                           int64_t start, int64_t end, int add_resid,
-                          int64_t *skipped)
+                          int64_t *skipped, const uint8_t *handled)
 {
     ICtx c;
     c.rc = rc;
@@ -619,6 +619,8 @@ int64_t dtpu_inter_replay(const DtpuReplayCtx *rc, const DtpuInterCtx *ic,
         const CapBlock *cb = &rc->cap_blocks[bi];
         if (cb->kind != 1 || cb->interintra_type)
             continue;
+        if (handled && handled[bi])
+            continue; /* predicted by the batched device MC stage */
         /* missing residual (host tier only): whole block to Python */
         int ok = 1;
         if (add_resid) {
@@ -645,7 +647,7 @@ int64_t dtpu_inter_replay(const DtpuReplayCtx *rc, const DtpuInterCtx *ic,
 
 void dtpu_add_inter_residuals(const DtpuReplayCtx *rc, int64_t start,
                               int64_t end, const int64_t *skipped,
-                              int64_t n_skipped)
+                              int64_t n_skipped, const uint8_t *handled)
 {
     const int maxp = (1 << rc->bitdepth) - 1;
     int64_t si = 0;
@@ -654,8 +656,24 @@ void dtpu_add_inter_residuals(const DtpuReplayCtx *rc, int64_t start,
             si++;
         if (si < n_skipped && skipped[si] == bi)
             continue;
+        if (handled && handled[bi])
+            continue; /* added by dtpu_add_block_residuals after scatter */
         const CapBlock *cb = &rc->cap_blocks[bi];
         if (cb->kind != 1 || cb->interintra_type || cb->skip)
+            continue;
+        add_block_residuals(rc, cb, maxp);
+    }
+}
+
+/* Residual adds for an explicit block-index list (the device-MC stage's
+ * blocks, once their predictions have been scattered into the planes). */
+void dtpu_add_block_residuals(const DtpuReplayCtx *rc, const int64_t *idxs,
+                              int64_t n)
+{
+    const int maxp = (1 << rc->bitdepth) - 1;
+    for (int64_t i = 0; i < n; i++) {
+        const CapBlock *cb = &rc->cap_blocks[idxs[i]];
+        if (cb->skip)
             continue;
         add_block_residuals(rc, cb, maxp);
     }

@@ -145,6 +145,165 @@ def _launch_residuals_native(f):
     return st
 
 
+class _McDevice:
+    """Batched device-MC stage state: which blocks it owns + the async
+    per-(w, h) launches with their scatter coordinates."""
+
+    __slots__ = ("handled", "block_idxs", "launched")
+
+
+_F2D_HTYPE = np.array([0, 0, 0, 2, 2, 2, 1, 1, 1], dtype=np.int32)
+
+
+def _launch_mc_device(f, glue, n):
+    """Batched translational MC on the device (ops/mc.py; SURVEY §2.5 mc
+    row): every plain single-ref inter block (no compound/OBMC/warp/
+    interintra, unscaled reference, not sub-8x8) contributes one job per
+    plane; windows are gathered host-side with edge clamping (emu_edge)
+    and one fused put_8tap program per (w, h) filters the whole batch
+    with per-item filter rows.  Returns None when no blocks qualify."""
+    import jax.numpy as jnp
+
+    from . import tables
+    from .ops import mc as dmc
+
+    cb = glue.cap_blocks[:n]
+    bdim = tables.block_dimensions
+    bw4s = bdim[cb["bs"], 0].astype(np.int32)
+    bh4s = bdim[cb["bs"], 1].astype(np.int32)
+    ss_hor, ss_ver = f.ss_hor, f.ss_ver
+    hdr = f.frame_hdr
+    ref0 = cb["pad0"].astype(np.int32) - 1
+
+    ref_ok = np.zeros(7, dtype=bool)
+    for i in range(7):
+        slot = f.refp[i] if f.refp is not None else None
+        ref_ok[i] = (slot is not None and slot.planes is not None
+                     and slot.frame_hdr is not None
+                     and slot.frame_hdr.width[1] == hdr.width[0]
+                     and slot.frame_hdr.height == hdr.height)
+    gwa = np.asarray([bool(v) for v in f.gmv_warp_allowed], dtype=bool)
+    r0c = np.clip(ref0, 0, 6)
+    sel = ((cb["kind"] == 1) & (cb["interintra_type"] == 0)
+           & (cb["comp_type"] == 0) & (cb["motion_mode"] == 0)
+           & (cb["filter2d"] <= 8) & (ref0 >= 0) & ref_ok[r0c]
+           & ~((cb["inter_mode"] == 2) & gwa[r0c])
+           & (bw4s > ss_hor) & (bh4s > ss_ver))
+    idxs = np.flatnonzero(sel)
+    if idxs.size == 0:
+        return None
+
+    bw4 = bw4s[idxs]
+    bh4 = bh4s[idxs]
+    bx = cb["bx"][idxs].astype(np.int32)
+    by = cb["by"][idxs].astype(np.int32)
+    mv = cb["mv"][idxs]
+    mvy = mv[:, 0, 0].astype(np.int32)
+    mvx = mv[:, 0, 1].astype(np.int32)
+    f2d = cb["filter2d"][idxs].astype(np.int32)
+    refs = ref0[idxs]
+    ht = _F2D_HTYPE[f2d]
+    vt = f2d % 3
+
+    has_chroma = f.layout != 0
+    n_pl = 3 if has_chroma else 1
+    jobs = []  # per-plane vectors
+    for pl in range(n_pl):
+        ss_h = ss_hor if pl else 0
+        ss_v = ss_ver if pl else 0
+        h_mul, v_mul = 4 >> ss_h, 4 >> ss_v
+        sh_h, sh_v = (0 if ss_h else 1), (0 if ss_v else 1)
+        mx = (mvx & (15 >> sh_h)) << sh_h
+        my = (mvy & (15 >> sh_v)) << sh_v
+        dx = bx * h_mul + (mvx >> (3 + ss_h))
+        dy = by * v_mul + (mvy >> (3 + ss_v))
+        w_px = bw4 * h_mul
+        h_px = bh4 * v_mul
+        fh_set = np.where(w_px > 4, ht, 3 + (ht & 1))
+        fv_set = np.where(h_px > 4, vt, 3 + (vt & 1))
+        dst_y = (by * 4) >> ss_v
+        dst_x = (bx * 4) >> ss_h
+        jobs.append((np.full(len(idxs), pl, np.int32), refs, w_px, h_px,
+                     dy, dx, mx, my, fh_set, fv_set, dst_y, dst_x))
+    pls, jrefs, jw, jh, jdy, jdx, jmx, jmy, jfh, jfv, jdsty, jdstx = \
+        (np.concatenate(c) for c in zip(*jobs))
+
+    subf = np.ascontiguousarray(tables.mc_subpel_filters, dtype=np.int32)
+    launched = []
+    key = (jw.astype(np.int64) << 16) | jh
+    order = np.argsort(key, kind="stable")
+    cuts = np.flatnonzero(np.diff(key[order])) + 1
+    for g in np.split(order, cuts):
+        w, h = int(jw[g[0]]), int(jh[g[0]])
+        N = len(g)
+        # pad the batch to a power of two so programs are reused across
+        # frames (same rationale as the itx batches)
+        nb = 1
+        while nb < N:
+            nb <<= 1
+        win = np.zeros((nb, h + 7, w + 7), dtype=np.int32)
+        # gather windows per (ref slot, plane): one clamped fancy gather
+        gkey = (jrefs[g].astype(np.int64) << 4) | pls[g]
+        for sg_rel in _split_groups(gkey):
+            sg = g[sg_rel]
+            r, pl = int(jrefs[sg[0]]), int(pls[sg[0]])
+            slot = f.refp[r]
+            ss_h = ss_hor if pl else 0
+            ss_v = ss_ver if pl else 0
+            plane = slot.planes[pl]
+            vw = (slot.frame_hdr.width[1] + ss_h) >> ss_h
+            vh = (slot.frame_hdr.height + ss_v) >> ss_v
+            ys = np.clip(jdy[sg][:, None] + np.arange(-3, h + 4), 0, vh - 1)
+            xs = np.clip(jdx[sg][:, None] + np.arange(-3, w + 4), 0, vw - 1)
+            win[sg_rel] = plane[ys[:, :, None], xs[:, None, :]]
+        fh = np.zeros((nb, 8), dtype=np.int32)
+        fv = np.zeros((nb, 8), dtype=np.int32)
+        gmx = np.zeros(nb, dtype=np.int32)
+        gmy = np.zeros(nb, dtype=np.int32)
+        gmx[:N], gmy[:N] = jmx[g], jmy[g]
+        hz = gmx == 0
+        fh[hz, 3] = 64
+        sets = np.zeros(nb, dtype=np.int64)
+        sets[:N] = jfh[g]
+        fh[~hz] = subf[sets[~hz], gmx[~hz] - 1]
+        vz = gmy == 0
+        fv[vz, 3] = 64
+        sets[:N] = jfv[g]
+        fv[~vz] = subf[sets[~vz], gmy[~vz] - 1]
+        fut = dmc.put_8tap(jnp.asarray(win), jnp.asarray(fh),
+                           jnp.asarray(fv), w=w, h=h, bitdepth=f.bitdepth)
+        fut.copy_to_host_async()
+        launched.append((fut, (pls[g], jdsty[g], jdstx[g], h, w)))
+
+    mc_st = _McDevice()
+    mc_st.handled = np.zeros(n, dtype=np.uint8)
+    mc_st.handled[idxs] = 1
+    mc_st.block_idxs = idxs.astype(np.int64)
+    mc_st.launched = launched
+    return mc_st
+
+
+def _split_groups(key):
+    """Indices of equal-key runs after a stable sort of `key`."""
+    order = np.argsort(key, kind="stable")
+    cuts = np.flatnonzero(np.diff(key[order])) + 1
+    return np.split(order, cuts)
+
+
+def _scatter_mc_device(f, mc_st):
+    for fut, (pls, dys, dxs, h, w) in mc_st.launched:
+        out = np.asarray(fut)[: len(pls)]
+        arh = np.arange(h)
+        arw = np.arange(w)
+        for pl in range(3):
+            m = pls == pl
+            if not m.any():
+                continue
+            f.planes[pl][dys[m][:, None, None] + arh[None, :, None],
+                         dxs[m][:, None, None] + arw[None, None, :]] = \
+                out[m]
+
+
 def _run_pass2_native(f, st) -> None:
     """Arena-driven pass 2: native phase-A inter replay + native phase-B
     ordered intra replay, Python only for the blocks C reports back
@@ -165,12 +324,20 @@ def _run_pass2_native(f, st) -> None:
     ic = glue.build_inter_ctx()
     host_tier = not st.pending
 
+    # batched device MC (ops/mc.py): launch before phase A so the device
+    # filters while the host replays the blocks it keeps
+    from .dispatch import use_device
+    mc_st = None
+    if use_device("mc"):
+        mc_st = _launch_mc_device(f, glue, n)
+
     # phase A: order-free inter predictions (+ residual adds on the host
     # tier, where the batches are already computed)
     skipped = np.empty(n, dtype=np.int64)
     ns = int(_nlib.dtpu_inter_replay(
         ctypes.byref(rc), ctypes.byref(ic), 0, n, int(host_tier),
-        skipped.ctypes.data))
+        skipped.ctypes.data,
+        mc_st.handled.ctypes.data if mc_st is not None else None))
     recs = []
     if ns:
         t.device_resid = not host_tier
@@ -183,14 +350,22 @@ def _run_pass2_native(f, st) -> None:
     if not host_tier:
         # device results arrive while phase A ran; fetch + add
         st.collect()
-        _nlib.dtpu_add_inter_residuals(ctypes.byref(rc), 0, n,
-                                       skipped.ctypes.data, ns)
+        _nlib.dtpu_add_inter_residuals(
+            ctypes.byref(rc), 0, n, skipped.ctypes.data, ns,
+            mc_st.handled.ctypes.data if mc_st is not None else None)
         for rec in recs:
             start = rec["_cap"][1]
             for k, ent in enumerate(rec["coefs"]):
                 if ent[0] >= 0:
                     add_residual(f.planes[ent[3]], ent[5], ent[6],
                                  st.resid_of_meta(start + k), f.bitdepth)
+
+    if mc_st is not None:
+        # device-MC predictions stream back, scatter + residual adds
+        _scatter_mc_device(f, mc_st)
+        _nlib.dtpu_add_block_residuals(ctypes.byref(rc),
+                                       mc_st.block_idxs.ctypes.data,
+                                       len(mc_st.block_idxs))
 
     # phase B: ordered intra walk; C stops at blocks needing Python
     cursor = 0

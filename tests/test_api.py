@@ -144,3 +144,24 @@ def test_inloop_filters_mask(tmp_path):
     none = _decode_all(Decoder(Settings(inloop_filters=0)), tus)
     assert len(full) == len(none) == 4
     assert full != none  # filters did something on this stream
+
+
+def test_logger_callback(tmp_path):
+    """Pluggable logger (reference Dav1dLogger): decode errors are
+    reported through the callback before the exception propagates."""
+    from dav1d_tpu.decoder import Decoder, Settings
+
+    msgs = []
+    dec = Decoder(Settings(logger=msgs.append))
+    with pytest.raises(Exception):
+        # sequence-header OBU whose payload overruns the buffer
+        dec.send_data(bytes([0x0A, 0x02, 0xFF]))
+    assert msgs and "error" in msgs[0]
+
+    from dav1d_tpu.containers import read_ivf
+
+    data = _stream(tmp_path, n=1, kf=1)
+    tus = [tu for tu, _ in read_ivf(data)]
+    ok = Decoder(Settings(logger=msgs.append))
+    ok.send_data(tus[0])
+    assert ok.get_picture() is not None

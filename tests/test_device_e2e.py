@@ -1,0 +1,99 @@
+"""End-to-end parity of the forced-device pipeline.
+
+Decodes real libaom streams with every dispatch family forced to the
+device tier (DAV1D_TPU_DEVICE=1 on the virtual-CPU backend) and requires
+byte equality with the host tier — which test_e2e_aom already pins to
+the reference oracle.  This is the e2e gauntlet for the batched device
+kernels (mc/itx/cdef/deblock/lr/fg) as wired into the real decode path,
+not just their unit parity (test_ops_device)."""
+
+import hashlib
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from aom_enc import AomEncoder, gradient_frames, write_ivf_packets  # noqa
+
+
+CASES = {
+    # plain + compound + obmc/warp inter tools (device mc interplay with
+    # the blocks the native C replay keeps); small + cpu_used=4 bounds
+    # the one-time XLA compile count on the CPU backend
+    "kitchen": dict(n=6, w=128, h=96, lag=8, cpu_used=4, q=50,
+                    options={"enable-order-hint": 1,
+                             "enable-ref-frame-mvs": 1,
+                             "enable-masked-comp": 1,
+                             "enable-dist-wtd-comp": 1,
+                             "enable-obmc": 1, "enable-warped-motion": 1,
+                             "enable-global-motion": 1}),
+    # film grain + restoration (device fg/lr)
+    "grain": dict(n=4, w=128, h=96,
+                  options={"denoise-noise-level": 25}),
+    # 10-bit (int32 device paths)
+    "hbd10": dict(n=3, w=128, h=96, bitdepth=10),
+}
+
+
+def _decode_md5(ivf_bytes):
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Decoder, Settings
+
+    dec = Decoder(Settings(two_pass=True, max_frame_delay=4))
+    h = hashlib.md5()
+    n = 0
+    for tu, _ in read_ivf(ivf_bytes):
+        dec.send_data(tu)
+        while (pic := dec.get_picture()) is not None:
+            for pl in range(len(pic.planes)):
+                h.update(pic.plane_bytes(pl))
+            n += 1
+    return n, h.hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_device_pipeline_matches_host(tmp_path, name):
+    from dav1d_tpu.dispatch import use_device
+
+    # XLA:CPU compiles are not served by the persistent cache on this
+    # setup (machine-feature tag mismatch), so every process pays the
+    # full compile bill — default-run one representative case, all three
+    # under DAV1D_TPU_TEST_DEVICE_FULL=1
+    if name != "grain" and \
+            os.environ.get("DAV1D_TPU_TEST_DEVICE_FULL") != "1":
+        pytest.skip("set DAV1D_TPU_TEST_DEVICE_FULL=1 for the full set")
+
+    kw = dict(CASES[name])
+    n = kw.pop("n")
+    w, h = kw.pop("w"), kw.pop("h")
+    bitdepth = kw.pop("bitdepth", 8)
+    enc = AomEncoder(width=w, height=h, usage="good", kf_max_dist=9999,
+                     bitdepth=bitdepth,
+                     **{k: v for k, v in kw.items()
+                        if k in ("lag", "cpu_used", "q", "options")})
+    pkts = enc.encode(gradient_frames(n, w, h, bitdepth=bitdepth))
+    enc.close()
+    ivf = tmp_path / f"{name}.ivf"
+    write_ivf_packets(ivf, pkts, w, h)
+    data = ivf.read_bytes()
+
+    saved = os.environ.get("DAV1D_TPU_DEVICE")
+    try:
+        os.environ["DAV1D_TPU_DEVICE"] = "0"
+        use_device.cache_clear()
+        n_host, md5_host = _decode_md5(data)
+        os.environ["DAV1D_TPU_DEVICE"] = "1"
+        use_device.cache_clear()
+        n_dev, md5_dev = _decode_md5(data)
+    finally:
+        if saved is None:
+            os.environ.pop("DAV1D_TPU_DEVICE", None)
+        else:
+            os.environ["DAV1D_TPU_DEVICE"] = saved
+        use_device.cache_clear()
+
+    assert n_host == n == n_dev
+    assert md5_dev == md5_host, f"{name}: device pipeline diverges"

@@ -10,10 +10,22 @@ from __future__ import annotations
 import argparse
 import hashlib
 import math
+import os
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin registers regardless of the environment
+    # variable; the config flag is authoritative
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 from dav1d_tpu.containers import ivf_meta, open_stream, probe_ivf
 from dav1d_tpu.decoder import Decoder, Settings
@@ -44,11 +56,44 @@ def y4m_header(pic, fps=(25, 1)) -> bytes:
 
 
 def main(argv=None):
+    # option set mirrors the reference CLI (reference tools/dav1d.c /
+    # tools/dav1d_cli_parse.c): muxers, limits, verification, realtime
+    # pacing, decoder settings passthrough
     p = argparse.ArgumentParser()
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", default="-")
-    p.add_argument("--muxer", default="y4m", choices=["y4m", "yuv", "md5", "null"])
-    p.add_argument("--limit", type=int, default=0, help="max frames")
+    p.add_argument("--muxer", default="y4m",
+                   choices=["y4m", "yuv", "md5", "null"])
+    p.add_argument("-l", "--limit", type=int, default=0, help="max frames")
+    p.add_argument("-s", "--skip", type=int, default=0,
+                   help="skip decoding the first N frames")
+    p.add_argument("--verify", metavar="MD5",
+                   help="verify decoded output against an md5 digest "
+                        "(exit 1 on mismatch)")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="suppress the per-decode status line")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace output to the stream frame rate and report "
+                        "realtime decode margin")
+    p.add_argument("--filmgrain", type=int, default=1, choices=[0, 1],
+                   help="apply film grain (default 1)")
+    p.add_argument("--oppoint", type=int, default=0,
+                   help="operating point to decode (scalable streams)")
+    p.add_argument("--alllayers", type=int, default=1, choices=[0, 1],
+                   help="output all spatial layers (default 1)")
+    p.add_argument("--sizelimit", type=int, default=0,
+                   help="maximum frame size in pixels (0 = unlimited)")
+    p.add_argument("--framedelay", type=int, default=0,
+                   help="maximum frames in flight (frame pipelining)")
+    p.add_argument("--inloopfilters", default="all",
+                   choices=["none", "deblock", "cdef", "restoration",
+                            "all"],
+                   help="in-loop filters to apply")
+    p.add_argument("--decodeframetype", default="all",
+                   choices=["all", "reference", "intra", "key"],
+                   help="frame types to decode")
+    p.add_argument("--twopass", type=int, default=1, choices=[0, 1],
+                   help="two-pass host/device pipeline (default 1)")
     args = p.parse_args(argv)
 
     data = Path(args.input).read_bytes()
@@ -57,35 +102,88 @@ def main(argv=None):
         _, _, num, den = ivf_meta(data)
         if num and den:
             fps = (num, den)
-    dec = Decoder(Settings())
+    ilf = {"none": 0, "deblock": 1, "cdef": 2, "restoration": 4,
+           "all": 7}[args.inloopfilters]
+    dft = {"all": 0, "reference": 1, "intra": 2,
+           "key": 3}[args.decodeframetype]
+    dec = Decoder(Settings(
+        apply_grain=bool(args.filmgrain), operating_point=args.oppoint,
+        all_layers=bool(args.alllayers), frame_size_limit=args.sizelimit,
+        max_frame_delay=args.framedelay, inloop_filters=ilf,
+        decode_frame_type=dft, two_pass=bool(args.twopass),
+        logger=None if args.quiet
+        else lambda m: print(f"dav1d_tpu: {m}", file=sys.stderr)))
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     md5 = hashlib.md5()
     n = 0
+    emitted = 0
     first = True
+    t_start = time.perf_counter()
+
+    def emit(pic):
+        nonlocal first, emitted
+        if args.muxer == "y4m":
+            if first:
+                out.write(y4m_header(pic, fps))
+                first = False
+            out.write(b"FRAME\n")
+        for pl in range(len(pic.planes)):
+            buf = pic.plane_bytes(pl)
+            if args.muxer == "md5" or args.verify:
+                md5.update(buf)
+            if args.muxer not in ("md5", "null"):
+                out.write(buf)
+        emitted += 1
+        if args.realtime:
+            # pace to the container frame rate (reference --realtime,
+            # tools/dav1d.c synchronize())
+            due = t_start + emitted * fps[1] / fps[0]
+            lag = due - time.perf_counter()
+            if lag > 0:
+                time.sleep(lag)
+
+    done = False
     for tu, _pts in open_stream(data):
         dec.send_data(tu)
         while (pic := dec.get_picture()) is not None:
-            if args.muxer == "y4m":
-                if first:
-                    out.write(y4m_header(pic, fps))
-                    first = False
-                out.write(b"FRAME\n")
-            for pl in range(len(pic.planes)):
-                buf = pic.plane_bytes(pl)
-                if args.muxer == "md5":
-                    md5.update(buf)
-                elif args.muxer != "null":
-                    out.write(buf)
             n += 1
-            if args.limit and n >= args.limit:
+            if n <= args.skip:
+                continue
+            emit(pic)
+            if args.limit and emitted >= args.limit:
+                done = True
                 break
-        if args.limit and n >= args.limit:
+        if done:
             break
+    if not done:
+        # drain in-flight frames (get_picture finishes pending pass-2
+        # work; flush() would DROP them, reference dav1d_flush)
+        while (pic := dec.get_picture()) is not None:
+            n += 1
+            if n <= args.skip:
+                continue
+            emit(pic)
+            if args.limit and emitted >= args.limit:
+                break
+    elapsed = time.perf_counter() - t_start
     if args.muxer == "md5":
         out.write(f"{md5.hexdigest()}\n".encode())
     if out is not sys.stdout.buffer:
         out.close()
-    print(f"decoded {n} frames", file=sys.stderr)
+    if not args.quiet:
+        fps_out = emitted / elapsed if elapsed > 0 else 0.0
+        line = (f"decoded {emitted}/{n} frames in {elapsed:.2f}s "
+                f"({fps_out:.2f} fps)")
+        if args.realtime:
+            line += f", stream rate {fps[0] / fps[1]:.2f} fps"
+        print(line, file=sys.stderr)
+    if args.verify:
+        if md5.hexdigest() != args.verify.strip().lower():
+            print(f"verify FAILED: {md5.hexdigest()} != {args.verify}",
+                  file=sys.stderr)
+            return 1
+        if not args.quiet:
+            print("verify OK", file=sys.stderr)
     return 0
 
 
