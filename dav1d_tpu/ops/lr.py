@@ -57,8 +57,138 @@ def wiener_batch(P, fh, fv, bitdepth):
     return np.asarray(out)
 
 
-# Self-guided restoration stays on the host tier for now: its exact
-# intermediates (p*s, xv*su*one_by_x) exceed int32 and the device has no
-# int64 — matching the reference, whose SIMD SGR uses rewritten
-# fixed-point factorizations (src/looprestoration_tmpl.c:505-523 vs the
-# asm); the split-multiply reformulation is tracked in STATUS.md.
+# ---- self-guided restoration -------------------------------------------
+#
+# The host formulation (recon/lr_apply.py _sgr) uses int64 for two
+# products that exceed int32 at 12-bit: z = (p*s + 2^19) >> 20 (up to
+# ~38 bits) and A = (xv*su*one_by_x + 2^11) >> 12 (up to ~34 bits).
+# The device kernel computes both EXACTLY in int32 with a nested-floor
+# split-multiply:
+#
+#     (q*s + 2^(k-1)) >> k  ==  (q_hi*s + ((q_lo*s + 2^(k-1)) >> m)) >> (k-m)
+#         where q = q_hi*2^m + q_lo
+#
+# (floor((a*2^m + r)/2^k) == floor((a + floor(r/2^m))/2^(k-m)) for
+# integer a — the same identity the reference's SIMD relies on for its
+# 16-bit factorizations, src/looprestoration_tmpl.c:505-523 vs the asm.)
+# Every remaining intermediate fits int32: box sums <= 25*4095 (17 bits),
+# square sums <= 25*4095^2 (~2^28.6), neighbourhood sums b - a*src
+# (~2^27), and the weighted blend w0*tmp5 + w1*tmp3 (~2^27).
+
+
+@functools.lru_cache(maxsize=None)
+def _sgr_x_by_x():
+    return jnp.asarray(np.ascontiguousarray(tables.sgr_x_by_x,
+                                            dtype=np.int32))
+
+
+def _split_mul_shift(q, s, k, m, xp=jnp):
+    """Exact (q*s + 2^(k-1)) >> k for q, s >= 0 without exceeding int32
+    (q < 2^(31-? ) split at bit m)."""
+    q_hi = q >> m
+    q_lo = q & ((1 << m) - 1)
+    return (q_hi * s + ((q_lo * s + (1 << (k - 1))) >> m)) >> (k - m)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_sgr(unit_w, stripe_h, bitdepth, variant):
+    """variant: 0 = 5x5 only, 1 = 3x3 only, 2 = mix (reference
+    sgr_5x5_c / sgr_3x3_c / sgr_mix_c)."""
+    bdm8 = bitdepth - 8
+    x_by_x = _sgr_x_by_x()
+
+    def box_h(P, r):
+        w2 = unit_w + 2
+        su = sum(P[:, :, 2 - r + i : 2 - r + i + w2]
+                 for i in range(2 * r + 1))
+        sq = sum(P[:, :, 2 - r + i : 2 - r + i + w2] ** 2
+                 for i in range(2 * r + 1))
+        return su, sq
+
+    def calc_ab(su, sq, s, n, one_by_x):
+        a = (sq + ((1 << (2 * bdm8)) >> 1)) >> (2 * bdm8)
+        b = (su + ((1 << bdm8) >> 1)) >> bdm8
+        p = jnp.maximum(a * n - b * b, 0)
+        z = _split_mul_shift(p, s[:, None], 20, 10)
+        xv = x_by_x[jnp.minimum(z, 255)]
+        A = _split_mul_shift(xv * su, one_by_x, 12, 12)
+        return A, xv
+
+    def tmp3(P, src, s):
+        su, sq = box_h(P, 1)  # (B, sh+6, uw+2)
+        A = []
+        B = []
+        for y in range(-1, stripe_h + 1):
+            s3 = su[:, y + 2] + su[:, y + 3] + su[:, y + 4]
+            q3 = sq[:, y + 2] + sq[:, y + 3] + sq[:, y + 4]
+            Ar, Br = calc_ab(s3, q3, s, 9, 455)
+            A.append(Ar)
+            B.append(Br)
+
+        def eight(M, j):
+            c, up, dn = M[j + 1], M[j], M[j + 2]
+            return ((c[:, 1:-1] + c[:, :-2] + c[:, 2:] + up[:, 1:-1]
+                     + dn[:, 1:-1]) * 4
+                    + (up[:, :-2] + dn[:, :-2] + up[:, 2:]
+                       + dn[:, 2:]) * 3)
+
+        rows = [(eight(A, j) - eight(B, j) * src[:, j] + (1 << 8)) >> 9
+                for j in range(stripe_h)]
+        return jnp.stack(rows, axis=1)
+
+    def tmp5(P, src, s):
+        su, sq = box_h(P, 2)
+        ab = {}
+
+        def get_ab(y):  # y odd, in [-1, stripe_h]
+            if y not in ab:
+                s5 = sum(su[:, y + 1 + i] for i in range(5))
+                q5 = sum(sq[:, y + 1 + i] for i in range(5))
+                ab[y] = calc_ab(s5, q5, s, 25, 164)
+            return ab[y]
+
+        def six2(Mu, Md):
+            return ((Mu[:, 1:-1] + Md[:, 1:-1]) * 6
+                    + (Mu[:, :-2] + Md[:, :-2] + Mu[:, 2:]
+                       + Md[:, 2:]) * 5)
+
+        def six1(M):
+            return M[:, 1:-1] * 6 + (M[:, :-2] + M[:, 2:]) * 5
+
+        rows = []
+        for j in range(stripe_h):
+            if j % 2 == 0:
+                Au, Bu = get_ab(j - 1)
+                Ad, Bd = get_ab(j + 1)
+                rows.append((six2(Au, Ad) - six2(Bu, Bd) * src[:, j]
+                             + (1 << 8)) >> 9)
+            else:
+                A1, B1 = get_ab(j)
+                rows.append((six1(A1) - six1(B1) * src[:, j]
+                             + (1 << 7)) >> 8)
+        return jnp.stack(rows, axis=1)
+
+    def run(P, src, s0, s1, w0, w1):
+        if variant == 0:
+            v = w0[:, None, None] * tmp5(P, src, s0)
+        elif variant == 1:
+            v = w1[:, None, None] * tmp3(P, src, s1)
+        else:
+            v = (w0[:, None, None] * tmp5(P, src, s0)
+                 + w1[:, None, None] * tmp3(P, src, s1))
+        out = src + ((v + (1 << 10)) >> 11)
+        return jnp.clip(out, 0, (1 << bitdepth) - 1)
+
+    return jax.jit(run)
+
+
+def sgr_batch(P, src, s0, s1, w0, w1, bitdepth, variant):
+    """(B, sh+6, uw+6) padded units + (B, sh, uw) unit pixels + per-unit
+    strengths/weights -> (B, sh, uw) int32 (reference sgr_5x5_c /
+    sgr_3x3_c / sgr_mix_c, src/looprestoration_tmpl.c:679-1090)."""
+    B, ph, pw = P.shape
+    out = _jit_sgr(pw - 6, ph - 6, int(bitdepth), int(variant))(
+        jnp.asarray(P, dtype=jnp.int32), jnp.asarray(src, dtype=jnp.int32),
+        jnp.asarray(s0, dtype=jnp.int32), jnp.asarray(s1, dtype=jnp.int32),
+        jnp.asarray(w0, dtype=jnp.int32), jnp.asarray(w1, dtype=jnp.int32))
+    return np.asarray(out)

@@ -36,10 +36,13 @@ def lr_frame(f) -> None:
 
     hdr = f.frame_hdr
     src_planes = [p.copy() for p in f.sr_planes]  # post-CDEF+SR input
-    # device tier: wiener stripes are collected per (unit_w, stripe_h)
-    # shape and run as batched device programs (ops/lr.py); SGR stays on
-    # the host (int64 intermediates, see ops/lr.py)
-    f._lr_wiener_sink = {} if use_device("lr") else None
+    # device tier: wiener/SGR stripes are collected per (unit_w,
+    # stripe_h[, variant]) shape and run as batched device programs
+    # (ops/lr.py); deferral is exact because LR reads only the
+    # src/pre_cdef copies, never its own output
+    on_dev = use_device("lr")
+    f._lr_wiener_sink = {} if on_dev else None
+    f._lr_sgr_sink = {} if on_dev else None
     for pl in range(3):
         if not ((f.restore_planes >> pl) & 1):
             continue
@@ -66,7 +69,22 @@ def lr_frame(f) -> None:
             out = wiener_batch(P, fh, fv, f.bitdepth)
             for b, (_, _, _, pl, y, x) in enumerate(items):
                 f.sr_planes[pl][y : y + sh, x : x + uw] = out[b]
+    if f._lr_sgr_sink:
+        from ..ops.lr import sgr_batch
+
+        for (uw, sh, variant), items in f._lr_sgr_sink.items():
+            P = np.stack([it[0] for it in items])
+            srcs = np.stack([it[1] for it in items])
+            s0 = np.array([it[2] for it in items])
+            s1 = np.array([it[3] for it in items])
+            w0 = np.array([it[4] for it in items])
+            w1 = np.array([it[5] for it in items])
+            out = sgr_batch(P, srcs, s0, s1, w0, w1, f.bitdepth, variant)
+            for b, it in enumerate(items):
+                pl, y, x = it[6], it[7], it[8]
+                f.sr_planes[pl][y : y + sh, x : x + uw] = out[b]
     f._lr_wiener_sink = None
+    f._lr_sgr_sink = None
 
 
 def _lr_plane_sbrow(f, pl, src, y, w, h, row_h, ss_ver, ss_hor) -> None:
@@ -134,8 +152,21 @@ def _lr_stripes(f, pl, src, x, y, unit_w, row_h, lr, edges, ss_ver,
                 blk = _wiener(P, lr["filter_h"], lr["filter_v"], unit_w,
                               stripe_h, bitdepth)
         else:
-            blk = _sgr(P, src[y : y + stripe_h, x : x + unit_w], lr,
-                       unit_w, stripe_h, bitdepth)
+            sink = getattr(f, "_lr_sgr_sink", None)
+            if sink is not None:
+                sgr_idx = lr["type"] - int(RT.SGRPROJ)
+                s0 = int(tables.sgr_params[sgr_idx][0])
+                s1 = int(tables.sgr_params[sgr_idx][1])
+                w0 = lr["sgr_weights"][0]
+                w1 = 128 - (lr["sgr_weights"][0] + lr["sgr_weights"][1])
+                variant = 2 if (s0 and s1) else (0 if s0 else 1)
+                sink.setdefault((unit_w, stripe_h, variant), []).append(
+                    (P, src[y : y + stripe_h, x : x + unit_w], s0, s1,
+                     w0, w1, pl, y, x))
+                blk = None
+            else:
+                blk = _sgr(P, src[y : y + stripe_h, x : x + unit_w], lr,
+                           unit_w, stripe_h, bitdepth)
         if blk is not None:
             out[y : y + stripe_h, x : x + unit_w] = blk
         y += stripe_h

@@ -88,3 +88,39 @@ def test_device_filmgrain_apply_matches_host(bitdepth):
     want = np.clip(src + noise, minv, maxv)
     got = fg_apply_batch(src, grain, lut, shift, minv, maxv)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("bitdepth", [8, 10, 12])
+@pytest.mark.parametrize("sgr_idx,variant",
+                         [(0, 2), (14, 0), (10, 1)])  # mix, 5x5, 3x3
+def test_device_sgr_matches_host(bitdepth, sgr_idx, variant):
+    """Int32 split-multiply SGR device kernel vs the int64 host golden
+    (ops/lr.py sgr_batch vs recon/lr_apply.py _sgr)."""
+    from dav1d_tpu import tables
+    from dav1d_tpu.ops.lr import sgr_batch
+    from dav1d_tpu.recon.lr_apply import _sgr
+
+    s0 = int(tables.sgr_params[sgr_idx][0])
+    s1 = int(tables.sgr_params[sgr_idx][1])
+    assert (2 if (s0 and s1) else (0 if s0 else 1)) == variant
+    rng = np.random.default_rng(sgr_idx * 31 + bitdepth)
+    B, uw, sh = 4, 64, 32
+    # extreme pixels maximize the split-multiply operands
+    P = rng.choice(
+        np.array([0, 1, (1 << bitdepth) - 2, (1 << bitdepth) - 1]),
+        size=(B, sh + 6, uw + 6)).astype(np.int64)
+    src = P[:, 3 : 3 + sh, 3 : 3 + uw].copy()
+    w0 = rng.integers(-96, 128, B)
+    w1r = rng.integers(-32, 96, B)
+    got = sgr_batch(P, src, [s0] * B, [s1] * B, w0,
+                    128 - (w0 + w1r), bitdepth, variant)
+    for b in range(B):
+        lr = {"type": np.int16(int(RT_SGRPROJ) + sgr_idx),
+              "sgr_weights": np.array([w0[b], w1r[b]], dtype=np.int16)}
+        want = _sgr(P[b], src[b], lr, uw, sh, bitdepth)
+        np.testing.assert_array_equal(got[b], want, err_msg=f"unit {b}")
+
+
+from dav1d_tpu.headers import RestorationType as _RT  # noqa: E402
+
+RT_SGRPROJ = int(_RT.SGRPROJ)
