@@ -13,6 +13,7 @@ batched int32 jnp arrays (device).
 from __future__ import annotations
 
 import functools
+import types
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +21,79 @@ import numpy as np
 
 from .. import tables
 from ..levels import TxfmType
+from ..recon import itx as _gitx
 from ..recon.itx import _1D_FNS, TX1D_TYPES, TX_SHIFT, wht4
+
+
+# ---- int32-safe 1-D kernels for 12-bit ----------------------------------
+#
+# At 12-bit the canonical rotations (a*ca + b*cb + 2048) >> 12 overflow
+# int32 (|a| <= 2^19 intermediates x 12-bit constants, worst ~2^32.4 for
+# adst4's four-term sums), which is why 12-bit previously ran on the
+# host int64 path.  The split form below is algebraically EXACT
+# (nested-floor identity floor((64u + v)/4096) == floor((u + v//64)/64)
+# for any integers, with ca == 64*(ca>>6) + (ca&63) even for negative
+# constants) and keeps every intermediate under ~2^28 — the analog of
+# the reference's rewritten fixed-point forms (src/itx_1d.c comments on
+# the int32-safe variants).
+
+
+def _rr_i32(a, ca, b, cb):
+    u = a * (ca >> 6) + b * (cb >> 6)
+    v = a * (ca & 63) + b * (cb & 63) + 2048
+    return (u + (v >> 6)) >> 6
+
+
+def _quad_i32(c0, i0, c1, i1, c2, i2, c3, i3):
+    u = i0 * (c0 >> 6) + i1 * (c1 >> 6) + i2 * (c2 >> 6) + i3 * (c3 >> 6)
+    v = (i0 * (c0 & 63) + i1 * (c1 & 63) + i2 * (c2 & 63)
+         + i3 * (c3 & 63) + 2048)
+    return (u + (v >> 6)) >> 6
+
+
+def _adst4_i32(cin, oi, si, cout, oo, so, clip):
+    in0, in1 = cin[oi], cin[oi + si]
+    in2, in3 = cin[oi + 2 * si], cin[oi + 3 * si]
+    cout[oo + 0 * so] = _quad_i32(1321, in0, 3803, in2, 2482, in3,
+                                  3344, in1)
+    cout[oo + 1 * so] = _quad_i32(2482, in0, -1321, in2, -3803, in3,
+                                  3344, in1)
+    cout[oo + 2 * so] = (209 * (in0 - in2 + in3) + 128) >> 8
+    cout[oo + 3 * so] = _quad_i32(3803, in0, 2482, in2, -1321, in3,
+                                  -3344, in1)
+
+
+@functools.lru_cache(maxsize=None)
+def _safe_1d_fns():
+    """recon.itx's 1-D kernel set recreated over patched globals so every
+    rotation routes through the split forms (the kernels are shared
+    code; only the arithmetic primitives change)."""
+    g = dict(vars(_gitx))
+    g["_rr"] = _rr_i32
+    g["adst4"] = _adst4_i32
+    dct_names = {4: "dct4", 8: "dct8", 16: "dct16", 32: "dct32",
+                 64: "dct64"}
+    for name in list(dct_names.values()) + ["adst8", "adst16"]:
+        src = getattr(_gitx, name)
+        g[name] = types.FunctionType(src.__code__, g, name,
+                                     src.__defaults__, src.__closure__)
+    fns = {}
+    for lsz, n in ((0, 4), (1, 8), (2, 16), (3, 32), (4, 64)):
+        fns[(lsz, _gitx.DCT)] = g[dct_names[n]]
+        if n <= 16:
+            base = g[{4: "adst4", 8: "adst8", 16: "adst16"}[n]]
+
+            def _fwd(c, o, s, clip, base=base):
+                base(c, o, s, c, o, s, clip)
+
+            def _flip(c, o, s, clip, base=base, n=n):
+                base(c, o, s, c, o + (n - 1) * s, -s, clip)
+
+            fns[(lsz, _gitx.ADST)] = _fwd
+            fns[(lsz, _gitx.FLIPADST)] = _flip
+        if n <= 32:
+            fns[(lsz, _gitx.IDENTITY)] = _gitx.identity(n)
+    return fns
 
 
 @functools.lru_cache(maxsize=None)
@@ -30,11 +103,12 @@ def _txinfo(tx):
             int(t_dim[3]))
 
 
-def _itx_core(cf, tx, txtp, bitdepth, xp=jnp):
+def _itx_core(cf, tx, txtp, bitdepth, xp=jnp, fns=None):
     """cf: (B, sh*sw) int32 column-major coefficients (as stored by the
     coefficient decoder). Returns (B, h, w) int32 residuals (pre-add,
     already (x + 8) >> 4 scaled). The 1-D kernels are polymorphic over
-    the lane container; pass xp=numpy for the host-batched variant."""
+    the lane container; pass xp=numpy for the host-batched variant and
+    fns=_safe_1d_fns() for the int32-safe 12-bit device forms."""
     w, h, lw, lh = _txinfo(tx)
     sw, sh = min(w, 32), min(h, 32)
     maxp = (1 << bitdepth) - 1
@@ -67,8 +141,9 @@ def _itx_core(cf, tx, txtp, bitdepth, xp=jnp):
         return xp.clip(v, col_min, col_max)
 
     row_t, col_t = TX1D_TYPES[txtp]
-    first_fn = _1D_FNS[(lw, row_t)]
-    second_fn = _1D_FNS[(lh, col_t)]
+    table = fns if fns is not None else _1D_FNS
+    first_fn = table[(lw, row_t)]
+    second_fn = table[(lh, col_t)]
 
     grid = cf.reshape(B, sw, sh)  # [x][y]
     if is_rect2:
@@ -98,7 +173,9 @@ def _jit_itx(tx, txtp, bitdepth):
     if bitdepth == 8:
         return jax.jit(lambda cf: _itx_core(
             cf.astype(jnp.int32), tx, txtp, bitdepth).astype(jnp.int16))
-    return jax.jit(lambda cf: _itx_core(cf, tx, txtp, bitdepth))
+    # 12-bit: the int32-safe split-form kernels (see module top)
+    fns = _safe_1d_fns() if bitdepth == 12 else None
+    return jax.jit(lambda cf: _itx_core(cf, tx, txtp, bitdepth, fns=fns))
 
 
 def itx_batch_np(cf, tx, txtp, bitdepth):
@@ -187,13 +264,9 @@ def itx_batch_c_ptrs(ptrs, tx, txtp, bitdepth):
 
 def itx_batch(cf, tx, txtp, bitdepth):
     """Batched inverse transform: (B, sh*sw) int32 -> (B, h, w) residuals.
-    12-bit intermediates exceed int32 at the canonical 12-bit rotation
-    scale (the reference's int32 asm relies on rewritten half-scale forms
-    instead, src/itx_1d.c comments), so hbd-12 runs on the host int64
-    numpy path rather than mutating the process-wide jax_enable_x64 flag
-    from inside a kernel helper."""
-    if bitdepth == 12:
-        return itx_batch_np(np.asarray(cf), tx, txtp, bitdepth)
+    All bitdepths run on the device: 12-bit uses the exact int32-safe
+    split-form kernels (_safe_1d_fns) instead of the canonical rotations
+    whose intermediates exceed int32."""
     dt = jnp.int16 if bitdepth == 8 else jnp.int32
     return _jit_itx(int(tx), int(txtp), int(bitdepth))(
         jnp.asarray(cf, dtype=dt))

@@ -104,7 +104,7 @@ def _launch_residuals_native(f):
 
     from .dispatch import use_device
     mesh = getattr(f, "mesh", None)
-    device = (use_device("itx") or mesh is not None) and f.bitdepth != 12
+    device = use_device("itx") or mesh is not None
     cf_arena = glue.cf_arena
     cf_base = cf_arena.ctypes.data
     from .native.decode_glue import _n_coef
@@ -398,7 +398,7 @@ def _launch_residuals(f):
 
     from .dispatch import use_device
     mesh = getattr(f, "mesh", None)
-    device = (use_device("itx") or mesh is not None) and f.bitdepth != 12
+    device = use_device("itx") or mesh is not None
     use_pallas = os.environ.get("DAV1D_TPU_ITX_PALLAS") == "1"
     from .ops.itx import itx_batch, itx_batch_np
     if use_pallas:
