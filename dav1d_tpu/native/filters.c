@@ -474,67 +474,147 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
  * dav1d_tpu/recon/mc_np.py put_8tap/prep_8tap (reference put_8tap_c,
  * src/mc_tmpl.c:130). Edge replication via clamped gather (emu_edge).
  * fh/fv: 8-tap int64 rows or NULL. */
-static void put_8tap_core(const int32_t *plane, int64_t stride, int vw,
-                          int vh, int dy, int dx, int w, int h,
+static void put_8tap_core(const int32_t *restrict plane, int64_t stride,
+                          int vw, int vh, int dy, int dx, int w, int h,
                           const int64_t *fh, const int64_t *fv, int ib,
-                          int maxp, int prep, int prep_bias, int32_t *out,
-                          int64_t ostride)
+                          int maxp, int prep, int prep_bias,
+                          int32_t *restrict out, int64_t ostride)
 {
     if (fh && fv) {
+        /* int32 is ample: |px| <= 2^12, sum|f| <= ~2^8 -> horizontal
+         * accs <= ~2^21, mids <= ~2^17, vertical accs <= ~2^26 */
+        int32_t f_h[8], f_v[8];
+        for (int t = 0; t < 8; t++) {
+            f_h[t] = (int32_t)fh[t];
+            f_v[t] = (int32_t)fv[t];
+        }
         int32_t mid[135][128]; /* max h+7=135, max w=128 */
         const int rnd_h = (1 << (6 - ib)) >> 1;
-        for (int y = 0; y < h + 7; y++) {
-            const int32_t *row =
-                plane + (int64_t)clampi(dy - 3 + y, 0, vh - 1) * stride;
-            for (int x = 0; x < w; x++) {
-                int64_t acc = 0;
-                for (int t = 0; t < 8; t++)
-                    acc += fh[t] * row[clampi(dx - 3 + x + t, 0, vw - 1)];
-                mid[y][x] = (int32_t)((acc + rnd_h) >> (6 - ib));
+        const int sh_h = 6 - ib;
+        if (dy - 3 >= 0 && dy + h + 4 <= vh &&
+            dx - 3 >= 0 && dx + w + 4 <= vw) {
+            /* interior fast path: no edge clamping, stride-1 reads */
+            for (int y = 0; y < h + 7; y++) {
+                const int32_t *restrict row =
+                    plane + (int64_t)(dy - 3 + y) * stride + (dx - 3);
+                int32_t *restrict m = mid[y];
+                for (int x = 0; x < w; x++) {
+                    int32_t acc = f_h[0] * row[x] + f_h[1] * row[x + 1] +
+                                  f_h[2] * row[x + 2] +
+                                  f_h[3] * row[x + 3] +
+                                  f_h[4] * row[x + 4] +
+                                  f_h[5] * row[x + 5] +
+                                  f_h[6] * row[x + 6] +
+                                  f_h[7] * row[x + 7];
+                    m[x] = (acc + rnd_h) >> sh_h;
+                }
+            }
+        } else {
+            for (int y = 0; y < h + 7; y++) {
+                const int32_t *row =
+                    plane +
+                    (int64_t)clampi(dy - 3 + y, 0, vh - 1) * stride;
+                for (int x = 0; x < w; x++) {
+                    int32_t acc = 0;
+                    for (int t = 0; t < 8; t++)
+                        acc += f_h[t] *
+                               row[clampi(dx - 3 + x + t, 0, vw - 1)];
+                    mid[y][x] = (acc + rnd_h) >> sh_h;
+                }
             }
         }
         const int rnd_v = prep ? 32 : ((1 << (6 + ib)) >> 1);
         const int sh_v = prep ? 6 : (6 + ib);
-        for (int y = 0; y < h; y++)
+        for (int y = 0; y < h; y++) {
+            int32_t *restrict orow = out + (int64_t)y * ostride;
+            const int32_t *restrict m0 = mid[y];
+            const int32_t *restrict m1 = mid[y + 1];
+            const int32_t *restrict m2 = mid[y + 2];
+            const int32_t *restrict m3 = mid[y + 3];
+            const int32_t *restrict m4 = mid[y + 4];
+            const int32_t *restrict m5 = mid[y + 5];
+            const int32_t *restrict m6 = mid[y + 6];
+            const int32_t *restrict m7 = mid[y + 7];
             for (int x = 0; x < w; x++) {
-                int64_t acc = 0;
-                for (int t = 0; t < 8; t++)
-                    acc += fv[t] * mid[y + t][x];
-                int v = (int)((acc + rnd_v) >> sh_v);
-                out[y * ostride + x] =
-                    prep ? v - prep_bias : clampi(v, 0, maxp);
+                int32_t acc = f_v[0] * m0[x] + f_v[1] * m1[x] +
+                              f_v[2] * m2[x] + f_v[3] * m3[x] +
+                              f_v[4] * m4[x] + f_v[5] * m5[x] +
+                              f_v[6] * m6[x] + f_v[7] * m7[x];
+                const int v = (acc + rnd_v) >> sh_v;
+                orow[x] = prep ? v - prep_bias : clampi(v, 0, maxp);
             }
+        }
     } else if (fh) {
+        int32_t f_h[8];
+        for (int t = 0; t < 8; t++)
+            f_h[t] = (int32_t)fh[t];
         const int rnd = prep ? ((1 << (6 - ib)) >> 1)
                              : 32 + ((1 << (6 - ib)) >> 1);
         const int sh = prep ? (6 - ib) : 6;
+        const int inner = dx - 3 >= 0 && dx + w + 4 <= vw;
         for (int y = 0; y < h; y++) {
             const int32_t *row =
                 plane + (int64_t)clampi(dy + y, 0, vh - 1) * stride;
-            for (int x = 0; x < w; x++) {
-                int64_t acc = 0;
-                for (int t = 0; t < 8; t++)
-                    acc += fh[t] * row[clampi(dx - 3 + x + t, 0, vw - 1)];
-                int v = (int)((acc + rnd) >> sh);
-                out[y * ostride + x] =
-                    prep ? v - prep_bias : clampi(v, 0, maxp);
+            int32_t *restrict orow = out + (int64_t)y * ostride;
+            if (inner) {
+                const int32_t *restrict r = row + dx - 3;
+                for (int x = 0; x < w; x++) {
+                    int32_t acc = f_h[0] * r[x] + f_h[1] * r[x + 1] +
+                                  f_h[2] * r[x + 2] + f_h[3] * r[x + 3] +
+                                  f_h[4] * r[x + 4] + f_h[5] * r[x + 5] +
+                                  f_h[6] * r[x + 6] + f_h[7] * r[x + 7];
+                    const int v = (acc + rnd) >> sh;
+                    orow[x] = prep ? v - prep_bias : clampi(v, 0, maxp);
+                }
+            } else {
+                for (int x = 0; x < w; x++) {
+                    int32_t acc = 0;
+                    for (int t = 0; t < 8; t++)
+                        acc += f_h[t] *
+                               row[clampi(dx - 3 + x + t, 0, vw - 1)];
+                    const int v = (acc + rnd) >> sh;
+                    orow[x] = prep ? v - prep_bias : clampi(v, 0, maxp);
+                }
             }
         }
     } else if (fv) {
+        int32_t f_v[8];
+        for (int t = 0; t < 8; t++)
+            f_v[t] = (int32_t)fv[t];
         const int rnd = prep ? ((1 << (6 - ib)) >> 1) : 32;
         const int sh = prep ? (6 - ib) : 6;
-        for (int y = 0; y < h; y++)
-            for (int x = 0; x < w; x++) {
-                const int ix = clampi(dx + x, 0, vw - 1);
-                int64_t acc = 0;
-                for (int t = 0; t < 8; t++)
-                    acc += fv[t] *
-                           plane[(int64_t)clampi(dy - 3 + y + t, 0,
-                                                 vh - 1) * stride + ix];
-                int v = (int)((acc + rnd) >> sh);
-                out[y * ostride + x] =
-                    prep ? v - prep_bias : clampi(v, 0, maxp);
+        const int inner_x = dx >= 0 && dx + w <= vw;
+        for (int y = 0; y < h; y++) {
+            const int32_t *r[8];
+            for (int t = 0; t < 8; t++)
+                r[t] = plane +
+                       (int64_t)clampi(dy - 3 + y + t, 0, vh - 1) * stride;
+            int32_t *restrict orow = out + (int64_t)y * ostride;
+            if (inner_x) {
+                const int32_t *restrict r0 = r[0] + dx, *restrict r1 =
+                    r[1] + dx, *restrict r2 = r[2] + dx, *restrict r3 =
+                    r[3] + dx, *restrict r4 = r[4] + dx, *restrict r5 =
+                    r[5] + dx, *restrict r6 = r[6] + dx, *restrict r7 =
+                    r[7] + dx;
+                for (int x = 0; x < w; x++) {
+                    int32_t acc = f_v[0] * r0[x] + f_v[1] * r1[x] +
+                                  f_v[2] * r2[x] + f_v[3] * r3[x] +
+                                  f_v[4] * r4[x] + f_v[5] * r5[x] +
+                                  f_v[6] * r6[x] + f_v[7] * r7[x];
+                    const int v = (acc + rnd) >> sh;
+                    orow[x] = prep ? v - prep_bias : clampi(v, 0, maxp);
+                }
+            } else {
+                for (int x = 0; x < w; x++) {
+                    const int ix = clampi(dx + x, 0, vw - 1);
+                    int32_t acc = 0;
+                    for (int t = 0; t < 8; t++)
+                        acc += f_v[t] * r[t][ix];
+                    const int v = (acc + rnd) >> sh;
+                    orow[x] = prep ? v - prep_bias : clampi(v, 0, maxp);
+                }
             }
+        }
     } else {
         for (int y = 0; y < h; y++) {
             const int32_t *row =
@@ -696,10 +776,13 @@ void dtpu_cdef_find_dir_pos(const int32_t *plane, int64_t stride,
 /* One unit read from `base` (the sentinel-bordered pre-CDEF canvas),
  * written to `o` with stride `ostride` (packed batch output, or
  * straight into the picture plane). */
-static void cdef_filter_unit(const int32_t *base, int64_t stride,
+/* base (the pre-CDEF canvas) and o (batch output or the picture plane)
+ * never alias — restrict lets the x loops vectorize without runtime
+ * alias checks. */
+static void cdef_filter_unit(const int32_t *restrict base, int64_t stride,
                              int w, int h, int p, int s, int dir,
                              int damping, int bitdepth,
-                             int32_t *o, int64_t ostride)
+                             int32_t *restrict o, int64_t ostride)
 {
     const int bdmin8 = bitdepth - 8;
     const int pri_shift_raw = p ? damping - ulog2i(p) : 0;
@@ -725,52 +808,69 @@ static void cdef_filter_unit(const int32_t *base, int64_t stride,
         soff[k * 4 + 3] = -soff[k * 4 + 2];
     }
 
+    /* Row-pointer hoist + branchless min/max (the unsigned-min trick of
+     * the golden model: CDEF_SENTINEL reads as a huge unsigned value)
+     * keeps the x loop stride-1 and branch-free for the vectorizer. */
     if (p && s) {
         for (int y = 0; y < h; y++) {
             const int32_t *row = base + y * stride;
             int32_t *orow = o + y * ostride;
-                for (int x = 0; x < w; x++) {
-                    const int32_t *px_at = row + x;
-                    const int px = px_at[0];
-                    int sum = 0, mn = px, mx = px;
-                    for (int k = 0; k < 2; k++) {
-                        const int p0 = px_at[poff[k * 2]];
-                        const int p1 = px_at[poff[k * 2 + 1]];
-                        const int ptk = k ? pri_tap1 : pri_tap0;
-                        sum += ptk * (constrain(p0 - px, p, pri_shift) +
-                                      constrain(p1 - px, p, pri_shift));
-                        if (p0 != CDEF_SENTINEL && p0 < mn) mn = p0;
-                        if (p1 != CDEF_SENTINEL && p1 < mn) mn = p1;
-                        if (p0 > mx) mx = p0;
-                        if (p1 > mx) mx = p1;
-                        const int sec_tap = 2 - k;
-                        for (int j = 0; j < 4; j++) {
-                            const int v = px_at[soff[k * 4 + j]];
-                            sum += sec_tap * constrain(v - px, s, sec_shift);
-                            if (v != CDEF_SENTINEL && v < mn) mn = v;
-                            if (v > mx) mx = v;
-                        }
-                    }
-                    int res = px + ((sum - (sum < 0) + 8) >> 4);
-                    if (res < mn) res = mn;
-                    if (res > mx) res = mx;
-                    orow[x] = res;
+            const int32_t *t0 = row + poff[0], *t1 = row + poff[1];
+            const int32_t *t2 = row + poff[2], *t3 = row + poff[3];
+            const int32_t *s0 = row + soff[0], *s1 = row + soff[1];
+            const int32_t *s2 = row + soff[2], *s3 = row + soff[3];
+            const int32_t *s4 = row + soff[4], *s5 = row + soff[5];
+            const int32_t *s6 = row + soff[6], *s7 = row + soff[7];
+            for (int x = 0; x < w; x++) {
+                const int px = row[x];
+                const int p0 = t0[x], p1 = t1[x], p2 = t2[x], p3 = t3[x];
+                const int v0 = s0[x], v1 = s1[x], v2 = s2[x], v3 = s3[x];
+                const int v4 = s4[x], v5 = s5[x], v6 = s6[x], v7 = s7[x];
+                int sum =
+                    pri_tap0 * (constrain(p0 - px, p, pri_shift) +
+                                constrain(p1 - px, p, pri_shift)) +
+                    pri_tap1 * (constrain(p2 - px, p, pri_shift) +
+                                constrain(p3 - px, p, pri_shift)) +
+                    2 * (constrain(v0 - px, s, sec_shift) +
+                         constrain(v1 - px, s, sec_shift) +
+                         constrain(v2 - px, s, sec_shift) +
+                         constrain(v3 - px, s, sec_shift)) +
+                    (constrain(v4 - px, s, sec_shift) +
+                     constrain(v5 - px, s, sec_shift) +
+                     constrain(v6 - px, s, sec_shift) +
+                     constrain(v7 - px, s, sec_shift));
+                int mn = px, mx = px;
+                /* sentinel taps are excluded from the min by remapping
+                 * to a huge positive value (golden model's trick) and
+                 * from the max by the sentinel being most-negative */
+#define ACC(v) do { \
+                    const int rv_ = (v) == CDEF_SENTINEL ? 0x7FFF0000 \
+                                                         : (v); \
+                    if (rv_ < mn) mn = rv_; \
+                    if ((v) > mx) mx = (v); } while (0)
+                ACC(p0); ACC(p1); ACC(p2); ACC(p3);
+                ACC(v0); ACC(v1); ACC(v2); ACC(v3);
+                ACC(v4); ACC(v5); ACC(v6); ACC(v7);
+#undef ACC
+                int res = px + ((sum - (sum < 0) + 8) >> 4);
+                if (res < mn) res = mn;
+                if (res > mx) res = mx;
+                orow[x] = res;
             }
         }
     } else if (p) {
         for (int y = 0; y < h; y++) {
             const int32_t *row = base + y * stride;
             int32_t *orow = o + y * ostride;
+            const int32_t *t0 = row + poff[0], *t1 = row + poff[1];
+            const int32_t *t2 = row + poff[2], *t3 = row + poff[3];
             for (int x = 0; x < w; x++) {
-                const int32_t *px_at = row + x;
-                const int px = px_at[0];
+                const int px = row[x];
                 int sum =
-                    pri_tap0 *
-                        (constrain(px_at[poff[0]] - px, p, pri_shift) +
-                         constrain(px_at[poff[1]] - px, p, pri_shift)) +
-                    pri_tap1 *
-                        (constrain(px_at[poff[2]] - px, p, pri_shift) +
-                         constrain(px_at[poff[3]] - px, p, pri_shift));
+                    pri_tap0 * (constrain(t0[x] - px, p, pri_shift) +
+                                constrain(t1[x] - px, p, pri_shift)) +
+                    pri_tap1 * (constrain(t2[x] - px, p, pri_shift) +
+                                constrain(t3[x] - px, p, pri_shift));
                 orow[x] = px + ((sum - (sum < 0) + 8) >> 4);
             }
         }
@@ -778,17 +878,21 @@ static void cdef_filter_unit(const int32_t *base, int64_t stride,
         for (int y = 0; y < h; y++) {
             const int32_t *row = base + y * stride;
             int32_t *orow = o + y * ostride;
+            const int32_t *s0 = row + soff[0], *s1 = row + soff[1];
+            const int32_t *s2 = row + soff[2], *s3 = row + soff[3];
+            const int32_t *s4 = row + soff[4], *s5 = row + soff[5];
+            const int32_t *s6 = row + soff[6], *s7 = row + soff[7];
             for (int x = 0; x < w; x++) {
-                const int32_t *px_at = row + x;
-                const int px = px_at[0];
-                int sum = 0;
-                for (int k = 0; k < 2; k++) {
-                    const int sec_tap = 2 - k;
-                    for (int j = 0; j < 4; j++)
-                        sum += sec_tap *
-                               constrain(px_at[soff[k * 4 + j]] - px,
-                                         s, sec_shift);
-                }
+                const int px = row[x];
+                int sum =
+                    2 * (constrain(s0[x] - px, s, sec_shift) +
+                         constrain(s1[x] - px, s, sec_shift) +
+                         constrain(s2[x] - px, s, sec_shift) +
+                         constrain(s3[x] - px, s, sec_shift)) +
+                    (constrain(s4[x] - px, s, sec_shift) +
+                     constrain(s5[x] - px, s, sec_shift) +
+                     constrain(s6[x] - px, s, sec_shift) +
+                     constrain(s7[x] - px, s, sec_shift));
                 orow[x] = px + ((sum - (sum < 0) + 8) >> 4);
             }
         }

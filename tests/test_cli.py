@@ -67,3 +67,22 @@ def test_skip_and_limit(stream, tmp_path):
 def test_quiet(stream):
     r = _run("-i", stream, "--muxer", "null", "-q")
     assert r.returncode == 0 and r.stderr.strip() == ""
+
+
+def test_player_ppm_dump(stream, tmp_path):
+    """Player analog (reference examples/dav1dplay.c): decode + RGB
+    conversion + display path, exercised via the PPM dump mode."""
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DAV1D_TPU_DEVICE="0")
+    play = REPO / "tools" / "dav1d_tpu_play.py"
+    out = tmp_path / "frames"
+    r = subprocess.run(
+        [sys.executable, str(play), "-i", str(stream), "--ppm", str(out),
+         "--no-pace", "--limit", "3"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    ppms = sorted(out.glob("*.ppm"))
+    assert len(ppms) == 3
+    head = ppms[0].read_bytes()[:20]
+    assert head.startswith(b"P6\n128 96\n255\n")
