@@ -57,32 +57,80 @@ void dtpu_itx_batch_ptrs(const int32_t *const *cfp, int64_t nb, int w,
         bitdepth == 8 ? -(1ll << 15) : -((maxp + 1) << 5);
     const int64_t row_max = ~row_min, col_max = ~col_min;
     const int64_t rnd = (1ll << shift) >> 1;
-    const itx1d_fn rowfn = itx1d_table[ulg2(w >> 2)][row_t];
-    const itx1d_fn colfn = itx1d_table[ulg2(h >> 2)][col_t];
+    const itx1d_fn *rowfns = itx1d_table[ulg2(w >> 2)][row_t];
+    const itx1d_fn *colfns = itx1d_table[ulg2(h >> 2)][col_t];
 
-    static _Thread_local int64_t m[64 * 64];
-    for (int64_t b = 0; b < nb; b++, out += nout) {
-        const int32_t *const cf = cfp[b];
-        memset(m, 0, sizeof(int64_t) * w * h);
-        for (int x = 0; x < sw; x++)
-            for (int y = 0; y < sh; y++) {
-                int64_t v = cf[x * sh + y];
-                if (is_rect2)
-                    v = (v * 181 + 128) >> 8;
-                m[x * h + y] = v;
+    /* 8 blocks per pass: staging is position-major with the block index
+     * in the SIMD lane (dtpu_v8 = 8x int64), so the generated 1-D
+     * kernels run 8 transforms per instruction stream.  A short tail
+     * group leaves the unused lanes zero (stores skip them). */
+    const dtpu_v8 vrow_min = row_min - (dtpu_v8){0},
+                  vrow_max = row_max - (dtpu_v8){0},
+                  vcol_min = col_min - (dtpu_v8){0},
+                  vcol_max = col_max - (dtpu_v8){0};
+    static _Thread_local dtpu_v8 m[64 * 64];
+    int64_t *const ml = (int64_t *)m;
+    for (int64_t g = 0; g < nb; g += 8) {
+        const int lanes = nb - g < 8 ? (int)(nb - g) : 8;
+        memset(m, 0, sizeof(dtpu_v8) * w * h);
+        /* rows (fixed y) that are all-zero across every lane skip the
+         * 1-D row transform and the mid-stage rescale outright: the
+         * 1-D transforms are linear (0 -> 0) and the mid stage maps 0
+         * to 0 exactly ((0 + (1<<shift>>1)) >> shift == 0, clip keeps
+         * it).  Callers sort batches by eob so sparse blocks cluster
+         * and the mask stays sparse across the 8 lanes. */
+        uint32_t rowmask = 0;
+        int xmax = 0;
+        for (int l = 0; l < lanes; l++) {
+            const int32_t *const cf = cfp[g + l];
+            for (int x = 0; x < sw; x++)
+                for (int y = 0; y < sh; y++) {
+                    int64_t v = cf[x * sh + y];
+                    if (!v)
+                        continue;
+                    rowmask |= 1u << y;
+                    if (x > xmax)
+                        xmax = x;
+                    if (is_rect2)
+                        v = (v * 181 + 128) >> 8;
+                    ml[(x * h + y) * 8 + l] = v;
+                }
+        }
+        if (!rowmask) {
+            /* every lane all-zero: 1-D transforms are linear, output
+             * is identically ((0 + 8) >> 4) == 0 */
+            for (int l = 0; l < lanes; l++)
+                memset(out + (g + l) * nout, 0, sizeof(int32_t) * nout);
+            continue;
+        }
+        /* eob-gated sub-kernels (reference's eob-based downshift
+         * variants): the row pass needs only inputs x <= xmax live,
+         * the col pass only inputs y <= ymax (rows outside rowmask
+         * stayed zero: linear transforms, and the mid-stage rescale
+         * maps 0 to 0 exactly). */
+        const int ymax = 31 - __builtin_clz(rowmask);
+        const itx1d_fn rowfn =
+            rowfns[xmax < 4 ? 0 : 62 - __builtin_clzll((uint64_t)xmax)];
+        const itx1d_fn colfn =
+            colfns[ymax < 4 ? 0 : 62 - __builtin_clzll((uint64_t)ymax)];
+        for (int y = 0; y < sh; y++) {
+            if (!(rowmask >> y & 1))
+                continue;
+            rowfn(m + y, h, vrow_min, vrow_max);
+            for (int x = 0; x < w; x++) {
+                const dtpu_v8 v = (m[x * h + y] + rnd) >> shift;
+                m[x * h + y] = vclip64(v, vcol_min, vcol_max);
             }
-        for (int y = 0; y < sh; y++)
-            rowfn(m + y, h, row_min, row_max);
+        }
         for (int x = 0; x < w; x++)
-            for (int y = 0; y < sh; y++) {
-                const int64_t v = (m[x * h + y] + rnd) >> shift;
-                m[x * h + y] = iclip64(v, col_min, col_max);
-            }
-        for (int x = 0; x < w; x++)
-            colfn(m + x * h, 1, col_min, col_max);
-        for (int y = 0; y < h; y++)
-            for (int x = 0; x < w; x++)
-                out[y * w + x] = (int32_t)((m[x * h + y] + 8) >> 4);
+            colfn(m + x * h, 1, vcol_min, vcol_max);
+        for (int l = 0; l < lanes; l++) {
+            int32_t *const o = out + (g + l) * nout;
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++)
+                    o[y * w + x] =
+                        (int32_t)((ml[(x * h + y) * 8 + l] + 8) >> 4);
+        }
     }
 }
 

@@ -97,7 +97,11 @@ def _launch_residuals_native(f):
     if valid.size == 0:
         return st
     key = (meta[valid, 2].astype(np.int64) >> 8 << 16) | meta[valid, 1]
-    order = np.argsort(key, kind="stable")
+    # secondary sort by eob: clusters sparse blocks into the same
+    # 8-lane SIMD groups so the native itx's all-zero-row skip bites
+    # (groups still cut on the (tx, txtp) part of the key only)
+    eob = np.minimum(meta[valid, 0].astype(np.int64), 0x7FF)
+    order = np.argsort(key << 11 | eob, kind="stable")
     sk = key[order]
     cuts = np.flatnonzero(np.diff(sk)) + 1
     group_idxs = np.split(valid[order], cuts)

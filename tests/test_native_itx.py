@@ -72,3 +72,35 @@ def test_itx_batch_ptrs_parity():
     cfs = rng.integers(-(1 << 10), 1 << 10, size=(5, 16)).astype(np.int32)
     assert np.array_equal(itx_batch_c(cfs, 0, TxfmType.WHT_WHT, 8),
                           itx_batch_c_list(list(cfs), 0, TxfmType.WHT_WHT, 8))
+
+
+@pytest.mark.parametrize("bitdepth", [8, 10, 12])
+@pytest.mark.parametrize("tx", range(19))
+def test_native_itx_sparse_subkernels(tx, bitdepth):
+    """eob-gated sub-kernel variants: coefficient patterns whose nonzero
+    support is bounded at each power-of-two (per axis, independently)
+    must match the dense Python golden batch.  This drives every
+    generated _k{K} row/col variant plus the all-zero early-out."""
+    if itx_batch_c(np.zeros((1, 16), np.int32), 0, 0, 8) is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(tx * 131 + bitdepth)
+    w, h, _, _ = _txinfo(tx)
+    sw, sh = min(w, 32), min(h, 32)
+    lim = 1 << (bitdepth + 3)
+    xb = [b for b in (1, 2, 4, 8, 16, 32) if b <= sw]
+    yb = [b for b in (1, 2, 4, 8, 16, 32) if b <= sh]
+    for txtp in _legal_txtps(tx):
+        blocks = []
+        for bx in xb:
+            for by in yb:
+                blk = np.zeros((sw, sh), dtype=np.int32)
+                blk[:bx, :by] = rng.integers(-lim, lim, (bx, by))
+                # force the exact bound so the variant choice is pinned
+                blk[bx - 1, by - 1] = lim - 1
+                blocks.append(blk.reshape(-1))
+        blocks.append(np.zeros(sw * sh, dtype=np.int32))  # all-zero lane
+        cf = np.stack(blocks)
+        want = itx_batch_np(cf, tx, txtp, bitdepth)
+        got = itx_batch_c(cf, tx, txtp, bitdepth)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"tx={tx} txtp={txtp} bd={bitdepth}")
