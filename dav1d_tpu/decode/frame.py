@@ -636,6 +636,11 @@ def decode_frame_finish(f: FrameContext) -> None:
         from ..recon.lr_apply import lr_frame
         lr_frame(f)
 
+    nat = getattr(f, "_nat", None)
+    if nat is not None:
+        nat.release()
+        f._nat = None
+
 
 def _cdiv(a, b):
     """C-style truncating integer division."""

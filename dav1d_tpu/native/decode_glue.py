@@ -322,6 +322,26 @@ def _np_ptr(a):
     return a.ctypes.data if a is not None else None
 
 
+_ARENA_POOL: dict = {}  # (name, shape) -> [ndarray, ...]
+
+
+def _pool_get(name, shape, dtype):
+    lst = _ARENA_POOL.get((name, shape if isinstance(shape, tuple)
+                           else (shape,)))
+    if lst:
+        return lst.pop()
+    return np.zeros(shape, dtype=dtype)
+
+
+def _pool_put(name, arr, used_rows):
+    """Return an arena: re-zero exactly the prefix the frame consumed
+    (the C writers rely on zeroed arenas — e.g. the coefficient decode
+    stores only nonzero scan positions)."""
+    if used_rows:
+        arr[:used_rows] = 0
+    _ARENA_POOL.setdefault((name, arr.shape), []).append(arr)
+
+
 class NativeFrameDecode:
     """Per-frame native pass-1 state: ctypes mirrors + capture arenas."""
 
@@ -522,19 +542,24 @@ class NativeFrameDecode:
         else:
             c.rf = None
 
-        # capture arenas (exact worst-case bounds)
+        # capture arenas (exact worst-case bounds), drawn from the
+        # process-wide recycling pool: a released frame re-zeroes only
+        # the counter-bounded prefix it actually used, so steady-state
+        # decode does no multi-MB allocation or full-arena zeroing
         n_cells = f.bw * f.bh
         n_px = 16 * n_cells
         chroma_px = 0 if f.layout == 0 else \
             2 * ((n_px >> (f.ss_hor + f.ss_ver)) + 4 * f.bw + 4 * f.bh)
-        self.cap_blocks = np.zeros(n_cells + 64, dtype=CAP_BLOCK_DT)
-        self.cap_coef_meta = np.zeros((3 * n_cells + 64, CAP_COEF_WORDS),
-                                      dtype=np.int32)
-        self.cf_arena = np.zeros(n_px + chroma_px + 4096, dtype=np.int32)
-        self.cap_obmc = np.zeros(8 * n_cells + 64, dtype=CAP_OBMC_DT)
-        self.cap_warp = np.zeros(n_cells + 64, dtype=CAP_WARP_DT)
-        self.cap_pal = np.zeros((n_cells // 4 + 64, 3, 8), dtype=np.uint16)
-        self.pal_arena = np.zeros(n_px + (chroma_px or 1), dtype=np.uint8)
+        self.cap_blocks = _pool_get("blocks", n_cells + 64, CAP_BLOCK_DT)
+        self.cap_coef_meta = _pool_get(
+            "coef_meta", (3 * n_cells + 64, CAP_COEF_WORDS), np.int32)
+        self.cf_arena = _pool_get("cf", n_px + chroma_px + 4096, np.int32)
+        self.cap_obmc = _pool_get("obmc", 8 * n_cells + 64, CAP_OBMC_DT)
+        self.cap_warp = _pool_get("warp", n_cells + 64, CAP_WARP_DT)
+        self.cap_pal = _pool_get("pal", (n_cells // 4 + 64, 3, 8),
+                                 np.uint16)
+        self.pal_arena = _pool_get("pal_arena", n_px + (chroma_px or 1),
+                                   np.uint8)
         c.cap_blocks = _np_ptr(self.cap_blocks)
         c.cap_blocks_cap = len(self.cap_blocks)
         c.cap_coef_meta = _np_ptr(self.cap_coef_meta)
@@ -923,6 +948,22 @@ class NativeFrameDecode:
                 rec["sub8x8"] = (s8 & 0xFF, (s8 >> 8) & 0xFF,
                                  (s8 >> 16) & 0xFF)
         return rec
+
+    def release(self):
+        """Return the capture arenas to the recycling pool (called once
+        the frame's pass 2 + filter chain are complete; only the
+        counter-bounded used prefixes are re-zeroed)."""
+        c = self.c
+        _pool_put("blocks", self.cap_blocks, int(c.n_blocks))
+        _pool_put("coef_meta", self.cap_coef_meta, int(c.n_coef_meta))
+        _pool_put("cf", self.cf_arena, int(c.cf_used))
+        _pool_put("obmc", self.cap_obmc, int(c.n_obmc))
+        _pool_put("warp", self.cap_warp, int(c.n_warp))
+        _pool_put("pal", self.cap_pal, int(c.n_pal))
+        _pool_put("pal_arena", self.pal_arena, int(c.pal_used))
+        self.cap_blocks = self.cap_coef_meta = self.cf_arena = None
+        self.cap_obmc = self.cap_warp = self.cap_pal = None
+        self.pal_arena = None
 
     def finish_lr_units(self):
         """Restoration units: dense capture grid -> FrameContext dict."""
