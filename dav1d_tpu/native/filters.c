@@ -756,22 +756,266 @@ void dtpu_cdef_find_dir_batch(const int32_t *blocks, int64_t n,
 }
 
 /* Direction search reading 8x8 blocks straight from the plane (removes
- * the caller's (N, 8, 8) gather). */
+ * the caller's (N, 8, 8) gather).  Units are processed 8 at a time with
+ * the unit index in an int64 SIMD lane (GCC vector extensions): the
+ * projection accumulators and squared-sum costs become 8-wide vector
+ * ops; only the final per-lane argmax is scalar.  Tail lanes load a
+ * repeat of the last unit (results simply overwritten). */
+typedef int64_t cdef_v8 __attribute__((vector_size(64)));
+
 void dtpu_cdef_find_dir_pos(const int32_t *plane, int64_t stride,
                             const int64_t *ys, const int64_t *xs,
                             int64_t n, int bitdepth, int64_t *dirs,
                             int64_t *variances)
 {
-    for (int64_t u = 0; u < n; u++) {
-        int32_t blk[64];
-        const int32_t *src = plane + ys[u] * stride + xs[u];
-        for (int y = 0; y < 8; y++, src += stride)
-            for (int x = 0; x < 8; x++)
-                blk[y * 8 + x] = src[x];
-        dtpu_cdef_find_dir_batch(blk, 1, bitdepth, dirs + u,
-                                 variances + u);
+    static const int div_table[7] = {840, 420, 280, 210, 168, 140, 120};
+    const int shift = bitdepth - 8;
+    for (int64_t g = 0; g < n; g += 8) {
+        const int lanes = n - g < 8 ? (int)(n - g) : 8;
+        cdef_v8 b[64];
+        for (int l = 0; l < 8; l++) {
+            const int64_t u = g + (l < lanes ? l : lanes - 1);
+            const int32_t *src = plane + ys[u] * stride + xs[u];
+            int64_t *bl = (int64_t *)b + l;
+            for (int y = 0; y < 8; y++, src += stride)
+                for (int x = 0; x < 8; x++)
+                    bl[(y * 8 + x) * 8] = (src[x] >> shift) - 128;
+        }
+        cdef_v8 psum_hv[2][8], psum_diag[2][15], psum_alt[4][11];
+        memset(psum_hv, 0, sizeof(psum_hv));
+        memset(psum_diag, 0, sizeof(psum_diag));
+        memset(psum_alt, 0, sizeof(psum_alt));
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                const cdef_v8 v = b[y * 8 + x];
+                psum_diag[0][y + x] += v;
+                psum_alt[0][y + (x >> 1)] += v;
+                psum_hv[0][y] += v;
+                psum_alt[1][3 + y - (x >> 1)] += v;
+                psum_diag[1][7 + y - x] += v;
+                psum_alt[2][3 - (y >> 1) + x] += v;
+                psum_hv[1][x] += v;
+                psum_alt[3][(y >> 1) + x] += v;
+            }
+        cdef_v8 cost[8];
+        memset(cost, 0, sizeof(cost));
+        for (int i = 0; i < 8; i++) {
+            cost[2] += psum_hv[0][i] * psum_hv[0][i];
+            cost[6] += psum_hv[1][i] * psum_hv[1][i];
+        }
+        cost[2] *= 105;
+        cost[6] *= 105;
+        for (int i = 0; i < 7; i++) {
+            const int d = div_table[i];
+            cost[0] += (psum_diag[0][i] * psum_diag[0][i] +
+                        psum_diag[0][14 - i] * psum_diag[0][14 - i]) * d;
+            cost[4] += (psum_diag[1][i] * psum_diag[1][i] +
+                        psum_diag[1][14 - i] * psum_diag[1][14 - i]) * d;
+        }
+        cost[0] += psum_diag[0][7] * psum_diag[0][7] * 105;
+        cost[4] += psum_diag[1][7] * psum_diag[1][7] * 105;
+        for (int i = 0; i < 4; i++) {
+            cdef_v8 c;
+            memset(&c, 0, sizeof(c));
+            for (int m = 0; m < 5; m++)
+                c += psum_alt[i][3 + m] * psum_alt[i][3 + m];
+            c *= 105;
+            for (int m = 0; m < 3; m++)
+                c += (psum_alt[i][m] * psum_alt[i][m] +
+                      psum_alt[i][10 - m] * psum_alt[i][10 - m]) *
+                     div_table[2 * m + 1];
+            cost[i * 2 + 1] = c;
+        }
+        for (int l = 0; l < lanes; l++) {
+            int best = 0;
+            int64_t best_cost = cost[0][l];
+            for (int i = 1; i < 8; i++)
+                if (cost[i][l] > best_cost) {
+                    best_cost = cost[i][l];
+                    best = i;
+                }
+            dirs[g + l] = best;
+            variances[g + l] = (best_cost - cost[best ^ 4][l]) >> 10;
+        }
     }
 }
+
+/* Explicit-SIMD x-row path: a CDEF unit row is always exactly 4
+ * (subsampled chroma) or 8 pixels wide, i.e. one whole SIMD vector, so
+ * the row filter is written directly over GCC vector types with mask
+ * blends replacing the branchy scalar constrain/min-max (the
+ * auto-vectorizer refuses this loop: 13 differently-offset input
+ * streams).  Bit-identical to the scalar form below, which remains the
+ * fallback for any other width. */
+typedef int32_t cdef_v8si
+    __attribute__((vector_size(32), aligned(4), may_alias));
+typedef int32_t cdef_v4si
+    __attribute__((vector_size(16), aligned(4), may_alias));
+
+#define CDEF_VEC_IMPL(NAME, VT)                                         \
+static void NAME(const int32_t *restrict base, int64_t stride, int h,   \
+                 int p, int s, int pri_shift, int sec_shift,            \
+                 int pri_tap0, int pri_tap1, const int64_t *poff,       \
+                 const int64_t *soff, int32_t *restrict o,              \
+                 int64_t ostride)                                       \
+{                                                                       \
+    typedef uint32_t UVT                                                \
+        __attribute__((vector_size(sizeof(VT)), aligned(4), may_alias));\
+    const VT zero = {0};                                                \
+    const VT vp = zero + p, vs = zero + s;                              \
+    const int track = p && s;                                           \
+    for (int y = 0; y < h; y++) {                                       \
+        const int32_t *row = base + y * stride;                         \
+        int32_t *orow = o + y * ostride;                                \
+        const VT px = *(const VT *)row;                                 \
+        VT sum = zero, mx = px;                                         \
+        /* unsigned tap-min: the sentinel (INT16_MIN) reads as a huge   \
+         * unsigned value and so never wins against a real pixel OR     \
+         * against the 0x7FFF0000 init (the scalar ACC's sentinel       \
+         * remap value, which an all-sentinel lane must yield); px      \
+         * joins by a final SIGNED min so a sentinel centre pixel       \
+         * stays most-negative exactly as in the scalar path.  For the  \
+         * max the sentinel is most-negative and never wins signed. */  \
+        UVT umn = (UVT)(zero + 0x7FFF0000);                             \
+        VT d, m, ad, cl, sl, v;                                         \
+        UVT usl;                                                        \
+        if (p)                                                          \
+            for (int k = 0; k < 4; k++) {                               \
+                const VT t = *(const VT *)(row + poff[k]);              \
+                d = t - px; m = d < zero; ad = (d ^ m) - m;             \
+                cl = vp - (ad >> pri_shift); sl = ad < cl;              \
+                v = (ad & sl) | (cl & ~sl); v &= ~(v < zero);           \
+                v = (v ^ m) - m;                                        \
+                sum += (k < 2 ? pri_tap0 : pri_tap1) * v;               \
+                if (track) {                                            \
+                    usl = (UVT)t < umn;                                 \
+                    umn = ((UVT)t & usl) | (umn & ~usl);                \
+                    sl = t > mx; mx = (t & sl) | (mx & ~sl);            \
+                }                                                       \
+            }                                                           \
+        if (s)                                                          \
+            for (int k = 0; k < 8; k++) {                               \
+                const VT t = *(const VT *)(row + soff[k]);              \
+                d = t - px; m = d < zero; ad = (d ^ m) - m;             \
+                cl = vs - (ad >> sec_shift); sl = ad < cl;              \
+                v = (ad & sl) | (cl & ~sl); v &= ~(v < zero);           \
+                v = (v ^ m) - m;                                        \
+                sum += (k < 4 ? 2 : 1) * v;                             \
+                if (track) {                                            \
+                    usl = (UVT)t < umn;                                 \
+                    umn = ((UVT)t & usl) | (umn & ~usl);                \
+                    sl = t > mx; mx = (t & sl) | (mx & ~sl);            \
+                }                                                       \
+            }                                                           \
+        m = sum < zero; /* mask adds -1: the scalar's sum - (sum<0) */  \
+        VT r = px + ((sum + m + (zero + 8)) >> 4);                      \
+        if (track) {                                                    \
+            VT mn = (VT)umn;                                            \
+            sl = px < mn; mn = (px & sl) | (mn & ~sl);                  \
+            sl = r < mn; r = (mn & sl) | (r & ~sl);                     \
+            sl = r > mx; r = (mx & sl) | (r & ~sl);                     \
+        }                                                               \
+        *(VT *)orow = r;                                                \
+    }                                                                   \
+}
+
+CDEF_VEC_IMPL(cdef_filter_unit_v8, cdef_v8si)
+CDEF_VEC_IMPL(cdef_filter_unit_v4, cdef_v4si)
+
+/* int16 unit filter for 8-bit frames: two unit rows ride in one vector
+ * (16 or 8 int16 lanes), halving the op count per pixel vs the int32
+ * path.  Sound for bitdepth 8 only: a sentinel-tap diff wraps in int16
+ * arithmetic, but every wrapped value still constrains to a zero
+ * contribution there (|wrapped| >= 28673 so thr - (ad >> shift) < 0
+ * for thr <= 63, or ad = INT16_MIN which the v<0 zeroing kills);
+ * at 10/12-bit thresholds that argument fails, so those stay int32. */
+typedef int16_t cdef_v16hi
+    __attribute__((vector_size(32), aligned(2), may_alias));
+typedef int16_t cdef_v8hi
+    __attribute__((vector_size(16), aligned(2), may_alias));
+typedef int16_t cdef_v4hi
+    __attribute__((vector_size(8), aligned(2), may_alias));
+typedef int32_t cdef_v4si_st
+    __attribute__((vector_size(16), aligned(4), may_alias));
+
+#define CDEF_VEC16_IMPL(NAME, VT, HVT, SVT, CAT, W)                     \
+static void NAME(const int16_t *restrict base, int64_t stride, int h,   \
+                 int p, int s, int pri_shift, int sec_shift,            \
+                 int pri_tap0, int pri_tap1, const int64_t *poff,       \
+                 const int64_t *soff, int32_t *restrict o,              \
+                 int64_t ostride)                                       \
+{                                                                       \
+    typedef uint16_t UVT                                                \
+        __attribute__((vector_size(sizeof(VT)), aligned(2), may_alias));\
+    const VT zero = {0};                                                \
+    const VT vp = zero + (int16_t)p, vs = zero + (int16_t)s;            \
+    const int track = p && s;                                           \
+    for (int y = 0; y < h; y += 2) {                                    \
+        const int16_t *r0 = base + y * stride, *r1 = r0 + stride;       \
+        int32_t *o0 = o + y * ostride, *o1 = o0 + ostride;              \
+        const VT px = CAT(*(const HVT *)r0, *(const HVT *)r1);          \
+        VT sum = zero, mx = px;                                         \
+        UVT umn = (UVT)(zero + 0x7FFF);                                 \
+        VT d, m, ad, cl, sl, v;                                         \
+        UVT usl;                                                        \
+        if (p)                                                          \
+            for (int k = 0; k < 4; k++) {                               \
+                const VT t = CAT(*(const HVT *)(r0 + poff[k]),          \
+                                 *(const HVT *)(r1 + poff[k]));         \
+                d = t - px; m = d < zero; ad = (d ^ m) - m;             \
+                cl = vp - (ad >> pri_shift); sl = ad < cl;              \
+                v = (ad & sl) | (cl & ~sl); v &= ~(v < zero);           \
+                v = (v ^ m) - m;                                        \
+                sum += (int16_t)(k < 2 ? pri_tap0 : pri_tap1) * v;      \
+                if (track) {                                            \
+                    usl = (UVT)t < umn;                                 \
+                    umn = ((UVT)t & usl) | (umn & ~usl);                \
+                    sl = t > mx; mx = (t & sl) | (mx & ~sl);            \
+                }                                                       \
+            }                                                           \
+        if (s)                                                          \
+            for (int k = 0; k < 8; k++) {                               \
+                const VT t = CAT(*(const HVT *)(r0 + soff[k]),          \
+                                 *(const HVT *)(r1 + soff[k]));         \
+                d = t - px; m = d < zero; ad = (d ^ m) - m;             \
+                cl = vs - (ad >> sec_shift); sl = ad < cl;              \
+                v = (ad & sl) | (cl & ~sl); v &= ~(v < zero);           \
+                v = (v ^ m) - m;                                        \
+                sum += (int16_t)(k < 4 ? 2 : 1) * v;                    \
+                if (track) {                                            \
+                    usl = (UVT)t < umn;                                 \
+                    umn = ((UVT)t & usl) | (umn & ~usl);                \
+                    sl = t > mx; mx = (t & sl) | (mx & ~sl);            \
+                }                                                       \
+            }                                                           \
+        m = sum < zero;                                                 \
+        VT r = px + ((sum + m + (zero + 8)) >> 4);                      \
+        if (track) {                                                    \
+            VT mn = (VT)umn;                                            \
+            sl = px < mn; mn = (px & sl) | (mn & ~sl);                  \
+            sl = r < mn; r = (mn & sl) | (r & ~sl);                     \
+            sl = r > mx; r = (mx & sl) | (r & ~sl);                     \
+        }                                                               \
+        const HVT lo = __builtin_shufflevector(r, r, CDEF_LO##W);       \
+        const HVT hi = __builtin_shufflevector(r, r, CDEF_HI##W);       \
+        *(SVT *)o0 = __builtin_convertvector(lo, SVT);                  \
+        *(SVT *)o1 = __builtin_convertvector(hi, SVT);                  \
+    }                                                                   \
+}
+
+#define CDEF_LO8 0, 1, 2, 3, 4, 5, 6, 7
+#define CDEF_HI8 8, 9, 10, 11, 12, 13, 14, 15
+#define CDEF_LO4 0, 1, 2, 3
+#define CDEF_HI4 4, 5, 6, 7
+#define CDEF_CAT8(a, b) __builtin_shufflevector((a), (b), 0, 1, 2, 3, \
+        4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+#define CDEF_CAT4(a, b) __builtin_shufflevector((a), (b), 0, 1, 2, 3, \
+        4, 5, 6, 7)
+
+CDEF_VEC16_IMPL(cdef_filter_unit_i16w8, cdef_v16hi, cdef_v8hi,
+                cdef_v8si, CDEF_CAT8, 8)
+CDEF_VEC16_IMPL(cdef_filter_unit_i16w4, cdef_v8hi, cdef_v4hi,
+                cdef_v4si_st, CDEF_CAT4, 4)
 
 /* One unit read from `base` (the sentinel-bordered pre-CDEF canvas),
  * written to `o` with stride `ostride` (packed batch output, or
@@ -806,6 +1050,17 @@ static void cdef_filter_unit(const int32_t *restrict base, int64_t stride,
         soff[k * 4 + 2] = cdef_dirs[dir][k][0] * stride +
                           cdef_dirs[dir][k][1];
         soff[k * 4 + 3] = -soff[k * 4 + 2];
+    }
+
+    if (w == 8) {
+        cdef_filter_unit_v8(base, stride, h, p, s, pri_shift, sec_shift,
+                            pri_tap0, pri_tap1, poff, soff, o, ostride);
+        return;
+    }
+    if (w == 4) {
+        cdef_filter_unit_v4(base, stride, h, p, s, pri_shift, sec_shift,
+                            pri_tap0, pri_tap1, poff, soff, o, ostride);
+        return;
     }
 
     /* Row-pointer hoist + branchless min/max (the unsigned-min trick of
@@ -925,12 +1180,74 @@ void dtpu_cdef_filter_batch(const int32_t *canvas, int64_t stride,
  * the reference's cdef_line backups src/cdef_apply_tmpl.c:40-99), then
  * filter every unit from the canvas straight back into the plane.
  * Removes the Python-side plane copy, unit gather and result scatter. */
+/* 8-bit whole-plane pass over an int16 canvas (reinterprets the
+ * caller's int32 canvas scratch, which is twice the needed size). */
+static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
+                                  int ph, int16_t *canvas,
+                                  const int64_t *ys, const int64_t *xs,
+                                  int64_t n, int w, int h,
+                                  const int64_t *pri, const int64_t *sec,
+                                  const int64_t *dirs, int damping)
+{
+    const int64_t cstride = pw + 4;
+    for (int64_t x = 0; x < cstride * 2; x++)
+        canvas[x] = CDEF_SENTINEL;
+    for (int y = 0; y < ph; y++) {
+        int16_t *crow = canvas + (int64_t)(y + 2) * cstride;
+        const int32_t *prow = plane + (int64_t)y * stride;
+        crow[0] = crow[1] = crow[pw + 2] = crow[pw + 3] = CDEF_SENTINEL;
+        for (int x = 0; x < pw; x++)
+            crow[2 + x] = (int16_t)prow[x];
+    }
+    for (int64_t x = 0; x < cstride * 2; x++)
+        canvas[(int64_t)(ph + 2) * cstride + x] = CDEF_SENTINEL;
+
+    for (int64_t u = 0; u < n; u++) {
+        const int p = (int)pri[u], s = (int)sec[u];
+        if (!p && !s)
+            continue;
+        const int pri_shift_raw = p ? damping - ulog2i(p) : 0;
+        const int pri_shift = pri_shift_raw < 0 ? 0 : pri_shift_raw;
+        const int sec_shift = s ? damping - ulog2i(s) : 0;
+        const int pri_tap0 = 4 - (p & 1);
+        const int pri_tap1 = (pri_tap0 & 3) | 2;
+        const int dir = (int)dirs[u];
+        int64_t poff[4], soff[8];
+        for (int k = 0; k < 2; k++) {
+            poff[k * 2] = cdef_dirs[2 + dir][k][0] * cstride +
+                          cdef_dirs[2 + dir][k][1];
+            poff[k * 2 + 1] = -poff[k * 2];
+            soff[k * 4] = cdef_dirs[4 + dir][k][0] * cstride +
+                          cdef_dirs[4 + dir][k][1];
+            soff[k * 4 + 1] = -soff[k * 4];
+            soff[k * 4 + 2] = cdef_dirs[dir][k][0] * cstride +
+                              cdef_dirs[dir][k][1];
+            soff[k * 4 + 3] = -soff[k * 4 + 2];
+        }
+        const int16_t *base = canvas + (ys[u] + 2) * cstride + xs[u] + 2;
+        int32_t *o = plane + ys[u] * stride + xs[u];
+        if (w == 8)
+            cdef_filter_unit_i16w8(base, cstride, h, p, s, pri_shift,
+                                   sec_shift, pri_tap0, pri_tap1, poff,
+                                   soff, o, stride);
+        else
+            cdef_filter_unit_i16w4(base, cstride, h, p, s, pri_shift,
+                                   sec_shift, pri_tap0, pri_tap1, poff,
+                                   soff, o, stride);
+    }
+}
+
 void dtpu_cdef_filter_plane(int32_t *plane, int64_t stride, int pw, int ph,
                             int32_t *canvas, const int64_t *ys,
                             const int64_t *xs, int64_t n, int w, int h,
                             const int64_t *pri, const int64_t *sec,
                             const int64_t *dirs, int damping, int bitdepth)
 {
+    if (bitdepth == 8 && (w == 8 || w == 4) && !(h & 1)) {
+        cdef_filter_plane_i16(plane, stride, pw, ph, (int16_t *)canvas,
+                              ys, xs, n, w, h, pri, sec, dirs, damping);
+        return;
+    }
     const int64_t cstride = pw + 4;
     for (int64_t x = 0; x < cstride * 2; x++)
         canvas[x] = CDEF_SENTINEL;

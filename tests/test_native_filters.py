@@ -111,3 +111,47 @@ def test_cdef_native_parity():
         d1, v1 = hc.cdef_find_dir_batch_np(blocks, bd)
         d2, v2 = hc.cdef_find_dir_batch(blocks, bd)
         assert np.array_equal(d1, d2) and np.array_equal(v1, v2)
+
+
+def test_cdef_filter_plane_parity():
+    """Whole-plane native pass (incl. the int16 8-bit fast path) against
+    the golden numpy batch on real-geometry canvases: random plane,
+    units anywhere inside, taps reaching the sentinel borders."""
+    from dav1d_tpu.native import lib
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    import ctypes
+    rng = np.random.default_rng(29)
+    for bd, damping in ((8, 5), (8, 3), (10, 7), (12, 8)):
+        for w, h in ((8, 8), (4, 4), (4, 8)):
+            ph, pw = 64, 96
+            plane = rng.integers(0, 1 << bd, (ph, pw)).astype(np.int32)
+            # unique unit positions (real CDEF units never overlap; with
+            # duplicates the golden scatter's last-wins order differs
+            # from the native pass's skip of zero-strength units)
+            cells = np.arange(((ph - h) // h) * ((pw - w) // w))
+            pick = rng.permutation(cells)[:120]
+            n = pick.size
+            ys = (pick // ((pw - w) // w) * h).astype(np.int64)
+            xs = (pick % ((pw - w) // w) * w).astype(np.int64)
+            pri = (rng.integers(0, 16, n) << (bd - 8)).astype(np.int64)
+            sec = (rng.integers(0, 3, n) << (bd - 8)).astype(np.int64)
+            pri[:5] = 0
+            sec[3:8] = 0
+            dirs = rng.integers(0, 8, n).astype(np.int64)
+            canvas = np.full((ph + 4, pw + 4), hc.INT16_MIN, dtype=np.int64)
+            canvas[2:-2, 2:-2] = plane
+            want_units = hc.cdef_filter_batch_np(canvas, ys + 2, xs + 2,
+                                                 w, h, pri, sec, dirs,
+                                                 damping, bd)
+            want = plane.copy()
+            for i in range(n):
+                want[ys[i]:ys[i] + h, xs[i]:xs[i] + w] = want_units[i]
+            got = plane.copy()
+            scratch = np.empty((ph + 4, pw + 4), np.int32)
+            lib.dtpu_cdef_filter_plane(
+                got.ctypes.data, pw, pw, ph, scratch.ctypes.data,
+                ys.ctypes.data, xs.ctypes.data, n, w, h,
+                pri.ctypes.data, sec.ctypes.data, dirs.ctypes.data,
+                damping, bd)
+            assert np.array_equal(got, want), (bd, w, h)
