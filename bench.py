@@ -137,7 +137,9 @@ def main():
     from dav1d_tpu.dispatch import device_roundtrip_ms
 
     extra = ""
-    if os.environ.get("DAV1D_TPU_BENCH_FULL") == "1":
+    if os.environ.get("DAV1D_TPU_BENCH_FAST") != "1":
+        # BASELINE configs 1 (keyframe-only intra) and 3 (4K inter)
+        # run by default as secondary fps figures in the unit label
         extra = "; " + "; ".join(
             f"{name}={_bench_config(**cfg):.3f}fps"
             for name, cfg in (

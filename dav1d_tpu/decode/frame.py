@@ -606,35 +606,45 @@ def decode_frame_finish(f: FrameContext) -> None:
     # full-frame filter chain: deblock -> cdef -> super-res -> restoration
     # (the reference pipelines these per sbrow; the full-frame formulation
     # is output-equivalent, see recon/lf.py and recon/cdef.py docstrings)
-    lf = hdr.loopfilter
-    if (lf.level_y[0] or lf.level_y[1]) and (f.inloop_filters & 1):
-        deblock_frame(f)
+    from ..dispatch import use_device
+    chained = False
+    if use_device("chain"):
+        from ..recon.device_chain import filter_chain_device
+        chained = filter_chain_device(f)  # device-resident deblock+CDEF
 
-    # pre-CDEF snapshot = the reference's lpf line buffer (dav1d_copy_lpf,
-    # src/lf_apply_tmpl.c:104): LR stripe-boundary rows read deblocked
-    # pre-CDEF pixels
-    f.pre_cdef = None
-    do_lr = f.restore_planes and (f.inloop_filters & 4)
-    if do_lr:
-        f.pre_cdef = [p.copy() for p in f.planes]
+    if not chained:
+        lf = hdr.loopfilter
+        if (lf.level_y[0] or lf.level_y[1]) and (f.inloop_filters & 1):
+            deblock_frame(f)
 
-    if f.seq_hdr.cdef and not hdr.allow_intrabc and not hdr.all_lossless \
-            and (any(hdr.cdef.y_strength) or any(hdr.cdef.uv_strength)) \
-            and (f.inloop_filters & 2):
-        from ..recon.cdef import cdef_frame
-        cdef_frame(f)
+        # pre-CDEF snapshot = the reference's lpf line buffer
+        # (dav1d_copy_lpf, src/lf_apply_tmpl.c:104): LR stripe-boundary
+        # rows read deblocked pre-CDEF pixels
+        f.pre_cdef = None
+        do_lr = f.restore_planes and (f.inloop_filters & 4)
+        if do_lr:
+            f.pre_cdef = [p.copy() for p in f.planes]
 
-    # super-resolution: horizontal upscale after CDEF, before restoration
-    # (reference filter_sbrow_resize, src/recon_tmpl.c:2053-2087)
-    f.sr_planes = f.planes
-    if hdr.width[0] != hdr.width[1]:
-        f.sr_planes = _superres_frame(f, f.planes)
-        if f.pre_cdef is not None:
-            f.pre_cdef = _superres_frame(f, f.pre_cdef)
+        if f.seq_hdr.cdef and not hdr.allow_intrabc \
+                and not hdr.all_lossless \
+                and (any(hdr.cdef.y_strength)
+                     or any(hdr.cdef.uv_strength)) \
+                and (f.inloop_filters & 2):
+            from ..recon.cdef import cdef_frame
+            cdef_frame(f)
 
-    if do_lr:
-        from ..recon.lr_apply import lr_frame
-        lr_frame(f)
+        # super-resolution: horizontal upscale after CDEF, before
+        # restoration (reference filter_sbrow_resize,
+        # src/recon_tmpl.c:2053-2087)
+        f.sr_planes = f.planes
+        if hdr.width[0] != hdr.width[1]:
+            f.sr_planes = _superres_frame(f, f.planes)
+            if f.pre_cdef is not None:
+                f.pre_cdef = _superres_frame(f, f.pre_cdef)
+
+        if do_lr:
+            from ..recon.lr_apply import lr_frame
+            lr_frame(f)
 
     nat = getattr(f, "_nat", None)
     if nat is not None:

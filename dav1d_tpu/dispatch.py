@@ -75,7 +75,10 @@ def device_roundtrip_ms() -> float:
 #   plane per frame; host stays default until the filter chain is
 #   device-resident.
 _ACCEL_DEFAULT = {"itx": "latency", "cdef": False, "deblock": "latency",
-                  "lr": "latency", "fg": "latency", "mc": "latency"}
+                  "lr": "latency", "fg": "latency", "mc": "latency",
+                  # device-resident deblock->CDEF chain (one plane
+                  # upload + one download per frame; recon/device_chain)
+                  "chain": "latency"}
 
 # Above this measured round-trip latency the chip is effectively remote
 # (tunneled) and per-frame offload of MB-sized batches loses to host C.

@@ -151,3 +151,72 @@ def cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs, damping,
         jnp.asarray(canvas, dtype=jnp.int32), pad(ys, 2), pad(xs, 2),
         pad(pri), pad(sec), pad(dirs))
     return np.asarray(out)[:n].astype(np.int64)
+
+
+# ---- device-resident plane forms (the chained filter pipeline:
+# recon/device_chain.py keeps the planes on the device across deblock ->
+# CDEF, so these gather their inputs from and scatter their outputs to
+# the resident plane instead of round-tripping canvases) ----------------
+
+@functools.lru_cache(maxsize=None)
+def _jit_find_dir_plane(bitdepth):
+    base = _jit_find_dir(bitdepth)
+
+    def fn(plane, ys, xs):
+        yg = ys[:, None, None] + jnp.arange(8)[None, :, None]
+        xg = xs[:, None, None] + jnp.arange(8)[None, None, :]
+        return base(plane[yg, xg])
+
+    return jax.jit(fn)
+
+
+def cdef_find_dir_plane_dev(plane_dev, ys, xs, bitdepth):
+    """Direction search over 8x8 luma blocks gathered straight from the
+    device-resident plane; returns host (dirs, variances)."""
+    n = len(ys)
+    nb = _bucket(n)
+
+    def pad(a):
+        out = np.zeros(nb, dtype=np.int32)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    d, v = _jit_find_dir_plane(int(bitdepth))(plane_dev, pad(ys), pad(xs))
+    return np.asarray(d)[:n].astype(np.int64), \
+        np.asarray(v)[:n].astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_filter_plane(w, h, ph, pw, damping, bitdepth):
+    filt = _jit_filter(w, h, damping, bitdepth)
+
+    def fn(plane, ys, xs, pri, sec, dirs):
+        canvas = jnp.pad(plane[:ph, :pw], 2,
+                         constant_values=jnp.int32(INT16_MIN))
+        out = filt(canvas, ys + 2, xs + 2, pri, sec, dirs)
+        yg = ys[:, None, None] + jnp.arange(h)[None, :, None]
+        xg = xs[:, None, None] + jnp.arange(w)[None, None, :]
+        # pad units sit far out of bounds: the scatter drops them
+        return plane.at[yg, xg].set(out)
+
+    return jax.jit(fn)
+
+
+def cdef_filter_plane_dev(plane_dev, ph, pw, ys, xs, w, h, pri, sec,
+                          dirs, damping, bitdepth):
+    """Filter every unit of one plane in place on the device: canvas
+    build (sentinel pad), unit gather, constrained filter, and scatter
+    back are one XLA program; returns the updated resident plane."""
+    n = len(ys)
+    nb = _bucket(n)
+    far = 1 << 24
+
+    def pad(a, fill=0):
+        out = np.full(nb, fill, dtype=np.int32)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    return _jit_filter_plane(w, h, int(ph), int(pw), int(damping),
+                             int(bitdepth))(
+        plane_dev, pad(ys, far), pad(xs, far), pad(pri), pad(sec),
+        pad(dirs))

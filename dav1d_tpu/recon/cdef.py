@@ -399,28 +399,16 @@ def adjust_strength(strength: int, var: int) -> int:
     return (strength * (4 + i) + 8) >> 4
 
 
-def cdef_frame(f) -> None:
-    """Full-frame CDEF (reference dav1d_cdef_brow, single-tile pipeline).
-    Every unit reads pre-CDEF deblocked pixels from the frame copy, which
-    reproduces the reference's cdef_line/lr_bak backups."""
-    from ..headers import PixelLayout
+def cdef_collect(f):
+    """Unit collection, fully vectorized: 8x8 units on the 2-aligned
+    block grid where the superblock has a cdef index with nonzero
+    strengths and any 4x4 in the unit is non-skip.  Returns
+    (bys, bxs, y_pri, y_sec, uv_pri, uv_sec, uvlvl) in block (4px)
+    coords, or None when no unit is filtered."""
     hdr = f.frame_hdr
-    seq = f.seq_hdr
-    bitdepth = f.bitdepth
-    bdmin8 = bitdepth - 8
-    damping = hdr.cdef.damping + bdmin8
-    layout = f.layout
-    ss_ver = int(layout == PixelLayout.I420)
-    ss_hor = int(layout != PixelLayout.I444)
-    has_chroma = layout != PixelLayout.I400
-    uv_dir_map = UV_DIRS_422 if layout == PixelLayout.I422 else UV_DIRS_420
-
+    bdmin8 = f.bitdepth - 8
     sb64w = (f.bw + 15) >> 4
     sb64h = (f.bh + 15) >> 4
-
-    # unit collection, fully vectorized: 8x8 units on the 2-aligned block
-    # grid where the superblock has a cdef index with nonzero strengths
-    # and any 4x4 in the unit is non-skip
     nrows, ncols = (f.bh + 1) >> 1, (f.bw + 1) >> 1
     cdef_idx = f.cdef_idx[:sb64h, :sb64w]
     ystr = np.asarray(list(hdr.cdef.y_strength) + [0], dtype=np.int64)
@@ -439,7 +427,7 @@ def cdef_frame(f) -> None:
     sel = on_sb[np.ix_(rs8, cs8)] & skip_grid
     rr, cc = np.nonzero(sel)
     if rr.size == 0:
-        return
+        return None
     bys = rr << 1
     bxs = cc << 1
     ylvl = ylvl_sb[rr >> 3, cc >> 3]
@@ -452,14 +440,37 @@ def cdef_frame(f) -> None:
     uv_sec = uvlvl & 3
     uv_sec += (uv_sec == 3)
     uv_sec <<= bdmin8
+    return bys, bxs, y_pri, y_sec, uv_pri, uv_sec, uvlvl
+
+
+def cdef_frame(f) -> None:
+    """Full-frame CDEF (reference dav1d_cdef_brow, single-tile pipeline).
+    Every unit reads pre-CDEF deblocked pixels from the frame copy, which
+    reproduces the reference's cdef_line/lr_bak backups."""
+    from ..headers import PixelLayout
+    hdr = f.frame_hdr
+    seq = f.seq_hdr
+    bitdepth = f.bitdepth
+    bdmin8 = bitdepth - 8
+    damping = hdr.cdef.damping + bdmin8
+    layout = f.layout
+    ss_ver = int(layout == PixelLayout.I420)
+    ss_hor = int(layout != PixelLayout.I444)
+    has_chroma = layout != PixelLayout.I400
+    uv_dir_map = UV_DIRS_422 if layout == PixelLayout.I422 else UV_DIRS_420
+
+    units = cdef_collect(f)
+    if units is None:
+        return
+    bys, bxs, y_pri, y_sec, uv_pri, uv_sec, uvlvl = units
 
     from ..dispatch import use_device
     from ..native import lib as _nlib
     on_device = use_device("cdef")
 
     need_dir = (y_pri | uv_pri) > 0
-    dirs = np.zeros(rr.size, dtype=np.int64)
-    variances = np.zeros(rr.size, dtype=np.int64)
+    dirs = np.zeros(bys.size, dtype=np.int64)
+    variances = np.zeros(bys.size, dtype=np.int64)
     if need_dir.any():
         src0 = f.planes[0]
         dbys = (bys[need_dir] * 4).astype(np.int64)

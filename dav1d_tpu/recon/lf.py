@@ -420,23 +420,22 @@ def _loop_filter_batch(plane, ys, xs, E, I, H, along_rows, wd, bitdepth):
             plane[(ys + o)[:, None], xs[:, None] + lines[None, :]] = final
 
 
-def _apply_edges(plane, level, wd_plane, pd_idx, dir_, wd_map, e_lut,
-                 i_lut, bitdepth, n_rows, n_cols):
-    """Filter every recorded edge of one plane/direction, batched per
-    width class (replaces the reference's per-sbrow
-    dav1d_loopfilter_sbrow_cols/rows, src/lf_apply_tmpl.c:313-466)."""
+def _collect_edges(level, wd_plane, pd_idx, dir_, n_rows, n_cols):
+    """Select the active edges of one plane/direction: 4-aligned cell
+    coords, width class, and resolved filter level (q-side cell, falling
+    back to the p-side cell — reference loop_filter_sb128
+    'level_ptr[-1] if !L').  Returns (ys, xs, cls, L), possibly empty."""
+    empty = (np.empty(0, np.int64),) * 4
     wd = wd_plane[:n_rows, :n_cols]
     ys, xs = np.nonzero(wd)
     if ys.size == 0:
-        return
+        return empty
     # the frame's own left/top boundary is never filtered
     keep = (xs > 0) if dir_ == 0 else (ys > 0)
     ys, xs = ys[keep], xs[keep]
     if ys.size == 0:
-        return
+        return empty
     cls = wd[ys, xs]
-    # filter level of the q-side cell, falling back to the p-side cell
-    # (reference loop_filter_sb128 'level_ptr[-1] if !L')
     L = level[ys, xs, pd_idx].astype(np.int64)
     fb = L == 0
     if fb.any():
@@ -445,7 +444,16 @@ def _apply_edges(plane, level, wd_plane, pd_idx, dir_, wd_map, e_lut,
         else:
             L[fb] = level[ys[fb] - 1, xs[fb], pd_idx]
     on = L != 0
-    ys, xs, cls, L = ys[on], xs[on], cls[on], L[on]
+    return ys[on], xs[on], cls[on], L[on]
+
+
+def _apply_edges(plane, level, wd_plane, pd_idx, dir_, wd_map, e_lut,
+                 i_lut, bitdepth, n_rows, n_cols):
+    """Filter every recorded edge of one plane/direction, batched per
+    width class (replaces the reference's per-sbrow
+    dav1d_loopfilter_sbrow_cols/rows, src/lf_apply_tmpl.c:313-466)."""
+    ys, xs, cls, L = _collect_edges(level, wd_plane, pd_idx, dir_,
+                                    n_rows, n_cols)
     if ys.size == 0:
         return
     from ..dispatch import use_device

@@ -166,6 +166,18 @@ CASES = {
     "hbd12": (dict(n=3, bitdepth=12), _args(bitdepth=12)),
     "sb64": (dict(n=4), _args(options={"sb-size": 64})),
     "realtime": (dict(n=6), _args(usage="realtime", cpu_used=7)),
+    # large-resolution geometry: LR stripe/unit edges, CDEF at superblock
+    # rows far from the origin, multi-sbrow tile interiors (VERDICT r1
+    # flagged the suite as small-res only)
+    "hd720": (dict(n=5),
+              _args(w=1280, h=720, cpu_used=6, q=48, lag=4,
+                    options={"enable-order-hint": 1,
+                             "enable-ref-frame-mvs": 1})),
+    "hd720_superres_tiles": (
+        dict(n=4),
+        _args(w=1280, h=720, cpu_used=7, q=50,
+              superres=(1, 14, 14, 50, 50),
+              options={"tile-columns": 1})),
 }
 
 
