@@ -293,6 +293,12 @@ def _load():
     lib.dtpu_itx_batch.restype = None
     lib.dtpu_itx_batch_ptrs.argtypes = lib.dtpu_itx_batch.argtypes
     lib.dtpu_itx_batch_ptrs.restype = None
+    lib.dtpu_itx_batch_ptrs_b.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ci, ci,  # cf, nb, w, h
+        ci, ci, ci, ci, ci, ci,  # shift, row_t, col_t, rect2, bd, wht
+        ctypes.c_void_p, ctypes.c_void_p,  # xb, yb (NULL = unknown)
+        ctypes.c_void_p]
+    lib.dtpu_itx_batch_ptrs_b.restype = None
 
     # pass-2 intra replay (replay.c); ctx struct lives in decode_glue
     lib.dtpu_intra_replay.argtypes = [

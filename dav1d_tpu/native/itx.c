@@ -21,14 +21,25 @@ static inline int ulg2(int v)
     return n;
 }
 
+typedef int32_t dtpu_v8i __attribute__((vector_size(32)));
+
 /* cfp: per-block coefficient pointers ((sw*sh) int32 column-major each);
  * out: (nb, h, w) int32 residuals ((x + 8) >> 4 scaled).  The pointer
  * form lets the caller feed blocks straight out of the pass-1 capture
- * arena with no per-frame stacking copy. */
-void dtpu_itx_batch_ptrs(const int32_t *const *cfp, int64_t nb, int w,
-                         int h, int shift, int row_t, int col_t,
-                         int is_rect2, int bitdepth, int is_wht,
-                         int32_t *out)
+ * arena with no per-frame stacking copy.
+ *
+ * xb/yb (optional, NULL = unknown): per-block INCLUSIVE upper bounds on
+ * the x / y coordinate of any nonzero coefficient, derived by the
+ * caller from the block's eob and the scan order (the reference keys
+ * its eob-gated sub-kernel choice off the same fact,
+ * src/itx_tmpl.c:44-130).  They bound the staging scan, shrink the
+ * mid-buffer clear, and expose an exact flat fast path for DC-only
+ * DCT_DCT blocks. */
+void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
+                           int h, int shift, int row_t, int col_t,
+                           int is_rect2, int bitdepth, int is_wht,
+                           const uint8_t *xb, const uint8_t *yb,
+                           int32_t *out)
 {
     const int sw = w < 32 ? w : 32, sh = h < 32 ? h : 32;
     const int64_t nout = (int64_t)w * h;
@@ -72,7 +83,56 @@ void dtpu_itx_batch_ptrs(const int32_t *const *cfp, int64_t nb, int w,
     int64_t *const ml = (int64_t *)m;
     for (int64_t g = 0; g < nb; g += 8) {
         const int lanes = nb - g < 8 ? (int)(nb - g) : 8;
-        memset(m, 0, sizeof(dtpu_v8) * w * h);
+
+        /* group-wide scan bounds (max over the 8 lanes; callers sort by
+         * eob so bounds stay tight within a group) */
+        int gxb = sw - 1, gyb = sh - 1;
+        if (xb) {
+            gxb = gyb = 0;
+            for (int l = 0; l < lanes; l++) {
+                if (xb[g + l] > gxb)
+                    gxb = xb[g + l];
+                if (yb[g + l] > gyb)
+                    gyb = yb[g + l];
+            }
+        }
+
+        /* DC-only DCT_DCT group: the whole 2-D pipeline collapses to
+         * one flat value per block (row dct of a lone DC input is the
+         * uniform (v*181+128)>>8; mid rescale + col clip as in the
+         * main path; col dct uniform again; final (v+8)>>4).  Exactly
+         * the reference's dconly shortcut (src/itx_tmpl.c:50-90). */
+        if (xb && !gxb && !gyb && !row_t && !col_t) {
+            for (int l = 0; l < lanes; l++) {
+                int64_t v = cfp[g + l][0];
+                if (is_rect2)
+                    v = (v * 181 + 128) >> 8;
+                v = (v * 181 + 128) >> 8;
+                v = (v + rnd) >> shift;
+                v = v < col_min ? col_min : v > col_max ? col_max : v;
+                const int32_t o = (int32_t)((v * 181 + 128 + 2048) >> 12);
+                int32_t *op = out + (g + l) * nout;
+                for (int64_t i = 0; i < nout; i++)
+                    op[i] = o;
+            }
+            continue;
+        }
+
+        /* clear only the rows the col kernel can read: its eob-gated
+         * variant for ymax <= gyb reads at most ycap = 4<<var inputs;
+         * everything below is written by the col pass itself before the
+         * detranspose reads it */
+        int ycap = sh;
+        if (xb) {
+            const int cvar = gyb < 4 ? 0 : 62 - __builtin_clzll(
+                                 (uint64_t)gyb);
+            ycap = 4 << cvar;
+            if (ycap > sh)
+                ycap = sh;
+        }
+        for (int x = 0; x < w; x++)
+            memset(m + x * h, 0, sizeof(dtpu_v8) * ycap);
+
         /* rows (fixed y) that are all-zero across every lane skip the
          * 1-D row transform and the mid-stage rescale outright: the
          * 1-D transforms are linear (0 -> 0) and the mid stage maps 0
@@ -83,8 +143,10 @@ void dtpu_itx_batch_ptrs(const int32_t *const *cfp, int64_t nb, int w,
         int xmax = 0;
         for (int l = 0; l < lanes; l++) {
             const int32_t *const cf = cfp[g + l];
-            for (int x = 0; x < sw; x++)
-                for (int y = 0; y < sh; y++) {
+            const int lxb = xb ? xb[g + l] : sw - 1;
+            const int lyb = yb ? yb[g + l] : sh - 1;
+            for (int x = 0; x <= lxb; x++)
+                for (int y = 0; y <= lyb; y++) {
                     int64_t v = cf[x * sh + y];
                     if (!v)
                         continue;
@@ -124,14 +186,105 @@ void dtpu_itx_batch_ptrs(const int32_t *const *cfp, int64_t nb, int w,
         }
         for (int x = 0; x < w; x++)
             colfn(m + x * h, 1, vcol_min, vcol_max);
-        for (int l = 0; l < lanes; l++) {
-            int32_t *const o = out + (g + l) * nout;
-            for (int y = 0; y < h; y++)
-                for (int x = 0; x < w; x++)
-                    o[y * w + x] =
-                        (int32_t)((ml[(x * h + y) * 8 + l] + 8) >> 4);
+        /* detranspose + final >>4: position-major 8-lane vectors back
+         * into per-block row-major int32.  8 x-positions x 8 lanes at a
+         * time via a shuffle-network 8x8 int64 transpose (full groups;
+         * a short tail group keeps the scalar form). */
+        if (lanes == 8 && !(w & 7)) {
+            const dtpu_v8 v8 = 8 - (dtpu_v8){0};
+#define TR_SHUF(a, b, ...) __builtin_shufflevector(a, b, __VA_ARGS__)
+            for (int x0 = 0; x0 < w; x0 += 8) {
+                const dtpu_v8 *c0 = m + (x0 + 0) * h,
+                              *c1 = m + (x0 + 1) * h,
+                              *c2 = m + (x0 + 2) * h,
+                              *c3 = m + (x0 + 3) * h,
+                              *c4 = m + (x0 + 4) * h,
+                              *c5 = m + (x0 + 5) * h,
+                              *c6 = m + (x0 + 6) * h,
+                              *c7 = m + (x0 + 7) * h;
+                for (int y = 0; y < h; y++) {
+                    const dtpu_v8 a0 = (c0[y] + v8) >> 4,
+                                  a1 = (c1[y] + v8) >> 4,
+                                  a2 = (c2[y] + v8) >> 4,
+                                  a3 = (c3[y] + v8) >> 4,
+                                  a4 = (c4[y] + v8) >> 4,
+                                  a5 = (c5[y] + v8) >> 4,
+                                  a6 = (c6[y] + v8) >> 4,
+                                  a7 = (c7[y] + v8) >> 4;
+                    const dtpu_v8
+                        b0 = TR_SHUF(a0, a1, 0, 8, 2, 10, 4, 12, 6, 14),
+                        b1 = TR_SHUF(a0, a1, 1, 9, 3, 11, 5, 13, 7, 15),
+                        b2 = TR_SHUF(a2, a3, 0, 8, 2, 10, 4, 12, 6, 14),
+                        b3 = TR_SHUF(a2, a3, 1, 9, 3, 11, 5, 13, 7, 15),
+                        b4 = TR_SHUF(a4, a5, 0, 8, 2, 10, 4, 12, 6, 14),
+                        b5 = TR_SHUF(a4, a5, 1, 9, 3, 11, 5, 13, 7, 15),
+                        b6 = TR_SHUF(a6, a7, 0, 8, 2, 10, 4, 12, 6, 14),
+                        b7 = TR_SHUF(a6, a7, 1, 9, 3, 11, 5, 13, 7, 15);
+                    const dtpu_v8
+                        d0 = TR_SHUF(b0, b2, 0, 1, 8, 9, 4, 5, 12, 13),
+                        d2 = TR_SHUF(b0, b2, 2, 3, 10, 11, 6, 7, 14, 15),
+                        d1 = TR_SHUF(b1, b3, 0, 1, 8, 9, 4, 5, 12, 13),
+                        d3 = TR_SHUF(b1, b3, 2, 3, 10, 11, 6, 7, 14, 15),
+                        d4 = TR_SHUF(b4, b6, 0, 1, 8, 9, 4, 5, 12, 13),
+                        d6 = TR_SHUF(b4, b6, 2, 3, 10, 11, 6, 7, 14, 15),
+                        d5 = TR_SHUF(b5, b7, 0, 1, 8, 9, 4, 5, 12, 13),
+                        d7 = TR_SHUF(b5, b7, 2, 3, 10, 11, 6, 7, 14, 15);
+                    const dtpu_v8
+                        r0 = TR_SHUF(d0, d4, 0, 1, 2, 3, 8, 9, 10, 11),
+                        r4 = TR_SHUF(d0, d4, 4, 5, 6, 7, 12, 13, 14, 15),
+                        r1 = TR_SHUF(d1, d5, 0, 1, 2, 3, 8, 9, 10, 11),
+                        r5 = TR_SHUF(d1, d5, 4, 5, 6, 7, 12, 13, 14, 15),
+                        r2 = TR_SHUF(d2, d6, 0, 1, 2, 3, 8, 9, 10, 11),
+                        r6 = TR_SHUF(d2, d6, 4, 5, 6, 7, 12, 13, 14, 15),
+                        r3 = TR_SHUF(d3, d7, 0, 1, 2, 3, 8, 9, 10, 11),
+                        r7 = TR_SHUF(d3, d7, 4, 5, 6, 7, 12, 13, 14, 15);
+                    const int64_t pos = y * w + x0;
+                    const dtpu_v8i s0 = __builtin_convertvector(
+                                        r0, dtpu_v8i),
+                                   s1 = __builtin_convertvector(
+                                        r1, dtpu_v8i),
+                                   s2 = __builtin_convertvector(
+                                        r2, dtpu_v8i),
+                                   s3 = __builtin_convertvector(
+                                        r3, dtpu_v8i),
+                                   s4 = __builtin_convertvector(
+                                        r4, dtpu_v8i),
+                                   s5 = __builtin_convertvector(
+                                        r5, dtpu_v8i),
+                                   s6 = __builtin_convertvector(
+                                        r6, dtpu_v8i),
+                                   s7 = __builtin_convertvector(
+                                        r7, dtpu_v8i);
+                    memcpy(out + (g + 0) * nout + pos, &s0, 32);
+                    memcpy(out + (g + 1) * nout + pos, &s1, 32);
+                    memcpy(out + (g + 2) * nout + pos, &s2, 32);
+                    memcpy(out + (g + 3) * nout + pos, &s3, 32);
+                    memcpy(out + (g + 4) * nout + pos, &s4, 32);
+                    memcpy(out + (g + 5) * nout + pos, &s5, 32);
+                    memcpy(out + (g + 6) * nout + pos, &s6, 32);
+                    memcpy(out + (g + 7) * nout + pos, &s7, 32);
+                }
+            }
+#undef TR_SHUF
+        } else {
+            for (int l = 0; l < lanes; l++) {
+                int32_t *const o = out + (g + l) * nout;
+                for (int y = 0; y < h; y++)
+                    for (int x = 0; x < w; x++)
+                        o[y * w + x] =
+                            (int32_t)((ml[(x * h + y) * 8 + l] + 8) >> 4);
+            }
         }
     }
+}
+
+void dtpu_itx_batch_ptrs(const int32_t *const *cfp, int64_t nb, int w,
+                         int h, int shift, int row_t, int col_t,
+                         int is_rect2, int bitdepth, int is_wht,
+                         int32_t *out)
+{
+    dtpu_itx_batch_ptrs_b(cfp, nb, w, h, shift, row_t, col_t, is_rect2,
+                          bitdepth, is_wht, 0, 0, out);
 }
 
 /* contiguous form: cf is (nb, sw*sh) int32 */

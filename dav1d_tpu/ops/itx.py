@@ -241,10 +241,31 @@ def itx_batch_c_list(cfs, tx, txtp, bitdepth):
     return out
 
 
-def itx_batch_c_ptrs(ptrs, tx, txtp, bitdepth):
+@functools.lru_cache(maxsize=None)
+def scan_bounds_lut(tx):
+    """Per-eob inclusive (x, y) bounds of the first eob+1 scan positions
+    of a TWO_D-class transform: cummax over the scan order decoded as
+    rc = (x << (min(lh,3)+2)) | y (recon/coef.py scan convention).
+    Lets the native itx bound its staging scan and pick its flat DC
+    path without touching the coefficients."""
+    from .. import tables
+
+    w, h, lw, lh = _txinfo(tx)
+    sh = min(h, 32)
+    scan = tables.scans()[tx].astype(np.int64)
+    xs = np.maximum.accumulate(scan >> (min(lh, 3) + 2))
+    ys = np.maximum.accumulate(scan & (sh - 1))
+    return xs.astype(np.uint8), ys.astype(np.uint8)
+
+
+def itx_batch_c_ptrs(ptrs, tx, txtp, bitdepth, eob=None):
     """Native-C host batch over a uint64 pointer array of coefficient
     blocks (straight into the pass-1 capture arena — no Python views at
-    all; the record-free variant of itx_batch_c_list)."""
+    all; the record-free variant of itx_batch_c_list).  When the
+    per-block eob array is given and the transform is TWO_D-class, the
+    scan-derived coefficient bounds are passed down so the C kernel can
+    bound its staging scan and take its flat DC-only path."""
+    from .. import tables
     from ..native import lib as _nlib
 
     n = len(ptrs)
@@ -254,11 +275,19 @@ def itx_batch_c_ptrs(ptrs, tx, txtp, bitdepth):
         _nlib.dtpu_itx_batch_ptrs(ptrs.ctypes.data, n, 4, 4, 0, 0, 0,
                                   0, bitdepth, 1, out.ctypes.data)
         return out
+    xb = yb = None
+    if eob is not None and txtp != TxfmType.WHT_WHT \
+            and tables.tx_type_class[txtp] == 0:
+        lx, ly = scan_bounds_lut(int(tx))
+        xb = np.ascontiguousarray(lx[eob])
+        yb = np.ascontiguousarray(ly[eob])
     row_t, col_t = TX1D_TYPES[TxfmType(txtp)]
     is_rect2 = int((w * 2 == h) or (h * 2 == w))
-    _nlib.dtpu_itx_batch_ptrs(ptrs.ctypes.data, n, w, h,
-                              int(TX_SHIFT[tx]), int(row_t), int(col_t),
-                              is_rect2, int(bitdepth), 0, out.ctypes.data)
+    _nlib.dtpu_itx_batch_ptrs_b(
+        ptrs.ctypes.data, n, w, h, int(TX_SHIFT[tx]), int(row_t),
+        int(col_t), is_rect2, int(bitdepth), 0,
+        xb.ctypes.data if xb is not None else None,
+        yb.ctypes.data if yb is not None else None, out.ctypes.data)
     return out
 
 

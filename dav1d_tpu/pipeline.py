@@ -144,7 +144,8 @@ def _launch_residuals_native(f):
         else:
             ptrs = (cf_base +
                     meta[idxs, 5].astype(np.int64) * 4).astype(np.uint64)
-            out = itx_batch_c_ptrs(ptrs, gtx, gtxtp, f.bitdepth)
+            out = itx_batch_c_ptrs(ptrs, gtx, gtxtp, f.bitdepth,
+                                   eob=meta[idxs, 0])
             st._register(idxs, out)
     return st
 

@@ -104,3 +104,65 @@ def test_native_itx_sparse_subkernels(tx, bitdepth):
         got = itx_batch_c(cf, tx, txtp, bitdepth)
         np.testing.assert_array_equal(
             got, want, err_msg=f"tx={tx} txtp={txtp} bd={bitdepth}")
+
+
+@pytest.mark.parametrize("bitdepth", [8, 10, 12])
+@pytest.mark.parametrize("tx", range(19))
+def test_native_itx_eob_bounds(tx, bitdepth):
+    """The eob-bounded pointer path (scan-derived per-block coefficient
+    bounds + the flat DC-only shortcut) must match the dense golden
+    batch: random blocks truncated at random scan eobs, plus DC-only
+    blocks at extreme magnitudes (clip-path coverage) and an all-zero
+    lane, for every TWO_D-class txtp."""
+    from dav1d_tpu import tables
+    from dav1d_tpu.ops.itx import itx_batch_c_ptrs, scan_bounds_lut
+
+    if itx_batch_c(np.zeros((1, 16), np.int32), 0, 0, 8) is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(tx * 977 + bitdepth)
+    w, h, _, _ = _txinfo(tx)
+    sw, sh = min(w, 32), min(h, 32)
+    n_coef = sw * sh
+    scan = tables.scans()[tx]
+    lim = 1 << (bitdepth + 3)
+    for txtp in _legal_txtps(tx):
+        if txtp == TxfmType.WHT_WHT or tables.tx_type_class[txtp] != 0:
+            continue
+        eobs, blocks = [], []
+        # random eobs across the range, dense up to each eob
+        for e in sorted(rng.integers(0, n_coef, 17).tolist()) + \
+                [0, 1, n_coef - 1]:
+            blk = np.zeros(n_coef, dtype=np.int32)
+            blk[scan[: e + 1]] = rng.integers(-lim, lim, e + 1)
+            blk[scan[e]] = int(rng.integers(1, lim))  # pin the eob coef
+            eobs.append(e)
+            blocks.append(blk)
+        # DC-only at extreme magnitudes: the flat shortcut must clip
+        # exactly like the staged pipeline
+        for v in (lim - 1, -(lim - 1), 7, -7):
+            blk = np.zeros(n_coef, dtype=np.int32)
+            blk[scan[0]] = v
+            eobs.append(0)
+            blocks.append(blk)
+        cf = np.ascontiguousarray(np.stack(blocks), dtype=np.int32)
+        want = itx_batch_np(cf, tx, txtp, bitdepth)
+        ptrs = np.fromiter((b.ctypes.data for b in cf), np.uint64,
+                           len(blocks))
+        got = itx_batch_c_ptrs(ptrs, tx, txtp, bitdepth,
+                               eob=np.asarray(eobs, dtype=np.int64))
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"tx={tx} txtp={txtp} bd={bitdepth}")
+        assert scan_bounds_lut(tx)[0][-1] == sw - 1
+
+        # a full 8-lane group of DC-only blocks pins the flat shortcut
+        # branch itself (mixed groups take the staged path)
+        dcs = np.asarray([lim - 1, -(lim - 1), 1, -1, 100, -100, 3, 0],
+                         dtype=np.int32)
+        cf = np.zeros((8, n_coef), dtype=np.int32)
+        cf[:, scan[0]] = dcs
+        want = itx_batch_np(cf, tx, txtp, bitdepth)
+        ptrs = np.fromiter((b.ctypes.data for b in cf), np.uint64, 8)
+        got = itx_batch_c_ptrs(ptrs, tx, txtp, bitdepth,
+                               eob=np.zeros(8, dtype=np.int64))
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"dc-only tx={tx} txtp={txtp} bd={bitdepth}")
