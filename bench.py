@@ -7,8 +7,21 @@ single-chip target (60 fps at 1080p-equivalent work is used as the
 normalizer until the 4K configs land).
 
 The stream is generated once with the system libaom (tools/aom_enc.py)
-and cached in /tmp; decode runs the two-pass host/TPU pipeline (entropy
-capture on host, batched reconstruction kernels on the device).
+and cached in /tmp.  Two legs run:
+
+- host leg (in-process): the two-pass pipeline with every family on the
+  native host tier — what `dispatch.use_device` selects here anyway,
+  because the chip sits behind a network tunnel whose measured ~35 ms
+  round trip fails the latency gate (a locally attached chip would
+  select the device tier).
+- device leg (subprocess, deadline-bounded): every latency-gated family
+  forced to the device tier.  The tunnel stalls for minutes at a time,
+  so this leg runs under a hard timeout and is skipped — never hanging
+  the bench — when the transport is wedged.
+
+The reported value is the faster leg; the label says which executed and
+what each measured.  Output digests must agree across legs and with the
+reference oracle's md5.
 """
 
 import hashlib
@@ -24,6 +37,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
 
 W, H, NFRAMES = 1920, 1080, 4
 STREAM = Path(f"/tmp/dav1d_tpu_bench_{W}x{H}_{NFRAMES}.ivf")
+DEVICE_LEG_BUDGET_S = float(os.environ.get("DAV1D_TPU_BENCH_DEVICE_BUDGET",
+                                           "900"))
 
 
 def _make_stream():
@@ -37,89 +52,100 @@ def _make_stream():
     write_ivf_packets(STREAM, pkts, W, H)
 
 
-def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    if not STREAM.exists():
-        _make_stream()
-    data = STREAM.read_bytes()
-
-    from dav1d_tpu.containers import read_ivf
+def _decode_fps(tus, runs):
+    """Best-of-N decode fps + output md5 (checkasm-style minimum: the
+    shared host shows multi-second scheduler stalls that poison means)."""
     from dav1d_tpu.decoder import Decoder, Settings
 
-    tus = [tu for tu, _ in read_ivf(data)]
+    best = 0.0
+    digest = None
+    for _ in range(runs):
+        dec = Decoder(Settings(two_pass=True, max_frame_delay=4))
+        h = hashlib.md5()
+        n = 0
+        t0 = time.perf_counter()
+        for tu in tus:
+            dec.send_data(tu)
+        while (pic := dec.get_picture()) is not None:
+            for pl in range(3):
+                h.update(pic.plane_bytes(pl))
+            n += 1
+        best = max(best, n / (time.perf_counter() - t0))
+        if digest is None:
+            digest = h.hexdigest()
+        elif digest != h.hexdigest():
+            raise RuntimeError("pipeline outputs diverge across runs")
+    return best, digest
 
-    # warm-up decode under the forced device tier: compiles every device
-    # program this stream needs (the persistent compilation cache in
-    # /tmp/jax_cache makes this a one-time cost across runs)
+
+def _device_leg():
+    """Subprocess body: forced device tier (mc stays host: its per-(w,h)
+    programs cost minutes of one-time tunnel compiles that would swamp
+    the budget; the tier is parity-tested by tests/test_device_e2e.py and
+    measured per-kernel by tools/kernel_bench.py)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    os.environ["DAV1D_TPU_DEVICE"] = "1"
+    os.environ["DAV1D_TPU_DEVICE_MC"] = "0"
+
+    from dav1d_tpu.containers import read_ivf
+    tus = [tu for tu, _ in read_ivf(STREAM.read_bytes())]
+    _decode_fps(tus, 1)  # warm-up: compile every device program (cached)
+    fps, digest = _decode_fps(tus, 2)
+    print(json.dumps({"fps": fps, "digest": digest}), flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--device-leg":
+        _device_leg()
+        return
+
+    if not STREAM.exists():
+        _make_stream()
+
+    # host leg in-process.  DAV1D_TPU_DEVICE=0 pins the host tier without
+    # touching the device transport at all (the dispatch default reaches
+    # the same tier here via the latency gate, but only after probing the
+    # tunnel, which can itself stall when the transport is wedged).
+    os.environ["DAV1D_TPU_DEVICE"] = "0"
+    from dav1d_tpu.containers import read_ivf
     from dav1d_tpu.dispatch import use_device
 
-    os.environ["DAV1D_TPU_DEVICE"] = "1"
-    os.environ["DAV1D_TPU_DEVICE_MC"] = "0"  # see forced-tier note below
     use_device.cache_clear()
-    warm = Decoder(Settings(two_pass=True))
-    for tu in tus:
-        warm.send_data(tu)
-    while warm.get_picture() is not None:
-        pass
-
-    # measure the dispatch-default pipeline (tier picked by the measured
-    # device round-trip latency) against the forced device tier (best of
-    # 2 each — the host is a shared, noisy 1-core box); the label reports
-    # what actually executed per dispatch.use_device
-    results = {}
-    digest = None
-    for name, force in (("two_pass+dispatch", None),
-                        ("two_pass+forced-device", "1")):
-        if force is None:
-            os.environ.pop("DAV1D_TPU_DEVICE", None)
-            os.environ.pop("DAV1D_TPU_DEVICE_MC", None)
-        else:
-            os.environ["DAV1D_TPU_DEVICE"] = force
-            # device MC stays off in the forced tier: its per-(w, h)
-            # programs cost minutes of one-time tunnel compiles, which
-            # would swamp the bench budget; the tier is parity-tested
-            # (tests/test_device_e2e.py) and measured per-kernel by
-            # tools/kernel_bench.py.  The label below reports mc=host.
-            os.environ["DAV1D_TPU_DEVICE_MC"] = "0"
-        use_device.cache_clear()
-        tiers = "mc=%s,itx=%s,cdef=%s" % tuple(
-            "dev" if use_device(k) else "host"
-            for k in ("mc", "itx", "cdef"))
-        name = f"{name}[{tiers}]"
-        best = 0.0
-        # best-of-5 (checkasm-style minimum): the shared host shows
-        # multi-second scheduler stalls that poison mean-based timing
-        for _ in range(5):
-            # pipelined decode: all temporal units submitted (pass 1 +
-            # async device launches), output drained afterwards — frame
-            # N's device batches fly while frame N+1's pass 1 parses
-            dec = Decoder(Settings(two_pass=True, max_frame_delay=4))
-            h = hashlib.md5()
-            n = 0
-            t0 = time.perf_counter()
-            for tu in tus:
-                dec.send_data(tu)
-            while (pic := dec.get_picture()) is not None:
-                for pl in range(3):
-                    h.update(pic.plane_bytes(pl))
-                n += 1
-            best = max(best, n / (time.perf_counter() - t0))
-            if digest is None:
-                digest = h.hexdigest()
-            elif digest != h.hexdigest():
-                print(json.dumps({"metric": "e2e_1080p8_frames_per_sec",
-                                  "value": 0.0, "unit": "frames/s",
-                                  "vs_baseline": 0.0,
-                                  "error": "pipeline outputs diverge"}))
-                return
-        results[name] = best
+    tus = [tu for tu, _ in read_ivf(STREAM.read_bytes())]
+    host_fps, digest = _decode_fps(tus, 5)
     os.environ.pop("DAV1D_TPU_DEVICE", None)
-    os.environ.pop("DAV1D_TPU_DEVICE_MC", None)
     use_device.cache_clear()
+
+    results = {"two_pass+host[mc=host,itx=host,cdef=host]": host_fps}
+
+    # device leg, deadline-bounded subprocess (never hangs the bench)
+    dev_note = ""
+    try:
+        r = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), "--device-leg"],
+            capture_output=True, text=True, timeout=DEVICE_LEG_BUDGET_S)
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        leg = json.loads(line) if line.startswith("{") else None
+        if leg is None:
+            dev_note = "; device leg failed"
+        elif leg["digest"] != digest:
+            print(json.dumps({"metric": "e2e_1080p8_frames_per_sec",
+                              "value": 0.0, "unit": "frames/s",
+                              "vs_baseline": 0.0,
+                              "error": "device/host outputs diverge"}))
+            return
+        else:
+            results["two_pass+forced-device[mc=host,itx=dev,cdef=dev]"] = \
+                leg["fps"]
+    except subprocess.TimeoutExpired:
+        dev_note = (f"; device leg skipped (transport stalled "
+                    f">{DEVICE_LEG_BUDGET_S:.0f}s)")
+    except Exception as e:  # noqa: BLE001 — the bench must always report
+        dev_note = f"; device leg error: {type(e).__name__}"
+
     best = max(results, key=results.get)
     fps = results[best]
-    h = type("H", (), {"hexdigest": staticmethod(lambda: digest)})
 
     # bit-exactness spot check vs the oracle (skipped when not built)
     oracle = "/tmp/dav1d-ref/dav1d"
@@ -127,33 +153,34 @@ def main():
         r = subprocess.run([oracle, "-i", str(STREAM), "--muxer", "md5",
                             "-o", "-", "-q"], capture_output=True, text=True)
         want = r.stdout.strip().split()[0] if r.returncode == 0 else None
-        if want and want != h.hexdigest():
+        if want and want != digest:
             print(json.dumps({"metric": "e2e_1080p8_frames_per_sec",
                               "value": 0.0, "unit": "frames/s",
                               "vs_baseline": 0.0,
                               "error": "md5 mismatch vs oracle"}))
             return
 
-    from dav1d_tpu.dispatch import device_roundtrip_ms
-
     extra = ""
     if os.environ.get("DAV1D_TPU_BENCH_FAST") != "1":
         # BASELINE configs 1 (keyframe-only intra) and 3 (4K inter)
         # run by default as secondary fps figures in the unit label
+        os.environ["DAV1D_TPU_DEVICE"] = "0"
+        use_device.cache_clear()
         extra = "; " + "; ".join(
             f"{name}={_bench_config(**cfg):.3f}fps"
             for name, cfg in (
                 ("intra_1080p", dict(w=1920, h=1080, n=4, kf=1)),
                 ("inter_4k", dict(w=3840, h=2160, n=3, kf=9999)),
             ))
+        os.environ.pop("DAV1D_TPU_DEVICE", None)
+        use_device.cache_clear()
 
     print(json.dumps({
         "metric": "e2e_1080p8_frames_per_sec",
         "value": round(fps, 4),
         "unit": (f"frames/s (1080p 8-bit inter; best of "
-                 f"{ {k: round(v, 4) for k, v in results.items()} }; "
-                 f"device roundtrip "
-                 f"{device_roundtrip_ms():.1f}ms{extra})"),
+                 f"{ {k: round(v, 4) for k, v in results.items()} }"
+                 f"{dev_note}{extra})"),
         "vs_baseline": round(fps / 60.0, 5),
     }))
 
@@ -163,7 +190,6 @@ def _bench_config(w, h, n, kf):
     from aom_enc import AomEncoder, gradient_frames, write_ivf_packets
 
     from dav1d_tpu.containers import read_ivf
-    from dav1d_tpu.decoder import Decoder, Settings
 
     path = Path(f"/tmp/dav1d_tpu_bench_{w}x{h}_{n}_kf{kf}.ivf")
     if not path.exists():
@@ -173,17 +199,8 @@ def _bench_config(w, h, n, kf):
         write_ivf_packets(path, enc.encode(gradient_frames(n, w, h)), w, h)
         enc.close()
     tus = [tu for tu, _ in read_ivf(path.read_bytes())]
-    best = 0.0
-    for _ in range(2):
-        dec = Decoder(Settings(two_pass=True, max_frame_delay=4))
-        cnt = 0
-        t0 = time.perf_counter()
-        for tu in tus:
-            dec.send_data(tu)
-        while dec.get_picture() is not None:
-            cnt += 1
-        best = max(best, cnt / (time.perf_counter() - t0))
-    return best
+    fps, _ = _decode_fps(tus, 2)
+    return fps
 
 
 if __name__ == "__main__":

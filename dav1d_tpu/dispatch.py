@@ -49,21 +49,34 @@ def device_roundtrip_ms() -> float:
     behind a network tunnel (this dev harness) a ~35 ms round trip makes
     per-frame offload structurally unprofitable, while a locally attached
     chip measures well under 1 ms.  This probe is the dispatch policy's
-    hardware detection (the reference's dav1d_get_cpu_flags analog)."""
+    hardware detection (the reference's dav1d_get_cpu_flags analog).
+
+    The probe runs in a daemon thread with a deadline: a wedged transport
+    (the tunnel stalls for minutes at a time) must degrade to the host
+    tier, not hang the decoder at the first frame."""
+    import threading
     import time
 
-    import jax
-    import numpy as np
+    result = [float("inf")]
 
-    x = np.zeros(4096, dtype=np.int32)
-    d = jax.device_put(x)
-    np.asarray(d)  # warm the path
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(jax.device_put(x))
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+    def probe():
+        import jax
+        import numpy as np
+
+        x = np.zeros(4096, dtype=np.int32)
+        d = jax.device_put(x)
+        np.asarray(d)  # warm the path
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_put(x))
+            best = min(best, time.perf_counter() - t0)
+        result[0] = best * 1e3
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("DAV1D_TPU_PROBE_TIMEOUT", "10")))
+    return result[0]  # inf when the probe missed the deadline
 
 
 # Per-family default on an accelerator backend (tools/kernel_bench.py

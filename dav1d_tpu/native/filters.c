@@ -1011,11 +1011,109 @@ static void NAME(const int16_t *restrict base, int64_t stride, int h,   \
         4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 #define CDEF_CAT4(a, b) __builtin_shufflevector((a), (b), 0, 1, 2, 3, \
         4, 5, 6, 7)
+#define CDEF_CAT16(a, b) __builtin_shufflevector((a), (b), 0, 1, 2, 3, \
+        4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, \
+        21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31)
 
 CDEF_VEC16_IMPL(cdef_filter_unit_i16w8, cdef_v16hi, cdef_v8hi,
                 cdef_v8si, CDEF_CAT8, 8)
 CDEF_VEC16_IMPL(cdef_filter_unit_i16w4, cdef_v8hi, cdef_v4hi,
                 cdef_v4si_st, CDEF_CAT4, 4)
+
+/* 4-row variant: four unit rows ride in one 32- (w=8) or 16-lane (w=4)
+ * int16 vector — one 512-bit op per tap on AVX-512 hosts, halving the
+ * iteration count of the 2-row kernels (h is always 4 or 8 here, so a
+ * unit is 1 or 2 iterations).  Same int16 sentinel-wrap soundness
+ * argument as CDEF_VEC16_IMPL (lanes are independent). */
+typedef int16_t cdef_v32hi
+    __attribute__((vector_size(64), aligned(2), may_alias));
+
+#define CDEF_Q8_0 0, 1, 2, 3, 4, 5, 6, 7
+#define CDEF_Q8_1 8, 9, 10, 11, 12, 13, 14, 15
+#define CDEF_Q8_2 16, 17, 18, 19, 20, 21, 22, 23
+#define CDEF_Q8_3 24, 25, 26, 27, 28, 29, 30, 31
+#define CDEF_Q4_0 0, 1, 2, 3
+#define CDEF_Q4_1 4, 5, 6, 7
+#define CDEF_Q4_2 8, 9, 10, 11
+#define CDEF_Q4_3 12, 13, 14, 15
+
+#define CDEF_LD4(CATH, CATF, QVT, off)                                  \
+    CATF(CATH(*(const QVT *)(r0 + (off)), *(const QVT *)(r1 + (off))), \
+         CATH(*(const QVT *)(r2 + (off)), *(const QVT *)(r3 + (off))))
+
+#define CDEF_VEC32_IMPL(NAME, VT, QVT, SVT, CATH, CATF, W)              \
+static void NAME(const int16_t *restrict base, int64_t stride, int h,   \
+                 int p, int s, int pri_shift, int sec_shift,            \
+                 int pri_tap0, int pri_tap1, const int64_t *poff,       \
+                 const int64_t *soff, int32_t *restrict o,              \
+                 int64_t ostride)                                       \
+{                                                                       \
+    typedef uint16_t UVT                                                \
+        __attribute__((vector_size(sizeof(VT)), aligned(2), may_alias));\
+    const VT zero = {0};                                                \
+    const VT vp = zero + (int16_t)p, vs = zero + (int16_t)s;            \
+    const int track = p && s;                                           \
+    for (int y = 0; y < h; y += 4) {                                    \
+        const int16_t *r0 = base + y * stride, *r1 = r0 + stride,       \
+                      *r2 = r1 + stride, *r3 = r2 + stride;             \
+        int32_t *o0 = o + y * ostride, *o1 = o0 + ostride,              \
+                *o2 = o1 + ostride, *o3 = o2 + ostride;                 \
+        const VT px = CDEF_LD4(CATH, CATF, QVT, 0);                     \
+        VT sum = zero, mx = px;                                         \
+        UVT umn = (UVT)(zero + 0x7FFF);                                 \
+        VT d, m, ad, cl, sl, v;                                         \
+        UVT usl;                                                        \
+        if (p)                                                          \
+            for (int k = 0; k < 4; k++) {                               \
+                const VT t = CDEF_LD4(CATH, CATF, QVT, poff[k]);        \
+                d = t - px; m = d < zero; ad = (d ^ m) - m;             \
+                cl = vp - (ad >> pri_shift); sl = ad < cl;              \
+                v = (ad & sl) | (cl & ~sl); v &= ~(v < zero);           \
+                v = (v ^ m) - m;                                        \
+                sum += (int16_t)(k < 2 ? pri_tap0 : pri_tap1) * v;      \
+                if (track) {                                            \
+                    usl = (UVT)t < umn;                                 \
+                    umn = ((UVT)t & usl) | (umn & ~usl);                \
+                    sl = t > mx; mx = (t & sl) | (mx & ~sl);            \
+                }                                                       \
+            }                                                           \
+        if (s)                                                          \
+            for (int k = 0; k < 8; k++) {                               \
+                const VT t = CDEF_LD4(CATH, CATF, QVT, soff[k]);        \
+                d = t - px; m = d < zero; ad = (d ^ m) - m;             \
+                cl = vs - (ad >> sec_shift); sl = ad < cl;              \
+                v = (ad & sl) | (cl & ~sl); v &= ~(v < zero);           \
+                v = (v ^ m) - m;                                        \
+                sum += (int16_t)(k < 4 ? 2 : 1) * v;                    \
+                if (track) {                                            \
+                    usl = (UVT)t < umn;                                 \
+                    umn = ((UVT)t & usl) | (umn & ~usl);                \
+                    sl = t > mx; mx = (t & sl) | (mx & ~sl);            \
+                }                                                       \
+            }                                                           \
+        m = sum < zero;                                                 \
+        VT r = px + ((sum + m + (zero + 8)) >> 4);                      \
+        if (track) {                                                    \
+            VT mn = (VT)umn;                                            \
+            sl = px < mn; mn = (px & sl) | (mn & ~sl);                  \
+            sl = r < mn; r = (mn & sl) | (r & ~sl);                     \
+            sl = r > mx; r = (mx & sl) | (r & ~sl);                     \
+        }                                                               \
+        const QVT q0 = __builtin_shufflevector(r, r, CDEF_Q##W##_0);    \
+        const QVT q1 = __builtin_shufflevector(r, r, CDEF_Q##W##_1);    \
+        const QVT q2 = __builtin_shufflevector(r, r, CDEF_Q##W##_2);    \
+        const QVT q3 = __builtin_shufflevector(r, r, CDEF_Q##W##_3);    \
+        *(SVT *)o0 = __builtin_convertvector(q0, SVT);                  \
+        *(SVT *)o1 = __builtin_convertvector(q1, SVT);                  \
+        *(SVT *)o2 = __builtin_convertvector(q2, SVT);                  \
+        *(SVT *)o3 = __builtin_convertvector(q3, SVT);                  \
+    }                                                                   \
+}
+
+CDEF_VEC32_IMPL(cdef_filter_unit_i16w8x4, cdef_v32hi, cdef_v8hi,
+                cdef_v8si, CDEF_CAT8, CDEF_CAT16, 8)
+CDEF_VEC32_IMPL(cdef_filter_unit_i16w4x4, cdef_v16hi, cdef_v4hi,
+                cdef_v4si_st, CDEF_CAT4, CDEF_CAT8, 4)
 
 /* One unit read from `base` (the sentinel-bordered pre-CDEF canvas),
  * written to `o` with stride `ostride` (packed batch output, or
@@ -1202,6 +1300,28 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
     for (int64_t x = 0; x < cstride * 2; x++)
         canvas[(int64_t)(ph + 2) * cstride + x] = CDEF_SENTINEL;
 
+    /* all 8 directions' tap offsets, hoisted out of the unit loop (the
+     * canvas stride is constant across the plane) */
+    int64_t dpoff[8][4], dsoff[8][8];
+    for (int dir = 0; dir < 8; dir++)
+        for (int k = 0; k < 2; k++) {
+            dpoff[dir][k * 2] = cdef_dirs[2 + dir][k][0] * cstride +
+                                cdef_dirs[2 + dir][k][1];
+            dpoff[dir][k * 2 + 1] = -dpoff[dir][k * 2];
+            dsoff[dir][k * 4] = cdef_dirs[4 + dir][k][0] * cstride +
+                                cdef_dirs[4 + dir][k][1];
+            dsoff[dir][k * 4 + 1] = -dsoff[dir][k * 4];
+            dsoff[dir][k * 4 + 2] = cdef_dirs[dir][k][0] * cstride +
+                                    cdef_dirs[dir][k][1];
+            dsoff[dir][k * 4 + 3] = -dsoff[dir][k * 4 + 2];
+        }
+    const int four = !(h & 3);
+    void (*const fn)(const int16_t *restrict, int64_t, int, int, int,
+                     int, int, int, int, const int64_t *,
+                     const int64_t *, int32_t *restrict, int64_t) =
+        w == 8 ? (four ? cdef_filter_unit_i16w8x4 : cdef_filter_unit_i16w8)
+               : (four ? cdef_filter_unit_i16w4x4 : cdef_filter_unit_i16w4);
+
     for (int64_t u = 0; u < n; u++) {
         const int p = (int)pri[u], s = (int)sec[u];
         if (!p && !s)
@@ -1212,28 +1332,10 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
         const int pri_tap0 = 4 - (p & 1);
         const int pri_tap1 = (pri_tap0 & 3) | 2;
         const int dir = (int)dirs[u];
-        int64_t poff[4], soff[8];
-        for (int k = 0; k < 2; k++) {
-            poff[k * 2] = cdef_dirs[2 + dir][k][0] * cstride +
-                          cdef_dirs[2 + dir][k][1];
-            poff[k * 2 + 1] = -poff[k * 2];
-            soff[k * 4] = cdef_dirs[4 + dir][k][0] * cstride +
-                          cdef_dirs[4 + dir][k][1];
-            soff[k * 4 + 1] = -soff[k * 4];
-            soff[k * 4 + 2] = cdef_dirs[dir][k][0] * cstride +
-                              cdef_dirs[dir][k][1];
-            soff[k * 4 + 3] = -soff[k * 4 + 2];
-        }
         const int16_t *base = canvas + (ys[u] + 2) * cstride + xs[u] + 2;
         int32_t *o = plane + ys[u] * stride + xs[u];
-        if (w == 8)
-            cdef_filter_unit_i16w8(base, cstride, h, p, s, pri_shift,
-                                   sec_shift, pri_tap0, pri_tap1, poff,
-                                   soff, o, stride);
-        else
-            cdef_filter_unit_i16w4(base, cstride, h, p, s, pri_shift,
-                                   sec_shift, pri_tap0, pri_tap1, poff,
-                                   soff, o, stride);
+        fn(base, cstride, h, p, s, pri_shift, sec_shift, pri_tap0,
+           pri_tap1, dpoff[dir], dsoff[dir], o, stride);
     }
 }
 
