@@ -66,11 +66,17 @@ class Picture:
     mastering_display: object = None
     itut_t35: list = dataclasses.field(default_factory=list)
 
-    def plane_bytes(self, pl: int) -> bytes:
+    def plane_buffer(self, pl: int) -> np.ndarray:
+        """Output-width view of a plane: one contiguous cast (uint8 at
+        8-bit, little-endian uint16 above), no tobytes copy.  Accepted
+        anywhere the buffer protocol is (hashlib.update, file.write)."""
         arr = self.planes[pl]
         if self.bitdepth == 8:
-            return arr.astype(np.uint8).tobytes()
-        return arr.astype("<u2").tobytes()
+            return arr.astype(np.uint8)
+        return arr.astype("<u2")
+
+    def plane_bytes(self, pl: int) -> bytes:
+        return self.plane_buffer(pl).tobytes()
 
 
 class _RefSlot:

@@ -229,6 +229,25 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,            # e_lut, i_lut
         ci, ci, ci]                                  # dir, is_uv, bitdepth
     lib.dtpu_lf_apply_edges.restype = None
+    lib.dtpu_lf_filter_plane.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,             # plane, stride
+        ctypes.c_void_p, ctypes.c_int64,             # wd plane, stride
+        ctypes.c_void_p, ctypes.c_int64,             # level, row stride
+        ci, ci, ci,                                  # pd_idx, rows, cols
+        ctypes.c_void_p, ctypes.c_void_p,            # e_lut, i_lut
+        ci, ci, ci]                                  # dir, is_uv, bitdepth
+    lib.dtpu_lf_filter_plane.restype = None
+    lib.dtpu_cdef_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # p0, p1, p2
+        ctypes.c_int64, ctypes.c_int64,              # stride0, stride12
+        ci, ci, ci, ci, ci,                          # bw, bh, ssh, ssv, chroma
+        ctypes.c_void_p, ctypes.c_void_p,            # canvas0, canvas1
+        ctypes.c_void_p, ctypes.c_int64,             # cdef_idx, stride
+        ctypes.c_void_p, ctypes.c_int64,             # noskip, stride
+        ctypes.c_void_p, ctypes.c_void_p,            # y_str, uv_str
+        ctypes.c_void_p,                             # uv_dir_map
+        ci, ci]                                      # damping, bitdepth
+    lib.dtpu_cdef_frame.restype = None
     lib.dtpu_mask_edges_intra.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # wd_v/h, stride
         ci, ci, ci, ci, ci, ci, ci, ci,

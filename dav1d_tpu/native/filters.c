@@ -9,7 +9,14 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
 #include <string.h>
+
+void dtpu_cdef_filter_plane(int32_t *plane, int64_t stride, int pw, int ph,
+                            int32_t *canvas, const int64_t *ys,
+                            const int64_t *xs, int64_t n, int w, int h,
+                            const int64_t *pri, const int64_t *sec,
+                            const int64_t *dirs, int damping, int bitdepth);
 
 #define CDEF_SENTINEL (-32768) /* INT16_MIN marker outside available edges */
 
@@ -31,6 +38,7 @@ static const int cdef_dirs[12][2][2] = {
 };
 
 static inline int ulog2i(int v) { return 31 - __builtin_clz((unsigned)v); }
+static inline int imini(int a, int b) { return a < b ? a : b; }
 
 static inline int constrain(int diff, int thr, int shift)
 {
@@ -1337,6 +1345,134 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
         fn(base, cstride, h, p, s, pri_shift, sec_shift, pri_tap0,
            pri_tap1, dpoff[dir], dsoff[dir], o, stride);
     }
+}
+
+/* Whole-frame CDEF driver (the in-C form of recon/cdef.py cdef_frame:
+ * unit collection off the cdef-index/noskip grids, lane-batched
+ * direction search on the pre-CDEF luma, variance-adjusted primary
+ * strength, then one whole-plane filter pass per plane).  Phases keep
+ * the Python flow's order so every unit's direction search reads
+ * pre-CDEF pixels (reference cdef_brow, src/cdef_apply_tmpl.c). */
+void dtpu_cdef_frame(int32_t *p0, int32_t *p1, int32_t *p2,
+                     int64_t stride0, int64_t stride12, int bw, int bh,
+                     int ss_hor, int ss_ver, int has_chroma,
+                     int32_t *canvas0, int32_t *canvas1,
+                     const int32_t *cdef_idx, int64_t ci_stride,
+                     const uint8_t *noskip, int64_t ns_stride,
+                     const int32_t *y_str, const int32_t *uv_str,
+                     const int32_t *uv_dir_map, int damping, int bitdepth)
+{
+    const int bdmin8 = bitdepth - 8;
+    const int nrows = (bh + 1) >> 1, ncols = (bw + 1) >> 1;
+    const int64_t cap = (int64_t)nrows * ncols;
+    int64_t *buf = malloc(sizeof(int64_t) * cap * 10);
+    if (!buf)
+        return;
+    int64_t *ys = buf, *xs = buf + cap, *ypri = buf + 2 * cap,
+            *ysec = buf + 3 * cap, *uvpri = buf + 4 * cap,
+            *uvsec = buf + 5 * cap, *dirs = buf + 6 * cap,
+            *vars = buf + 7 * cap, *dys = buf + 8 * cap,
+            *dxs = buf + 9 * cap;
+    int64_t n = 0;
+
+    for (int r8 = 0; r8 < nrows; r8++) {
+        const int32_t *cirow = cdef_idx + (int64_t)(r8 >> 3) * ci_stride;
+        const uint8_t *ns0 = noskip + (int64_t)r8 * ns_stride;
+        for (int c8 = 0; c8 < ncols; c8++) {
+            const int idx = cirow[c8 >> 3];
+            if (idx < 0)
+                continue;
+            const int ylvl = y_str[idx], uvlvl = uv_str[idx];
+            if (!(ylvl | uvlvl))
+                continue;
+            int nsk = ns0[2 * c8];
+            if (2 * c8 + 1 < bw)
+                nsk |= ns0[2 * c8 + 1];
+            if (!nsk)
+                continue;
+            ys[n] = (int64_t)r8 * 8;
+            xs[n] = (int64_t)c8 * 8;
+            ypri[n] = (ylvl >> 2) << bdmin8;
+            int s = ylvl & 3;
+            ysec[n] = (s + (s == 3)) << bdmin8;
+            uvpri[n] = (uvlvl >> 2) << bdmin8;
+            s = uvlvl & 3;
+            uvsec[n] = (s + (s == 3)) << bdmin8;
+            n++;
+        }
+    }
+    if (!n) {
+        free(buf);
+        return;
+    }
+
+    /* direction search for units with any primary strength (pre-CDEF
+     * luma reads: no filtering has happened yet) */
+    int64_t nd = 0;
+    for (int64_t u = 0; u < n; u++)
+        if (ypri[u] | uvpri[u]) {
+            dys[nd] = ys[u];
+            dxs[nd] = xs[u];
+            nd++;
+        }
+    if (nd) {
+        int64_t *ddir = malloc(sizeof(int64_t) * nd * 2);
+        if (!ddir) {
+            free(buf);
+            return;
+        }
+        dtpu_cdef_find_dir_pos(p0, stride0, dys, dxs, nd, bitdepth,
+                               ddir, ddir + nd);
+        int64_t k = 0;
+        for (int64_t u = 0; u < n; u++)
+            if (ypri[u] | uvpri[u]) {
+                dirs[u] = ddir[k];
+                vars[u] = ddir[nd + k];
+                k++;
+            } else {
+                dirs[u] = 0;
+                vars[u] = 0;
+            }
+        free(ddir);
+    } else
+        for (int64_t u = 0; u < n; u++)
+            dirs[u] = vars[u] = 0;
+
+    /* variance-adjusted primary strength (reference adjust_strength);
+     * dys/dxs become the luma plane's per-unit p/dir arrays */
+    for (int64_t u = 0; u < n; u++) {
+        int64_t yadj = 0;
+        if (ypri[u] && vars[u]) {
+            const int v6 = (int)(vars[u] >> 6);
+            const int i = v6 ? imini(ulog2i(v6), 12) : 0;
+            yadj = (ypri[u] * (4 + i) + 8) >> 4;
+        }
+        dys[u] = ypri[u] ? yadj : 0;
+        dxs[u] = ypri[u] ? dirs[u] : 0;
+    }
+    const int64_t pw0 = (int64_t)bw * 4, ph0 = (int64_t)bh * 4;
+    dtpu_cdef_filter_plane(p0, stride0, (int)pw0, (int)ph0, canvas0,
+                           ys, xs, n, 8, 8, dys, ysec, dxs, damping,
+                           bitdepth);
+
+    if (has_chroma) {
+        /* chroma coords/strengths/dirs in place: ys/xs shift to the
+         * chroma grid, dirs remap via uv_dir_map, uvsec unpacks */
+        for (int64_t u = 0; u < n; u++) {
+            ys[u] >>= ss_ver;
+            xs[u] >>= ss_hor;
+            dirs[u] = uvpri[u] ? uv_dir_map[dirs[u]] : 0;
+        }
+        const int w = 8 >> ss_hor, h = 8 >> ss_ver;
+        const int pwc = (int)(pw0 >> ss_hor), phc = (int)(ph0 >> ss_ver);
+        dtpu_cdef_filter_plane(p1, stride12, pwc, phc, canvas1, ys, xs,
+                               n, w, h, uvpri, uvsec, dirs, damping - 1,
+                               bitdepth);
+        dtpu_cdef_filter_plane(p2, stride12, pwc, phc, canvas1, ys, xs,
+                               n, w, h, uvpri, uvsec, dirs, damping - 1,
+                               bitdepth);
+    }
+    free(buf);
 }
 
 void dtpu_cdef_filter_plane(int32_t *plane, int64_t stride, int pw, int ph,

@@ -23,6 +23,12 @@ static inline int ulg2(int v)
 
 typedef int32_t dtpu_v8i __attribute__((vector_size(32)));
 
+static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
+                               int w, int h, int shift, int row_t,
+                               int col_t, int is_rect2, int bitdepth,
+                               const uint8_t *xb, const uint8_t *yb,
+                               int32_t *out);
+
 /* cfp: per-block coefficient pointers ((sw*sh) int32 column-major each);
  * out: (nb, h, w) int32 residuals ((x + 8) >> 4 scaled).  The pointer
  * form lets the caller feed blocks straight out of the pass-1 capture
@@ -58,6 +64,14 @@ void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
             for (int i = 0; i < 16; i++)
                 out[i] = (int32_t)m[i];
         }
+        return;
+    }
+
+    if (bitdepth <= 10) {
+        /* 16-lane int32 path: bit-identical (generator-certified
+         * interval bounds) at twice the SIMD width */
+        itx_batch_ptrs_i32(cfp, nb, w, h, shift, row_t, col_t,
+                           is_rect2, bitdepth, xb, yb, out);
         return;
     }
 
@@ -273,6 +287,221 @@ void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
                     for (int x = 0; x < w; x++)
                         o[y * w + x] =
                             (int32_t)((ml[(x * h + y) * 8 + l] + 8) >> 4);
+            }
+        }
+    }
+}
+
+/* int32 16-lane variant for bitdepth <= 10: the generator certifies
+ * (interval analysis over |input| <= 2^17) that every intermediate of
+ * every 1-D kernel fits int32, so this computes bit-identical values to
+ * the int64 path with twice the lanes per vector and half the staging
+ * traffic. */
+static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
+                               int w, int h, int shift, int row_t,
+                               int col_t, int is_rect2, int bitdepth,
+                               const uint8_t *xb, const uint8_t *yb,
+                               int32_t *out)
+{
+    const int sw = w < 32 ? w : 32, sh = h < 32 ? h : 32;
+    const int64_t nout = (int64_t)w * h;
+    const int64_t maxp = (1ll << bitdepth) - 1;
+    const int32_t row_min =
+        bitdepth == 8 ? -(1 << 15) : (int32_t)(-((maxp + 1) << 7));
+    const int32_t col_min =
+        bitdepth == 8 ? -(1 << 15) : (int32_t)(-((maxp + 1) << 5));
+    const int32_t row_max = ~row_min, col_max = ~col_min;
+    const int32_t rnd = (1 << shift) >> 1;
+    const itx1d_i32_fn *rowfns = itx1d_table_i32[ulg2(w >> 2)][row_t];
+    const itx1d_i32_fn *colfns = itx1d_table_i32[ulg2(h >> 2)][col_t];
+
+    const dtpu_v16 vrow_min = row_min - (dtpu_v16){0},
+                   vrow_max = row_max - (dtpu_v16){0},
+                   vcol_min = col_min - (dtpu_v16){0},
+                   vcol_max = col_max - (dtpu_v16){0},
+                   vrnd = rnd - (dtpu_v16){0};
+    static _Thread_local dtpu_v16 m[64 * 64];
+    int32_t *const ml = (int32_t *)m;
+    for (int64_t g = 0; g < nb; g += 16) {
+        const int lanes = nb - g < 16 ? (int)(nb - g) : 16;
+
+        int gxb = sw - 1, gyb = sh - 1;
+        if (xb) {
+            gxb = gyb = 0;
+            for (int l = 0; l < lanes; l++) {
+                if (xb[g + l] > gxb)
+                    gxb = xb[g + l];
+                if (yb[g + l] > gyb)
+                    gyb = yb[g + l];
+            }
+        }
+
+        if (xb && !gxb && !gyb && !row_t && !col_t) {
+            for (int l = 0; l < lanes; l++) {
+                int64_t v = cfp[g + l][0];
+                if (is_rect2)
+                    v = (v * 181 + 128) >> 8;
+                v = (v * 181 + 128) >> 8;
+                v = (v + rnd) >> shift;
+                v = v < col_min ? col_min : v > col_max ? col_max : v;
+                const int32_t o = (int32_t)((v * 181 + 128 + 2048) >> 12);
+                int32_t *op = out + (g + l) * nout;
+                for (int64_t i = 0; i < nout; i++)
+                    op[i] = o;
+            }
+            continue;
+        }
+
+        int ycap = sh;
+        if (xb) {
+            const int cvar = gyb < 4 ? 0 : 62 - __builtin_clzll(
+                                 (uint64_t)gyb);
+            ycap = 4 << cvar;
+            if (ycap > sh)
+                ycap = sh;
+        }
+        for (int x = 0; x < w; x++)
+            memset(m + x * h, 0, sizeof(dtpu_v16) * ycap);
+
+        uint32_t rowmask = 0;
+        int xmax = 0;
+        for (int l = 0; l < lanes; l++) {
+            const int32_t *const cf = cfp[g + l];
+            const int lxb = xb ? xb[g + l] : sw - 1;
+            const int lyb = yb ? yb[g + l] : sh - 1;
+            for (int x = 0; x <= lxb; x++)
+                for (int y = 0; y <= lyb; y++) {
+                    int32_t v = cf[x * sh + y];
+                    if (!v)
+                        continue;
+                    rowmask |= 1u << y;
+                    if (x > xmax)
+                        xmax = x;
+                    if (is_rect2)
+                        v = (v * 181 + 128) >> 8;
+                    ml[(x * h + y) * 16 + l] = v;
+                }
+        }
+        if (!rowmask) {
+            for (int l = 0; l < lanes; l++)
+                memset(out + (g + l) * nout, 0, sizeof(int32_t) * nout);
+            continue;
+        }
+        const int ymax = 31 - __builtin_clz(rowmask);
+        const itx1d_i32_fn rowfn =
+            rowfns[xmax < 4 ? 0 : 62 - __builtin_clzll((uint64_t)xmax)];
+        const itx1d_i32_fn colfn =
+            colfns[ymax < 4 ? 0 : 62 - __builtin_clzll((uint64_t)ymax)];
+        for (int y = 0; y < sh; y++) {
+            if (!(rowmask >> y & 1))
+                continue;
+            rowfn(m + y, h, vrow_min, vrow_max);
+            for (int x = 0; x < w; x++) {
+                const dtpu_v16 v = (m[x * h + y] + vrnd) >> shift;
+                m[x * h + y] = vclip32(v, vcol_min, vcol_max);
+            }
+        }
+        for (int x = 0; x < w; x++)
+            colfn(m + x * h, 1, vcol_min, vcol_max);
+        /* detranspose + final >>4: two 8-lane halves per 16-lane group,
+         * each through the 8x8 int32 shuffle-network transpose */
+        if (lanes == 16 && !(w & 7)) {
+            const dtpu_v8i v8 = 8 - (dtpu_v8i){0};
+#define TR_SHUF(a, b, ...) __builtin_shufflevector(a, b, __VA_ARGS__)
+            for (int half = 0; half < 2; half++) {
+                const int32_t *const hb = ml + half * 8;
+                const int64_t go = g + half * 8;
+                for (int x0 = 0; x0 < w; x0 += 8) {
+                    for (int y = 0; y < h; y++) {
+                        const int32_t *p = hb + ((x0 * h) + y) * 16;
+                        dtpu_v8i a0, a1, a2, a3, a4, a5, a6, a7;
+                        memcpy(&a0, p, 32);
+                        memcpy(&a1, p + h * 16, 32);
+                        memcpy(&a2, p + 2 * h * 16, 32);
+                        memcpy(&a3, p + 3 * h * 16, 32);
+                        memcpy(&a4, p + 4 * h * 16, 32);
+                        memcpy(&a5, p + 5 * h * 16, 32);
+                        memcpy(&a6, p + 6 * h * 16, 32);
+                        memcpy(&a7, p + 7 * h * 16, 32);
+                        a0 = (a0 + v8) >> 4;
+                        a1 = (a1 + v8) >> 4;
+                        a2 = (a2 + v8) >> 4;
+                        a3 = (a3 + v8) >> 4;
+                        a4 = (a4 + v8) >> 4;
+                        a5 = (a5 + v8) >> 4;
+                        a6 = (a6 + v8) >> 4;
+                        a7 = (a7 + v8) >> 4;
+                        const dtpu_v8i
+                            b0 = TR_SHUF(a0, a1, 0, 8, 2, 10, 4, 12, 6,
+                                         14),
+                            b1 = TR_SHUF(a0, a1, 1, 9, 3, 11, 5, 13, 7,
+                                         15),
+                            b2 = TR_SHUF(a2, a3, 0, 8, 2, 10, 4, 12, 6,
+                                         14),
+                            b3 = TR_SHUF(a2, a3, 1, 9, 3, 11, 5, 13, 7,
+                                         15),
+                            b4 = TR_SHUF(a4, a5, 0, 8, 2, 10, 4, 12, 6,
+                                         14),
+                            b5 = TR_SHUF(a4, a5, 1, 9, 3, 11, 5, 13, 7,
+                                         15),
+                            b6 = TR_SHUF(a6, a7, 0, 8, 2, 10, 4, 12, 6,
+                                         14),
+                            b7 = TR_SHUF(a6, a7, 1, 9, 3, 11, 5, 13, 7,
+                                         15);
+                        const dtpu_v8i
+                            d0 = TR_SHUF(b0, b2, 0, 1, 8, 9, 4, 5, 12,
+                                         13),
+                            d2 = TR_SHUF(b0, b2, 2, 3, 10, 11, 6, 7, 14,
+                                         15),
+                            d1 = TR_SHUF(b1, b3, 0, 1, 8, 9, 4, 5, 12,
+                                         13),
+                            d3 = TR_SHUF(b1, b3, 2, 3, 10, 11, 6, 7, 14,
+                                         15),
+                            d4 = TR_SHUF(b4, b6, 0, 1, 8, 9, 4, 5, 12,
+                                         13),
+                            d6 = TR_SHUF(b4, b6, 2, 3, 10, 11, 6, 7, 14,
+                                         15),
+                            d5 = TR_SHUF(b5, b7, 0, 1, 8, 9, 4, 5, 12,
+                                         13),
+                            d7 = TR_SHUF(b5, b7, 2, 3, 10, 11, 6, 7, 14,
+                                         15);
+                        const dtpu_v8i
+                            r0 = TR_SHUF(d0, d4, 0, 1, 2, 3, 8, 9, 10,
+                                         11),
+                            r4 = TR_SHUF(d0, d4, 4, 5, 6, 7, 12, 13, 14,
+                                         15),
+                            r1 = TR_SHUF(d1, d5, 0, 1, 2, 3, 8, 9, 10,
+                                         11),
+                            r5 = TR_SHUF(d1, d5, 4, 5, 6, 7, 12, 13, 14,
+                                         15),
+                            r2 = TR_SHUF(d2, d6, 0, 1, 2, 3, 8, 9, 10,
+                                         11),
+                            r6 = TR_SHUF(d2, d6, 4, 5, 6, 7, 12, 13, 14,
+                                         15),
+                            r3 = TR_SHUF(d3, d7, 0, 1, 2, 3, 8, 9, 10,
+                                         11),
+                            r7 = TR_SHUF(d3, d7, 4, 5, 6, 7, 12, 13, 14,
+                                         15);
+                        const int64_t pos = y * w + x0;
+                        memcpy(out + (go + 0) * nout + pos, &r0, 32);
+                        memcpy(out + (go + 1) * nout + pos, &r1, 32);
+                        memcpy(out + (go + 2) * nout + pos, &r2, 32);
+                        memcpy(out + (go + 3) * nout + pos, &r3, 32);
+                        memcpy(out + (go + 4) * nout + pos, &r4, 32);
+                        memcpy(out + (go + 5) * nout + pos, &r5, 32);
+                        memcpy(out + (go + 6) * nout + pos, &r6, 32);
+                        memcpy(out + (go + 7) * nout + pos, &r7, 32);
+                    }
+                }
+            }
+#undef TR_SHUF
+        } else {
+            for (int l = 0; l < lanes; l++) {
+                int32_t *const o = out + (g + l) * nout;
+                for (int y = 0; y < h; y++)
+                    for (int x = 0; x < w; x++)
+                        o[y * w + x] =
+                            (ml[(x * h + y) * 16 + l] + 8) >> 4;
             }
         }
     }

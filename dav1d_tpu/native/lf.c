@@ -335,3 +335,56 @@ void dtpu_lf_apply_edges(int32_t *plane, int64_t stride,
                      1, stride, E, I, H, wd, bitdepth);
     }
 }
+
+/* Whole-plane pass: walk the width-class byte plane and the level plane
+ * directly (the in-C form of recon/lf.py _collect_edges + _apply_edges:
+ * q-side level with p-side fallback, frame boundary never filtered).
+ * level rows are lvl_stride bytes of 4-byte cells; the cell's pd_idx
+ * byte is the filter level. */
+void dtpu_lf_filter_plane(int32_t *plane, int64_t stride,
+                          const uint8_t *wd, int64_t wd_stride,
+                          const uint8_t *level, int64_t lvl_stride,
+                          int pd_idx, int n_rows, int n_cols,
+                          const int32_t *e_lut, const int32_t *i_lut,
+                          int dir, int is_uv, int bitdepth)
+{
+    static const int wd_y_map[4] = {0, 4, 8, 16};
+    static const int wd_uv_map[3] = {0, 4, 6};
+    const int *wd_map = is_uv ? wd_uv_map : wd_y_map;
+    for (int y = dir == 1 ? 1 : 0; y < n_rows; y++) {
+        const uint8_t *wrow = wd + (int64_t)y * wd_stride;
+        const uint8_t *lrow = level + (int64_t)y * lvl_stride;
+        int x = dir == 0 ? 1 : 0;
+        while (x < n_cols) {
+            /* word-skip runs of edge-free cells */
+            if (!(x & 7) && x + 8 <= n_cols) {
+                uint64_t wword;
+                memcpy(&wword, wrow + x, 8);
+                if (!wword) {
+                    x += 8;
+                    continue;
+                }
+            }
+            const int c = wrow[x];
+            if (!c) {
+                x++;
+                continue;
+            }
+            int lv = lrow[x * 4 + pd_idx];
+            if (!lv)
+                lv = dir == 0 ? lrow[(x - 1) * 4 + pd_idx]
+                              : lrow[x * 4 + pd_idx - lvl_stride];
+            if (lv) {
+                const int E = e_lut[lv], I = i_lut[lv], H = lv >> 4;
+                const int wd_px = wd_map[c];
+                if (dir == 0)
+                    lf_edge4(plane + (int64_t)y * 4 * stride + x * 4,
+                             stride, 1, E, I, H, wd_px, bitdepth);
+                else
+                    lf_edge4(plane + (int64_t)y * 4 * stride + x * 4,
+                             1, stride, E, I, H, wd_px, bitdepth);
+            }
+            x++;
+        }
+    }
+}

@@ -459,14 +459,40 @@ def cdef_frame(f) -> None:
     has_chroma = layout != PixelLayout.I400
     uv_dir_map = UV_DIRS_422 if layout == PixelLayout.I422 else UV_DIRS_420
 
+    from ..dispatch import use_device
+    from ..native import lib as _nlib
+    on_device = use_device("cdef")
+
+    if _nlib is not None and not on_device:
+        # whole-frame native pass: unit collection, direction search,
+        # strength adjust and the three plane filters in one C call
+        ph, pw = (f.bh * 4) >> ss_ver, (f.bw * 4) >> ss_hor
+        canvas0 = _scratch("canvas0", (f.bh * 4 + 4, f.bw * 4 + 4))
+        canvas1 = _scratch("canvas1", (ph + 4, pw + 4))
+        ystr = np.ascontiguousarray(
+            list(hdr.cdef.y_strength) + [0] * 8, dtype=np.int32)[:8]
+        uvstr = np.ascontiguousarray(
+            list(hdr.cdef.uv_strength) + [0] * 8, dtype=np.int32)[:8]
+        uvdm = np.ascontiguousarray(uv_dir_map, dtype=np.int32)
+        ns = np.ascontiguousarray(f.noskip.view(np.uint8))
+        _nlib.dtpu_cdef_frame(
+            f.planes[0].ctypes.data,
+            f.planes[1].ctypes.data if has_chroma else None,
+            f.planes[2].ctypes.data if has_chroma else None,
+            f.planes[0].shape[1],
+            f.planes[1].shape[1] if has_chroma else 0,
+            f.bw, f.bh, ss_hor, ss_ver, int(has_chroma),
+            canvas0.ctypes.data, canvas1.ctypes.data,
+            f.cdef_idx.ctypes.data, f.cdef_idx.shape[1],
+            ns.ctypes.data, ns.shape[1],
+            ystr.ctypes.data, uvstr.ctypes.data, uvdm.ctypes.data,
+            damping, bitdepth)
+        return
+
     units = cdef_collect(f)
     if units is None:
         return
     bys, bxs, y_pri, y_sec, uv_pri, uv_sec, uvlvl = units
-
-    from ..dispatch import use_device
-    from ..native import lib as _nlib
-    on_device = use_device("cdef")
 
     need_dir = (y_pri | uv_pri) > 0
     dirs = np.zeros(bys.size, dtype=np.int64)

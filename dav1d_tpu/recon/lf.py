@@ -452,11 +452,23 @@ def _apply_edges(plane, level, wd_plane, pd_idx, dir_, wd_map, e_lut,
     """Filter every recorded edge of one plane/direction, batched per
     width class (replaces the reference's per-sbrow
     dav1d_loopfilter_sbrow_cols/rows, src/lf_apply_tmpl.c:313-466)."""
+    from ..dispatch import use_device
+    if _native is not None and not use_device("deblock"):
+        # whole-plane native pass: the C walks the width-class and level
+        # planes directly (no numpy nonzero/gather per direction)
+        assert wd_plane.flags["C_CONTIGUOUS"] and level.flags["C_CONTIGUOUS"]
+        _native.dtpu_lf_filter_plane(
+            plane.ctypes.data, plane.shape[1],
+            wd_plane.ctypes.data, wd_plane.shape[1],
+            level.ctypes.data, level.shape[1] * 4,
+            int(pd_idx), int(n_rows), int(n_cols),
+            e_lut.ctypes.data, i_lut.ctypes.data,
+            dir_, int(pd_idx >= 2), bitdepth)
+        return
     ys, xs, cls, L = _collect_edges(level, wd_plane, pd_idx, dir_,
                                     n_rows, n_cols)
     if ys.size == 0:
         return
-    from ..dispatch import use_device
     if use_device("deblock"):
         # device tier: one batched program per width class, the plane
         # stays device-resident across the classes of this pass
@@ -474,18 +486,6 @@ def _apply_edges(plane, level, wd_plane, pd_idx, dir_, wd_map, e_lut,
                                     E[sel], I[sel], H[sel], dir_ == 0,
                                     wd_px, bitdepth)
         plane[:, :] = np.asarray(dev)
-        return
-    if _native is not None:
-        ys32 = np.ascontiguousarray(ys, dtype=np.int32)
-        xs32 = np.ascontiguousarray(xs, dtype=np.int32)
-        cls8 = np.ascontiguousarray(cls, dtype=np.uint8)
-        L8 = np.ascontiguousarray(L, dtype=np.uint8)
-        _native.dtpu_lf_apply_edges(
-            plane.ctypes.data, plane.shape[1],
-            ys32.ctypes.data, xs32.ctypes.data,
-            cls8.ctypes.data, L8.ctypes.data, ys32.size,
-            e_lut.ctypes.data, i_lut.ctypes.data,
-            dir_, int(pd_idx >= 2), bitdepth)
         return
     E = e_lut[L].astype(np.int64)
     I = i_lut[L].astype(np.int64)

@@ -29,7 +29,7 @@ def test_native_itx_matches_python(tx, bitdepth):
     rng = np.random.default_rng(tx * 31 + bitdepth)
     w, h, _, _ = _txinfo(tx)
     sw, sh = min(w, 32), min(h, 32)
-    lim = 1 << (bitdepth + 3)
+    lim = 1 << (bitdepth + 7)  # the dequant clamp cf_max (recon/coef.py:421)
     for txtp in _legal_txtps(tx):
         cf = rng.integers(-lim, lim, (9, sw * sh), dtype=np.int32)
         want = itx_batch_np(cf, tx, txtp, bitdepth)
@@ -86,7 +86,7 @@ def test_native_itx_sparse_subkernels(tx, bitdepth):
     rng = np.random.default_rng(tx * 131 + bitdepth)
     w, h, _, _ = _txinfo(tx)
     sw, sh = min(w, 32), min(h, 32)
-    lim = 1 << (bitdepth + 3)
+    lim = 1 << (bitdepth + 7)  # the dequant clamp cf_max (recon/coef.py:421)
     xb = [b for b in (1, 2, 4, 8, 16, 32) if b <= sw]
     yb = [b for b in (1, 2, 4, 8, 16, 32) if b <= sh]
     for txtp in _legal_txtps(tx):
@@ -124,7 +124,7 @@ def test_native_itx_eob_bounds(tx, bitdepth):
     sw, sh = min(w, 32), min(h, 32)
     n_coef = sw * sh
     scan = tables.scans()[tx]
-    lim = 1 << (bitdepth + 3)
+    lim = 1 << (bitdepth + 7)  # the dequant clamp cf_max (recon/coef.py:421)
     for txtp in _legal_txtps(tx):
         if txtp == TxfmType.WHT_WHT or tables.tx_type_class[txtp] != 0:
             continue

@@ -128,7 +128,7 @@ def main(argv=None):
                 first = False
             out.write(b"FRAME\n")
         for pl in range(len(pic.planes)):
-            buf = pic.plane_bytes(pl)
+            buf = pic.plane_buffer(pl)
             if args.muxer == "md5" or args.verify:
                 md5.update(buf)
             if args.muxer not in ("md5", "null"):
