@@ -297,6 +297,9 @@ def _load():
     lib.dtpu_load_tmvs.argtypes = [
         ctypes.POINTER(CRefMvsFrame), ci, ci, ci, ci]
     lib.dtpu_load_tmvs.restype = None
+    lib.dtpu_save_tmvs.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ci, ci, ci, ci]
+    lib.dtpu_save_tmvs.restype = None
 
     # block-decode layer (decode.c); struct types live in decode_glue
     lib.dtpu_decode_tile_sbrow.argtypes = [

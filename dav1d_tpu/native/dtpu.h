@@ -163,6 +163,10 @@ void dtpu_splat_mv(DtpuRefMvsFrame *rf, int by4, int bx4, int bw4, int bh4,
 void dtpu_load_tmvs(const DtpuRefMvsFrame *rf, int col_start8, int col_end8,
                     int row_start8, int row_end8);
 
+void dtpu_save_tmvs(const DtpuRefMvsFrame *rf, const uint8_t *mfmv_sign,
+                    int col_start8, int col_end8, int row_start8,
+                    int row_end8);
+
 void dtpu_get_gmv_2d(const DtpuGmv *gm, int bx4, int by4, int bw4, int bh4,
                      int force_integer_mv, int hp, int *out_y, int *out_x);
 

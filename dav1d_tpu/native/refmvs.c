@@ -113,6 +113,45 @@ void dtpu_splat_mv(DtpuRefMvsFrame *rf, int by4, int bx4, int bw4, int bh4,
     }
 }
 
+/* reference save_tmvs_c (src/refmvs.c:763-803); in-C form of refmvs.py
+ * save_tmvs: per-8x8 cell the bottom-right 4x4 sample's candidate 1
+ * wins over candidate 0; a candidate qualifies when its ref's
+ * mfmv_sign bit is set and both MV components are under 4096. */
+void dtpu_save_tmvs(const DtpuRefMvsFrame *rf, const uint8_t *mfmv_sign,
+                    int col_start8, int col_end8, int row_start8,
+                    int row_end8)
+{
+    if (row_end8 > rf->ih8)
+        row_end8 = rf->ih8;
+    if (col_end8 > rf->iw8)
+        col_end8 = rf->iw8;
+    for (int y = row_start8; y < row_end8; y++) {
+        const RefMvsBlock *crow =
+            rf->r + (int64_t)(y * 2 + 1) * rf->r_stride + 1;
+        TmvBlock *orow = rf->rp + (int64_t)y * rf->rp_stride;
+        for (int x = col_start8; x < col_end8; x++) {
+            const RefMvsBlock *c = crow + x * 2;
+            TmvBlock o = {{0, 0}, 0};
+            for (int idx = 1; idx >= 0; idx--) {
+                const int ref = c->ref[idx];
+                if (ref > 0 && ref <= 7 && mfmv_sign[ref - 1]) {
+                    const int ay = c->mv[idx][0] < 0 ? -c->mv[idx][0]
+                                                     : c->mv[idx][0];
+                    const int ax = c->mv[idx][1] < 0 ? -c->mv[idx][1]
+                                                     : c->mv[idx][1];
+                    if ((ay | ax) < 4096) {
+                        o.mv[0] = c->mv[idx][0];
+                        o.mv[1] = c->mv[idx][1];
+                        o.ref = (int8_t)ref;
+                        break;
+                    }
+                }
+            }
+            orow[x] = o;
+        }
+    }
+}
+
 /* reference load_tmvs_c (src/refmvs.c:691-761); port of refmvs.py
  * load_tmvs (per-cell formulation). */
 void dtpu_load_tmvs(const DtpuRefMvsFrame *rf, int col_start8, int col_end8,

@@ -242,6 +242,12 @@ def save_tmvs(rf: RefMvsFrame, col_start8, col_end8, row_start8, row_end8):
     sample) into rf.rp for future frames' temporal prediction
     (reference save_tmvs_c, src/refmvs.c:763-803; per-8x8 evaluation is
     exact because splat_mv fills all 4x4s of a block identically)."""
+    nat = _nat_frame(rf)
+    if nat is not None:
+        sign = np.ascontiguousarray(rf.mfmv_sign, dtype=np.uint8)
+        _native.dtpu_save_tmvs(ctypes.byref(nat), sign.ctypes.data,
+                               col_start8, col_end8, row_start8, row_end8)
+        return
     row_end8 = min(row_end8, rf.ih8)
     col_end8 = min(col_end8, rf.iw8)
     if row_end8 <= row_start8 or col_end8 <= col_start8:
