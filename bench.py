@@ -175,6 +175,9 @@ def main():
             for name, cfg in (
                 ("intra_1080p", dict(w=1920, h=1080, n=4, kf=1)),
                 ("inter_4k", dict(w=3840, h=2160, n=3, kf=9999)),
+                # BASELINE config 3: 4K 10-bit with film grain synthesis
+                ("4k10_grain", dict(w=3840, h=2160, n=3, kf=9999,
+                                    bitdepth=10, noise=15)),
             ))
         os.environ.pop("DAV1D_TPU_DEVICE", None)
         use_device.cache_clear()
@@ -189,18 +192,24 @@ def main():
     }))
 
 
-def _bench_config(w, h, n, kf):
+def _bench_config(w, h, n, kf, bitdepth=8, noise=0):
     """Decode fps for one extra configuration (BASELINE configs 1/3)."""
     from aom_enc import AomEncoder, gradient_frames, write_ivf_packets
 
     from dav1d_tpu.containers import read_ivf
 
-    path = Path(f"/tmp/dav1d_tpu_bench_{w}x{h}_{n}_kf{kf}.ivf")
+    path = Path(f"/tmp/dav1d_tpu_bench_{w}x{h}_{n}_kf{kf}"
+                f"_bd{bitdepth}_n{noise}.ivf")
     if not path.exists():
+        opts = {"enable-order-hint": 1}
+        if noise:
+            opts["denoise-noise-level"] = noise  # film grain synthesis
         enc = AomEncoder(width=w, height=h, usage="good", cpu_used=8, q=45,
-                         kf_max_dist=kf, lag=0,
-                         options={"enable-order-hint": 1})
-        write_ivf_packets(path, enc.encode(gradient_frames(n, w, h)), w, h)
+                         kf_max_dist=kf, lag=0, bitdepth=bitdepth,
+                         options=opts)
+        write_ivf_packets(
+            path, enc.encode(gradient_frames(n, w, h, bitdepth=bitdepth)),
+            w, h)
         enc.close()
     tus = [tu for tu, _ in read_ivf(path.read_bytes())]
     fps, _ = _decode_fps(tus, 2)

@@ -17,7 +17,7 @@ from pathlib import Path
 _HERE = Path(__file__).parent
 _SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c", _HERE / "lf.c",
          _HERE / "refmvs.c", _HERE / "decode.c", _HERE / "itx.c",
-         _HERE / "replay.c", _HERE / "replay_inter.c"]
+         _HERE / "replay.c", _HERE / "replay_inter.c", _HERE / "fg.c"]
 _HDRS = [_HERE / "dtpu.h", _HERE / "itx1d_gen.h"]
 
 
@@ -94,6 +94,29 @@ class CMsac(ctypes.Structure):
 class CGmv(ctypes.Structure):
     """Mirror of native/dtpu.h DtpuGmv."""
     _fields_ = [("type", ctypes.c_int32), ("matrix", ctypes.c_int32 * 6)]
+
+
+class CFgData(ctypes.Structure):
+    """Mirror of native/dtpu.h DtpuFgData (headers.py FilmGrainData)."""
+    _fields_ = [
+        ("seed", ctypes.c_int32),
+        ("num_y_points", ctypes.c_int32),
+        ("chroma_scaling_from_luma", ctypes.c_int32),
+        ("num_uv_points", ctypes.c_int32 * 2),
+        ("scaling_shift", ctypes.c_int32),
+        ("ar_coeff_lag", ctypes.c_int32),
+        ("ar_coeff_shift", ctypes.c_int32),
+        ("grain_scale_shift", ctypes.c_int32),
+        ("uv_mult", ctypes.c_int32 * 2),
+        ("uv_luma_mult", ctypes.c_int32 * 2),
+        ("uv_offset", ctypes.c_int32 * 2),
+        ("overlap_flag", ctypes.c_int32),
+        ("clip_to_restricted_range", ctypes.c_int32),
+        ("y_points", (ctypes.c_uint8 * 2) * 14),
+        ("uv_points", ((ctypes.c_uint8 * 2) * 10) * 2),
+        ("ar_coeffs_y", ctypes.c_int32 * 24),
+        ("ar_coeffs_uv", (ctypes.c_int32 * 28) * 2),
+    ]
 
 
 class CRefMvsFrame(ctypes.Structure):
@@ -248,6 +271,23 @@ def _load():
         ctypes.c_void_p,                             # uv_dir_map
         ci, ci]                                      # damping, bitdepth
     lib.dtpu_cdef_frame.restype = None
+    lib.dtpu_fg_gen_y.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ci, ctypes.c_void_p]
+    lib.dtpu_fg_gen_y.restype = None
+    lib.dtpu_fg_gen_uv.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ci, ci, ci, ci, ctypes.c_void_p]
+    lib.dtpu_fg_gen_uv.restype = None
+    lib.dtpu_fg_scaling.argtypes = [
+        ci, ctypes.c_void_p, ci, ctypes.c_void_p]
+    lib.dtpu_fg_scaling.restype = None
+    lib.dtpu_fg_apply_plane.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,             # plane, stride
+        ctypes.c_void_p, ctypes.c_int64, ci,         # luma, lstride, lw
+        ci, ci, ci, ci, ci,                          # pl, w, h, subx, suby
+        ctypes.c_void_p, ctypes.c_void_p,            # lut, sc
+        ctypes.c_void_p, ci, ci]                     # data, bitdepth, is_id
+    lib.dtpu_fg_apply_plane.restype = None
     lib.dtpu_mask_edges_intra.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # wd_v/h, stride
         ci, ci, ci, ci, ci, ci, ci, ci,

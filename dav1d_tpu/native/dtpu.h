@@ -567,4 +567,31 @@ void dtpu_add_inter_residuals(const DtpuReplayCtx *rc, int64_t start,
 void dtpu_add_block_residuals(const DtpuReplayCtx *rc, const int64_t *idxs,
                               int64_t n);
 
+/* ---- film grain (fg.c; headers.py FilmGrainData mirror) ----------------- */
+
+typedef struct {
+    int32_t seed, num_y_points, chroma_scaling_from_luma;
+    int32_t num_uv_points[2];
+    int32_t scaling_shift, ar_coeff_lag, ar_coeff_shift, grain_scale_shift;
+    int32_t uv_mult[2], uv_luma_mult[2], uv_offset[2];
+    int32_t overlap_flag, clip_to_restricted_range;
+    uint8_t y_points[14][2];
+    uint8_t uv_points[2][10][2];
+    int32_t ar_coeffs_y[24];
+    int32_t ar_coeffs_uv[2][28];
+} DtpuFgData;
+
+void dtpu_fg_gen_y(const DtpuFgData *d, const int16_t *gauss, int bitdepth,
+                   int32_t *buf);
+void dtpu_fg_gen_uv(const DtpuFgData *d, const int16_t *gauss,
+                    const int32_t *buf_y, int uv, int subx, int suby,
+                    int bitdepth, int32_t *buf);
+void dtpu_fg_scaling(int bitdepth, const uint8_t *points, int num,
+                     int32_t *out);
+void dtpu_fg_apply_plane(int32_t *plane, int64_t stride,
+                         const int32_t *lumap, int64_t lstride, int lw,
+                         int pl, int w, int h, int subx, int suby,
+                         const int32_t *lut, const int32_t *sc,
+                         const DtpuFgData *d, int bitdepth, int is_id);
+
 #endif /* DTPU_H */

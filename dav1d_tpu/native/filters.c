@@ -1123,6 +1123,80 @@ CDEF_VEC32_IMPL(cdef_filter_unit_i16w8x4, cdef_v32hi, cdef_v8hi,
 CDEF_VEC32_IMPL(cdef_filter_unit_i16w4x4, cdef_v16hi, cdef_v4hi,
                 cdef_v4si_st, CDEF_CAT4, CDEF_CAT8, 4)
 
+/* 2-row int32 variant (the 10/12-bit canvas path): two unit rows per
+ * 16- (w=8) or 8-lane (w=4) int32 vector — same math as CDEF_VEC_IMPL
+ * including its sentinel min/max handling, at half the iterations. */
+typedef int32_t cdef_v16si
+    __attribute__((vector_size(64), aligned(4), may_alias));
+
+#define CDEF_VEC2RI_IMPL(NAME, VT, HVT, CAT, W)                         \
+static void NAME(const int32_t *restrict base, int64_t stride, int h,   \
+                 int p, int s, int pri_shift, int sec_shift,            \
+                 int pri_tap0, int pri_tap1, const int64_t *poff,       \
+                 const int64_t *soff, int32_t *restrict o,              \
+                 int64_t ostride)                                       \
+{                                                                       \
+    typedef uint32_t UVT                                                \
+        __attribute__((vector_size(sizeof(VT)), aligned(4), may_alias));\
+    const VT zero = {0};                                                \
+    const VT vp = zero + p, vs = zero + s;                              \
+    const int track = p && s;                                           \
+    for (int y = 0; y < h; y += 2) {                                    \
+        const int32_t *r0 = base + y * stride, *r1 = r0 + stride;       \
+        int32_t *o0 = o + y * ostride, *o1 = o0 + ostride;              \
+        const VT px = CAT(*(const HVT *)r0, *(const HVT *)r1);          \
+        VT sum = zero, mx = px;                                         \
+        UVT umn = (UVT)(zero + 0x7FFF0000);                             \
+        VT d, m, ad, cl, sl, v;                                         \
+        UVT usl;                                                        \
+        if (p)                                                          \
+            for (int k = 0; k < 4; k++) {                               \
+                const VT t = CAT(*(const HVT *)(r0 + poff[k]),          \
+                                 *(const HVT *)(r1 + poff[k]));         \
+                d = t - px; m = d < zero; ad = (d ^ m) - m;             \
+                cl = vp - (ad >> pri_shift); sl = ad < cl;              \
+                v = (ad & sl) | (cl & ~sl); v &= ~(v < zero);           \
+                v = (v ^ m) - m;                                        \
+                sum += (k < 2 ? pri_tap0 : pri_tap1) * v;               \
+                if (track) {                                            \
+                    usl = (UVT)t < umn;                                 \
+                    umn = ((UVT)t & usl) | (umn & ~usl);                \
+                    sl = t > mx; mx = (t & sl) | (mx & ~sl);            \
+                }                                                       \
+            }                                                           \
+        if (s)                                                          \
+            for (int k = 0; k < 8; k++) {                               \
+                const VT t = CAT(*(const HVT *)(r0 + soff[k]),          \
+                                 *(const HVT *)(r1 + soff[k]));         \
+                d = t - px; m = d < zero; ad = (d ^ m) - m;             \
+                cl = vs - (ad >> sec_shift); sl = ad < cl;              \
+                v = (ad & sl) | (cl & ~sl); v &= ~(v < zero);           \
+                v = (v ^ m) - m;                                        \
+                sum += (k < 4 ? 2 : 1) * v;                             \
+                if (track) {                                            \
+                    usl = (UVT)t < umn;                                 \
+                    umn = ((UVT)t & usl) | (umn & ~usl);                \
+                    sl = t > mx; mx = (t & sl) | (mx & ~sl);            \
+                }                                                       \
+            }                                                           \
+        m = sum < zero;                                                 \
+        VT r = px + ((sum + m + (zero + 8)) >> 4);                      \
+        if (track) {                                                    \
+            VT mn = (VT)umn;                                            \
+            sl = px < mn; mn = (px & sl) | (mn & ~sl);                  \
+            sl = r < mn; r = (mn & sl) | (r & ~sl);                     \
+            sl = r > mx; r = (mx & sl) | (r & ~sl);                     \
+        }                                                               \
+        *(HVT *)o0 = __builtin_shufflevector(r, r, CDEF_LO##W);         \
+        *(HVT *)o1 = __builtin_shufflevector(r, r, CDEF_HI##W);         \
+    }                                                                   \
+}
+
+CDEF_VEC2RI_IMPL(cdef_filter_unit_v8x2, cdef_v16si, cdef_v8si,
+                 CDEF_CAT8, 8)
+CDEF_VEC2RI_IMPL(cdef_filter_unit_v4x2, cdef_v8si, cdef_v4si,
+                 CDEF_CAT4, 4)
+
 /* One unit read from `base` (the sentinel-bordered pre-CDEF canvas),
  * written to `o` with stride `ostride` (packed batch output, or
  * straight into the picture plane). */
@@ -1159,13 +1233,15 @@ static void cdef_filter_unit(const int32_t *restrict base, int64_t stride,
     }
 
     if (w == 8) {
-        cdef_filter_unit_v8(base, stride, h, p, s, pri_shift, sec_shift,
-                            pri_tap0, pri_tap1, poff, soff, o, ostride);
+        (!(h & 1) ? cdef_filter_unit_v8x2 : cdef_filter_unit_v8)(
+            base, stride, h, p, s, pri_shift, sec_shift, pri_tap0,
+            pri_tap1, poff, soff, o, ostride);
         return;
     }
     if (w == 4) {
-        cdef_filter_unit_v4(base, stride, h, p, s, pri_shift, sec_shift,
-                            pri_tap0, pri_tap1, poff, soff, o, ostride);
+        (!(h & 1) ? cdef_filter_unit_v4x2 : cdef_filter_unit_v4)(
+            base, stride, h, p, s, pri_shift, sec_shift, pri_tap0,
+            pri_tap1, poff, soff, o, ostride);
         return;
     }
 

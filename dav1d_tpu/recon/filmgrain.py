@@ -217,6 +217,105 @@ def _round2_arr(x, shift):
     return (x + ((1 << shift) >> 1)) >> shift
 
 
+def _fg_cdata(data):
+    """Build the ctypes mirror of FilmGrainData for the native tier."""
+    import ctypes
+
+    from ..native import CFgData
+
+    c = CFgData()
+    c.seed = data.seed
+    c.num_y_points = data.num_y_points
+    c.chroma_scaling_from_luma = data.chroma_scaling_from_luma
+    c.scaling_shift = data.scaling_shift
+    c.ar_coeff_lag = data.ar_coeff_lag
+    c.ar_coeff_shift = data.ar_coeff_shift
+    c.grain_scale_shift = data.grain_scale_shift
+    c.overlap_flag = data.overlap_flag
+    c.clip_to_restricted_range = data.clip_to_restricted_range
+    for i in range(2):
+        c.num_uv_points[i] = data.num_uv_points[i]
+        c.uv_mult[i] = data.uv_mult[i]
+        c.uv_luma_mult[i] = data.uv_luma_mult[i]
+        c.uv_offset[i] = data.uv_offset[i]
+    for i, (px, py) in enumerate(data.y_points):
+        c.y_points[i][0], c.y_points[i][1] = px, py
+    for uv in range(2):
+        for i, (px, py) in enumerate(data.uv_points[uv]):
+            c.uv_points[uv][i][0], c.uv_points[uv][i][1] = px, py
+        for i, v in enumerate(data.ar_coeffs_uv[uv]):
+            c.ar_coeffs_uv[uv][i] = v
+    for i, v in enumerate(data.ar_coeffs_y):
+        c.ar_coeffs_y[i] = v
+    return c
+
+
+def _apply_grain_native(pic) -> bool:
+    """Native whole-frame grain pass (fg.c): LUT + scaling generation and
+    per-plane application in C, chroma first so it scales off pristine
+    luma, then luma in place (no grain-free luma copy needed)."""
+    import ctypes
+
+    from ..native import lib as _nlib
+
+    if _nlib is None:
+        return False
+    hdr = pic.frame_hdr
+    data = hdr.film_grain.data
+    bitdepth = pic.bitdepth
+    ss_y = int(pic.layout == PixelLayout.I420)
+    ss_x = int(pic.layout != PixelLayout.I444)
+    has_chroma = pic.layout != PixelLayout.I400
+    w, h = pic.width, pic.height
+    is_id = int(pic.seq_hdr.mtrx == 0)
+
+    c = _fg_cdata(data)
+    gauss = np.ascontiguousarray(tables.gaussian_sequence, dtype=np.int16)
+    lut_y = np.zeros((GRAIN_HEIGHT + 1) * GRAIN_WIDTH, dtype=np.int32)
+    _nlib.dtpu_fg_gen_y(ctypes.byref(c), gauss.ctypes.data, bitdepth,
+                        lut_y.ctypes.data)
+    sc_y = np.zeros(1 << bitdepth, dtype=np.int32)
+    if data.num_y_points or data.chroma_scaling_from_luma:
+        pts = np.asarray(data.y_points, dtype=np.uint8).reshape(-1)
+        _nlib.dtpu_fg_scaling(bitdepth,
+                              pts.ctypes.data if pts.size else None,
+                              data.num_y_points, sc_y.ctypes.data)
+
+    luma = pic.planes[0]
+    if has_chroma:
+        for uv in range(2):
+            csfl = data.chroma_scaling_from_luma
+            if not (data.num_uv_points[uv] or csfl):
+                continue
+            lut_uv = np.zeros((GRAIN_HEIGHT + 1) * GRAIN_WIDTH,
+                              dtype=np.int32)
+            _nlib.dtpu_fg_gen_uv(ctypes.byref(c), gauss.ctypes.data,
+                                 lut_y.ctypes.data, uv, ss_x, ss_y,
+                                 bitdepth, lut_uv.ctypes.data)
+            if csfl:
+                sc = sc_y
+            else:
+                sc = np.zeros(1 << bitdepth, dtype=np.int32)
+                pts = np.asarray(data.uv_points[uv],
+                                 dtype=np.uint8).reshape(-1)
+                _nlib.dtpu_fg_scaling(
+                    bitdepth, pts.ctypes.data if pts.size else None,
+                    data.num_uv_points[uv], sc.ctypes.data)
+            plane = pic.planes[1 + uv]
+            _nlib.dtpu_fg_apply_plane(
+                plane.ctypes.data, plane.shape[1],
+                luma.ctypes.data, luma.shape[1], w,
+                1 + uv, (w + ss_x) >> ss_x, (h + ss_y) >> ss_y,
+                ss_x, ss_y, lut_uv.ctypes.data, sc.ctypes.data,
+                ctypes.byref(c), bitdepth, is_id)
+    if data.num_y_points:
+        _nlib.dtpu_fg_apply_plane(
+            luma.ctypes.data, luma.shape[1], None, 0, w,
+            0, w, h, 0, 0, lut_y.ctypes.data, sc_y.ctypes.data,
+            ctypes.byref(c), bitdepth, is_id)
+    return True
+
+
 def apply_grain(pic) -> None:
     """Apply film grain to an output Picture in place (planes must already
     be writable copies). Reference dav1d_apply_grain
@@ -232,6 +331,10 @@ def apply_grain(pic) -> None:
     has_chroma = pic.layout != PixelLayout.I400
     w, h = pic.width, pic.height
     is_id = int(pic.seq_hdr.mtrx == 0)  # MC_IDENTITY
+
+    from ..dispatch import use_device as _ud
+    if not _ud("fg") and _apply_grain_native(pic):
+        return
 
     lut_y = generate_grain_y(data, bitdepth)
     luts = [lut_y, None, None]
