@@ -776,26 +776,30 @@ void dtpu_cdef_find_dir_pos(const int32_t *plane, int64_t stride,
                             int64_t n, int bitdepth, int64_t *dirs,
                             int64_t *variances)
 {
+    /* 16 int32 lanes (lane = unit): |px-128| <= 128, |psum| <= 1024,
+     * and div_table[i] ~ 840/(i+1) bounds the total cost by
+     * 128^2 * 840 * 64 < 2^31, so int32 never overflows. */
+    typedef int32_t cdef_v16d __attribute__((vector_size(64)));
     static const int div_table[7] = {840, 420, 280, 210, 168, 140, 120};
     const int shift = bitdepth - 8;
-    for (int64_t g = 0; g < n; g += 8) {
-        const int lanes = n - g < 8 ? (int)(n - g) : 8;
-        cdef_v8 b[64];
-        for (int l = 0; l < 8; l++) {
+    for (int64_t g = 0; g < n; g += 16) {
+        const int lanes = n - g < 16 ? (int)(n - g) : 16;
+        cdef_v16d b[64];
+        for (int l = 0; l < 16; l++) {
             const int64_t u = g + (l < lanes ? l : lanes - 1);
             const int32_t *src = plane + ys[u] * stride + xs[u];
-            int64_t *bl = (int64_t *)b + l;
+            int32_t *bl = (int32_t *)b + l;
             for (int y = 0; y < 8; y++, src += stride)
                 for (int x = 0; x < 8; x++)
-                    bl[(y * 8 + x) * 8] = (src[x] >> shift) - 128;
+                    bl[(y * 8 + x) * 16] = (src[x] >> shift) - 128;
         }
-        cdef_v8 psum_hv[2][8], psum_diag[2][15], psum_alt[4][11];
+        cdef_v16d psum_hv[2][8], psum_diag[2][15], psum_alt[4][11];
         memset(psum_hv, 0, sizeof(psum_hv));
         memset(psum_diag, 0, sizeof(psum_diag));
         memset(psum_alt, 0, sizeof(psum_alt));
         for (int y = 0; y < 8; y++)
             for (int x = 0; x < 8; x++) {
-                const cdef_v8 v = b[y * 8 + x];
+                const cdef_v16d v = b[y * 8 + x];
                 psum_diag[0][y + x] += v;
                 psum_alt[0][y + (x >> 1)] += v;
                 psum_hv[0][y] += v;
@@ -805,7 +809,7 @@ void dtpu_cdef_find_dir_pos(const int32_t *plane, int64_t stride,
                 psum_hv[1][x] += v;
                 psum_alt[3][(y >> 1) + x] += v;
             }
-        cdef_v8 cost[8];
+        cdef_v16d cost[8];
         memset(cost, 0, sizeof(cost));
         for (int i = 0; i < 8; i++) {
             cost[2] += psum_hv[0][i] * psum_hv[0][i];
@@ -823,7 +827,7 @@ void dtpu_cdef_find_dir_pos(const int32_t *plane, int64_t stride,
         cost[0] += psum_diag[0][7] * psum_diag[0][7] * 105;
         cost[4] += psum_diag[1][7] * psum_diag[1][7] * 105;
         for (int i = 0; i < 4; i++) {
-            cdef_v8 c;
+            cdef_v16d c;
             memset(&c, 0, sizeof(c));
             for (int m = 0; m < 5; m++)
                 c += psum_alt[i][3 + m] * psum_alt[i][3 + m];
@@ -836,7 +840,7 @@ void dtpu_cdef_find_dir_pos(const int32_t *plane, int64_t stride,
         }
         for (int l = 0; l < lanes; l++) {
             int best = 0;
-            int64_t best_cost = cost[0][l];
+            int32_t best_cost = cost[0][l];
             for (int i = 1; i < 8; i++)
                 if (cost[i][l] > best_cost) {
                     best_cost = cost[i][l];
