@@ -459,6 +459,11 @@ def cdef_frame(f) -> None:
     has_chroma = layout != PixelLayout.I400
     uv_dir_map = UV_DIRS_422 if layout == PixelLayout.I422 else UV_DIRS_420
 
+    from .mesh_cdef import cdef_frame_mesh
+    if cdef_frame_mesh(f):
+        # multi-chip: row bands across the mesh, halo rows via ppermute
+        return
+
     from ..dispatch import use_device
     from ..native import lib as _nlib
     on_device = use_device("cdef")

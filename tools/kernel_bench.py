@@ -41,7 +41,8 @@ def _row(name, host_ms, dev_ms):
 
 
 def bench_itx():
-    from dav1d_tpu.ops.itx import itx_batch, itx_batch_np, _txinfo
+    from dav1d_tpu.ops.itx import (itx_batch, itx_batch_c, itx_batch_np,
+                                   _txinfo)
 
     rng = np.random.default_rng(0)
     print("\n-- itx (batched inverse transform), ms per call --")
@@ -52,7 +53,12 @@ def bench_itx():
         w, h, _, _ = _txinfo(tx)
         sw, sh = min(w, 32), min(h, 32)
         cf = rng.integers(-2000, 2000, (B, sw * sh), dtype=np.int32)
-        host = _time(lambda: itx_batch_np(cf, tx, txtp, 8))
+        # host tier = the native C batch the decoder dispatches to
+        # (numpy fallback when the native lib is unavailable)
+        if itx_batch_c(cf[:1], tx, txtp, 8) is not None:
+            host = _time(lambda: itx_batch_c(cf, tx, txtp, 8))
+        else:
+            host = _time(lambda: itx_batch_np(cf, tx, txtp, 8))
         dev = _time(lambda: np.asarray(itx_batch(cf, tx, txtp, 8)))
         _row(f"itx {w}x{h} txtp={txtp} B={B}", host, dev)
 
@@ -182,6 +188,45 @@ def bench_fg():
 
         dev = _time(lambda: fg_apply_batch(src, grain, lut, 8, 0, 255))
         _row(f"fg_apply {w}x{h}", _time(host), dev)
+
+    # whole-plane native grain pass (LUT sample + overlap blend + scale
+    # + apply in one walk — what the decoder's host tier runs)
+    from dav1d_tpu.native import lib as nat
+    if nat is not None:
+        import ctypes
+
+        from dav1d_tpu.headers import FilmGrainData
+        from dav1d_tpu.recon.filmgrain import (GRAIN_HEIGHT, GRAIN_WIDTH,
+                                               _fg_cdata)
+
+        d = FilmGrainData()
+        d.seed = 7
+        d.num_y_points = 4
+        d.y_points = [(0, 64), (64, 128), (128, 192), (255, 64)]
+        d.scaling_shift = 8
+        d.ar_coeff_lag = 2
+        d.ar_coeffs_y = rng.integers(-64, 64, 12).tolist()
+        d.ar_coeffs_uv = [rng.integers(-64, 64, 13).tolist()
+                          for _ in range(2)]
+        d.ar_coeff_shift = 7
+        d.overlap_flag = 1
+        c = _fg_cdata(d)
+        from dav1d_tpu import tables
+        gauss = np.ascontiguousarray(tables.gaussian_sequence,
+                                     dtype=np.int16)
+        lut_y = np.zeros((GRAIN_HEIGHT + 1) * GRAIN_WIDTH, dtype=np.int32)
+        nat.dtpu_fg_gen_y(ctypes.byref(c), gauss.ctypes.data, 8,
+                          lut_y.ctypes.data)
+        sc = np.zeros(256, dtype=np.int32)
+        pts = np.asarray(d.y_points, dtype=np.uint8).reshape(-1)
+        nat.dtpu_fg_scaling(8, pts.ctypes.data, 4, sc.ctypes.data)
+        for h, w in [(1080, 1920), (2160, 3840)]:
+            plane = np.ascontiguousarray(
+                rng.integers(0, 256, (h, w)), dtype=np.int32)
+            host = _time(lambda: nat.dtpu_fg_apply_plane(
+                plane.ctypes.data, w, None, 0, w, 0, w, h, 0, 0,
+                lut_y.ctypes.data, sc.ctypes.data, ctypes.byref(c), 8, 0))
+            _row(f"fg_plane(native) {w}x{h}", host, float("inf"))
 
 
 FAMILIES = {"itx": bench_itx, "cdef": bench_cdef, "mc": bench_mc,
