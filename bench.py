@@ -56,15 +56,17 @@ def _decode_fps(tus, runs):
     """Best-of-N decode fps + output md5 (checkasm-style minimum: the
     shared host shows multi-second scheduler stalls that poison means).
 
-    The first run hashes every output plane (the correctness digest,
-    cross-checked between legs and vs the oracle); the remaining timed
-    runs drain pictures without hashing — the null-muxer convention the
-    reference's own benchmarking uses (tools/dav1d.c --muxer null)."""
+    An initial untimed run (the warm-up: allocator pools, compile
+    caches) hashes every output plane — the correctness digest,
+    cross-checked between legs and vs the oracle.  The N timed runs
+    drain pictures without hashing (the null-muxer convention the
+    reference's own benchmarking uses, tools/dav1d.c --muxer null) and
+    do not compete with the hashing run's skewed time."""
     from dav1d_tpu.decoder import Decoder, Settings
 
     best = 0.0
     digest = None
-    for run in range(runs):
+    for run in range(runs + 1):
         dec = Decoder(Settings(two_pass=True, max_frame_delay=4))
         h = hashlib.md5() if run == 0 else None
         n = 0
@@ -76,9 +78,10 @@ def _decode_fps(tus, runs):
                 for pl in range(3):
                     h.update(pic.plane_buffer(pl))
             n += 1
-        best = max(best, n / (time.perf_counter() - t0))
         if h is not None:
             digest = h.hexdigest()
+        else:
+            best = max(best, n / (time.perf_counter() - t0))
     return best, digest
 
 
@@ -94,7 +97,8 @@ def _device_leg():
 
     from dav1d_tpu.containers import read_ivf
     tus = [tu for tu, _ in read_ivf(STREAM.read_bytes())]
-    _decode_fps(tus, 1)  # warm-up: compile every device program (cached)
+    # _decode_fps's untimed hashing run doubles as the device-program
+    # compile warm-up (persistent cache)
     fps, digest = _decode_fps(tus, 2)
     print(json.dumps({"fps": fps, "digest": digest}), flush=True)
 

@@ -53,7 +53,12 @@ def device_roundtrip_ms() -> float:
 
     The probe runs in a daemon thread with a deadline: a wedged transport
     (the tunnel stalls for minutes at a time) must degrade to the host
-    tier, not hang the decoder at the first frame."""
+    tier, not hang the decoder at the first frame.  Trade-offs, accepted
+    deliberately: a stall longer than the deadline pins the host tier
+    for the process lifetime (restart to re-probe — wrong-but-fast beats
+    hanging), and on timeout the abandoned thread's in-flight transfer
+    finishes in the background (JAX's runtime calls are thread-safe;
+    the thread issues no further work)."""
     import threading
     import time
 

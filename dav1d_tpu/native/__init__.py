@@ -244,14 +244,6 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # sm, dr, taps
         ctypes.c_void_p, ctypes.c_int64]                    # out, ostride
     lib.dtpu_ipred.restype = None
-    lib.dtpu_lf_apply_edges.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64,             # plane, stride
-        ctypes.c_void_p, ctypes.c_void_p,            # ys, xs (int32)
-        ctypes.c_void_p, ctypes.c_void_p,            # cls, L (uint8)
-        ctypes.c_int64,                              # n
-        ctypes.c_void_p, ctypes.c_void_p,            # e_lut, i_lut
-        ci, ci, ci]                                  # dir, is_uv, bitdepth
-    lib.dtpu_lf_apply_edges.restype = None
     lib.dtpu_lf_filter_plane.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,             # plane, stride
         ctypes.c_void_p, ctypes.c_int64,             # wd plane, stride
@@ -270,7 +262,7 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,            # y_str, uv_str
         ctypes.c_void_p,                             # uv_dir_map
         ci, ci]                                      # damping, bitdepth
-    lib.dtpu_cdef_frame.restype = None
+    lib.dtpu_cdef_frame.restype = ci
     lib.dtpu_fg_gen_y.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ci, ctypes.c_void_p]
     lib.dtpu_fg_gen_y.restype = None
@@ -287,7 +279,7 @@ def _load():
         ci, ci, ci, ci, ci,                          # pl, w, h, subx, suby
         ctypes.c_void_p, ctypes.c_void_p,            # lut, sc
         ctypes.c_void_p, ci, ci]                     # data, bitdepth, is_id
-    lib.dtpu_fg_apply_plane.restype = None
+    lib.dtpu_fg_apply_plane.restype = ci
     lib.dtpu_mask_edges_intra.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # wd_v/h, stride
         ci, ci, ci, ci, ci, ci, ci, ci,

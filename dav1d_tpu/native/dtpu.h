@@ -97,12 +97,6 @@ void dtpu_mask_edges_inter(uint8_t *wd_v, uint8_t *wd_h, int64_t stride,
                            int skip, int max_tx, uint32_t tx_split0,
                            uint32_t tx_split1, const uint8_t *ti_tbl,
                            uint8_t *a, uint8_t *l);
-void dtpu_lf_apply_edges(int32_t *plane, int64_t stride,
-                         const int32_t *ys, const int32_t *xs,
-                         const uint8_t *cls, const uint8_t *L, int64_t n,
-                         const int32_t *e_lut, const int32_t *i_lut,
-                         int dir, int is_uv, int bitdepth);
-
 /* ---- ref-MV structures ---------------------------------------------------- */
 
 /* Per-4x4 MV grid cell — layout must match refmvs.py RB_DT (12 bytes). */
@@ -588,7 +582,7 @@ void dtpu_fg_gen_uv(const DtpuFgData *d, const int16_t *gauss,
                     int bitdepth, int32_t *buf);
 void dtpu_fg_scaling(int bitdepth, const uint8_t *points, int num,
                      int32_t *out);
-void dtpu_fg_apply_plane(int32_t *plane, int64_t stride,
+int dtpu_fg_apply_plane(int32_t *plane, int64_t stride,
                          const int32_t *lumap, int64_t lstride, int lw,
                          int pl, int w, int h, int subx, int suby,
                          const int32_t *lut, const int32_t *sc,

@@ -250,7 +250,7 @@ static void fg_block_grain(const DtpuFgData *d, const int32_t *lut,
 /* Apply grain to one plane in place.  pl 0: luma (lumap unused); pl 1/2:
  * chroma, lumap/lstride give the still-pristine luma plane and lw its
  * width (odd-width edge clamp).  w/h are THIS plane's cropped dims. */
-void dtpu_fg_apply_plane(int32_t *plane, int64_t stride,
+int dtpu_fg_apply_plane(int32_t *plane, int64_t stride,
                          const int32_t *lumap, int64_t lstride, int lw,
                          int pl, int w, int h, int subx, int suby,
                          const int32_t *lut, const int32_t *sc,
@@ -277,7 +277,7 @@ void dtpu_fg_apply_plane(int32_t *plane, int64_t stride,
 
     uint8_t (*offs)[2] = malloc(sizeof(*offs) * (size_t)n_blocks);
     if (!offs)
-        return;
+        return 0;  /* caller falls back to the Python path */
     for (int row = 0; row < n_rows; row++) {
         const int y0 = row * bszy;
         const int bh = h - y0 < bszy ? h - y0 : bszy;
@@ -339,4 +339,5 @@ void dtpu_fg_apply_plane(int32_t *plane, int64_t stride,
         }
     }
     free(offs);
+    return 1;
 }

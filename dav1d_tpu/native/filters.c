@@ -1433,7 +1433,7 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
  * strength, then one whole-plane filter pass per plane).  Phases keep
  * the Python flow's order so every unit's direction search reads
  * pre-CDEF pixels (reference cdef_brow, src/cdef_apply_tmpl.c). */
-void dtpu_cdef_frame(int32_t *p0, int32_t *p1, int32_t *p2,
+int dtpu_cdef_frame(int32_t *p0, int32_t *p1, int32_t *p2,
                      int64_t stride0, int64_t stride12, int bw, int bh,
                      int ss_hor, int ss_ver, int has_chroma,
                      int32_t *canvas0, int32_t *canvas1,
@@ -1447,7 +1447,7 @@ void dtpu_cdef_frame(int32_t *p0, int32_t *p1, int32_t *p2,
     const int64_t cap = (int64_t)nrows * ncols;
     int64_t *buf = malloc(sizeof(int64_t) * cap * 10);
     if (!buf)
-        return;
+        return 0;  /* caller falls back to the Python path */
     int64_t *ys = buf, *xs = buf + cap, *ypri = buf + 2 * cap,
             *ysec = buf + 3 * cap, *uvpri = buf + 4 * cap,
             *uvsec = buf + 5 * cap, *dirs = buf + 6 * cap,
@@ -1483,7 +1483,7 @@ void dtpu_cdef_frame(int32_t *p0, int32_t *p1, int32_t *p2,
     }
     if (!n) {
         free(buf);
-        return;
+        return 1;
     }
 
     /* direction search for units with any primary strength (pre-CDEF
@@ -1499,7 +1499,7 @@ void dtpu_cdef_frame(int32_t *p0, int32_t *p1, int32_t *p2,
         int64_t *ddir = malloc(sizeof(int64_t) * nd * 2);
         if (!ddir) {
             free(buf);
-            return;
+            return 0;
         }
         dtpu_cdef_find_dir_pos(p0, stride0, dys, dxs, nd, bitdepth,
                                ddir, ddir + nd);
@@ -1553,6 +1553,7 @@ void dtpu_cdef_frame(int32_t *p0, int32_t *p1, int32_t *p2,
                                bitdepth);
     }
     free(buf);
+    return 1;
 }
 
 void dtpu_cdef_filter_plane(int32_t *plane, int64_t stride, int pw, int ph,

@@ -313,29 +313,6 @@ void dtpu_mask_edges_inter(uint8_t *wd_v, uint8_t *wd_h, int64_t stride,
  * ys/xs are 4x4 cell coordinates, cls the width class values (1-based),
  * L the resolved filter levels (nonzero).  dir 0 = vertical edges
  * (taps run horizontally), 1 = horizontal. */
-void dtpu_lf_apply_edges(int32_t *plane, int64_t stride,
-                         const int32_t *ys, const int32_t *xs,
-                         const uint8_t *cls, const uint8_t *L, int64_t n,
-                         const int32_t *e_lut, const int32_t *i_lut,
-                         int dir, int is_uv, int bitdepth)
-{
-    static const int wd_y_map[4] = {0, 4, 8, 16};
-    static const int wd_uv_map[3] = {0, 4, 6};
-    const int *wd_map = is_uv ? wd_uv_map : wd_y_map;
-    for (int64_t k = 0; k < n; k++) {
-        const int lv = L[k];
-        const int E = e_lut[lv], I = i_lut[lv], H = lv >> 4;
-        const int wd = wd_map[cls[k]];
-        const int py = ys[k] * 4, px = xs[k] * 4;
-        if (dir == 0)
-            lf_edge4(plane + (int64_t)py * stride + px,
-                     stride, 1, E, I, H, wd, bitdepth);
-        else
-            lf_edge4(plane + (int64_t)py * stride + px,
-                     1, stride, E, I, H, wd, bitdepth);
-    }
-}
-
 /* Whole-plane pass: walk the width-class byte plane and the level plane
  * directly (the in-C form of recon/lf.py _collect_edges + _apply_edges:
  * q-side level with p-side fallback, frame boundary never filtered).

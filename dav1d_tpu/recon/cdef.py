@@ -480,19 +480,21 @@ def cdef_frame(f) -> None:
             list(hdr.cdef.uv_strength) + [0] * 8, dtype=np.int32)[:8]
         uvdm = np.ascontiguousarray(uv_dir_map, dtype=np.int32)
         ns = np.ascontiguousarray(f.noskip.view(np.uint8))
-        _nlib.dtpu_cdef_frame(
-            f.planes[0].ctypes.data,
-            f.planes[1].ctypes.data if has_chroma else None,
-            f.planes[2].ctypes.data if has_chroma else None,
-            f.planes[0].shape[1],
-            f.planes[1].shape[1] if has_chroma else 0,
-            f.bw, f.bh, ss_hor, ss_ver, int(has_chroma),
-            canvas0.ctypes.data, canvas1.ctypes.data,
-            f.cdef_idx.ctypes.data, f.cdef_idx.shape[1],
-            ns.ctypes.data, ns.shape[1],
-            ystr.ctypes.data, uvstr.ctypes.data, uvdm.ctypes.data,
-            damping, bitdepth)
-        return
+        if _nlib.dtpu_cdef_frame(
+                f.planes[0].ctypes.data,
+                f.planes[1].ctypes.data if has_chroma else None,
+                f.planes[2].ctypes.data if has_chroma else None,
+                f.planes[0].shape[1],
+                f.planes[1].shape[1] if has_chroma else 0,
+                f.bw, f.bh, ss_hor, ss_ver, int(has_chroma),
+                canvas0.ctypes.data, canvas1.ctypes.data,
+                f.cdef_idx.ctypes.data, f.cdef_idx.shape[1],
+                ns.ctypes.data, ns.shape[1],
+                ystr.ctypes.data, uvstr.ctypes.data, uvdm.ctypes.data,
+                damping, bitdepth):
+            return
+        # scratch allocation failed inside the C pass (it modified
+        # nothing) — fall through to the Python path
 
     units = cdef_collect(f)
     if units is None:

@@ -282,6 +282,7 @@ def _apply_grain_native(pic) -> bool:
                               data.num_y_points, sc_y.ctypes.data)
 
     luma = pic.planes[0]
+    applied = False
     if has_chroma:
         for uv in range(2):
             csfl = data.chroma_scaling_from_luma
@@ -302,17 +303,27 @@ def _apply_grain_native(pic) -> bool:
                     bitdepth, pts.ctypes.data if pts.size else None,
                     data.num_uv_points[uv], sc.ctypes.data)
             plane = pic.planes[1 + uv]
-            _nlib.dtpu_fg_apply_plane(
+            ok = _nlib.dtpu_fg_apply_plane(
                 plane.ctypes.data, plane.shape[1],
                 luma.ctypes.data, luma.shape[1], w,
                 1 + uv, (w + ss_x) >> ss_x, (h + ss_y) >> ss_y,
                 ss_x, ss_y, lut_uv.ctypes.data, sc.ctypes.data,
                 ctypes.byref(c), bitdepth, is_id)
+            if not ok:
+                if applied:
+                    # some planes already grained in place — a silent
+                    # Python fallback would re-grain them
+                    raise MemoryError("film grain scratch allocation")
+                return False
+            applied = True
     if data.num_y_points:
-        _nlib.dtpu_fg_apply_plane(
-            luma.ctypes.data, luma.shape[1], None, 0, w,
-            0, w, h, 0, 0, lut_y.ctypes.data, sc_y.ctypes.data,
-            ctypes.byref(c), bitdepth, is_id)
+        if not _nlib.dtpu_fg_apply_plane(
+                luma.ctypes.data, luma.shape[1], None, 0, w,
+                0, w, h, 0, 0, lut_y.ctypes.data, sc_y.ctypes.data,
+                ctypes.byref(c), bitdepth, is_id):
+            if applied:
+                raise MemoryError("film grain scratch allocation")
+            return False
     return True
 
 

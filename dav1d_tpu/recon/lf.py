@@ -453,10 +453,13 @@ def _apply_edges(plane, level, wd_plane, pd_idx, dir_, wd_map, e_lut,
     width class (replaces the reference's per-sbrow
     dav1d_loopfilter_sbrow_cols/rows, src/lf_apply_tmpl.c:313-466)."""
     from ..dispatch import use_device
-    if _native is not None and not use_device("deblock"):
+    if _native is not None and not use_device("deblock") \
+            and wd_plane.flags["C_CONTIGUOUS"] \
+            and level.flags["C_CONTIGUOUS"]:
         # whole-plane native pass: the C walks the width-class and level
-        # planes directly (no numpy nonzero/gather per direction)
-        assert wd_plane.flags["C_CONTIGUOUS"] and level.flags["C_CONTIGUOUS"]
+        # planes directly (no numpy nonzero/gather per direction).  The
+        # contiguity conditions guard the stride arithmetic below; a
+        # non-contiguous caller falls through to the gather path.
         _native.dtpu_lf_filter_plane(
             plane.ctypes.data, plane.shape[1],
             wd_plane.ctypes.data, wd_plane.shape[1],

@@ -32,6 +32,58 @@ import numpy as np
 from .cdef import (INT16_MIN, UV_DIRS_420, UV_DIRS_422, cdef_collect,
                    cdef_find_dir_batch)
 
+# compiled shard_map programs keyed on (mesh, band/unit geometry, filter
+# params): jax's jit cache is keyed on function identity, so rebuilding
+# the closure per frame would re-trace and re-lower every call
+_PROGRAMS: dict = {}
+
+
+def _band_program(mesh, ndev, axis, band_h, pw, cap, w, h, damping,
+                  bitdepth):
+    key = (mesh, band_h, pw, cap, w, h, damping, bitdepth)
+    prog = _PROGRAMS.get(key)
+    if prog is not None:
+        return prog
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec
+
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+    from ..ops.cdef import _jit_filter
+
+    filt = _jit_filter(w, h, damping, bitdepth)
+    sent = jnp.int32(INT16_MIN)
+    fwd = [(i, i + 1) for i in range(ndev - 1)]
+    bwd = [(i + 1, i) for i in range(ndev - 1)]
+
+    def band_fn(bandp, ys, xs, pri, sec, dr):
+        bp = bandp[0]
+        # halo exchange: neighbours' pre-CDEF boundary rows ride the
+        # mesh interconnect; the frame's outer edge takes sentinels
+        top = jax.lax.ppermute(bp[-2:], axis, fwd)
+        bot = jax.lax.ppermute(bp[:2], axis, bwd)
+        idx = jax.lax.axis_index(axis)
+        top = jnp.where(idx == 0, sent, top)
+        bot = jnp.where(idx == ndev - 1, sent, bot)
+        canvas = jnp.concatenate([top, bp, bot], axis=0)
+        canvas = jnp.pad(canvas, ((0, 0), (2, 2)),
+                         constant_values=INT16_MIN)
+        out = filt(canvas, ys[0] + 2, xs[0] + 2, pri[0], sec[0], dr[0])
+        yg = ys[0][:, None, None] + jnp.arange(h)[None, :, None]
+        xg = xs[0][:, None, None] + jnp.arange(w)[None, None, :]
+        return bp.at[yg, xg].set(out)[None]
+
+    uspec = PartitionSpec(axis)
+    prog = jax.jit(_sm(band_fn, mesh=mesh, in_specs=(uspec,) * 6,
+                       out_specs=uspec))
+    _PROGRAMS[key] = prog
+    return prog
+
 
 def cdef_frame_mesh(f) -> bool:
     """Mesh-sharded CDEF pass.  Returns False when no mesh is attached
@@ -90,23 +142,10 @@ def cdef_frame_mesh(f) -> bool:
     y_adj = np.where(variances != 0, (y_pri * (4 + i) + 8) >> 4, 0)
 
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec
-
-    try:
-        from jax import shard_map
-        def _smap(fn, in_specs, out_specs):
-            return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs)
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map as _sm
-        def _smap(fn, in_specs, out_specs):
-            return _sm(fn, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs)
 
     ndev = int(mesh.devices.size)
     axis = mesh.axis_names[0]
-    from ..ops.cdef import _jit_filter
 
     def run_plane(plane, pl, uys, uxs, upri, usec, udir, sv, sh):
         """One plane's filter under shard_map with ppermute halos."""
@@ -144,41 +183,16 @@ def cdef_frame_mesh(f) -> bool:
         sec_l = pack(usec)
         dir_l = pack(udir)
 
-        filt = _jit_filter(w, h, int(damping - (1 if pl else 0)),
-                           int(bitdepth))
-        sent = jnp.int32(INT16_MIN)
-        fwd = [(i, i + 1) for i in range(ndev - 1)]
-        bwd = [(i + 1, i) for i in range(ndev - 1)]
-
-        def band_fn(bandp, ys, xs, pri, sec, dr):
-            bp = bandp[0]
-            # halo exchange: neighbours' pre-CDEF boundary rows ride the
-            # mesh interconnect; the frame's outer edge takes sentinels
-            top = jax.lax.ppermute(bp[-2:], axis, fwd)
-            bot = jax.lax.ppermute(bp[:2], axis, bwd)
-            idx = jax.lax.axis_index(axis)
-            top = jnp.where(idx == 0, sent, top)
-            bot = jnp.where(idx == ndev - 1, sent, bot)
-            canvas = jnp.concatenate([top, bp, bot], axis=0)
-            canvas = jnp.pad(canvas, ((0, 0), (2, 2)),
-                             constant_values=INT16_MIN)
-            out = filt(canvas, ys[0] + 2, xs[0] + 2, pri[0], sec[0],
-                       dr[0])
-            yg = ys[0][:, None, None] + jnp.arange(h)[None, :, None]
-            xg = xs[0][:, None, None] + jnp.arange(w)[None, None, :]
-            return bp.at[yg, xg].set(out)[None]
-
+        prog = _band_program(mesh, ndev, axis, band_h, pw, cap, w, h,
+                             int(damping - (1 if pl else 0)),
+                             int(bitdepth))
         shard = NamedSharding(mesh, PartitionSpec(axis))
         bands = jax.device_put(
             padded.reshape(ndev, band_h, pw), shard)
-        uspec = PartitionSpec(axis)
-        fn = _smap(band_fn,
-                   in_specs=(uspec,) * 6,
-                   out_specs=uspec)
-        us = NamedSharding(mesh, uspec)
+        us = NamedSharding(mesh, PartitionSpec(axis))
         args = [jax.device_put(a, us)
                 for a in (ys_l, xs_l, pri_l, sec_l, dir_l)]
-        out = jax.jit(fn)(bands, *args)
+        out = prog(bands, *args)
         plane[:ph, :pw] = np.asarray(out).reshape(H, pw)[:ph]
 
     m_pri = y_pri > 0

@@ -132,16 +132,19 @@ def bench_deblock():
     host = _time(lambda: _loop_filter_batch(
         plane.copy(), ys, xs, E, I, H, True, 8, 8))
     if nat is not None:
-        ys32 = (ys // 4).astype(np.int32)
-        xs32 = (xs // 4).astype(np.int32)
-        cls8 = np.full(N, 2, dtype=np.uint8)
-        L8 = L.astype(np.uint8)
+        # whole-plane native walk (the decoder's host tier): per-cell
+        # width-class plane + level plane, same edges as above
+        n_rows, n_cols = 272, 480
+        wd = np.zeros((n_rows, n_cols), dtype=np.uint8)
+        lvl = np.zeros((n_rows, n_cols, 4), dtype=np.uint8)
+        wd[(ys // 4), (xs // 4)] = 2
+        lvl[(ys // 4), (xs // 4), 0] = L.astype(np.uint8)
 
         def native():
             p = plane.copy()
-            nat.dtpu_lf_apply_edges(
-                p.ctypes.data, p.shape[1], ys32.ctypes.data,
-                xs32.ctypes.data, cls8.ctypes.data, L8.ctypes.data, N,
+            nat.dtpu_lf_filter_plane(
+                p.ctypes.data, p.shape[1], wd.ctypes.data, n_cols,
+                lvl.ctypes.data, n_cols * 4, 0, n_rows, n_cols,
                 e_lut.ctypes.data, i_lut.ctypes.data, 0, 0, 8)
 
         natms = _time(native)
