@@ -23,6 +23,36 @@ static inline int ulg2(int v)
 
 typedef int32_t dtpu_v8i __attribute__((vector_size(32)));
 
+/* 8x8 lane transpose shuffle network: consumes a0..a7 (8-lane vectors
+ * of type VT, lane = block), defines r0..r7 (lane = x position).
+ * Shared by the int64 and int32 detranspose stores below. */
+#define TR_SHUF(a, b, ...) __builtin_shufflevector(a, b, __VA_ARGS__)
+#define DTPU_TR8X8(VT)                                                  \
+    const VT b0 = TR_SHUF(a0, a1, 0, 8, 2, 10, 4, 12, 6, 14),           \
+             b1 = TR_SHUF(a0, a1, 1, 9, 3, 11, 5, 13, 7, 15),           \
+             b2 = TR_SHUF(a2, a3, 0, 8, 2, 10, 4, 12, 6, 14),           \
+             b3 = TR_SHUF(a2, a3, 1, 9, 3, 11, 5, 13, 7, 15),           \
+             b4 = TR_SHUF(a4, a5, 0, 8, 2, 10, 4, 12, 6, 14),           \
+             b5 = TR_SHUF(a4, a5, 1, 9, 3, 11, 5, 13, 7, 15),           \
+             b6 = TR_SHUF(a6, a7, 0, 8, 2, 10, 4, 12, 6, 14),           \
+             b7 = TR_SHUF(a6, a7, 1, 9, 3, 11, 5, 13, 7, 15);           \
+    const VT d0 = TR_SHUF(b0, b2, 0, 1, 8, 9, 4, 5, 12, 13),            \
+             d2 = TR_SHUF(b0, b2, 2, 3, 10, 11, 6, 7, 14, 15),          \
+             d1 = TR_SHUF(b1, b3, 0, 1, 8, 9, 4, 5, 12, 13),            \
+             d3 = TR_SHUF(b1, b3, 2, 3, 10, 11, 6, 7, 14, 15),          \
+             d4 = TR_SHUF(b4, b6, 0, 1, 8, 9, 4, 5, 12, 13),            \
+             d6 = TR_SHUF(b4, b6, 2, 3, 10, 11, 6, 7, 14, 15),          \
+             d5 = TR_SHUF(b5, b7, 0, 1, 8, 9, 4, 5, 12, 13),            \
+             d7 = TR_SHUF(b5, b7, 2, 3, 10, 11, 6, 7, 14, 15);          \
+    const VT r0 = TR_SHUF(d0, d4, 0, 1, 2, 3, 8, 9, 10, 11),            \
+             r4 = TR_SHUF(d0, d4, 4, 5, 6, 7, 12, 13, 14, 15),          \
+             r1 = TR_SHUF(d1, d5, 0, 1, 2, 3, 8, 9, 10, 11),            \
+             r5 = TR_SHUF(d1, d5, 4, 5, 6, 7, 12, 13, 14, 15),          \
+             r2 = TR_SHUF(d2, d6, 0, 1, 2, 3, 8, 9, 10, 11),            \
+             r6 = TR_SHUF(d2, d6, 4, 5, 6, 7, 12, 13, 14, 15),          \
+             r3 = TR_SHUF(d3, d7, 0, 1, 2, 3, 8, 9, 10, 11),            \
+             r7 = TR_SHUF(d3, d7, 4, 5, 6, 7, 12, 13, 14, 15)
+
 static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
                                int w, int h, int shift, int row_t,
                                int col_t, int is_rect2, int bitdepth,
@@ -206,7 +236,6 @@ void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
          * a short tail group keeps the scalar form). */
         if (lanes == 8 && !(w & 7)) {
             const dtpu_v8 v8 = 8 - (dtpu_v8){0};
-#define TR_SHUF(a, b, ...) __builtin_shufflevector(a, b, __VA_ARGS__)
             for (int x0 = 0; x0 < w; x0 += 8) {
                 const dtpu_v8 *c0 = m + (x0 + 0) * h,
                               *c1 = m + (x0 + 1) * h,
@@ -225,33 +254,7 @@ void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
                                   a5 = (c5[y] + v8) >> 4,
                                   a6 = (c6[y] + v8) >> 4,
                                   a7 = (c7[y] + v8) >> 4;
-                    const dtpu_v8
-                        b0 = TR_SHUF(a0, a1, 0, 8, 2, 10, 4, 12, 6, 14),
-                        b1 = TR_SHUF(a0, a1, 1, 9, 3, 11, 5, 13, 7, 15),
-                        b2 = TR_SHUF(a2, a3, 0, 8, 2, 10, 4, 12, 6, 14),
-                        b3 = TR_SHUF(a2, a3, 1, 9, 3, 11, 5, 13, 7, 15),
-                        b4 = TR_SHUF(a4, a5, 0, 8, 2, 10, 4, 12, 6, 14),
-                        b5 = TR_SHUF(a4, a5, 1, 9, 3, 11, 5, 13, 7, 15),
-                        b6 = TR_SHUF(a6, a7, 0, 8, 2, 10, 4, 12, 6, 14),
-                        b7 = TR_SHUF(a6, a7, 1, 9, 3, 11, 5, 13, 7, 15);
-                    const dtpu_v8
-                        d0 = TR_SHUF(b0, b2, 0, 1, 8, 9, 4, 5, 12, 13),
-                        d2 = TR_SHUF(b0, b2, 2, 3, 10, 11, 6, 7, 14, 15),
-                        d1 = TR_SHUF(b1, b3, 0, 1, 8, 9, 4, 5, 12, 13),
-                        d3 = TR_SHUF(b1, b3, 2, 3, 10, 11, 6, 7, 14, 15),
-                        d4 = TR_SHUF(b4, b6, 0, 1, 8, 9, 4, 5, 12, 13),
-                        d6 = TR_SHUF(b4, b6, 2, 3, 10, 11, 6, 7, 14, 15),
-                        d5 = TR_SHUF(b5, b7, 0, 1, 8, 9, 4, 5, 12, 13),
-                        d7 = TR_SHUF(b5, b7, 2, 3, 10, 11, 6, 7, 14, 15);
-                    const dtpu_v8
-                        r0 = TR_SHUF(d0, d4, 0, 1, 2, 3, 8, 9, 10, 11),
-                        r4 = TR_SHUF(d0, d4, 4, 5, 6, 7, 12, 13, 14, 15),
-                        r1 = TR_SHUF(d1, d5, 0, 1, 2, 3, 8, 9, 10, 11),
-                        r5 = TR_SHUF(d1, d5, 4, 5, 6, 7, 12, 13, 14, 15),
-                        r2 = TR_SHUF(d2, d6, 0, 1, 2, 3, 8, 9, 10, 11),
-                        r6 = TR_SHUF(d2, d6, 4, 5, 6, 7, 12, 13, 14, 15),
-                        r3 = TR_SHUF(d3, d7, 0, 1, 2, 3, 8, 9, 10, 11),
-                        r7 = TR_SHUF(d3, d7, 4, 5, 6, 7, 12, 13, 14, 15);
+                    DTPU_TR8X8(dtpu_v8);
                     const int64_t pos = y * w + x0;
                     const dtpu_v8i s0 = __builtin_convertvector(
                                         r0, dtpu_v8i),
@@ -279,7 +282,6 @@ void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
                     memcpy(out + (g + 7) * nout + pos, &s7, 32);
                 }
             }
-#undef TR_SHUF
         } else {
             for (int l = 0; l < lanes; l++) {
                 int32_t *const o = out + (g + l) * nout;
@@ -407,7 +409,6 @@ static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
          * each through the 8x8 int32 shuffle-network transpose */
         if (lanes == 16 && !(w & 7)) {
             const dtpu_v8i v8 = 8 - (dtpu_v8i){0};
-#define TR_SHUF(a, b, ...) __builtin_shufflevector(a, b, __VA_ARGS__)
             for (int half = 0; half < 2; half++) {
                 const int32_t *const hb = ml + half * 8;
                 const int64_t go = g + half * 8;
@@ -431,57 +432,7 @@ static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
                         a5 = (a5 + v8) >> 4;
                         a6 = (a6 + v8) >> 4;
                         a7 = (a7 + v8) >> 4;
-                        const dtpu_v8i
-                            b0 = TR_SHUF(a0, a1, 0, 8, 2, 10, 4, 12, 6,
-                                         14),
-                            b1 = TR_SHUF(a0, a1, 1, 9, 3, 11, 5, 13, 7,
-                                         15),
-                            b2 = TR_SHUF(a2, a3, 0, 8, 2, 10, 4, 12, 6,
-                                         14),
-                            b3 = TR_SHUF(a2, a3, 1, 9, 3, 11, 5, 13, 7,
-                                         15),
-                            b4 = TR_SHUF(a4, a5, 0, 8, 2, 10, 4, 12, 6,
-                                         14),
-                            b5 = TR_SHUF(a4, a5, 1, 9, 3, 11, 5, 13, 7,
-                                         15),
-                            b6 = TR_SHUF(a6, a7, 0, 8, 2, 10, 4, 12, 6,
-                                         14),
-                            b7 = TR_SHUF(a6, a7, 1, 9, 3, 11, 5, 13, 7,
-                                         15);
-                        const dtpu_v8i
-                            d0 = TR_SHUF(b0, b2, 0, 1, 8, 9, 4, 5, 12,
-                                         13),
-                            d2 = TR_SHUF(b0, b2, 2, 3, 10, 11, 6, 7, 14,
-                                         15),
-                            d1 = TR_SHUF(b1, b3, 0, 1, 8, 9, 4, 5, 12,
-                                         13),
-                            d3 = TR_SHUF(b1, b3, 2, 3, 10, 11, 6, 7, 14,
-                                         15),
-                            d4 = TR_SHUF(b4, b6, 0, 1, 8, 9, 4, 5, 12,
-                                         13),
-                            d6 = TR_SHUF(b4, b6, 2, 3, 10, 11, 6, 7, 14,
-                                         15),
-                            d5 = TR_SHUF(b5, b7, 0, 1, 8, 9, 4, 5, 12,
-                                         13),
-                            d7 = TR_SHUF(b5, b7, 2, 3, 10, 11, 6, 7, 14,
-                                         15);
-                        const dtpu_v8i
-                            r0 = TR_SHUF(d0, d4, 0, 1, 2, 3, 8, 9, 10,
-                                         11),
-                            r4 = TR_SHUF(d0, d4, 4, 5, 6, 7, 12, 13, 14,
-                                         15),
-                            r1 = TR_SHUF(d1, d5, 0, 1, 2, 3, 8, 9, 10,
-                                         11),
-                            r5 = TR_SHUF(d1, d5, 4, 5, 6, 7, 12, 13, 14,
-                                         15),
-                            r2 = TR_SHUF(d2, d6, 0, 1, 2, 3, 8, 9, 10,
-                                         11),
-                            r6 = TR_SHUF(d2, d6, 4, 5, 6, 7, 12, 13, 14,
-                                         15),
-                            r3 = TR_SHUF(d3, d7, 0, 1, 2, 3, 8, 9, 10,
-                                         11),
-                            r7 = TR_SHUF(d3, d7, 4, 5, 6, 7, 12, 13, 14,
-                                         15);
+                        DTPU_TR8X8(dtpu_v8i);
                         const int64_t pos = y * w + x0;
                         memcpy(out + (go + 0) * nout + pos, &r0, 32);
                         memcpy(out + (go + 1) * nout + pos, &r1, 32);
@@ -494,7 +445,6 @@ static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
                     }
                 }
             }
-#undef TR_SHUF
         } else {
             for (int l = 0; l < lanes; l++) {
                 int32_t *const o = out + (g + l) * nout;
