@@ -173,7 +173,6 @@ def _lut_block(lut, offs, subx, suby, bx_sel, by_sel, bw, bh):
     return lut[offy : offy + bh, offx : offx + bw].astype(np.int64)
 
 
-_W = [[27, 17], [17, 27]]
 _W_SUB = [[[27, 17], [17, 27]], [[23, 22], [0, 0]]]
 
 
