@@ -135,6 +135,204 @@ static void lf_edge4(int32_t *px0, ptrdiff_t line, ptrdiff_t step,
     }
 }
 
+/* Horizontal-edge variant: the 4 filtered lines are CONTIGUOUS pixels
+ * (taps step by the plane stride), so the whole edge rides one 4-lane
+ * int32 vector per tap — a branchless mask-blend port of the scalar
+ * form above (the masked formulation recon/lf.py _loop_filter_batch
+ * uses), bit-exact by the same arithmetic. */
+typedef int32_t lf_v4 __attribute__((vector_size(16), aligned(4),
+                                     may_alias));
+
+static inline lf_v4 lfv_abs(lf_v4 v)
+{
+    const lf_v4 m = v < 0;
+    return (v ^ m) - m;
+}
+
+static inline lf_v4 lfv_blend(lf_v4 m, lf_v4 a, lf_v4 b)
+{
+    return (a & m) | (b & ~m);
+}
+
+static inline lf_v4 lfv_clamp(lf_v4 v, lf_v4 lo, lf_v4 hi)
+{
+    v = lfv_blend(v < lo, lo, v);
+    return lfv_blend(v > hi, hi, v);
+}
+
+static void lf_edge4_h(int32_t *px0, ptrdiff_t stride, int E, int I,
+                       int H, int wd, int bitdepth)
+{
+    const int bd_m8 = bitdepth - 8;
+    const lf_v4 zero = {0};
+    const lf_v4 vF = zero + (1 << bd_m8);
+    const lf_v4 vmaxp = zero + ((1 << bitdepth) - 1);
+    const int cd_lim = 128 << bd_m8;
+    const lf_v4 vcd_hi = zero + (cd_lim - 1), vcd_lo = zero - cd_lim;
+    const lf_v4 vE = zero + (E << bd_m8), vI = zero + (I << bd_m8),
+                vH = zero + (H << bd_m8);
+
+#define LD(o) (*(const lf_v4 *)(px0 + (ptrdiff_t)(o) * stride))
+#define ST(o, v) (*(lf_v4 *)(px0 + (ptrdiff_t)(o) * stride) = (v))
+    const lf_v4 p1 = LD(-2), p0 = LD(-1), q0 = LD(0), q1 = LD(1);
+    lf_v4 fm = (lfv_abs(p1 - p0) <= vI) & (lfv_abs(q1 - q0) <= vI) &
+               (lfv_abs(p0 - q0) * 2 + (lfv_abs(p1 - q1) >> 1) <= vE);
+    lf_v4 p2 = zero, q2 = zero, p3 = zero, q3 = zero;
+    if (wd > 4) {
+        p2 = LD(-3);
+        q2 = LD(2);
+        fm &= (lfv_abs(p2 - p1) <= vI) & (lfv_abs(q2 - q1) <= vI);
+        if (wd > 6) {
+            p3 = LD(-4);
+            q3 = LD(3);
+            fm &= (lfv_abs(p3 - p2) <= vI) & (lfv_abs(q3 - q2) <= vI);
+        }
+    }
+    if (!(fm[0] | fm[1] | fm[2] | fm[3]))
+        return;
+
+    lf_v4 flat8in = zero;
+    if (wd >= 6)
+        flat8in = (lfv_abs(p2 - p0) <= vF) & (lfv_abs(p1 - p0) <= vF) &
+                  (lfv_abs(q1 - q0) <= vF) & (lfv_abs(q2 - q0) <= vF);
+    if (wd >= 8)
+        flat8in &= (lfv_abs(p3 - p0) <= vF) & (lfv_abs(q3 - q0) <= vF);
+
+    /* narrow family (always computed: the cheap fallback lanes) */
+    const lf_v4 hev = (lfv_abs(p1 - p0) > vH) | (lfv_abs(q1 - q0) > vH);
+    lf_v4 fh = lfv_clamp(p1 - q1, vcd_lo, vcd_hi);
+    fh = lfv_clamp(3 * (q0 - p0) + fh, vcd_lo, vcd_hi);
+    const lf_v4 fnh = lfv_clamp(3 * (q0 - p0), vcd_lo, vcd_hi);
+    const lf_v4 f = lfv_blend(hev, fh, fnh);
+    const lf_v4 f1 = lfv_blend(f + 4 < vcd_hi, f + 4, vcd_hi) >> 3;
+    const lf_v4 f2 = lfv_blend(f + 3 < vcd_hi, f + 3, vcd_hi) >> 3;
+    const lf_v4 g = (f1 + 1) >> 1;
+    const lf_v4 n_p0 = lfv_clamp(p0 + f2, zero, vmaxp);
+    const lf_v4 n_q0 = lfv_clamp(q0 - f1, zero, vmaxp);
+    const lf_v4 n_p1 = lfv_clamp(p1 + g, zero, vmaxp);
+    const lf_v4 n_q1 = lfv_clamp(q1 - g, zero, vmaxp);
+
+    lf_v4 m16 = zero, m8 = zero, m6 = zero;
+    lf_v4 p6 = zero, p5 = zero, p4 = zero, q4 = zero, q5 = zero,
+          q6 = zero;
+    if (wd >= 16) {
+        p6 = LD(-7);
+        p5 = LD(-6);
+        p4 = LD(-5);
+        q4 = LD(4);
+        q5 = LD(5);
+        q6 = LD(6);
+        const lf_v4 flat8out =
+            (lfv_abs(p6 - p0) <= vF) & (lfv_abs(p5 - p0) <= vF) &
+            (lfv_abs(p4 - p0) <= vF) & (lfv_abs(q4 - q0) <= vF) &
+            (lfv_abs(q5 - q0) <= vF) & (lfv_abs(q6 - q0) <= vF);
+        m16 = fm & flat8out & flat8in;
+        m8 = fm & flat8in & ~m16;
+    } else if (wd >= 8) {
+        m8 = fm & flat8in;
+    } else if (wd == 6) {
+        m6 = fm & flat8in;
+    }
+    const lf_v4 mwide = m16 | m8 | m6;
+    const lf_v4 mn = fm & ~mwide;           /* narrow */
+    const lf_v4 mn2 = mn & ~hev;            /* narrow side taps */
+
+    if (wd >= 16) {
+        const lf_v4 e8 = zero + 8;
+        ST(-6, lfv_blend(m16,
+               (p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0 + e8)
+                   >> 4, LD(-6)));
+        ST(-5, lfv_blend(m16,
+               (p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 +
+                q1 + e8) >> 4, LD(-5)));
+        ST(-4, lfv_blend(m16,
+               (p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 +
+                q1 + q2 + e8) >> 4, LD(-4)));
+        ST(3, lfv_blend(m16,
+              (p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 * 2 + q5 +
+               q6 * 4 + e8) >> 4, LD(3)));
+        ST(4, lfv_blend(m16,
+              (p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 * 2 +
+               q6 * 5 + e8) >> 4, LD(4)));
+        ST(5, lfv_blend(m16,
+              (p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2 + q6 * 7 + e8)
+                  >> 4, LD(5)));
+    }
+    if (wd >= 8) {
+        const lf_v4 e4 = zero + 4, e8 = zero + 8;
+        lf_v4 v;
+        v = lfv_blend(m8, (p3 + p3 + p3 + 2 * p2 + p1 + p0 + q0 + e4)
+                              >> 3, LD(-3));
+        if (wd >= 16)
+            v = lfv_blend(m16,
+                (p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0 +
+                 q1 + q2 + q3 + e8) >> 4, v);
+        ST(-3, v);
+        v = lfv_blend(m8, (p0 + q0 + q1 + 2 * q2 + q3 + q3 + q3 + e4)
+                              >> 3, LD(2));
+        if (wd >= 16)
+            v = lfv_blend(m16,
+                (p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 + q3 * 2 + q4 +
+                 q5 + q6 * 3 + e8) >> 4, v);
+        ST(2, v);
+    }
+    {
+        const lf_v4 e4 = zero + 4, e8 = zero + 8;
+        /* offsets -2..1: all four families can write them */
+        lf_v4 v;
+        v = lfv_blend(mn2, n_p1, p1);
+        if (wd == 6)
+            v = lfv_blend(m6, (p2 + 2 * p2 + 2 * p1 + 2 * p0 + q0 + e4)
+                                  >> 3, v);
+        if (wd >= 8)
+            v = lfv_blend(m8, (p3 + p3 + p2 + 2 * p1 + p0 + q0 + q1 + e4)
+                                  >> 3, v);
+        if (wd >= 16)
+            v = lfv_blend(m16,
+                (p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2 + q0 +
+                 q1 + q2 + q3 + q4 + e8) >> 4, v);
+        ST(-2, v);
+        v = lfv_blend(mn, n_p0, p0);
+        if (wd == 6)
+            v = lfv_blend(m6, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + e4)
+                                  >> 3, v);
+        if (wd >= 8)
+            v = lfv_blend(m8, (p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + e4)
+                                  >> 3, v);
+        if (wd >= 16)
+            v = lfv_blend(m16,
+                (p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 +
+                 q2 + q3 + q4 + q5 + e8) >> 4, v);
+        ST(-1, v);
+        v = lfv_blend(mn, n_q0, q0);
+        if (wd == 6)
+            v = lfv_blend(m6, (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + e4)
+                                  >> 3, v);
+        if (wd >= 8)
+            v = lfv_blend(m8, (p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3 + e4)
+                                  >> 3, v);
+        if (wd >= 16)
+            v = lfv_blend(m16,
+                (p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2 +
+                 q3 + q4 + q5 + q6 + e8) >> 4, v);
+        ST(0, v);
+        v = lfv_blend(mn2, n_q1, q1);
+        if (wd == 6)
+            v = lfv_blend(m6, (p0 + 2 * q0 + 2 * q1 + 2 * q2 + q2 + e4)
+                                  >> 3, v);
+        if (wd >= 8)
+            v = lfv_blend(m8, (p1 + p0 + q0 + 2 * q1 + q2 + q3 + q3 + e4)
+                                  >> 3, v);
+        if (wd >= 16)
+            v = lfv_blend(m16,
+                (p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 * 2 + q3 +
+                 q4 + q5 + q6 * 2 + e8) >> 4, v);
+        ST(1, v);
+    }
+#undef LD
+#undef ST
+}
+
 /* Clipped residual add: plane[dy:dy+h, dx:dx+w] += r, clip [0, maxp]
  * (the replay-side half of reference inv_txfm_add, src/itx_tmpl.c:118). */
 void dtpu_add_residual(int32_t *plane, int64_t stride, int dy, int dx,
@@ -358,8 +556,8 @@ void dtpu_lf_filter_plane(int32_t *plane, int64_t stride,
                     lf_edge4(plane + (int64_t)y * 4 * stride + x * 4,
                              stride, 1, E, I, H, wd_px, bitdepth);
                 else
-                    lf_edge4(plane + (int64_t)y * 4 * stride + x * 4,
-                             1, stride, E, I, H, wd_px, bitdepth);
+                    lf_edge4_h(plane + (int64_t)y * 4 * stride + x * 4,
+                               stride, E, I, H, wd_px, bitdepth);
             }
             x++;
         }
