@@ -66,16 +66,24 @@ class BlockContext:
     ]
     NBYTES = 624  # must equal sizeof(BlockCtx) in native/dtpu.h
 
+    # layout resolved once (per-field byte offsets/sizes)
+    _LAYOUT: list | None = None
+
     def __init__(self):
         buf = np.zeros(self.NBYTES, dtype=np.uint8)
         self.buf = buf
-        off = 0
-        for name, dt, shape in self.FIELDS:
-            n = int(np.prod(shape))
-            setattr(self, name,
-                    buf[off : off + n].view(dt).reshape(shape))
-            off += n
-        assert off == self.NBYTES
+        layout = BlockContext._LAYOUT
+        if layout is None:
+            layout = []
+            off = 0
+            for name, dt, shape in self.FIELDS:
+                n = int(np.prod(shape))
+                layout.append((name, dt, shape, off, n))
+                off += n
+            assert off == self.NBYTES
+            BlockContext._LAYOUT = layout
+        for name, dt, shape, off, n in layout:
+            setattr(self, name, buf[off : off + n].view(dt).reshape(shape))
 
     def reset(self, keyframe: bool, pass_: int = 0) -> None:
         """reference reset_context (src/decode.c:2390)."""
