@@ -661,7 +661,11 @@ def _cdiv(a, b):
 def _superres_frame(f: FrameContext, planes):
     """Upscale all planes horizontally (reference resize_c via
     backup_lpf/filter_sbrow_resize; step/start per src/decode.c:3524-3539)."""
+    from ..dispatch import use_device
     from ..recon.mc_np import resize_row
+    on_device = use_device("resize")
+    if on_device:
+        from ..ops.resize import resize_rows
     hdr = f.frame_hdr
     w0, w1 = hdr.width[0], hdr.width[1]
 
@@ -688,8 +692,12 @@ def _superres_frame(f: FrameContext, planes):
         mx0 = upscale_x0(in_w, out_w, step)
         alloc_w = ((out_w + 127) & ~127)
         dst = np.zeros((p.shape[0], alloc_w), dtype=np.int32)
-        dst[:h, :out_w] = resize_row(p[:h, :src_w], out_w, src_w, step, mx0,
-                                     f.bitdepth)
+        if on_device:
+            dst[:h, :out_w] = np.asarray(
+                resize_rows(p[:h], out_w, src_w, step, mx0, f.bitdepth))
+        else:
+            dst[:h, :out_w] = resize_row(p[:h, :src_w], out_w, src_w, step,
+                                         mx0, f.bitdepth)
         out_planes.append(dst)
     return out_planes
 

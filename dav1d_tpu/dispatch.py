@@ -51,37 +51,27 @@ def device_roundtrip_ms() -> float:
     chip measures well under 1 ms.  This probe is the dispatch policy's
     hardware detection (the reference's dav1d_get_cpu_flags analog).
 
-    The probe runs in a daemon thread with a deadline: a wedged transport
+    The probe runs in a subprocess with a deadline: a wedged transport
     (the tunnel stalls for minutes at a time) must degrade to the host
-    tier, not hang the decoder at the first frame.  Trade-offs, accepted
-    deliberately: a stall longer than the deadline pins the host tier
-    for the process lifetime (restart to re-probe — wrong-but-fast beats
-    hanging), and on timeout the abandoned thread's in-flight transfer
-    finishes in the background (JAX's runtime calls are thread-safe;
-    the thread issues no further work)."""
-    import threading
-    import time
+    tier, not hang the decoder at the first frame — and a subprocess can
+    be killed cleanly mid-transfer, where an abandoned in-process thread
+    stuck inside the runtime aborts interpreter teardown.  Trade-offs,
+    accepted deliberately: a stall longer than the deadline pins the
+    host tier for the process lifetime (restart to re-probe —
+    wrong-but-fast beats hanging), and the child pays one jax import
+    (one-time, and only on accelerator backends with no env override)."""
+    import subprocess
+    import sys
 
-    result = [float("inf")]
-
-    def probe():
-        import jax
-        import numpy as np
-
-        x = np.zeros(4096, dtype=np.int32)
-        d = jax.device_put(x)
-        np.asarray(d)  # warm the path
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(jax.device_put(x))
-            best = min(best, time.perf_counter() - t0)
-        result[0] = best * 1e3
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout=float(os.environ.get("DAV1D_TPU_PROBE_TIMEOUT", "10")))
-    return result[0]  # inf when the probe missed the deadline
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "dav1d_tpu.dispatch", "--probe"],
+            capture_output=True, text=True,
+            timeout=float(os.environ.get("DAV1D_TPU_PROBE_TIMEOUT", "10")))
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        return float(line)
+    except Exception:
+        return float("inf")  # missed deadline / failed: host tier
 
 
 # Per-family default on an accelerator backend (tools/kernel_bench.py
@@ -94,6 +84,7 @@ def device_roundtrip_ms() -> float:
 #   device-resident.
 _ACCEL_DEFAULT = {"itx": "latency", "cdef": False, "deblock": "latency",
                   "lr": "latency", "fg": "latency", "mc": "latency",
+                  "resize": "latency",
                   # device-resident deblock->CDEF chain (one plane
                   # upload + one download per frame; recon/device_chain)
                   "chain": "latency"}
@@ -117,3 +108,27 @@ def use_device(kind: str) -> bool:
     if policy == "latency":
         return device_roundtrip_ms() < _LATENCY_GATE_MS
     return bool(policy)
+
+
+def _probe_main() -> None:
+    """Subprocess body for device_roundtrip_ms: measure and print ms."""
+    import time
+
+    import jax
+    import numpy as np
+
+    x = np.zeros(4096, dtype=np.int32)
+    np.asarray(jax.device_put(x))  # warm the path
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(x))
+        best = min(best, time.perf_counter() - t0)
+    print(best * 1e3)
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--probe" in sys.argv:
+        _probe_main()

@@ -232,8 +232,27 @@ def bench_fg():
             _row(f"fg_plane(native) {w}x{h}", host, float("inf"))
 
 
+def bench_resize():
+    from dav1d_tpu.ops.resize import resize_rows
+    from dav1d_tpu.recon.mc_np import resize_row
+
+    rng = np.random.default_rng(7)
+    print("\n-- super-res resample (horizontal upscale), ms per call --")
+    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    for h, in_w, out_w in [(1080, 960, 1920), (2160, 1920, 3840),
+                           (1080, 1440, 1920)]:
+        src_w = (in_w + 127) & ~127
+        rows = rng.integers(0, 256, (h, src_w), dtype=np.int32)
+        step = ((in_w << 14) + (out_w >> 1)) // out_w
+        host = _time(lambda: resize_row(rows, out_w, src_w, step, 128, 8))
+        dev = _time(lambda: np.asarray(
+            resize_rows(rows, out_w, src_w, step, 128, 8)))
+        _row(f"resize {in_w}->{out_w} x{h}", host, dev)
+
+
 FAMILIES = {"itx": bench_itx, "cdef": bench_cdef, "mc": bench_mc,
-            "deblock": bench_deblock, "lr": bench_lr, "fg": bench_fg}
+            "deblock": bench_deblock, "lr": bench_lr, "fg": bench_fg,
+            "resize": bench_resize}
 
 
 def main():
