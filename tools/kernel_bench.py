@@ -232,6 +232,34 @@ def bench_fg():
             _row(f"fg_plane(native) {w}x{h}", host, float("inf"))
 
 
+def bench_ipred():
+    from dav1d_tpu.levels import IntraPredMode as M
+    from dav1d_tpu.ops.ipred import ipred_batch
+    from dav1d_tpu.recon.ipred import ipred
+
+    rng = np.random.default_rng(8)
+    print("\n-- intra prediction (batched over same-key blocks), "
+          "ms per call --")
+    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    for mode, w, h, angle, label in [
+            (int(M.DC_PRED), 16, 16, 0, "dc 16x16"),
+            (int(M.SMOOTH_PRED), 16, 16, 0, "smooth 16x16"),
+            (int(M.PAETH_PRED), 8, 8, 0, "paeth 8x8"),
+            (int(M.Z1_PRED), 16, 16, 1024 + 45, "z1 16x16 a=45"),
+            (int(M.Z2_PRED), 16, 16, 1024 + 135, "z2 16x16 a=135"),
+            (int(M.FILTER_PRED), 32, 32, 2, "filter 32x32")]:
+        B = 256
+        edges = rng.integers(0, 256, (B, 257), dtype=np.int32)
+
+        def host():
+            for e in edges:
+                ipred(mode, e, 128, w, h, angle, w, h, 8)
+
+        dev = _time(lambda: np.asarray(
+            ipred_batch(mode, edges, w, h, angle, w, h, 8)))
+        _row(f"ipred {label} B={B}", _time(host), dev)
+
+
 def bench_resize():
     from dav1d_tpu.ops.resize import resize_rows
     from dav1d_tpu.recon.mc_np import resize_row
@@ -252,7 +280,7 @@ def bench_resize():
 
 FAMILIES = {"itx": bench_itx, "cdef": bench_cdef, "mc": bench_mc,
             "deblock": bench_deblock, "lr": bench_lr, "fg": bench_fg,
-            "resize": bench_resize}
+            "resize": bench_resize, "ipred": bench_ipred}
 
 
 def main():
