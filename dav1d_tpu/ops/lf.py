@@ -146,30 +146,44 @@ def _filter_core(W, E, I, H, wd, bitdepth):
 _WRITE_REACH = {4: (-2, 1), 6: (-2, 1), 8: (-3, 2), 16: (-6, 5)}
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_lf(wd, along_rows, bitdepth):
+def lf_apply(plane, ys, xs, E, I, H, along_rows, wd, bitdepth,
+             mark=None):
+    """Traceable one-class filter pass over `plane` (composes inside
+    jit/shard_map).  With `mark` (a bool array shaped like plane), the
+    write-reach windows are additionally scattered as True into it and
+    (plane', mark') returned — the halo write mask of the mesh-sharded
+    deblock (recon/mesh_lf.py)."""
     m = {4: 2, 6: 3, 8: 4, 16: 7}[wd]
     lo, hi = _WRITE_REACH[wd]
+    lines = jnp.arange(4)
+    taps = jnp.arange(2 * m) - m
+    if along_rows:  # vertical edge: lines advance down rows
+        ridx = ys[:, None, None] + lines[None, :, None]
+        cidx = xs[:, None, None] + taps[None, None, :]
+    else:
+        ridx = ys[:, None, None] + taps[None, :, None]
+        cidx = xs[:, None, None] + lines[None, None, :]
+    W = plane[ridx, cidx]
+    if not along_rows:
+        W = W.transpose(0, 2, 1)
+    res = _filter_core(W, E, I, H, wd, bitdepth)
+    wr = slice(m + lo, m + hi + 1)
+    if not along_rows:
+        res = res.transpose(0, 2, 1)
+        out = plane.at[ridx[:, wr], cidx].set(res[:, wr])
+        if mark is not None:
+            mark = mark.at[ridx[:, wr], cidx].set(True)
+    else:
+        out = plane.at[ridx, cidx[:, :, wr]].set(res[:, :, wr])
+        if mark is not None:
+            mark = mark.at[ridx, cidx[:, :, wr]].set(True)
+    return out if mark is None else (out, mark)
 
+
+@functools.lru_cache(maxsize=None)
+def _jit_lf(wd, along_rows, bitdepth):
     def run(plane, ys, xs, E, I, H):
-        lines = jnp.arange(4)
-        taps = jnp.arange(2 * m) - m
-        if along_rows:  # vertical edge: lines advance down rows
-            ridx = ys[:, None, None] + lines[None, :, None]
-            cidx = xs[:, None, None] + taps[None, None, :]
-        else:
-            ridx = ys[:, None, None] + taps[None, :, None]
-            cidx = xs[:, None, None] + lines[None, None, :]
-        W = plane[ridx, cidx]
-        if not along_rows:
-            W = W.transpose(0, 2, 1)
-        res = _filter_core(W, E, I, H, wd, bitdepth)
-        if not along_rows:
-            res = res.transpose(0, 2, 1)
-            wr = slice(m + lo, m + hi + 1)
-            return plane.at[ridx[:, wr], cidx].set(res[:, wr])
-        wr = slice(m + lo, m + hi + 1)
-        return plane.at[ridx, cidx[:, :, wr]].set(res[:, :, wr])
+        return lf_apply(plane, ys, xs, E, I, H, along_rows, wd, bitdepth)
 
     return jax.jit(run)
 

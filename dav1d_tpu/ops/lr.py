@@ -46,11 +46,35 @@ def _jit_wiener(unit_w, stripe_h, bitdepth):
     return jax.jit(run)
 
 
-def wiener_batch(P, fh, fv, bitdepth):
+def _mesh_put(arrs, mesh):
+    """Pad the leading batch axis to a mesh multiple (repeating item 0 —
+    always a valid unit) and shard it across the mesh: restoration units
+    are spatially independent (they read only pre-LR snapshots), so the
+    unit batch IS the decoder's tiles->chips axis for this stage."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ndev = int(mesh.devices.size)
+    B = arrs[0].shape[0]
+    nb = -(-B // ndev) * ndev
+    sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    out = []
+    for a in arrs:
+        if nb != B:
+            a = np.concatenate([a, np.repeat(a[:1], nb - B, axis=0)])
+        out.append(jax.device_put(np.ascontiguousarray(a, dtype=np.int32),
+                                  sh))
+    return out
+
+
+def wiener_batch(P, fh, fv, bitdepth, mesh=None):
     """(B, sh+6, uw+6) padded units + per-unit (B, 3) half-filters ->
     (B, sh, uw) int32."""
     B, ph, pw = P.shape
-    out = _jit_wiener(pw - 6, ph - 6, int(bitdepth))(
+    prog = _jit_wiener(pw - 6, ph - 6, int(bitdepth))
+    if mesh is not None:
+        args = _mesh_put([P, fh, fv], mesh)
+        return np.asarray(prog(*args))[:B]
+    out = prog(
         jnp.asarray(P, dtype=jnp.int32),
         jnp.asarray(fh, dtype=jnp.int32),
         jnp.asarray(fv, dtype=jnp.int32))
@@ -182,12 +206,16 @@ def _jit_sgr(unit_w, stripe_h, bitdepth, variant):
     return jax.jit(run)
 
 
-def sgr_batch(P, src, s0, s1, w0, w1, bitdepth, variant):
+def sgr_batch(P, src, s0, s1, w0, w1, bitdepth, variant, mesh=None):
     """(B, sh+6, uw+6) padded units + (B, sh, uw) unit pixels + per-unit
     strengths/weights -> (B, sh, uw) int32 (reference sgr_5x5_c /
     sgr_3x3_c / sgr_mix_c, src/looprestoration_tmpl.c:679-1090)."""
     B, ph, pw = P.shape
-    out = _jit_sgr(pw - 6, ph - 6, int(bitdepth), int(variant))(
+    prog = _jit_sgr(pw - 6, ph - 6, int(bitdepth), int(variant))
+    if mesh is not None:
+        args = _mesh_put([P, src, s0, s1, w0, w1], mesh)
+        return np.asarray(prog(*args))[:B]
+    out = prog(
         jnp.asarray(P, dtype=jnp.int32), jnp.asarray(src, dtype=jnp.int32),
         jnp.asarray(s0, dtype=jnp.int32), jnp.asarray(s1, dtype=jnp.int32),
         jnp.asarray(w0, dtype=jnp.int32), jnp.asarray(w1, dtype=jnp.int32))

@@ -506,6 +506,12 @@ def deblock_frame(f) -> None:
     (equivalence to the reference's per-sbrow interleaving argued in the
     module docstring)."""
     hdr = f.frame_hdr
+    if getattr(f, "mesh", None) is not None:
+        from .mesh_lf import deblock_frame_mesh
+        if deblock_frame_mesh(f):
+            # multi-chip: row bands across the mesh, halo rows and
+            # boundary write-backs via ppermute (recon/mesh_lf.py)
+            return
     if hdr.tiling.cols > 1 or hdr.tiling.rows > 1:
         _fix_tile_boundaries(f)
     e_lut, i_lut = f.lf_lim_lut

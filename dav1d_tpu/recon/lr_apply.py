@@ -39,8 +39,13 @@ def lr_frame(f) -> None:
     # device tier: wiener/SGR stripes are collected per (unit_w,
     # stripe_h[, variant]) shape and run as batched device programs
     # (ops/lr.py); deferral is exact because LR reads only the
-    # src/pre_cdef copies, never its own output
-    on_dev = use_device("lr")
+    # src/pre_cdef copies, never its own output.  With a mesh attached
+    # the unit batch shards across the chips (units are spatially
+    # independent — the tiles->chips axis for this stage needs no halo
+    # collective; the stripe-boundary context rides in each unit's
+    # host-built padding rows, the reference's lpf line-buffer analog)
+    mesh = getattr(f, "mesh", None)
+    on_dev = use_device("lr") or mesh is not None
     f._lr_wiener_sink = {} if on_dev else None
     f._lr_sgr_sink = {} if on_dev else None
     for pl in range(3):
@@ -66,7 +71,7 @@ def lr_frame(f) -> None:
             P = np.stack([it[0] for it in items])
             fh = np.array([it[1] for it in items])
             fv = np.array([it[2] for it in items])
-            out = wiener_batch(P, fh, fv, f.bitdepth)
+            out = wiener_batch(P, fh, fv, f.bitdepth, mesh=mesh)
             for b, (_, _, _, pl, y, x) in enumerate(items):
                 f.sr_planes[pl][y : y + sh, x : x + uw] = out[b]
     if f._lr_sgr_sink:
@@ -79,7 +84,8 @@ def lr_frame(f) -> None:
             s1 = np.array([it[3] for it in items])
             w0 = np.array([it[4] for it in items])
             w1 = np.array([it[5] for it in items])
-            out = sgr_batch(P, srcs, s0, s1, w0, w1, f.bitdepth, variant)
+            out = sgr_batch(P, srcs, s0, s1, w0, w1, f.bitdepth, variant,
+                            mesh=mesh)
             for b, it in enumerate(items):
                 pl, y, x = it[6], it[7], it[8]
                 f.sr_planes[pl][y : y + sh, x : x + uw] = out[b]

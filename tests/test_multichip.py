@@ -56,3 +56,34 @@ def test_mesh_sharded_decode_matches_single(tmp_path, n_devices):
     nn, got = _decode_md5(tus, Settings(two_pass=True, mesh=mesh))
     assert n1 == nn == 4
     assert got == ref
+
+
+def test_mesh_filter_chain_matches_single(tmp_path):
+    """Superres + loop restoration stream: exercises the mesh-sharded
+    deblock (ppermute halo write-backs, recon/mesh_lf.py), CDEF row
+    bands (recon/mesh_cdef.py) and the unit-batch-sharded LR
+    (ops/lr.py _mesh_put) in one decode."""
+    import jax
+    from jax.sharding import Mesh
+
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Settings
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("need 8 devices")
+    mesh = Mesh(np.array(devices[:8]), axis_names=("tiles",))
+
+    enc = AomEncoder(width=256, height=192, usage="good", cpu_used=4,
+                     q=40, kf_max_dist=9999, lag=0,
+                     superres=(1, 16, 16, 63, 63))
+    pkts = enc.encode(gradient_frames(4, 256, 192))
+    enc.close()
+    ivf = tmp_path / "lr.ivf"
+    write_ivf_packets(ivf, pkts, 256, 192)
+    tus = [tu for tu, _ in read_ivf(ivf.read_bytes())]
+
+    n1, ref = _decode_md5(tus, Settings(two_pass=True))
+    nn, got = _decode_md5(tus, Settings(two_pass=True, mesh=mesh))
+    assert n1 == nn == 4
+    assert got == ref
