@@ -124,11 +124,19 @@ def itx_batch_pallas(cf, tx, txtp, bitdepth, interpret=False):
     if not supported(bitdepth):
         from .itx import itx_batch
         return np.asarray(itx_batch(cf, tx, txtp, bitdepth))
+    if not interpret:
+        from ..dispatch import _platform
+        interpret = _platform() in ("cpu", "none")  # pallas-TPU only
     w, h, _, _ = _txinfo(int(tx))
     cf = np.asarray(cf, dtype=np.int32)
     n = cf.shape[0]
     bb = _block_b(int(tx))
-    nb = max(bb, (n + bb - 1) // bb * bb)
+    # shape bucketing: round the block count up to a power of two so a
+    # whole decode hits a handful of programs per (tx, txtp) instead of
+    # one per distinct batch size (the compile-cost fix that makes the
+    # kernel usable on real streams)
+    blocks = max(1, -(-n // bb))
+    nb = bb * (1 << (blocks - 1).bit_length())
     if nb != n:
         cf = np.concatenate(
             [cf, np.zeros((nb - n, cf.shape[1]), np.int32)])

@@ -109,18 +109,27 @@ def _launch_residuals_native(f):
     from .dispatch import use_device
     mesh = getattr(f, "mesh", None)
     device = use_device("itx") or mesh is not None
+    use_pallas = device and mesh is None \
+        and os.environ.get("DAV1D_TPU_ITX_PALLAS") == "1"
+    if use_pallas:
+        from .ops.pallas_itx import itx_batch_pallas, supported
+        use_pallas = supported(f.bitdepth)
     cf_arena = glue.cf_arena
     cf_base = cf_arena.ctypes.data
     from .native.decode_glue import _n_coef
     from .ops.itx import itx_batch, itx_batch_c_ptrs
 
     if device:
-        st.elsz = 2 if f.bitdepth == 8 else 4
+        st.elsz = 4 if use_pallas else (2 if f.bitdepth == 8 else 4)
     for idxs in group_idxs:
         m0 = meta[idxs[0]]
         gtx, gtxtp = int(m0[2]) >> 8, int(m0[1])
         nc = _n_coef(gtx)
-        if device:
+        if use_pallas:
+            gath = cf_arena[meta[idxs, 5][:, None] + np.arange(nc)]
+            resid = itx_batch_pallas(gath, gtx, gtxtp, f.bitdepth)
+            st._register(idxs, np.ascontiguousarray(resid))
+        elif device:
             gath = cf_arena[meta[idxs, 5][:, None] + np.arange(nc)]
             nb = 1
             while nb < len(idxs):

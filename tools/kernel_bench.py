@@ -62,6 +62,18 @@ def bench_itx():
         dev = _time(lambda: np.asarray(itx_batch(cf, tx, txtp, 8)))
         _row(f"itx {w}x{h} txtp={txtp} B={B}", host, dev)
 
+    # Pallas tier (TPU backends only; interpret mode is not a perf path)
+    from dav1d_tpu.dispatch import _platform
+    from dav1d_tpu.ops.pallas_itx import itx_batch_pallas, supported
+    if supported(8) and _platform() not in ("cpu", "none"):
+        for tx, txtp, B in [(0, 0, 512), (1, 0, 512), (5, 4, 256)]:
+            w, h, _, _ = _txinfo(tx)
+            sw, sh = min(w, 32), min(h, 32)
+            cf = rng.integers(-2000, 2000, (B, sw * sh), dtype=np.int32)
+            host = _time(lambda: itx_batch_c(cf, tx, txtp, 8))
+            dev = _time(lambda: itx_batch_pallas(cf, tx, txtp, 8))
+            _row(f"itx-pallas {w}x{h} txtp={txtp} B={B}", host, dev)
+
 
 def bench_cdef():
     from dav1d_tpu.recon import cdef as hcdef
