@@ -23,7 +23,15 @@ from . import obu as obu_mod
 
 @dataclasses.dataclass
 class Settings:
-    """Mirror of Dav1dSettings (reference include/dav1d/dav1d.h:78-99)."""
+    """Mirror of Dav1dSettings (reference include/dav1d/dav1d.h:78-99).
+
+    n_threads >= 2 enables the reconstruction worker: pass 2 + the
+    filter chain of frame N run on a worker thread while the main
+    thread entropy-decodes frame N+1 — the reference's frame-threading
+    overlap (src/lib.c:109-126) with real thread parallelism on
+    multi-core hosts (the native C passes release the GIL).  Output
+    order and bit-exactness are unchanged: reconstruction stays
+    strictly in order on the single worker."""
 
     n_threads: int = 0
     max_frame_delay: int = 0
@@ -128,6 +136,14 @@ class Decoder:
         # pipeline (reference frame threading, src/lib.c:109-126 /
         # src/thread_task.c); bounded by Settings.max_frame_delay
         self._pending: list = []
+        # n_threads >= 2: ordered reconstruction worker (see Settings)
+        self._worker = None
+        self._futures: list = []
+        if self.settings.n_threads >= 2:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._worker = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="dav1d_tpu-recon")
 
     # -- input ---------------------------------------------------------------
 
@@ -383,13 +399,29 @@ class Decoder:
             # overlap device residual batches with the next pass 1
             delay = 2 if (self.settings.two_pass
                           or self.settings.mesh is not None) else 1
-        while len(self._pending) > delay:
-            self._finish_one()
+        self._collect_futures(wait=False)
+        while len(self._pending) + len(self._futures) > delay:
+            if self._pending:
+                self._finish_one()
+            else:
+                self._collect_futures(wait=True, one=True)
 
     def _finish_one(self) -> None:
         """Pass 2 + filter chain for the oldest in-flight frame; fills its
-        ref-slot planes and emits its output picture."""
-        f, hdr, meta, slots = self._pending.pop(0)
+        ref-slot planes and emits its output picture.  With the
+        reconstruction worker active this only *submits* — the worker
+        runs frames strictly in order (slot.planes of frame N are bound
+        on the worker before frame N+1's pass 2 reads them there)."""
+        item = self._pending.pop(0)
+        if self._worker is not None:
+            self._futures.append(self._worker.submit(self._finish_task,
+                                                     *item))
+            return
+        pic = self._finish_task(*item)
+        if pic is not None:
+            self.out_queue.append(pic)
+
+    def _finish_task(self, f, hdr, meta, slots):
         decode_frame_finish(f)
         for slot in slots:
             slot.planes = f.sr_planes
@@ -399,11 +431,22 @@ class Decoder:
         pic.content_light, pic.mastering_display, pic.itut_t35 = meta
         if hdr.show_frame or self.settings.output_invisible_frames:
             pic.visible = bool(hdr.show_frame)
-            self.out_queue.append(pic)
+            return pic
+        return None
+
+    def _collect_futures(self, wait: bool, one: bool = False) -> None:
+        """Move finished worker frames (in order) into the out queue."""
+        while self._futures and (wait or self._futures[0].done()):
+            pic = self._futures.pop(0).result()
+            if pic is not None:
+                self.out_queue.append(pic)
+            if one:
+                return
 
     def _drain_pending(self) -> None:
         while self._pending:
             self._finish_one()
+        self._collect_futures(wait=True)
 
     def _show_existing(self) -> None:
         self._drain_pending()  # the shown slot's planes may be in flight
@@ -465,8 +508,13 @@ class Decoder:
         return pic
 
     def get_picture(self) -> Optional[Picture]:
-        while not self.out_queue and self._pending:
-            self._finish_one()
+        self._collect_futures(wait=False)
+        while not self.out_queue and (self._pending or self._futures):
+            if self._futures:
+                self._collect_futures(wait=True, one=True)
+            else:
+                self._finish_one()
+                self._collect_futures(wait=not self._pending, one=True)
         if self.out_queue:
             return self._maybe_apply_grain(self.out_queue.pop(0))
         return None
@@ -476,6 +524,15 @@ class Decoder:
         dav1d_flush, src/lib.c:610-664 — pending frames are dropped, the
         caller restarts at a random access point)."""
         self._pending.clear()
+        # let in-flight worker frames complete (they mutate ref slots);
+        # discard their output and swallow their errors — the caller is
+        # abandoning this decode position anyway
+        for fut in self._futures:
+            try:
+                fut.result()
+            except Exception:
+                pass
+        self._futures.clear()
         self.out_queue.clear()
         self.frame_hdr = None
         self.tile_groups = []
@@ -483,4 +540,7 @@ class Decoder:
 
     def close(self) -> None:
         self.flush()
+        if self._worker is not None:
+            self._worker.shutdown(wait=True)
+            self._worker = None
         self.refs = [_RefSlot() for _ in range(8)]

@@ -94,6 +94,9 @@ def main(argv=None):
                    help="frame types to decode")
     p.add_argument("--twopass", type=int, default=1, choices=[0, 1],
                    help="two-pass host/device pipeline (default 1)")
+    p.add_argument("--threads", type=int, default=0,
+                   help=">=2 runs reconstruction on a worker thread "
+                        "overlapping the next frame's entropy decode")
     args = p.parse_args(argv)
 
     data = Path(args.input).read_bytes()
@@ -111,6 +114,7 @@ def main(argv=None):
         all_layers=bool(args.alllayers), frame_size_limit=args.sizelimit,
         max_frame_delay=args.framedelay, inloop_filters=ilf,
         decode_frame_type=dft, two_pass=bool(args.twopass),
+        n_threads=args.threads,
         logger=None if args.quiet
         else lambda m: print(f"dav1d_tpu: {m}", file=sys.stderr)))
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
