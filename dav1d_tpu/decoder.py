@@ -544,3 +544,18 @@ class Decoder:
             self._worker.shutdown(wait=True)
             self._worker = None
         self.refs = [_RefSlot() for _ in range(8)]
+        if self.settings.logger is not None:
+            for line in memory_stats().splitlines():
+                self._log(line)
+
+
+def memory_stats() -> str:
+    """Per-category allocation accounting (the reference's
+    TRACK_HEAP_ALLOCATIONS dump, src/mem.c:52-101 / src/lib.c:604):
+    arena-pool allocs vs reuses and peak bytes, process-wide."""
+    from .native.decode_glue import ALLOC_STATS
+
+    lines = ["memory: category allocs reuses peak_bytes"]
+    for name, (allocs, reuses, _cur, peak) in sorted(ALLOC_STATS.items()):
+        lines.append(f"memory: {name} {allocs} {reuses} {peak}")
+    return "\n".join(lines)

@@ -324,13 +324,31 @@ def _np_ptr(a):
 
 _ARENA_POOL: dict = {}  # (name, shape) -> [ndarray, ...]
 
+# process-wide allocation accounting per category (the reference's
+# TRACK_HEAP_ALLOCATIONS analog, src/mem.c:52-101): [allocs, reuses,
+# cur_bytes, peak_bytes], read via dav1d_tpu.decoder.memory_stats()
+ALLOC_STATS: dict = {}
+
+
+def _stat_alloc(name, nbytes, reuse):
+    st = ALLOC_STATS.setdefault(name, [0, 0, 0, 0])
+    if reuse:
+        st[1] += 1
+    else:
+        st[0] += 1
+        st[2] += nbytes
+        st[3] = max(st[3], st[2])
+
 
 def _pool_get(name, shape, dtype):
     lst = _ARENA_POOL.get((name, shape if isinstance(shape, tuple)
                            else (shape,)))
     if lst:
+        _stat_alloc(name, 0, reuse=True)
         return lst.pop()
-    return np.zeros(shape, dtype=dtype)
+    arr = np.zeros(shape, dtype=dtype)
+    _stat_alloc(name, arr.nbytes, reuse=False)
+    return arr
 
 
 def _pool_put(name, arr, used_rows):

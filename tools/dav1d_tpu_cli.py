@@ -97,6 +97,9 @@ def main(argv=None):
     p.add_argument("--threads", type=int, default=0,
                    help=">=2 runs reconstruction on a worker thread "
                         "overlapping the next frame's entropy decode")
+    p.add_argument("--frametimes", metavar="FILE",
+                   help="dump per-frame decode times in nanoseconds, one "
+                        "per line (reference --frametimes)")
     args = p.parse_args(argv)
 
     data = Path(args.input).read_bytes()
@@ -138,6 +141,10 @@ def main(argv=None):
             if args.muxer not in ("md5", "null"):
                 out.write(buf)
         emitted += 1
+        if frametimes is not None:
+            nonlocal_t = time.perf_counter_ns()
+            frametimes.append(nonlocal_t - t_prev[0])
+            t_prev[0] = nonlocal_t
         if args.realtime:
             # pace to the container frame rate (reference --realtime,
             # tools/dav1d.c synchronize())
@@ -146,6 +153,8 @@ def main(argv=None):
             if lag > 0:
                 time.sleep(lag)
 
+    frametimes = [] if args.frametimes else None
+    t_prev = [time.perf_counter_ns()]
     done = False
     for tu, _pts in open_stream(data):
         dec.send_data(tu)
@@ -170,6 +179,9 @@ def main(argv=None):
             if args.limit and emitted >= args.limit:
                 break
     elapsed = time.perf_counter() - t_start
+    if frametimes is not None:
+        Path(args.frametimes).write_text(
+            "".join(f"{t}\n" for t in frametimes))
     if args.muxer == "md5":
         out.write(f"{md5.hexdigest()}\n".encode())
     if out is not sys.stdout.buffer:
