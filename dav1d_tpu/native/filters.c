@@ -12,6 +12,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
+
 void dtpu_cdef_filter_plane(int32_t *plane, int64_t stride, int pw, int ph,
                             int32_t *canvas, const int64_t *ys,
                             const int64_t *xs, int64_t n, int w, int h,
@@ -785,6 +789,30 @@ void dtpu_cdef_find_dir_pos(const int32_t *plane, int64_t stride,
     for (int64_t g = 0; g < n; g += 16) {
         const int lanes = n - g < 16 ? (int)(n - g) : 16;
         cdef_v16d b[64];
+#ifdef __AVX512F__
+        /* lane-transposed load via gathers: one 16-lane gather per
+         * pixel position replaces 16 scalar strided walks (plane
+         * offsets fit int32: <2^24 even at 8K) */
+        {
+            int32_t boff[16];
+            for (int l = 0; l < 16; l++) {
+                const int64_t u = g + (l < lanes ? l : lanes - 1);
+                boff[l] = (int32_t)(ys[u] * stride + xs[u]);
+            }
+            const __m512i vbase = _mm512_loadu_si512(boff);
+            const __m512i v128 = _mm512_set1_epi32(128);
+            const __m512i vsh = _mm512_set1_epi32(shift);
+            for (int y = 0; y < 8; y++)
+                for (int x = 0; x < 8; x++) {
+                    const __m512i idx = _mm512_add_epi32(
+                        vbase, _mm512_set1_epi32((int)(y * stride + x)));
+                    __m512i v = _mm512_i32gather_epi32(idx, plane, 4);
+                    v = _mm512_sub_epi32(_mm512_srav_epi32(v, vsh),
+                                         v128);
+                    _mm512_store_si512(&b[y * 8 + x], v);
+                }
+        }
+#else
         for (int l = 0; l < 16; l++) {
             const int64_t u = g + (l < lanes ? l : lanes - 1);
             const int32_t *src = plane + ys[u] * stride + xs[u];
@@ -793,6 +821,7 @@ void dtpu_cdef_find_dir_pos(const int32_t *plane, int64_t stride,
                 for (int x = 0; x < 8; x++)
                     bl[(y * 8 + x) * 16] = (src[x] >> shift) - 128;
         }
+#endif
         cdef_v16d psum_hv[2][8], psum_diag[2][15], psum_alt[4][11];
         memset(psum_hv, 0, sizeof(psum_hv));
         memset(psum_diag, 0, sizeof(psum_diag));
