@@ -658,6 +658,27 @@ def _cdiv(a, b):
     return -q if (a < 0) != (b < 0) else q
 
 
+def superres_geometry(f, pl):
+    """Per-plane super-res resample geometry (reference step/start
+    derivation, src/decode.c:3524-3539): returns
+    (out_w, src_w, step, mx0, h, alloc_w)."""
+    hdr = f.frame_hdr
+    w0, w1 = hdr.width[0], hdr.width[1]
+    ss_hor = f.ss_hor if pl else 0
+    ss_ver = f.ss_ver if pl else 0
+    in_w = (w0 + ss_hor) >> ss_hor
+    out_w = (w1 + ss_hor) >> ss_hor
+    # the reference clamps reads at the PADDED coded width (4*bw), so
+    # edge taps see real decoded padding pixels (recon_tmpl.c:2079)
+    src_w = (4 * f.bw + ss_hor) >> ss_hor
+    h = (hdr.height + ss_ver) >> ss_ver
+    step = ((in_w << 14) + (out_w >> 1)) // out_w
+    err = out_w * step - (in_w << 14)
+    mx0 = (_cdiv(-((out_w - in_w) << 13) + (out_w >> 1), out_w) + 128
+           - _cdiv(err, 2)) & 0x3FFF
+    return out_w, src_w, step, mx0, h, (out_w + 127) & ~127
+
+
 def _superres_frame(f: FrameContext, planes):
     """Upscale all planes horizontally (reference resize_c via
     backup_lpf/filter_sbrow_resize; step/start per src/decode.c:3524-3539)."""
@@ -666,31 +687,10 @@ def _superres_frame(f: FrameContext, planes):
     on_device = use_device("resize")
     if on_device:
         from ..ops.resize import resize_rows
-    hdr = f.frame_hdr
-    w0, w1 = hdr.width[0], hdr.width[1]
-
-    def scale_fac(ref_sz, this_sz):
-        return ((ref_sz << 14) + (this_sz >> 1)) // this_sz
-
-    def upscale_x0(in_w, out_w, step):
-        err = out_w * step - (in_w << 14)
-        x0 = _cdiv(-((out_w - in_w) << 13) + (out_w >> 1), out_w) + 128 \
-            - _cdiv(err, 2)
-        return x0 & 0x3FFF
 
     out_planes = []
     for pl, p in enumerate(planes):
-        ss_hor = f.ss_hor if pl else 0
-        ss_ver = f.ss_ver if pl else 0
-        in_w = (w0 + ss_hor) >> ss_hor
-        out_w = (w1 + ss_hor) >> ss_hor
-        # the reference clamps reads at the PADDED coded width (4*bw), so
-        # edge taps see real decoded padding pixels (recon_tmpl.c:2079)
-        src_w = (4 * f.bw + ss_hor) >> ss_hor
-        h = (hdr.height + ss_ver) >> ss_ver
-        step = scale_fac(in_w, out_w)
-        mx0 = upscale_x0(in_w, out_w, step)
-        alloc_w = ((out_w + 127) & ~127)
+        out_w, src_w, step, mx0, h, alloc_w = superres_geometry(f, pl)
         dst = np.zeros((p.shape[0], alloc_w), dtype=np.int32)
         if on_device:
             dst[:h, :out_w] = np.asarray(

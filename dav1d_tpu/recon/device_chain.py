@@ -14,11 +14,12 @@ dav1d_loopfilter_sbrow_* -> dav1d_cdef_brow (src/lf_apply_tmpl.c:313,
 src/cdef_apply_tmpl.c:40); equivalence of the full-frame formulation is
 argued in recon/lf.py and recon/cdef.py.
 
-Super-resolution frames fall back to the host chain (the horizontal
-resample sits mid-chain and is host-only); loop restoration runs after
-the download via the existing host/device dispatch (its stripe gather
-reads the post-deblock `pre_cdef` snapshot, which this module downloads
-at the right point in the chain).
+The full chain is resident: deblock -> CDEF -> super-res resample
+(ops/resize.py, applied to the resident planes) -> loop restoration
+(stripe geometry collected host-side via lr_apply's geom_sink; the
+padded units gather from a concat of the resident post-CDEF and
+pre-CDEF planes and the filtered rects scatter back — no mid-chain
+host round trip).
 """
 
 from __future__ import annotations
@@ -27,12 +28,10 @@ import numpy as np
 
 
 def filter_chain_device(f) -> bool:
-    """Run deblock -> CDEF on device-resident planes.  Returns False
-    when the frame needs the host chain instead (super-res active, or
-    no stage enabled)."""
+    """Run deblock -> CDEF -> super-res -> LR on device-resident
+    planes.  Returns False when no stage is enabled (caller runs the
+    host chain)."""
     hdr = f.frame_hdr
-    if hdr.width[0] != hdr.width[1]:
-        return False
     from ..headers import PixelLayout
 
     seq = f.seq_hdr
@@ -43,7 +42,8 @@ def filter_chain_device(f) -> bool:
         and (any(hdr.cdef.y_strength) or any(hdr.cdef.uv_strength)) \
         and (f.inloop_filters & 2)
     do_lr = f.restore_planes and (f.inloop_filters & 4)
-    if not (do_deblock or do_cdef):
+    do_resize = hdr.width[0] != hdr.width[1]
+    if not (do_deblock or do_cdef or do_resize):
         return False
 
     import jax
@@ -88,12 +88,14 @@ def filter_chain_device(f) -> bool:
                         dev[pl], ys[sel] * 4, xs[sel] * 4, E[sel],
                         I[sel], H[sel], dir_ == 0, wd_px, f.bitdepth)
 
+    pre_dev = None
     if do_lr:
         # post-deblock / pre-CDEF snapshot for the LR stripe reads
-        # (reference dav1d_copy_lpf, src/lf_apply_tmpl.c:104)
-        f.pre_cdef = [np.asarray(x).astype(np.int32) for x in dev]
-    else:
-        f.pre_cdef = None
+        # (reference dav1d_copy_lpf, src/lf_apply_tmpl.c:104) — stays
+        # device-resident (jax arrays are immutable, so holding the
+        # current stage output IS the snapshot)
+        pre_dev = list(dev)
+    f.pre_cdef = None
 
     if do_cdef:
         from ..ops.cdef import (cdef_filter_plane_dev,
@@ -160,11 +162,101 @@ def filter_chain_device(f) -> bool:
                     dev[pl], ph, pw, uys, uxs, w, h, upri, usec, udir,
                     damping - (1 if pl else 0), f.bitdepth)
 
-    for pl in range(len(f.planes)):
-        f.planes[pl][:, :] = np.asarray(dev[pl])
-    f.sr_planes = f.planes
+    if do_resize:
+        # horizontal super-res resample on the resident planes
+        # (reference filter_sbrow_resize order: after CDEF, before LR)
+        dev = _resize_resident(f, dev)
+        if pre_dev is not None:
+            pre_dev = _resize_resident(f, pre_dev)
 
     if do_lr:
-        from .lr_apply import lr_frame
-        lr_frame(f)
+        dev = _lr_resident(f, dev, pre_dev)
+
+    if do_resize:
+        f.sr_planes = [np.asarray(p) for p in dev]
+    else:
+        for pl in range(len(f.planes)):
+            f.planes[pl][:, :] = np.asarray(dev[pl])
+        f.sr_planes = f.planes
     return True
+
+
+def _resize_resident(f, dev):
+    """ops/resize.py applied to resident planes; output in the same
+    alloc geometry as the host _superres_frame."""
+    import jax.numpy as jnp
+
+    from ..decode.frame import superres_geometry
+    from ..ops.resize import _program
+
+    out = []
+    for pl, p in enumerate(dev):
+        out_w, src_w, step, mx0, h, alloc_w = superres_geometry(f, pl)
+        res = _program(out_w, src_w, step, mx0, f.bitdepth)(p[:h, :src_w])
+        dst = jnp.zeros((p.shape[0], alloc_w), dtype=jnp.int32)
+        out.append(dst.at[:h, :out_w].set(res))
+    return out
+
+
+def _lr_resident(f, dev, pre_dev):
+    """Loop restoration on resident planes: host-side stripe geometry
+    (lr_apply geom_sink), device-side unit gather + filter + scatter.
+    Exact by the same argument as the batched host tier (LR reads only
+    the post-CDEF/pre-CDEF snapshots, never its own output — and jax
+    immutability makes the gathered S a snapshot by construction)."""
+    import jax.numpy as jnp
+
+    from ..ops.lr import _jit_sgr, _jit_wiener
+    from .lr_apply import _pad_unit_indices, lr_frame
+
+    geom = {}
+    lr_frame(f, geom_sink=geom)
+    if not geom:
+        return dev
+
+    S = {}
+
+    def get_s(pl):
+        if pl not in S:
+            S[pl] = jnp.concatenate([dev[pl], pre_dev[pl]], axis=0)
+        return S[pl]
+
+    dev = list(dev)
+    for key, items in geom.items():
+        kind, uw, sh = key[0], key[1], key[2]
+        for pl in sorted({it[0] for it in items}):
+            grp = [it for it in items if it[0] == pl]
+            B = len(grp)
+            H, W = dev[pl].shape
+            rows = np.empty((B, sh + 6), np.int32)
+            cols = np.empty((B, uw + 6), np.int32)
+            ys = np.empty(B, np.int32)
+            xs = np.empty(B, np.int32)
+            for b, it in enumerate(grp):
+                _, x, y, e, h = it[:5]
+                rows[b], cols[b] = _pad_unit_indices(x, y, uw, sh, h, e,
+                                                     W, H)
+                ys[b], xs[b] = y, x
+            s_pl = get_s(pl)
+            P = s_pl[jnp.asarray(rows)[:, :, None],
+                     jnp.asarray(cols)[:, None, :]]
+            if kind == "w":
+                fh = np.array([it[5] for it in grp], np.int32)
+                fv = np.array([it[6] for it in grp], np.int32)
+                blk = _jit_wiener(uw, sh, int(f.bitdepth))(
+                    P, jnp.asarray(fh), jnp.asarray(fv))
+            else:
+                variant = key[3]
+                s0 = jnp.asarray(np.array([it[5] for it in grp], np.int32))
+                s1 = jnp.asarray(np.array([it[6] for it in grp], np.int32))
+                w0 = jnp.asarray(np.array([it[7] for it in grp], np.int32))
+                w1 = jnp.asarray(np.array([it[8] for it in grp], np.int32))
+                blk = _jit_sgr(uw, sh, int(f.bitdepth), int(variant))(
+                    P, P[:, 3 : 3 + sh, 3 : 3 + uw], s0, s1, w0, w1)
+            yg = ys[:, None, None] + np.arange(sh)[None, :, None]
+            xg = xs[:, None, None] + np.arange(uw)[None, None, :]
+            # scatters are exact in any order: distinct units write
+            # disjoint rects, and every gather above reads the
+            # immutable pre-LR S snapshot
+            dev[pl] = dev[pl].at[jnp.asarray(yg), jnp.asarray(xg)].set(blk)
+    return dev

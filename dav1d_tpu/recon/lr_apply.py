@@ -27,14 +27,41 @@ LR_HAVE_TOP = 4
 LR_HAVE_BOTTOM = 8
 
 
-def lr_frame(f) -> None:
+def lr_frame(f, geom_sink=None) -> None:
     """Apply loop restoration to the whole frame (called after CDEF and
-    super-res; reference dav1d_lr_sbrow per sbrow)."""
+    super-res; reference dav1d_lr_sbrow per sbrow).
+
+    With `geom_sink` (a dict), no pixels are touched: every stripe's
+    geometry + filter params are collected per (unit_w, stripe_h[,
+    variant]) group for the device-resident chain (recon/device_chain),
+    which gathers the padded units straight from the resident planes."""
     if not f.restore_planes:
         return
     from ..dispatch import use_device
 
     hdr = f.frame_hdr
+    if geom_sink is not None:
+        f._lr_geom_sink = geom_sink
+        f._lr_wiener_sink = f._lr_sgr_sink = None
+        for pl in range(3):
+            if not ((f.restore_planes >> pl) & 1):
+                continue
+            ss_ver = int(bool(pl)) and f.ss_ver
+            ss_hor = int(bool(pl)) and f.ss_hor
+            h = (hdr.height + ss_ver) >> ss_ver
+            w = ((hdr.width[1]) + ss_hor) >> ss_hor
+            shift = (6 - ss_ver) + f.seq_hdr.sb128
+            for sby in range(f.sbh):
+                not_last = sby + 1 < f.sbh
+                next_row_y = (sby + 1) << shift
+                row_h = min(next_row_y - (8 >> ss_ver) * not_last, h)
+                offset = (8 >> ss_ver) * (sby != 0)
+                y_stripe = (sby << shift) - offset
+                _lr_plane_sbrow(f, pl, None, y_stripe, w, h, row_h,
+                                ss_ver, ss_hor)
+        f._lr_geom_sink = None
+        return
+    f._lr_geom_sink = None
     src_planes = [p.copy() for p in f.sr_planes]  # post-CDEF+SR input
     # device tier: wiener/SGR stripes are collected per (unit_w,
     # stripe_h[, variant]) shape and run as batched device programs
@@ -137,16 +164,39 @@ def _lr_stripes(f, pl, src, x, y, unit_w, row_h, lr, edges, ss_ver,
     bitdepth = f.bitdepth
     stripe_h = min((64 - 8 * (y == 0)) >> ss_ver, row_h - y)
     ty = lr["type"]
-    out = f.sr_planes[pl]
-    pre_cdef = f.pre_cdef[pl]
+    if getattr(f, "_lr_geom_sink", None) is None:
+        out = f.sr_planes[pl]
+        pre_cdef = f.pre_cdef[pl]
     # the sbrow this stripe run belongs to -- loop-invariant (reference
     # lr_stripe computes it once from the starting y)
     sby = (y + ((8 << ss_ver) if y else 0)) >> ((6 - ss_ver) + sb128)
 
+    geom = getattr(f, "_lr_geom_sink", None)
     while y + stripe_h <= row_h:
         have_bottom = sby + 1 != f.sbh or y + stripe_h != row_h
         e = (edges & ~LR_HAVE_BOTTOM) | (LR_HAVE_BOTTOM if have_bottom
                                          else 0)
+        if geom is not None:
+            # device-resident chain: record geometry + params only
+            if ty == RT.WIENER:
+                geom.setdefault(("w", unit_w, stripe_h), []).append(
+                    (pl, x, y, e, h, lr["filter_h"], lr["filter_v"]))
+            else:
+                sgr_idx = lr["type"] - int(RT.SGRPROJ)
+                s0 = int(tables.sgr_params[sgr_idx][0])
+                s1 = int(tables.sgr_params[sgr_idx][1])
+                w0 = lr["sgr_weights"][0]
+                w1 = 128 - (lr["sgr_weights"][0] + lr["sgr_weights"][1])
+                variant = 2 if (s0 and s1) else (0 if s0 else 1)
+                geom.setdefault(("s", unit_w, stripe_h, variant),
+                                []).append(
+                    (pl, x, y, e, h, s0, s1, w0, w1))
+            y += stripe_h
+            edges |= LR_HAVE_TOP
+            stripe_h = min(64 >> ss_ver, row_h - y)
+            if stripe_h == 0:
+                break
+            continue
         P = _pad_unit(src, pre_cdef, x, y, unit_w, stripe_h, h, e)
         if ty == RT.WIENER:
             sink = getattr(f, "_lr_wiener_sink", None)
@@ -180,6 +230,33 @@ def _lr_stripes(f, pl, src, x, y, unit_w, row_h, lr, edges, ss_ver,
         stripe_h = min(64 >> ss_ver, row_h - y)
         if stripe_h == 0:
             break
+
+
+def _pad_unit_indices(x0, y0, unit_w, stripe_h, h, edges, W, H):
+    """Gather-index form of _pad_unit for the device-resident chain:
+    the source is S = concat(post-CDEF plane, pre-CDEF plane) (2H rows);
+    returns (rows (stripe_h+6,), cols (unit_w+6,)) with
+    P = S[rows][:, cols]."""
+    cols = np.arange(x0 - 3, x0 + unit_w + 3)
+    if not (edges & LR_HAVE_LEFT):
+        cols = np.maximum(cols, x0)
+    if not (edges & LR_HAVE_RIGHT):
+        cols = np.minimum(cols, x0 + unit_w - 1)
+    cols = np.clip(cols, 0, W - 1)
+    rows = np.empty(stripe_h + 6, dtype=np.int64)
+    rows[3 : 3 + stripe_h] = np.arange(y0, y0 + stripe_h)
+    if edges & LR_HAVE_TOP:
+        rows[0] = rows[1] = H + y0 - 2
+        rows[2] = H + y0 - 1
+    else:
+        rows[0:3] = y0
+    if edges & LR_HAVE_BOTTOM:
+        rows[3 + stripe_h] = H + y0 + stripe_h
+        rows[4 + stripe_h] = rows[5 + stripe_h] = \
+            H + min(y0 + stripe_h + 1, h - 1)
+    else:
+        rows[3 + stripe_h :] = y0 + stripe_h - 1
+    return rows.astype(np.int32), cols.astype(np.int32)
 
 
 def _pad_unit(src, pre_cdef, x0, y0, unit_w, stripe_h, h, edges):

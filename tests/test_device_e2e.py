@@ -35,6 +35,10 @@ CASES = {
                   options={"denoise-noise-level": 25}),
     # 10-bit (int32 device paths)
     "hbd10": dict(n=3, w=128, h=96, bitdepth=10),
+    # super-res + restoration: the full device-resident chain
+    # deblock -> CDEF -> resize -> LR (recon/device_chain.py)
+    "superres_lr": dict(n=4, w=160, h=128, cpu_used=4,
+                        superres=(1, 16, 16, 63, 63)),
 }
 
 
