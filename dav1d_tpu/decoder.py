@@ -89,12 +89,13 @@ class Picture:
 
 class _RefSlot:
     __slots__ = ("frame_hdr", "seq_hdr", "planes", "segmap", "cdf",
-                 "showable", "visible", "refmvs", "refpoc")
+                 "showable", "visible", "refmvs", "refpoc", "dev_planes")
 
     def __init__(self):
         self.frame_hdr = None
         self.seq_hdr = None
         self.planes = None
+        self.dev_planes = None  # device-resident copies (device chain)
         self.segmap = None
         self.cdf = None
         self.showable = False
@@ -425,6 +426,7 @@ class Decoder:
         decode_frame_finish(f)
         for slot in slots:
             slot.planes = f.sr_planes
+            slot.dev_planes = getattr(f, "_dev_planes", None)
         # output (reference src/decode.c:3544: invisible frames are
         # output too when output_invisible_frames is set)
         pic = self._make_picture(f)

@@ -39,6 +39,20 @@ def _rnd_shift(x: jnp.ndarray, sh: int) -> jnp.ndarray:
     return (x + ((1 << sh) >> 1)) >> sh
 
 
+def _put_core(src, fh, fv, w, h, bitdepth):
+    ib = intermediate_bits(bitdepth)
+    # Horizontal pass over all h+7 rows: mid[n, y, x] for x in [0, w)
+    # src window column x corresponds to tap offsets x + [0..7].
+    taps = jnp.stack([src[:, :, t : t + w] for t in range(8)], axis=-1)
+    mid = jnp.sum(taps * fh[:, None, None, :], axis=-1, dtype=jnp.int32)
+    mid = _rnd_shift(mid, 6 - ib)
+    # Vertical pass over h rows.
+    vtaps = jnp.stack([mid[:, t : t + h, :] for t in range(8)], axis=-1)
+    out = jnp.sum(vtaps * fv[:, None, None, :], axis=-1, dtype=jnp.int32)
+    out = _rnd_shift(out, 6 + ib)
+    return jnp.clip(out, 0, (1 << bitdepth) - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("w", "h", "bitdepth"))
 def put_8tap(
     src: jnp.ndarray,  # (N, h+7, w+7) int32 pixels
@@ -51,17 +65,32 @@ def put_8tap(
 ) -> jnp.ndarray:
     """Batched put_8tap, bit-exact with reference put_8tap_c for every
     (mx, my) combination (see module docstring for the equivalence proof)."""
-    ib = intermediate_bits(bitdepth)
-    # Horizontal pass over all h+7 rows: mid[n, y, x] for x in [0, w)
-    # src window column x corresponds to tap offsets x + [0..7].
-    taps = jnp.stack([src[:, :, t : t + w] for t in range(8)], axis=-1)
-    mid = jnp.sum(taps * fh[:, None, None, :], axis=-1, dtype=jnp.int32)
-    mid = _rnd_shift(mid, 6 - ib)
-    # Vertical pass over h rows.
-    vtaps = jnp.stack([mid[:, t : t + h, :] for t in range(8)], axis=-1)
-    out = jnp.sum(vtaps * fv[:, None, None, :], axis=-1, dtype=jnp.int32)
-    out = _rnd_shift(out, 6 + ib)
-    return jnp.clip(out, 0, (1 << bitdepth) - 1)
+    return _put_core(src, fh, fv, w, h, bitdepth)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "bitdepth"))
+def put_8tap_resident(
+    plane: jnp.ndarray,  # device-resident reference plane
+    dys: jnp.ndarray,  # (N,) int32 block-origin rows
+    dxs: jnp.ndarray,  # (N,) int32 block-origin cols
+    fh: jnp.ndarray,
+    fv: jnp.ndarray,
+    vw,  # valid width/height of the reference (dynamic scalars: one
+    vh,  # program per (w, h), shared across ref slots)
+    *,
+    w: int,
+    h: int,
+    bitdepth: int,
+) -> jnp.ndarray:
+    """put_8tap gathering its windows from a device-resident reference
+    plane (the 8-slot ref state living on the chip between frames —
+    SURVEY §5 checkpoint/resume note): clamped index gather (emu_edge)
+    happens on device, so only block coords and filter rows cross the
+    host boundary."""
+    ys = jnp.clip(dys[:, None] + jnp.arange(-3, h + 4)[None], 0, vh - 1)
+    xs = jnp.clip(dxs[:, None] + jnp.arange(-3, w + 4)[None], 0, vw - 1)
+    src = plane[ys[:, :, None], xs[:, None, :]]
+    return _put_core(src, fh, fv, w, h, bitdepth)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "bitdepth"))

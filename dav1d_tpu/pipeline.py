@@ -243,12 +243,66 @@ def _launch_mc_device(f, glue, n):
         (np.concatenate(c) for c in zip(*jobs))
 
     subf = np.ascontiguousarray(tables.mc_subpel_filters, dtype=np.int32)
+
+    def filter_rows(sel, nb):
+        fh = np.zeros((nb, 8), dtype=np.int32)
+        fv = np.zeros((nb, 8), dtype=np.int32)
+        N = len(sel)
+        gmx = np.zeros(nb, dtype=np.int32)
+        gmy = np.zeros(nb, dtype=np.int32)
+        gmx[:N], gmy[:N] = jmx[sel], jmy[sel]
+        hz = gmx == 0
+        fh[hz, 3] = 64
+        sets = np.zeros(nb, dtype=np.int64)
+        sets[:N] = jfh[sel]
+        fh[~hz] = subf[sets[~hz], gmx[~hz] - 1]
+        vz = gmy == 0
+        fv[vz, 3] = 64
+        sets[:N] = jfv[sel]
+        fv[~vz] = subf[sets[~vz], gmy[~vz] - 1]
+        return fh, fv
+
     launched = []
     key = (jw.astype(np.int64) << 16) | jh
     order = np.argsort(key, kind="stable")
     cuts = np.flatnonzero(np.diff(key[order])) + 1
     for g in np.split(order, cuts):
         w, h = int(jw[g[0]]), int(jh[g[0]])
+        # split per (ref slot, plane); slots finished through the device
+        # chain carry resident planes — those jobs gather ON DEVICE
+        # (ops/mc.py put_8tap_resident), the rest gather host windows
+        gkey = (jrefs[g].astype(np.int64) << 4) | pls[g]
+        host_rel = []
+        for sg_rel in _split_groups(gkey):
+            sg = g[sg_rel]
+            r, pl = int(jrefs[sg[0]]), int(pls[sg[0]])
+            slot = f.refp[r]
+            devp = getattr(slot, "dev_planes", None)
+            if devp is None:
+                host_rel.append(sg_rel)
+                continue
+            ss_h = ss_hor if pl else 0
+            ss_v = ss_ver if pl else 0
+            vw = (slot.frame_hdr.width[1] + ss_h) >> ss_h
+            vh = (slot.frame_hdr.height + ss_v) >> ss_v
+            N = len(sg)
+            nb = 1
+            while nb < N:
+                nb <<= 1
+            dys = np.zeros(nb, dtype=np.int32)
+            dxs = np.zeros(nb, dtype=np.int32)
+            dys[:N], dxs[:N] = jdy[sg], jdx[sg]
+            fh, fv = filter_rows(sg, nb)
+            fut = dmc.put_8tap_resident(
+                devp[pl], jnp.asarray(dys), jnp.asarray(dxs),
+                jnp.asarray(fh), jnp.asarray(fv),
+                np.int32(vw), np.int32(vh), w=w, h=h,
+                bitdepth=f.bitdepth)
+            fut.copy_to_host_async()
+            launched.append((fut, (pls[sg], jdsty[sg], jdstx[sg], h, w)))
+        if not host_rel:
+            continue
+        g = g[np.concatenate(host_rel)]
         N = len(g)
         # pad the batch to a power of two so programs are reused across
         # frames (same rationale as the itx batches)
@@ -270,20 +324,7 @@ def _launch_mc_device(f, glue, n):
             ys = np.clip(jdy[sg][:, None] + np.arange(-3, h + 4), 0, vh - 1)
             xs = np.clip(jdx[sg][:, None] + np.arange(-3, w + 4), 0, vw - 1)
             win[sg_rel] = plane[ys[:, :, None], xs[:, None, :]]
-        fh = np.zeros((nb, 8), dtype=np.int32)
-        fv = np.zeros((nb, 8), dtype=np.int32)
-        gmx = np.zeros(nb, dtype=np.int32)
-        gmy = np.zeros(nb, dtype=np.int32)
-        gmx[:N], gmy[:N] = jmx[g], jmy[g]
-        hz = gmx == 0
-        fh[hz, 3] = 64
-        sets = np.zeros(nb, dtype=np.int64)
-        sets[:N] = jfh[g]
-        fh[~hz] = subf[sets[~hz], gmx[~hz] - 1]
-        vz = gmy == 0
-        fv[vz, 3] = 64
-        sets[:N] = jfv[g]
-        fv[~vz] = subf[sets[~vz], gmy[~vz] - 1]
+        fh, fv = filter_rows(g, nb)
         fut = dmc.put_8tap(jnp.asarray(win), jnp.asarray(fh),
                            jnp.asarray(fv), w=w, h=h, bitdepth=f.bitdepth)
         fut.copy_to_host_async()

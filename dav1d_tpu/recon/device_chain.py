@@ -178,6 +178,11 @@ def filter_chain_device(f) -> bool:
         for pl in range(len(f.planes)):
             f.planes[pl][:, :] = np.asarray(dev[pl])
         f.sr_planes = f.planes
+    # the final resident planes ARE the reference state future frames'
+    # device MC gathers from (ops/mc.py put_8tap_resident) — stash them
+    # so the decoder binds them into the ref slots alongside the host
+    # planes
+    f._dev_planes = dev
     return True
 
 
