@@ -121,7 +121,7 @@ def main():
 
     use_device.cache_clear()
     tus = [tu for tu, _ in read_ivf(STREAM.read_bytes())]
-    host_fps, digest = _decode_fps(tus, 5)
+    host_fps, digest = _decode_fps(tus, 7)
     os.environ.pop("DAV1D_TPU_DEVICE", None)
     use_device.cache_clear()
 
