@@ -20,6 +20,21 @@ from ..levels import BlockLevel
 from ..recon.lf import calc_eih, calc_lf_values, deblock_frame
 from .tile import BlockContext, TaskContext, TileState, decode_sb
 
+_TILE_POOL = None
+_TILE_POOL_SIZE = 0
+
+
+def _tile_pool(n):
+    """Process-wide worker pool for tile-column pass-1 parallelism."""
+    global _TILE_POOL, _TILE_POOL_SIZE
+    if _TILE_POOL is None or _TILE_POOL_SIZE < n:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _TILE_POOL = ThreadPoolExecutor(max_workers=n,
+                                        thread_name_prefix="dav1d_tpu-tile")
+        _TILE_POOL_SIZE = n
+    return _TILE_POOL
+
 
 def init_quant_tables(seq_hdr, frame_hdr, qidx):
     """(8, 3 planes, 2 dc/ac) uint16 dequant values
@@ -541,20 +556,36 @@ def decode_frame_pass1(f: FrameContext, tile_groups,
 
     # native C pass 1: the whole tile-sbrow symbol walk + capture in one
     # call per (tile, sbrow) (native/decode.c); Python decode_tile_sbrow
-    # remains the fused-mode path and the fallback
+    # remains the fused-mode path and the fallback.  With n_threads >= 2
+    # and multiple tile columns, the columns of each superblock row
+    # decode on concurrent threads (the reference's tile-task
+    # parallelism, src/thread_task.c TILE_ENTROPY; each tile captures
+    # into its own arena slice, decode_glue._setup_parallel)
     nat = None
+    par_cols = 0
     if two_pass and os.environ.get("DAV1D_TPU_NO_NATIVE_DECODE") != "1":
         from .. import debug
         from ..msac import MsacNative
         from ..native import decode_glue
         if decode_glue.available() and not debug.TRACE \
                 and isinstance(f.ts[0].msac, MsacNative):
+            par = (getattr(f, "n_threads", 0) >= 2
+                   and hdr.tiling.cols > 1
+                   and os.environ.get("DAV1D_TPU_ITX_PALLAS") != "1")
             try:
-                nat = decode_glue.NativeFrameDecode(f)
+                nat = decode_glue.NativeFrameDecode(
+                    f, parallel_tiles=f.ts if par else None)
+                if par:
+                    par_cols = hdr.tiling.cols
             except RuntimeError:
                 nat = None
 
     from ..refmvs import load_tmvs, save_tmvs
+    if par_cols:
+        pool = _tile_pool(min(f.n_threads, par_cols))
+        t_cols = [TaskContext(f) for _ in range(par_cols)]
+        for tc in t_cols:
+            tc.pass_ = t.pass_
     for tile_row in range(hdr.tiling.rows):
         sbh_end = min(hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
         for sby in range(hdr.tiling.row_start_sb[tile_row], sbh_end):
@@ -562,14 +593,27 @@ def decode_frame_pass1(f: FrameContext, tile_groups,
             by_end = (t.by + f.sb_step) >> 1
             if hdr.use_ref_frame_mvs and f.rf is not None:
                 load_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
-            for tile_col in range(hdr.tiling.cols):
-                t.ts = f.ts[tile_row * hdr.tiling.cols + tile_col]
-                if nat is not None:
-                    nat.decode_tile_sbrow(t)
-                else:
-                    decode_tile_sbrow(t)
+            if par_cols:
+                # tiles of this sbrow in parallel: per-column contexts,
+                # disjoint arena slices / above-ctx / frame buffers
+                for c in range(par_cols):
+                    t_cols[c].by = t.by
+                    t_cols[c].ts = f.ts[tile_row * par_cols + c]
+                futs = [pool.submit(nat.decode_tile_sbrow, t_cols[c])
+                        for c in range(par_cols)]
+                for fu in futs:
+                    fu.result()
+            else:
+                for tile_col in range(hdr.tiling.cols):
+                    t.ts = f.ts[tile_row * hdr.tiling.cols + tile_col]
+                    if nat is not None:
+                        nat.decode_tile_sbrow(t)
+                    else:
+                        decode_tile_sbrow(t)
             if hdr.frame_type.is_inter_or_switch and f.rf is not None:
                 save_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
+    if par_cols:
+        nat.finish_parallel()
 
     f._two_pass = two_pass
     f._launched = None

@@ -358,6 +358,7 @@ class Decoder:
                          if hdr.frame_type.is_inter_or_switch else None)
         f.inloop_filters = self.settings.inloop_filters
         f.mesh = self.settings.mesh
+        f.n_threads = self.settings.n_threads
         two_pass = self.settings.two_pass or self.settings.mesh is not None
         if not two_pass:
             # fused reconstruction reads ref pixels during pass 1 —

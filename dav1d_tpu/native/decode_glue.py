@@ -363,7 +363,11 @@ def _pool_put(name, arr, used_rows):
 class NativeFrameDecode:
     """Per-frame native pass-1 state: ctypes mirrors + capture arenas."""
 
-    def __init__(self, f):
+    def __init__(self, f, parallel_tiles=None):
+        """parallel_tiles: list of TileStates (decode order) to give
+        each tile its own disjoint capture-arena slice so tile columns
+        of an sbrow can decode on concurrent threads (SURVEY §2.7 tile
+        data-parallelism on the host); None = shared-cursor serial."""
         _check_abi()
         from ..obu import get_poc_diff
         from ..refmvs import _nat_frame
@@ -373,6 +377,7 @@ class NativeFrameDecode:
         self.f = f
         c = self.c = CFrameCtx()
         keep = self.keep = []
+        self.parallel = bool(parallel_tiles)
 
         c.bw, c.bh, c.w4, c.h4 = f.bw, f.bh, f.w4, f.h4
         c.sb128 = int(seq.sb128)
@@ -568,15 +573,22 @@ class NativeFrameDecode:
         n_px = 16 * n_cells
         chroma_px = 0 if f.layout == 0 else \
             2 * ((n_px >> (f.ss_hor + f.ss_ver)) + 4 * f.bw + 4 * f.bh)
-        self.cap_blocks = _pool_get("blocks", n_cells + 64, CAP_BLOCK_DT)
+        # per-tile slicing inflates every arena by the per-tile margins
+        # (each slice carries its own rounding/overshoot headroom)
+        n_t = len(parallel_tiles) if parallel_tiles else 1
+        marg = 64 * n_t
+        cf_marg = (4096 + 8 * (f.bw + f.bh)) * n_t
+        self.cap_blocks = _pool_get("blocks", n_cells + marg, CAP_BLOCK_DT)
         self.cap_coef_meta = _pool_get(
-            "coef_meta", (3 * n_cells + 64, CAP_COEF_WORDS), np.int32)
-        self.cf_arena = _pool_get("cf", n_px + chroma_px + 4096, np.int32)
-        self.cap_obmc = _pool_get("obmc", 8 * n_cells + 64, CAP_OBMC_DT)
-        self.cap_warp = _pool_get("warp", n_cells + 64, CAP_WARP_DT)
-        self.cap_pal = _pool_get("pal", (n_cells // 4 + 64, 3, 8),
+            "coef_meta", (3 * n_cells + marg, CAP_COEF_WORDS), np.int32)
+        self.cf_arena = _pool_get("cf", n_px + chroma_px + cf_marg,
+                                  np.int32)
+        self.cap_obmc = _pool_get("obmc", 8 * n_cells + marg, CAP_OBMC_DT)
+        self.cap_warp = _pool_get("warp", n_cells + marg, CAP_WARP_DT)
+        self.cap_pal = _pool_get("pal", (n_cells // 4 + marg, 3, 8),
                                  np.uint16)
-        self.pal_arena = _pool_get("pal_arena", n_px + (chroma_px or 1),
+        self.pal_arena = _pool_get("pal_arena",
+                                   n_px + (chroma_px or 1) + cf_marg,
                                    np.uint8)
         c.cap_blocks = _np_ptr(self.cap_blocks)
         c.cap_blocks_cap = len(self.cap_blocks)
@@ -600,6 +612,97 @@ class NativeFrameDecode:
 
         self.tiles = {}   # id(ts) -> (CTileCtx, CTaskCtx keepalive...)
         self.block_tile = []  # (n_blocks_after, ts)
+        self.tile_fctx = {}   # parallel mode: id(ts) -> CFrameCtx clone
+        self.tile_order = None
+        if parallel_tiles:
+            self._setup_parallel(parallel_tiles)
+
+    def _setup_parallel(self, tiles):
+        """Slice every capture arena into disjoint per-tile ranges and
+        clone CFrameCtx per tile with cursors pre-set to its slice start
+        and caps to its slice end — recorded indices stay ABSOLUTE, so
+        the replay/pipeline consumers read the shared arenas unchanged.
+        Gaps between a tile's used prefix and the next slice are marked
+        invalid in finish_parallel."""
+        f = self.f
+        self.tile_order = list(tiles)
+        chroma = f.layout != 0
+        ss = f.ss_hor + f.ss_ver
+        cur = dict(blocks=0, coef=0, cf=0, obmc=0, warp=0, pal=0, pala=0)
+        for ts in tiles:
+            cells = (ts.col_end - ts.col_start) * \
+                (ts.row_end - ts.row_start)
+            px = 16 * cells
+            cpx = (2 * (px >> ss)) if chroma else 0
+            fc = CFrameCtx()
+            ctypes.memmove(ctypes.byref(fc), ctypes.byref(self.c),
+                           ctypes.sizeof(CFrameCtx))
+            caps = dict(blocks=cells + 64, coef=3 * cells + 64,
+                        cf=px + cpx + 4096 + 8 * (f.bw + f.bh),
+                        obmc=8 * cells + 64, warp=cells + 64,
+                        pal=cells // 4 + 64,
+                        pala=px + cpx + 4096)
+            fc.n_blocks = cur["blocks"]
+            fc.cap_blocks_cap = cur["blocks"] = \
+                cur["blocks"] + caps["blocks"]
+            fc.n_coef_meta = cur["coef"]
+            fc.cap_coef_cap = cur["coef"] = cur["coef"] + caps["coef"]
+            fc.cf_used = cur["cf"]
+            fc.cf_arena_cap = cur["cf"] = cur["cf"] + caps["cf"]
+            fc.n_obmc = cur["obmc"]
+            fc.cap_obmc_cap = cur["obmc"] = cur["obmc"] + caps["obmc"]
+            fc.n_warp = cur["warp"]
+            fc.cap_warp_cap = cur["warp"] = cur["warp"] + caps["warp"]
+            fc.n_pal = cur["pal"]
+            fc.cap_pal_cap = cur["pal"] = cur["pal"] + caps["pal"]
+            fc.pal_used = cur["pala"]
+            fc.pal_arena_cap = cur["pala"] = cur["pala"] + caps["pala"]
+            self.tile_fctx[id(ts)] = \
+                (fc, fc.n_blocks, fc.n_coef_meta, fc.cf_used, fc.n_obmc,
+                 fc.n_warp, fc.n_pal, fc.pal_used)
+        assert cur["blocks"] <= len(self.cap_blocks)
+        assert cur["coef"] <= len(self.cap_coef_meta)
+        assert cur["cf"] <= len(self.cf_arena)
+        assert cur["obmc"] <= len(self.cap_obmc)
+        assert cur["warp"] <= len(self.cap_warp)
+        assert cur["pal"] <= len(self.cap_pal)
+        assert cur["pala"] <= len(self.pal_arena)
+
+    def finish_parallel(self):
+        """Merge per-tile cursors back into the shared ctx (max used —
+        the prefix every consumer and the pool re-zero cover) and mark
+        the coef-meta gap rows invalid (eob -1: excluded by the residual
+        launcher's validity mask)."""
+        c = self.c
+        err = 0
+        for ts in self.tile_order:
+            fc = self.tile_fctx[id(ts)][0]
+            err |= fc.error
+            c.n_blocks = max(c.n_blocks, fc.n_blocks)
+            c.n_coef_meta = max(c.n_coef_meta, fc.n_coef_meta)
+            c.cf_used = max(c.cf_used, fc.cf_used)
+            c.n_obmc = max(c.n_obmc, fc.n_obmc)
+            c.n_warp = max(c.n_warp, fc.n_warp)
+            c.n_pal = max(c.n_pal, fc.n_pal)
+            c.pal_used = max(c.pal_used, fc.pal_used)
+        c.error |= err
+        ends = [self.tile_fctx[id(ts)][1] for ts in self.tile_order[1:]]
+        ends.append(int(c.n_coef_meta))
+        for ts, nxt in zip(self.tile_order, ends):
+            fc = self.tile_fctx[id(ts)][0]
+            if fc.n_coef_meta < nxt:
+                self.cap_coef_meta[fc.n_coef_meta : nxt, 0] = -1
+
+    def block_ranges(self):
+        """Used capture-block ranges in decode order: [(start, end)].
+        Parallel mode returns one per tile (slices leave gaps of zeroed
+        CapBlocks the replay walks must never visit); serial mode is the
+        single dense range."""
+        if not self.tile_order:
+            return [(0, int(self.c.n_blocks))]
+        return [(self.tile_fctx[id(ts)][1],
+                 int(self.tile_fctx[id(ts)][0].n_blocks))
+                for ts in self.tile_order]
 
     def tile_ctx(self, ts):
         ent = self.tiles.get(id(ts))
@@ -692,8 +795,9 @@ class NativeFrameDecode:
         t.l.reset(f.frame_is_intra)
         t.pal_sz_uv[1].fill(0)
 
+        fctx = self.tile_fctx[id(ts)][0] if self.parallel else self.c
         ctask = CTaskCtx()
-        ctask.f = ctypes.cast(ctypes.byref(self.c), _ptr)
+        ctask.f = ctypes.cast(ctypes.byref(fctx), _ptr)
         ctask.ts = ctypes.cast(ctypes.byref(ct), _ptr)
         ctask.by = t.by
         ctask.bx = ts.col_start
@@ -707,7 +811,7 @@ class NativeFrameDecode:
         ctask.tl_4x4_filter = t.tl_4x4_filter
 
         err = _native.dtpu_decode_tile_sbrow(
-            ctypes.byref(self.c), ctypes.byref(ct), ctypes.byref(ctask))
+            ctypes.byref(fctx), ctypes.byref(ct), ctypes.byref(ctask))
         t.tl_4x4_filter = ctask.tl_4x4_filter
         if err:
             raise ValueError(
@@ -730,7 +834,8 @@ class NativeFrameDecode:
             t.l.tx_lpf_uv[off16 >> ss_ver:
                           (off16 >> ss_ver) + (f.sb_step >> ss_ver)]
 
-        self.block_tile.append((int(self.c.n_blocks), ts))
+        if not self.parallel:
+            self.block_tile.append((int(self.c.n_blocks), ts))
 
     def build_replay_ctx(self, resid_ptrs, resid_elsz):
         """DtpuReplayCtx for the native pass-2 intra replay (replay.c):
@@ -756,18 +861,26 @@ class NativeFrameDecode:
         # per-block tile index + tile bounds (block_tile holds the block
         # count AFTER each sbrow call and its TileState)
         n = int(self.c.n_blocks)
-        tile_of_block = np.empty(n, dtype=np.int32)
+        tile_of_block = np.full(n, -1, dtype=np.int32)  # -1 = slice gap
         ts_idx = {}
         bounds = []
-        prev = 0
-        for end, ts in self.block_tile:
-            ti = ts_idx.get(id(ts))
-            if ti is None:
-                ti = ts_idx[id(ts)] = len(bounds)
+        if self.parallel:
+            for ts in self.tile_order:
+                fc, start = self.tile_fctx[id(ts)][:2]
+                ti = len(bounds)
                 bounds.append([ts.col_start, ts.col_end,
                                ts.row_start, ts.row_end])
-            tile_of_block[prev:end] = ti
-            prev = end
+                tile_of_block[start : int(fc.n_blocks)] = ti
+        else:
+            prev = 0
+            for end, ts in self.block_tile:
+                ti = ts_idx.get(id(ts))
+                if ti is None:
+                    ti = ts_idx[id(ts)] = len(bounds)
+                    bounds.append([ts.col_start, ts.col_end,
+                                   ts.row_start, ts.row_end])
+                tile_of_block[prev:end] = ti
+                prev = end
         tile_bounds = np.ascontiguousarray(bounds, dtype=np.int32) \
             if bounds else np.zeros((1, 4), dtype=np.int32)
         rc.tile_of_block = _np_ptr(tile_of_block)
@@ -841,7 +954,14 @@ class NativeFrameDecode:
 
     def ts_of_block(self, i):
         """TileState owning capture block i (block_tile holds the block
-        count AFTER each sbrow call and its TileState)."""
+        count AFTER each sbrow call and its TileState; parallel mode
+        resolves through the slice ranges)."""
+        if self.parallel:
+            for ts in self.tile_order:
+                fc, start = self.tile_fctx[id(ts)][:2]
+                if start <= i < int(fc.n_blocks):
+                    return ts
+            raise IndexError(i)
         for end, ts in self.block_tile:
             if i < end:
                 return ts

@@ -387,12 +387,18 @@ def _run_pass2_native(f, st) -> None:
         mc_st = _launch_mc_device(f, glue, n)
 
     # phase A: order-free inter predictions (+ residual adds on the host
-    # tier, where the batches are already computed)
+    # tier, where the batches are already computed).  Walks are ranged
+    # per tile slice: parallel pass 1 leaves zeroed gap rows between
+    # slices that must never be visited (serial mode is one range).
+    ranges = glue.block_ranges()
+    handled_ptr = mc_st.handled.ctypes.data if mc_st is not None else None
     skipped = np.empty(n, dtype=np.int64)
-    ns = int(_nlib.dtpu_inter_replay(
-        ctypes.byref(rc), ctypes.byref(ic), 0, n, int(host_tier),
-        skipped.ctypes.data,
-        mc_st.handled.ctypes.data if mc_st is not None else None))
+    ns = 0
+    for s, e in ranges:
+        if s < e:
+            ns += int(_nlib.dtpu_inter_replay(
+                ctypes.byref(rc), ctypes.byref(ic), s, e, int(host_tier),
+                skipped.ctypes.data + 8 * ns, handled_ptr))
     recs = []
     if ns:
         t.device_resid = not host_tier
@@ -405,9 +411,11 @@ def _run_pass2_native(f, st) -> None:
     if not host_tier:
         # device results arrive while phase A ran; fetch + add
         st.collect()
-        _nlib.dtpu_add_inter_residuals(
-            ctypes.byref(rc), 0, n, skipped.ctypes.data, ns,
-            mc_st.handled.ctypes.data if mc_st is not None else None)
+        for s, e in ranges:
+            if s < e:
+                _nlib.dtpu_add_inter_residuals(
+                    ctypes.byref(rc), s, e, skipped.ctypes.data, ns,
+                    handled_ptr)
         for rec in recs:
             start = rec["_cap"][1]
             for k, ent in enumerate(rec["coefs"]):
@@ -422,15 +430,18 @@ def _run_pass2_native(f, st) -> None:
                                        mc_st.block_idxs.ctypes.data,
                                        len(mc_st.block_idxs))
 
-    # phase B: ordered intra walk; C stops at blocks needing Python
-    cursor = 0
-    while cursor < n:
-        k = int(_nlib.dtpu_intra_replay(ctypes.byref(rc), cursor, n))
-        cursor += k
-        if cursor < n:
-            rec = glue.build_record(cursor, st.resid_of_meta)
-            _replay_one(t, rec)
-            cursor += 1
+    # phase B: ordered intra walk; C stops at blocks needing Python.
+    # per-tile ranges are a valid order: intra prediction never crosses
+    # tile boundaries (the reference reconstructs tiles independently)
+    for s, e in ranges:
+        cursor = s
+        while cursor < e:
+            k = int(_nlib.dtpu_intra_replay(ctypes.byref(rc), cursor, e))
+            cursor += k
+            if cursor < e:
+                rec = glue.build_record(cursor, st.resid_of_meta)
+                _replay_one(t, rec)
+                cursor += 1
 
 
 def _launch_residuals(f):

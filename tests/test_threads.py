@@ -55,6 +55,30 @@ def test_worker_thread_bit_exact(stream, two_pass):
     assert got == ref
 
 
+def test_tile_parallel_pass1_bit_exact(tmp_path):
+    """n_threads >= 2 decodes the tile columns of each sbrow on
+    concurrent threads with per-tile arena slices
+    (decode_glue._setup_parallel): must be byte-exact vs serial."""
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Settings
+
+    p = tmp_path / "tiles.ivf"
+    enc = AomEncoder(width=256, height=192, usage="good", cpu_used=6,
+                     q=40, kf_max_dist=4, lag=0,
+                     options={"tile-columns": 1, "tile-rows": 1,
+                              "denoise-noise-level": 10})
+    pkts = enc.encode(gradient_frames(6, 256, 192))
+    enc.close()
+    write_ivf_packets(p, pkts, 256, 192)
+    tus = [tu for tu, _ in read_ivf(p.read_bytes())]
+
+    n0, ref = _md5(tus, Settings(two_pass=True))
+    for nt in (2, 4):
+        nn, got = _md5(tus, Settings(two_pass=True, n_threads=nt,
+                                     max_frame_delay=3))
+        assert (nn, got) == (n0, ref), f"n_threads={nt}"
+
+
 def test_worker_thread_flush_recovers(stream):
     from dav1d_tpu.containers import read_ivf
     from dav1d_tpu.decoder import Decoder, Settings
