@@ -486,6 +486,138 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
  * dav1d_tpu/recon/mc_np.py put_8tap/prep_8tap (reference put_8tap_c,
  * src/mc_tmpl.c:130). Edge replication via clamped gather (emu_edge).
  * fh/fv: 8-tap int64 rows or NULL. */
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+/* Interior 2-D 8-tap via int16 pair-madd (the dav1d asm formulation,
+ * re-derived for AVX-512VL intrinsics; reference src/x86/mc16_avx2.asm
+ * idea only — code written from the arithmetic):
+ *   - the int32 source window converts once into a padded int16 copy
+ *   - H pass: 4 pmaddwd tap-pairs per 16 mids, unpack(src[x+k],
+ *     src[x+k+1]) producing pair lanes; packs_epi32 of the lo/hi
+ *     accumulators restores column order exactly
+ *   - V pass: same pair trick over mid rows, permute2x128 re-orders
+ *   - masked tail stores; over-compute runs into own scratch padding
+ * Mids fit int16 for every bitdepth: |acc_h| <= maxp * sum|f| with the
+ * (6-ib) shift scaling it back to ~2^13.5 (ib=4/2/0 at 8/10/12-bit).
+ * Single-threaded scratch: pass 2 runs on one host thread (see s_tmp0
+ * in replay_inter.c). */
+static int16_t mc_src16[135 * 152];
+static int16_t mc_mid16[135 * 144];
+
+static void put_8tap_hv_madd(const int32_t *restrict plane, int64_t stride,
+                             int dy, int dx, int w, int h,
+                             const int64_t *fh, const int64_t *fv,
+                             int ib, int maxp, int prep, int prep_bias,
+                             int32_t *restrict out, int64_t ostride)
+{
+    const int sstride = 152, mstride = 144;
+    const int win = w + 7;
+
+    /* stage 1: int32 window -> int16 copy (masked tail load: lanes
+     * beyond the interior guarantee never touch memory) */
+    const int full = win >> 4, rem = win & 15;
+    const __mmask16 tmask = (__mmask16)((1u << rem) - 1);
+    for (int y = 0; y < h + 7; y++) {
+        const int32_t *row = plane + (int64_t)(dy - 3 + y) * stride + (dx - 3);
+        int16_t *srow = mc_src16 + y * sstride;
+        int x = 0;
+        for (; x < full * 16; x += 16)
+            _mm256_storeu_si256((__m256i *)(srow + x),
+                _mm512_cvtepi32_epi16(_mm512_loadu_si512(row + x)));
+        if (rem)
+            _mm256_storeu_si256((__m256i *)(srow + x),
+                _mm512_cvtepi32_epi16(
+                    _mm512_maskz_loadu_epi32(tmask, row + x)));
+    }
+
+    /* broadcast tap pairs (f[k], f[k+1]) as packed int16x2 */
+    __m256i hp[4], vp[4];
+    for (int k = 0; k < 4; k++) {
+        hp[k] = _mm256_set1_epi32((int32_t)(
+            (uint32_t)(uint16_t)(int16_t)fh[2 * k] |
+            ((uint32_t)(uint16_t)(int16_t)fh[2 * k + 1] << 16)));
+        vp[k] = _mm256_set1_epi32((int32_t)(
+            (uint32_t)(uint16_t)(int16_t)fv[2 * k] |
+            ((uint32_t)(uint16_t)(int16_t)fv[2 * k + 1] << 16)));
+    }
+
+    /* stage 2: H pass, 16 mids per iteration */
+    const __m256i rnd_h = _mm256_set1_epi32((1 << (6 - ib)) >> 1);
+    const int sh_h = 6 - ib;
+    for (int y = 0; y < h + 7; y++) {
+        const int16_t *srow = mc_src16 + y * sstride;
+        int16_t *mrow = mc_mid16 + y * mstride;
+        for (int x = 0; x < w; x += 16) {
+            __m256i alo = _mm256_setzero_si256(), ahi = alo;
+            for (int k = 0; k < 4; k++) {
+                const __m256i a = _mm256_loadu_si256(
+                    (const __m256i *)(srow + x + 2 * k));
+                const __m256i b = _mm256_loadu_si256(
+                    (const __m256i *)(srow + x + 2 * k + 1));
+                alo = _mm256_add_epi32(alo, _mm256_madd_epi16(
+                    _mm256_unpacklo_epi16(a, b), hp[k]));
+                ahi = _mm256_add_epi32(ahi, _mm256_madd_epi16(
+                    _mm256_unpackhi_epi16(a, b), hp[k]));
+            }
+            alo = _mm256_srai_epi32(_mm256_add_epi32(alo, rnd_h), sh_h);
+            ahi = _mm256_srai_epi32(_mm256_add_epi32(ahi, rnd_h), sh_h);
+            /* packs per 128-lane = (lo0..3, hi0..3 | lo4..7, hi4..7)
+             * = columns x..x+15 in order */
+            _mm256_storeu_si256((__m256i *)(mrow + x),
+                                _mm256_packs_epi32(alo, ahi));
+        }
+    }
+
+    /* stage 3: V pass */
+    const __m256i rnd_v =
+        _mm256_set1_epi32(prep ? 32 : ((1 << (6 + ib)) >> 1));
+    const int sh_v = prep ? 6 : (6 + ib);
+    const __m256i bias = _mm256_set1_epi32(prep ? prep_bias : 0);
+    const __m256i vmax = _mm256_set1_epi32(maxp);
+    const __m256i vzero = _mm256_setzero_si256();
+    for (int y = 0; y < h; y++) {
+        const int16_t *m0 = mc_mid16 + y * mstride;
+        int32_t *orow = out + (int64_t)y * ostride;
+        for (int x = 0; x < w; x += 16) {
+            __m256i alo = _mm256_setzero_si256(), ahi = alo;
+            for (int k = 0; k < 4; k++) {
+                const __m256i a = _mm256_loadu_si256(
+                    (const __m256i *)(m0 + (2 * k) * mstride + x));
+                const __m256i b = _mm256_loadu_si256(
+                    (const __m256i *)(m0 + (2 * k + 1) * mstride + x));
+                alo = _mm256_add_epi32(alo, _mm256_madd_epi16(
+                    _mm256_unpacklo_epi16(a, b), vp[k]));
+                ahi = _mm256_add_epi32(ahi, _mm256_madd_epi16(
+                    _mm256_unpackhi_epi16(a, b), vp[k]));
+            }
+            alo = _mm256_srai_epi32(_mm256_add_epi32(alo, rnd_v), sh_v);
+            ahi = _mm256_srai_epi32(_mm256_add_epi32(ahi, rnd_v), sh_v);
+            if (prep) {
+                alo = _mm256_sub_epi32(alo, bias);
+                ahi = _mm256_sub_epi32(ahi, bias);
+            } else {
+                alo = _mm256_min_epi32(_mm256_max_epi32(alo, vzero), vmax);
+                ahi = _mm256_min_epi32(_mm256_max_epi32(ahi, vzero), vmax);
+            }
+            /* lo holds columns (0..3, 8..11), hi (4..7, 12..15) */
+            const __m256i o0 = _mm256_permute2x128_si256(alo, ahi, 0x20);
+            const __m256i o1 = _mm256_permute2x128_si256(alo, ahi, 0x31);
+            const int left = w - x;
+            if (left >= 16) {
+                _mm256_storeu_si256((__m256i *)(orow + x), o0);
+                _mm256_storeu_si256((__m256i *)(orow + x + 8), o1);
+            } else if (left >= 8) {
+                _mm256_storeu_si256((__m256i *)(orow + x), o0);
+                _mm256_mask_storeu_epi32(orow + x + 8,
+                    (__mmask8)((1u << (left - 8)) - 1), o1);
+            } else {
+                _mm256_mask_storeu_epi32(orow + x,
+                    (__mmask8)((1u << left) - 1), o0);
+            }
+        }
+    }
+}
+#endif /* __AVX512BW__ && __AVX512VL__ */
+
 static void put_8tap_core(const int32_t *restrict plane, int64_t stride,
                           int vw, int vh, int dy, int dx, int w, int h,
                           const int64_t *fh, const int64_t *fv, int ib,
@@ -505,6 +637,11 @@ static void put_8tap_core(const int32_t *restrict plane, int64_t stride,
         const int sh_h = 6 - ib;
         if (dy - 3 >= 0 && dy + h + 4 <= vh &&
             dx - 3 >= 0 && dx + w + 4 <= vw) {
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+            put_8tap_hv_madd(plane, stride, dy, dx, w, h, fh, fv, ib,
+                             maxp, prep, prep_bias, out, ostride);
+            return;
+#endif
             /* interior fast path: no edge clamping, stride-1 reads */
             for (int y = 0; y < h + 7; y++) {
                 const int32_t *restrict row =
