@@ -1102,11 +1102,12 @@ CDEF_VEC_IMPL(cdef_filter_unit_v4, cdef_v4si)
 
 /* int16 unit filter for 8-bit frames: two unit rows ride in one vector
  * (16 or 8 int16 lanes), halving the op count per pixel vs the int32
- * path.  Sound for bitdepth 8 only: a sentinel-tap diff wraps in int16
+ * path.  Sound at every bitdepth: a sentinel-tap diff wraps in int16
  * arithmetic, but every wrapped value still constrains to a zero
- * contribution there (|wrapped| >= 28673 so thr - (ad >> shift) < 0
- * for thr <= 63, or ad = INT16_MIN which the v<0 zeroing kills);
- * at 10/12-bit thresholds that argument fails, so those stay int32. */
+ * contribution there — |wrapped| >= 28673 and shift = damping -
+ * ulog2(thr) ties the shifted magnitude to > thr (proof at
+ * cdef_filter_unit_perm), or ad = INT16_MIN which the v<0 zeroing
+ * kills; pixels <= 4095 and |sum| <= ~15k keep all lanes in range. */
 typedef int16_t cdef_v16hi
     __attribute__((vector_size(32), aligned(2), may_alias));
 typedef int16_t cdef_v8hi
@@ -1527,6 +1528,167 @@ void dtpu_cdef_filter_batch(const int32_t *canvas, int64_t stride,
     }
 }
 
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+/* Permuted-tap unit filter: a 4-output-row iteration preloads the
+ * 8 source rows x 16 cols it can touch into four zmm (2 rows each),
+ * then every tap materializes with two vpermt2w + one blend off
+ * per-direction index tables built once at load — replacing the four
+ * loads + three shuffles per tap of the generic kernels.  Constrain
+ * uses the saturating form  v = min_u(|d|, thr -sat (|d| >> shift)):
+ *   - normal taps: |d| <= 4095 so unsigned min == signed min;
+ *   - sentinel taps (-32768): d wraps to |wrapped| >= 28673 (px >= 1),
+ *     and (ad >> shift) >= ad >> (damping - ulog2(thr)) >=
+ *     thr * 28673 / 2^(damping+1) > thr for damping <= 10, so the
+ *     saturating subtract floors at 0 and min_u picks 0; px = 0 gives
+ *     ad = INT16_MIN whose arithmetic shift reads as epu16 >= 32768,
+ *     flooring the subtract the same way.
+ * The shift-threshold linkage makes this sound at EVERY bitdepth
+ * (pixels <= 4095 and |sum| <= 14*1008 + 12*64 fit int16), unlike the
+ * fixed-bound argument of CDEF_VEC16_IMPL above. */
+static __m512i cdef_pidx[8][13];
+static __mmask32 cdef_phi[8][13];
+
+__attribute__((constructor)) static void cdef_perm_init(void)
+{
+    for (int dir = 0; dir < 8; dir++) {
+        int off[13][2]; /* taps 0-3 pri, 4-11 sec, 12 centre; the order
+                         * mirrors the dpoff/dsoff construction below */
+        for (int k = 0; k < 2; k++) {
+            off[2 * k][0] = cdef_dirs[2 + dir][k][0];
+            off[2 * k][1] = cdef_dirs[2 + dir][k][1];
+            off[2 * k + 1][0] = -off[2 * k][0];
+            off[2 * k + 1][1] = -off[2 * k][1];
+            off[4 + 4 * k][0] = cdef_dirs[4 + dir][k][0];
+            off[4 + 4 * k][1] = cdef_dirs[4 + dir][k][1];
+            off[4 + 4 * k + 1][0] = -off[4 + 4 * k][0];
+            off[4 + 4 * k + 1][1] = -off[4 + 4 * k][1];
+            off[4 + 4 * k + 2][0] = cdef_dirs[dir][k][0];
+            off[4 + 4 * k + 2][1] = cdef_dirs[dir][k][1];
+            off[4 + 4 * k + 3][0] = -off[4 + 4 * k + 2][0];
+            off[4 + 4 * k + 3][1] = -off[4 + 4 * k + 2][1];
+        }
+        off[12][0] = off[12][1] = 0;
+        for (int t = 0; t < 13; t++) {
+            uint16_t idx[32];
+            uint32_t hi = 0;
+            for (int l = 0; l < 32; l++) {
+                /* output lane l = (row r, col c); source lane in the
+                 * 8x16 preloaded window (rows -2..5, cols -2..13) */
+                const int r = l >> 3, c = l & 7;
+                int g = (r + off[t][0] + 2) * 16 + (c + off[t][1] + 2);
+                if (g >= 64) {
+                    hi |= 1u << l;
+                    g -= 64;
+                }
+                idx[l] = (uint16_t)g;
+            }
+            cdef_pidx[dir][t] = _mm512_loadu_si512(idx);
+            cdef_phi[dir][t] = (__mmask32)hi;
+        }
+    }
+}
+
+static void cdef_filter_unit_perm(const int16_t *restrict base,
+                                  int64_t cstride, int w, int h, int p,
+                                  int s, int pri_shift, int sec_shift,
+                                  int pri_tap0, int pri_tap1, int dir,
+                                  int32_t *restrict o, int64_t ostride)
+{
+    const __m512i *idx = cdef_pidx[dir];
+    const __mmask32 *phi = cdef_phi[dir];
+    const __m512i vp = _mm512_set1_epi16((short)p);
+    const __m512i vs = _mm512_set1_epi16((short)s);
+    const __m128i shp = _mm_cvtsi32_si128(pri_shift);
+    const __m128i shs = _mm_cvtsi32_si128(sec_shift);
+    const __m512i v8v = _mm512_set1_epi16(8);
+    const __m512i t2 = _mm512_set1_epi16(2);
+    const __m512i t1 = _mm512_set1_epi16(1);
+    const __m512i tp0 = _mm512_set1_epi16((short)pri_tap0);
+    const __m512i tp1 = _mm512_set1_epi16((short)pri_tap1);
+    const int track = p && s;
+    const __mmask8 smask = w == 8 ? 0xFF : 0x0F;
+
+    for (int y = 0; y < h; y += 4) {
+        const int16_t *r = base + (int64_t)(y - 2) * cstride - 2;
+        __m512i Z0, Z1, Z2, Z3;
+        Z0 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                 _mm256_loadu_si256((const __m256i *)r)),
+             _mm256_loadu_si256((const __m256i *)(r + cstride)), 1);
+        Z1 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                 _mm256_loadu_si256((const __m256i *)(r + 2 * cstride))),
+             _mm256_loadu_si256((const __m256i *)(r + 3 * cstride)), 1);
+        Z2 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                 _mm256_loadu_si256((const __m256i *)(r + 4 * cstride))),
+             _mm256_loadu_si256((const __m256i *)(r + 5 * cstride)), 1);
+        Z3 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                 _mm256_loadu_si256((const __m256i *)(r + 6 * cstride))),
+             _mm256_loadu_si256((const __m256i *)(r + 7 * cstride)), 1);
+#define CDEF_PTAP(t)                                                   \
+    _mm512_mask_blend_epi16(phi[t],                                    \
+        _mm512_permutex2var_epi16(Z0, idx[t], Z1),                     \
+        _mm512_permutex2var_epi16(Z2, idx[t], Z3))
+        const __m512i px = CDEF_PTAP(12);
+        __m512i sum = _mm512_setzero_si512();
+        __m512i umn = _mm512_set1_epi16(0x7FFF);
+        __m512i mx = px;
+        if (p)
+            for (int k = 0; k < 4; k++) {
+                const __m512i t = CDEF_PTAP(k);
+                const __m512i d = _mm512_sub_epi16(t, px);
+                const __m512i m = _mm512_srai_epi16(d, 15);
+                const __m512i ad = _mm512_abs_epi16(d);
+                const __m512i cl =
+                    _mm512_subs_epu16(vp, _mm512_sra_epi16(ad, shp));
+                __m512i v = _mm512_min_epu16(ad, cl);
+                v = _mm512_sub_epi16(_mm512_xor_si512(v, m), m);
+                sum = _mm512_add_epi16(sum,
+                    _mm512_mullo_epi16(k < 2 ? tp0 : tp1, v));
+                if (track) {
+                    umn = _mm512_min_epu16(umn, t);
+                    mx = _mm512_max_epi16(mx, t);
+                }
+            }
+        if (s)
+            for (int k = 4; k < 12; k++) {
+                const __m512i t = CDEF_PTAP(k);
+                const __m512i d = _mm512_sub_epi16(t, px);
+                const __m512i m = _mm512_srai_epi16(d, 15);
+                const __m512i ad = _mm512_abs_epi16(d);
+                const __m512i cl =
+                    _mm512_subs_epu16(vs, _mm512_sra_epi16(ad, shs));
+                __m512i v = _mm512_min_epu16(ad, cl);
+                v = _mm512_sub_epi16(_mm512_xor_si512(v, m), m);
+                sum = _mm512_add_epi16(sum,
+                    _mm512_mullo_epi16(k < 8 ? t2 : t1, v));
+                if (track) {
+                    umn = _mm512_min_epu16(umn, t);
+                    mx = _mm512_max_epi16(mx, t);
+                }
+            }
+#undef CDEF_PTAP
+        __m512i res = _mm512_add_epi16(px, _mm512_srai_epi16(
+            _mm512_add_epi16(_mm512_add_epi16(sum,
+                _mm512_srai_epi16(sum, 15)), v8v), 4));
+        if (track) {
+            const __m512i mn = _mm512_min_epi16(px, umn);
+            res = _mm512_max_epi16(res, mn);
+            res = _mm512_min_epi16(res, mx);
+        }
+        const __m256i lo = _mm512_castsi512_si256(res);
+        const __m256i hi = _mm512_extracti64x4_epi64(res, 1);
+        int32_t *o0 = o + (int64_t)y * ostride;
+        _mm256_mask_storeu_epi32(o0, smask,
+            _mm256_cvtepi16_epi32(_mm256_castsi256_si128(lo)));
+        _mm256_mask_storeu_epi32(o0 + ostride, smask,
+            _mm256_cvtepi16_epi32(_mm256_extracti128_si256(lo, 1)));
+        _mm256_mask_storeu_epi32(o0 + 2 * ostride, smask,
+            _mm256_cvtepi16_epi32(_mm256_castsi256_si128(hi)));
+        _mm256_mask_storeu_epi32(o0 + 3 * ostride, smask,
+            _mm256_cvtepi16_epi32(_mm256_extracti128_si256(hi, 1)));
+    }
+}
+#endif /* __AVX512BW__ && __AVX512VL__ */
+
 /* Whole-plane unit pass: copy the plane into the caller's sentinel-
  * bordered canvas scratch (the pre-CDEF pixel source, standing in for
  * the reference's cdef_line backups src/cdef_apply_tmpl.c:40-99), then
@@ -1539,7 +1701,8 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
                                   const int64_t *ys, const int64_t *xs,
                                   int64_t n, int w, int h,
                                   const int64_t *pri, const int64_t *sec,
-                                  const int64_t *dirs, int damping)
+                                  const int64_t *dirs, int damping,
+                                  int bdmin8)
 {
     const int64_t cstride = pw + 4;
     for (int64_t x = 0; x < cstride * 2; x++)
@@ -1576,6 +1739,9 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
         w == 8 ? (four ? cdef_filter_unit_i16w8x4 : cdef_filter_unit_i16w8)
                : (four ? cdef_filter_unit_i16w4x4 : cdef_filter_unit_i16w4);
 
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+    const int use_perm = (w == 8 || w == 4) && (h == 8 || h == 4);
+#endif
     for (int64_t u = 0; u < n; u++) {
         const int p = (int)pri[u], s = (int)sec[u];
         if (!p && !s)
@@ -1583,11 +1749,21 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
         const int pri_shift_raw = p ? damping - ulog2i(p) : 0;
         const int pri_shift = pri_shift_raw < 0 ? 0 : pri_shift_raw;
         const int sec_shift = s ? damping - ulog2i(s) : 0;
-        const int pri_tap0 = 4 - (p & 1);
+        /* tap parity reads the strength at 8-bit scale
+         * (reference src/cdef_tmpl.c pri >> bitdepth_min_8) */
+        const int pri_tap0 = 4 - ((p >> bdmin8) & 1);
         const int pri_tap1 = (pri_tap0 & 3) | 2;
         const int dir = (int)dirs[u];
         const int16_t *base = canvas + (ys[u] + 2) * cstride + xs[u] + 2;
         int32_t *o = plane + ys[u] * stride + xs[u];
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+        if (use_perm) {
+            cdef_filter_unit_perm(base, cstride, w, h, p, s, pri_shift,
+                                  sec_shift, pri_tap0, pri_tap1, dir, o,
+                                  stride);
+            continue;
+        }
+#endif
         fn(base, cstride, h, p, s, pri_shift, sec_shift, pri_tap0,
            pri_tap1, dpoff[dir], dsoff[dir], o, stride);
     }
@@ -1728,9 +1904,14 @@ void dtpu_cdef_filter_plane(int32_t *plane, int64_t stride, int pw, int ph,
                             const int64_t *pri, const int64_t *sec,
                             const int64_t *dirs, int damping, int bitdepth)
 {
-    if (bitdepth == 8 && (w == 8 || w == 4) && !(h & 1)) {
+    /* int16 canvas path for every bitdepth: pixels <= 4095 fit, and
+     * the shift-threshold linkage keeps sentinel-wrapped diffs
+     * harmless (proof at cdef_filter_unit_perm above; the same
+     * argument covers the generic i16 kernels' mask formulation) */
+    if ((w == 8 || w == 4) && !(h & 1)) {
         cdef_filter_plane_i16(plane, stride, pw, ph, (int16_t *)canvas,
-                              ys, xs, n, w, h, pri, sec, dirs, damping);
+                              ys, xs, n, w, h, pri, sec, dirs, damping,
+                              bitdepth - 8);
         return;
     }
     const int64_t cstride = pw + 4;

@@ -75,8 +75,9 @@ def main(argv=None):
     p.add_argument("--realtime", action="store_true",
                    help="pace output to the stream frame rate and report "
                         "realtime decode margin")
-    p.add_argument("--filmgrain", type=int, default=1, choices=[0, 1],
-                   help="apply film grain (default 1)")
+    p.add_argument("--filmgrain", type=int, default=None, choices=[0, 1],
+                   help="apply film grain (default 1, except 0 when the "
+                        "muxer is md5 — reference dav1d_cli_parse.c:461)")
     p.add_argument("--oppoint", type=int, default=0,
                    help="operating point to decode (scalable streams)")
     p.add_argument("--alllayers", type=int, default=1, choices=[0, 1],
@@ -101,6 +102,8 @@ def main(argv=None):
                    help="dump per-frame decode times in nanoseconds, one "
                         "per line (reference --frametimes)")
     args = p.parse_args(argv)
+    if args.filmgrain is None:
+        args.filmgrain = 0 if args.muxer == "md5" else 1
 
     data = Path(args.input).read_bytes()
     fps = (25, 1)
