@@ -352,9 +352,16 @@ def _pool_get(name, shape, dtype):
 
 
 def _pool_put(name, arr, used_rows):
-    """Return an arena: re-zero exactly the prefix the frame consumed
-    (the C writers rely on zeroed arenas — e.g. the coefficient decode
-    stores only nonzero scan positions)."""
+    """Return an arena, re-zeroing the prefix the frame consumed when the
+    caller says so.  Only writers with a zero precondition pass a count:
+    the coefficient arena (decode_coefs stores just the nonzero scan
+    positions of each slot, so a reused slot must read as 0 beyond them)
+    and, in tile-parallel mode, the block arena (the dense consumers —
+    the device-MC batcher and finish() — scan [0:n_blocks] and rely on
+    the inter-slice gap records being all-zero).  Every other arena is
+    fully written per record (cap_block_begin memsets, emit_coef/obmc/
+    warp/pal write every field, read_pal_indices memsets its own slice),
+    so recycling them dirty is sound and skips multi-MB clears."""
     if used_rows:
         arr[:used_rows] = 0
     _ARENA_POOL.setdefault((name, arr.shape), []).append(arr)
