@@ -62,7 +62,9 @@ def cdef_find_dir_batch(blocks, bitdepth):
     nb = _bucket(n)
     blk = np.zeros((nb, 8, 8), dtype=np.int32)
     blk[:n] = blocks
-    d, v = _jit_find_dir(bitdepth)(jnp.asarray(blk))
+    from ..devrt import call
+
+    d, v = call("cdef_dir", _jit_find_dir(bitdepth), jnp.asarray(blk))
     return np.asarray(d)[:n].astype(np.int64), \
         np.asarray(v)[:n].astype(np.int64)
 
@@ -147,9 +149,12 @@ def cdef_filter_batch(canvas, ys, xs, w, h, pri, sec, dirs, damping,
         out[:n] = a
         return jnp.asarray(out)
 
-    out = _jit_filter(w, h, int(damping), int(bitdepth))(
-        jnp.asarray(canvas, dtype=jnp.int32), pad(ys, 2), pad(xs, 2),
-        pad(pri), pad(sec), pad(dirs))
+    from ..devrt import call
+
+    out = call("cdef_filter", _jit_filter(w, h, int(damping),
+                                           int(bitdepth)),
+               jnp.asarray(canvas, dtype=jnp.int32), pad(ys, 2),
+               pad(xs, 2), pad(pri), pad(sec), pad(dirs))
     return np.asarray(out)[:n].astype(np.int64)
 
 
@@ -181,7 +186,10 @@ def cdef_find_dir_plane_dev(plane_dev, ys, xs, bitdepth):
         out[:n] = a
         return jnp.asarray(out)
 
-    d, v = _jit_find_dir_plane(int(bitdepth))(plane_dev, pad(ys), pad(xs))
+    from ..devrt import call
+
+    d, v = call("cdef_dir", _jit_find_dir_plane(int(bitdepth)),
+                plane_dev, pad(ys), pad(xs))
     return np.asarray(d)[:n].astype(np.int64), \
         np.asarray(v)[:n].astype(np.int64)
 
@@ -216,7 +224,10 @@ def cdef_filter_plane_dev(plane_dev, ph, pw, ys, xs, w, h, pri, sec,
         out[:n] = a
         return jnp.asarray(out)
 
-    return _jit_filter_plane(w, h, int(ph), int(pw), int(damping),
-                             int(bitdepth))(
-        plane_dev, pad(ys, far), pad(xs, far), pad(pri), pad(sec),
-        pad(dirs))
+    from ..devrt import call
+
+    return call("cdef_filter", _jit_filter_plane(w, h, int(ph), int(pw),
+                                                 int(damping),
+                                                 int(bitdepth)),
+                plane_dev, pad(ys, far), pad(xs, far), pad(pri),
+                pad(sec), pad(dirs))

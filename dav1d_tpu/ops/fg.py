@@ -31,9 +31,11 @@ def fg_apply_batch(src, grain, lut, shift, minv, maxv, idx=None):
     defaults to src (the luma path)."""
     if idx is None:
         idx = src
-    out = _jit_apply(int(shift), int(minv), int(maxv))(
-        jnp.asarray(src, dtype=jnp.int32),
-        jnp.asarray(idx, dtype=jnp.int32),
-        jnp.asarray(grain, dtype=jnp.int32),
-        jnp.asarray(lut, dtype=jnp.int32))
+    from ..devrt import call
+
+    out = call("fg", _jit_apply(int(shift), int(minv), int(maxv)),
+               jnp.asarray(src, dtype=jnp.int32),
+               jnp.asarray(idx, dtype=jnp.int32),
+               jnp.asarray(grain, dtype=jnp.int32),
+               jnp.asarray(lut, dtype=jnp.int32))
     return np.asarray(out)

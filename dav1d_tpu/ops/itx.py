@@ -296,9 +296,11 @@ def itx_batch(cf, tx, txtp, bitdepth):
     All bitdepths run on the device: 12-bit uses the exact int32-safe
     split-form kernels (_safe_1d_fns) instead of the canonical rotations
     whose intermediates exceed int32."""
+    from ..devrt import call
+
     dt = jnp.int16 if bitdepth == 8 else jnp.int32
-    return _jit_itx(int(tx), int(txtp), int(bitdepth))(
-        jnp.asarray(cf, dtype=dt))
+    return call("itx", _jit_itx(int(tx), int(txtp), int(bitdepth)),
+                jnp.asarray(cf, dtype=dt))
 
 
 def _dc_core(dc, tx, bitdepth):
@@ -322,4 +324,7 @@ def _jit_dc(tx, bitdepth):
 def dc_only_batch(dc, tx, bitdepth):
     """DC-only fast path: (B,) int32 DC coefs -> (B,) residual values
     (constant over the block)."""
-    return _jit_dc(int(tx), int(bitdepth))(jnp.asarray(dc, dtype=jnp.int32))
+    from ..devrt import call
+
+    return call("itx_dc", _jit_dc(int(tx), int(bitdepth)),
+                jnp.asarray(dc, dtype=jnp.int32))

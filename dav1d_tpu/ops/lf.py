@@ -204,7 +204,11 @@ def loop_filter_batch(plane, ys, xs, E, I, H, along_rows, wd, bitdepth):
         out[:n] = a
         return jnp.asarray(out)
 
+    from ..devrt import call
+
     far = 1 << 24
-    return _jit_lf(int(wd), bool(along_rows), int(bitdepth))(
-        jnp.asarray(plane, dtype=jnp.int32),
-        pad(ys, far), pad(xs, far), pad(E, -1), pad(I, -1), pad(H, 0))
+    return call("deblock", _jit_lf(int(wd), bool(along_rows),
+                                   int(bitdepth)),
+                jnp.asarray(plane, dtype=jnp.int32),
+                pad(ys, far), pad(xs, far), pad(E, -1), pad(I, -1),
+                pad(H, 0))

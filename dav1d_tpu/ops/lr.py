@@ -74,10 +74,12 @@ def wiener_batch(P, fh, fv, bitdepth, mesh=None):
     if mesh is not None:
         args = _mesh_put([P, fh, fv], mesh)
         return np.asarray(prog(*args))[:B]
-    out = prog(
-        jnp.asarray(P, dtype=jnp.int32),
-        jnp.asarray(fh, dtype=jnp.int32),
-        jnp.asarray(fv, dtype=jnp.int32))
+    from ..devrt import call
+
+    out = call("lr", prog,
+               jnp.asarray(P, dtype=jnp.int32),
+               jnp.asarray(fh, dtype=jnp.int32),
+               jnp.asarray(fv, dtype=jnp.int32))
     return np.asarray(out)
 
 
@@ -215,8 +217,13 @@ def sgr_batch(P, src, s0, s1, w0, w1, bitdepth, variant, mesh=None):
     if mesh is not None:
         args = _mesh_put([P, src, s0, s1, w0, w1], mesh)
         return np.asarray(prog(*args))[:B]
-    out = prog(
-        jnp.asarray(P, dtype=jnp.int32), jnp.asarray(src, dtype=jnp.int32),
-        jnp.asarray(s0, dtype=jnp.int32), jnp.asarray(s1, dtype=jnp.int32),
-        jnp.asarray(w0, dtype=jnp.int32), jnp.asarray(w1, dtype=jnp.int32))
+    from ..devrt import call
+
+    out = call("lr", prog,
+               jnp.asarray(P, dtype=jnp.int32),
+               jnp.asarray(src, dtype=jnp.int32),
+               jnp.asarray(s0, dtype=jnp.int32),
+               jnp.asarray(s1, dtype=jnp.int32),
+               jnp.asarray(w0, dtype=jnp.int32),
+               jnp.asarray(w1, dtype=jnp.int32))
     return np.asarray(out)

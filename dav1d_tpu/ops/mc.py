@@ -54,6 +54,10 @@ def _put_core(src, fh, fv, w, h, bitdepth):
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "bitdepth"))
+def _put_8tap_prog(src, fh, fv, *, w, h, bitdepth):
+    return _put_core(src, fh, fv, w, h, bitdepth)
+
+
 def put_8tap(
     src: jnp.ndarray,  # (N, h+7, w+7) int32 pixels
     fh: jnp.ndarray,  # (N, 8) int32 horizontal filter (identity row if mx==0)
@@ -65,11 +69,14 @@ def put_8tap(
 ) -> jnp.ndarray:
     """Batched put_8tap, bit-exact with reference put_8tap_c for every
     (mx, my) combination (see module docstring for the equivalence proof)."""
-    return _put_core(src, fh, fv, w, h, bitdepth)
+    from ..devrt import call
+
+    return call("mc", _put_8tap_prog, src, fh, fv, w=w, h=h,
+                bitdepth=bitdepth)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "bitdepth"))
-def put_8tap_resident(
+def _put_8tap_resident_prog(
     plane: jnp.ndarray,  # device-resident reference plane
     dys: jnp.ndarray,  # (N,) int32 block-origin rows
     dxs: jnp.ndarray,  # (N,) int32 block-origin cols
@@ -91,6 +98,13 @@ def put_8tap_resident(
     xs = jnp.clip(dxs[:, None] + jnp.arange(-3, w + 4)[None], 0, vw - 1)
     src = plane[ys[:, :, None], xs[:, None, :]]
     return _put_core(src, fh, fv, w, h, bitdepth)
+
+
+def put_8tap_resident(plane, dys, dxs, fh, fv, vw, vh, *, w, h, bitdepth):
+    from ..devrt import call
+
+    return call("mc_resident", _put_8tap_resident_prog, plane, dys, dxs,
+                fh, fv, vw, vh, w=w, h=h, bitdepth=bitdepth)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "bitdepth"))

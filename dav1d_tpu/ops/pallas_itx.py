@@ -141,5 +141,7 @@ def itx_batch_pallas(cf, tx, txtp, bitdepth, interpret=False):
         cf = np.concatenate(
             [cf, np.zeros((nb - n, cf.shape[1]), np.int32)])
     fn = _build(int(tx), int(txtp), int(bitdepth), nb, bool(interpret))
-    out = fn(jnp.asarray(cf))
+    from ..devrt import call
+
+    out = call("itx_pallas", fn, jnp.asarray(cf))
     return np.asarray(out[:n]).reshape(n, h, w)

@@ -45,5 +45,8 @@ def resize_rows(src_rows, dst_w: int, src_w: int, dx: int, mx0: int,
     launch overlap host work)."""
     import jax.numpy as jnp
 
+    from ..devrt import call
+
     src = np.ascontiguousarray(src_rows[:, :src_w], dtype=np.int32)
-    return _program(dst_w, src_w, dx, mx0, bitdepth)(jnp.asarray(src))
+    return call("resize", _program(dst_w, src_w, dx, mx0, bitdepth),
+                jnp.asarray(src))

@@ -262,6 +262,41 @@ def _launch_mc_device(f, glue, n):
         fv[~vz] = subf[sets[~vz], gmy[~vz] - 1]
         return fh, fv
 
+    # -- tile decomposition (shape bucketing) -------------------------
+    # One program per (w, h) block shape means dozens of XLA programs
+    # per stream; instead every job decomposes into tiles of a SINGLE
+    # static output shape (4x4 for blocks with a 4-px dimension, 8x8
+    # for the rest) — exact because a translational block's subpel
+    # phase and filter taps are constant over the block, so filtering
+    # the w x h block equals filtering each tile against its own
+    # window.  All AV1 block dims here are powers of two >= 4, so the
+    # decomposition is always full tiles.  Program count collapses to
+    # 2 shapes x pow2 batch buckets (the itx batches' rationale).
+    tsz = np.where(np.minimum(jw, jh) >= 8, 8, 4).astype(np.int32)
+    nx = jw // tsz
+    ny = jh // tsz
+    counts = (nx * ny).astype(np.int64)
+    job_of = np.repeat(np.arange(len(jw), dtype=np.int64), counts)
+    # per-tile index within its job: 0..counts[j]-1
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(job_of.size, dtype=np.int64) - starts[job_of]
+    t_nx = nx[job_of].astype(np.int64)
+    tyi = (within // t_nx).astype(np.int32)
+    txi = (within % t_nx).astype(np.int32)
+    tT = tsz[job_of]
+    jw = tT
+    jh = tT
+    jdy = jdy[job_of] + tyi * tT
+    jdx = jdx[job_of] + txi * tT
+    jdsty = jdsty[job_of] + tyi * tT
+    jdstx = jdstx[job_of] + txi * tT
+    pls = pls[job_of]
+    jrefs = jrefs[job_of]
+    jmx = jmx[job_of]
+    jmy = jmy[job_of]
+    jfh = jfh[job_of]
+    jfv = jfv[job_of]
+
     launched = []
     key = (jw.astype(np.int64) << 16) | jh
     order = np.argsort(key, kind="stable")

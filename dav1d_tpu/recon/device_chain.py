@@ -194,24 +194,65 @@ def _resize_resident(f, dev):
     from ..decode.frame import superres_geometry
     from ..ops.resize import _program
 
+    from ..devrt import call
+
     out = []
     for pl, p in enumerate(dev):
         out_w, src_w, step, mx0, h, alloc_w = superres_geometry(f, pl)
-        res = _program(out_w, src_w, step, mx0, f.bitdepth)(p[:h, :src_w])
+        res = call("resize", _program(out_w, src_w, step, mx0, f.bitdepth),
+                   p[:h, :src_w])
         dst = jnp.zeros((p.shape[0], alloc_w), dtype=jnp.int32)
         out.append(dst.at[:h, :out_w].set(res))
     return out
 
 
-def _lr_resident(f, dev, pre_dev):
-    """Loop restoration on resident planes: host-side stripe geometry
-    (lr_apply geom_sink), device-side unit gather + filter + scatter.
-    Exact by the same argument as the batched host tier (LR reads only
-    the post-CDEF/pre-CDEF snapshots, never its own output — and jax
-    immutability makes the gathered S a snapshot by construction)."""
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_lr_group(kind, uw, sh, bitdepth, variant):
+    """One fused program per (filter kind, unit geometry): gather the
+    padded units from the snapshot stack, filter, scatter the results
+    back into the destination plane.  One dispatch per group instead of
+    gather + filter + scatter each launching separately (the per-
+    dispatch cost dominates on a tunneled chip and is not free even
+    locally attached)."""
+    import jax
     import jax.numpy as jnp
 
     from ..ops.lr import _jit_sgr, _jit_wiener
+
+    if kind == "w":
+        filt = _jit_wiener(uw, sh, bitdepth)
+    else:
+        filt = _jit_sgr(uw, sh, bitdepth, variant)
+
+    def run(dst, snap, rows, cols, ys, xs, *params):
+        P = snap[rows[:, :, None], cols[:, None, :]]
+        if kind == "w":
+            blk = filt(P, *params)
+        else:
+            blk = filt(P, P[:, 3 : 3 + sh, 3 : 3 + uw], *params)
+        yg = ys[:, None, None] + jnp.arange(sh)[None, :, None]
+        xg = xs[:, None, None] + jnp.arange(uw)[None, None, :]
+        # scatters are exact in any order: distinct units write
+        # disjoint rects, and every gather reads the immutable pre-LR
+        # snapshot; pad units sit far out of bounds (dropped)
+        return dst.at[yg, xg].set(blk)
+
+    return jax.jit(run)
+
+
+def _lr_resident(f, dev, pre_dev):
+    """Loop restoration on resident planes: host-side stripe geometry
+    (lr_apply geom_sink), one fused device program per unit group doing
+    gather + filter + scatter.  Exact by the same argument as the
+    batched host tier (LR reads only the post-CDEF/pre-CDEF snapshots,
+    never its own output — and jax immutability makes the gathered
+    snapshot a snapshot by construction)."""
+    import jax.numpy as jnp
+
+    from ..devrt import call
     from .lr_apply import _pad_unit_indices, lr_frame
 
     geom = {}
@@ -226,42 +267,38 @@ def _lr_resident(f, dev, pre_dev):
             S[pl] = jnp.concatenate([dev[pl], pre_dev[pl]], axis=0)
         return S[pl]
 
+    far = np.int32(1 << 24)
     dev = list(dev)
     for key, items in geom.items():
         kind, uw, sh = key[0], key[1], key[2]
+        variant = key[3] if kind != "w" else 0
         for pl in sorted({it[0] for it in items}):
             grp = [it for it in items if it[0] == pl]
             B = len(grp)
+            nb = 1 << (B - 1).bit_length()  # program reuse across frames
             H, W = dev[pl].shape
-            rows = np.empty((B, sh + 6), np.int32)
-            cols = np.empty((B, uw + 6), np.int32)
-            ys = np.empty(B, np.int32)
-            xs = np.empty(B, np.int32)
+            rows = np.zeros((nb, sh + 6), np.int32)
+            cols = np.zeros((nb, uw + 6), np.int32)
+            ys = np.full(nb, far, np.int32)
+            xs = np.full(nb, far, np.int32)
             for b, it in enumerate(grp):
                 _, x, y, e, h = it[:5]
                 rows[b], cols[b] = _pad_unit_indices(x, y, uw, sh, h, e,
                                                      W, H)
                 ys[b], xs[b] = y, x
-            s_pl = get_s(pl)
-            P = s_pl[jnp.asarray(rows)[:, :, None],
-                     jnp.asarray(cols)[:, None, :]]
             if kind == "w":
-                fh = np.array([it[5] for it in grp], np.int32)
-                fv = np.array([it[6] for it in grp], np.int32)
-                blk = _jit_wiener(uw, sh, int(f.bitdepth))(
-                    P, jnp.asarray(fh), jnp.asarray(fv))
+                params = [np.zeros((nb, 3), np.int32),
+                          np.zeros((nb, 3), np.int32)]
+                params[0][:B] = [it[5] for it in grp]
+                params[1][:B] = [it[6] for it in grp]
             else:
-                variant = key[3]
-                s0 = jnp.asarray(np.array([it[5] for it in grp], np.int32))
-                s1 = jnp.asarray(np.array([it[6] for it in grp], np.int32))
-                w0 = jnp.asarray(np.array([it[7] for it in grp], np.int32))
-                w1 = jnp.asarray(np.array([it[8] for it in grp], np.int32))
-                blk = _jit_sgr(uw, sh, int(f.bitdepth), int(variant))(
-                    P, P[:, 3 : 3 + sh, 3 : 3 + uw], s0, s1, w0, w1)
-            yg = ys[:, None, None] + np.arange(sh)[None, :, None]
-            xg = xs[:, None, None] + np.arange(uw)[None, None, :]
-            # scatters are exact in any order: distinct units write
-            # disjoint rects, and every gather above reads the
-            # immutable pre-LR S snapshot
-            dev[pl] = dev[pl].at[jnp.asarray(yg), jnp.asarray(xg)].set(blk)
+                params = [np.zeros(nb, np.int32) for _ in range(4)]
+                for k in range(4):
+                    params[k][:B] = [it[5 + k] for it in grp]
+            dev[pl] = call(
+                "lr", _jit_lr_group(kind, uw, sh, int(f.bitdepth),
+                                    int(variant)),
+                dev[pl], get_s(pl), jnp.asarray(rows), jnp.asarray(cols),
+                jnp.asarray(ys), jnp.asarray(xs),
+                *(jnp.asarray(p) for p in params))
     return dev

@@ -1,21 +1,32 @@
 """Per-kernel benchmark harness — the checkasm `--bench` analog
 (reference tests/meson.build:95-97, tests/checkasm/*.c bench_new).
 
-Times every kernel family's host tier (numpy / native C) against its
-device tier (XLA / Pallas) across representative sizes on the current
-backend, and prints a table with the measured winner.  Use this to
-validate dav1d_tpu/dispatch.py's policy on a given machine:
+Times every kernel family across representative sizes on the current
+backend, in three tiers:
 
-    python tools/kernel_bench.py            # all families
-    python tools/kernel_bench.py itx cdef   # a subset
+- host:        numpy / native C (what the host dispatch tier runs)
+- dev e2e:     device call including host<->device transfer of inputs
+               and outputs — what a per-dispatch offload pays
+- dev compute: device call on RESIDENT inputs, K dispatches pipelined
+               and synced once — the on-chip kernel time a locally
+               attached chip (or the device-resident frame loop) pays.
+               This is the number that answers the reference's asm
+               tiers; `dev e2e` on this harness is dominated by a
+               network tunnel (~80 ms/MB) and measures the transport,
+               not the kernel.
 
-Timing excludes compilation (one warm-up call per program); device
-results include host<->device transfer, because that is what the decoder
-pays per dispatch.
+Use this to validate dav1d_tpu/dispatch.py's policy on a given machine:
+
+    python tools/kernel_bench.py                   # all families
+    python tools/kernel_bench.py itx cdef          # a subset
+    python tools/kernel_bench.py --json OUT.json   # persist artifact
+
+Timing excludes compilation (one warm-up call per program).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -23,6 +34,13 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+RESULTS: list[dict] = []
+
+# pipelined dispatches per compute-only measurement: sync once at the
+# end so the per-call figure amortizes the host->device command latency
+# the way a resident frame loop does
+COMPUTE_REPS = 20
 
 
 def _time(fn, reps=5):
@@ -35,18 +53,97 @@ def _time(fn, reps=5):
     return best * 1e3  # ms
 
 
-def _row(name, host_ms, dev_ms):
-    win = "host" if host_ms <= dev_ms else "DEVICE"
-    print(f"{name:<42} {host_ms:>9.3f} {dev_ms:>9.3f}   {win}")
+def _time_compute(dispatch=None, reps=COMPUTE_REPS, prog=None, args=()):
+    """On-chip kernel time, one of two protocols:
+
+    prog/args: K kernel iterations fused into ONE dispatch via
+    fori_loop (the first array argument is perturbed by the loop index
+    and every output reduced into the carry, so the loop can't be
+    hoisted).  This removes per-dispatch transport overhead entirely —
+    on this harness the network tunnel costs ~1.5 ms per dispatch even
+    pipelined, swamping sub-ms kernels.
+
+    dispatch: fallback for callables that can't be traced under an
+    outer jit — reps pipelined launches, one sync (includes dispatch
+    overhead)."""
+    import jax
+    import jax.numpy as jnp
+
+    if prog is not None:
+        x0, rest = args[0], args[1:]
+
+        def run(x, *a):
+            def body(i, acc):
+                y = prog(x + i.astype(x.dtype), *a)
+                s = jnp.int32(0)
+                for leaf in jax.tree_util.tree_leaves(y):
+                    s = s + leaf.astype(jnp.int32).sum()
+                return acc + s
+
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        r = jax.jit(run)
+        jax.block_until_ready(r(x0, *rest))  # warm: compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(r(x0, *rest))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best * 1e3
+
+    jax.block_until_ready(dispatch())  # warm: compile + cache
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = dispatch()
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best * 1e3  # ms
+
+
+def _put(*arrays):
+    """device_put a tuple of numpy arrays (resident inputs)."""
+    import jax
+
+    out = tuple(jax.device_put(a) for a in arrays)
+    jax.block_until_ready(out)
+    return out if len(out) > 1 else out[0]
+
+
+def _row(family, name, host_ms, dev_ms, dev_compute_ms=None, note=""):
+    cols = [f"{name:<44}", f"{host_ms:>9.3f}", f"{dev_ms:>9.3f}"]
+    if dev_compute_ms is not None:
+        cols.append(f"{dev_compute_ms:>9.3f}")
+        win = "host" if host_ms <= dev_compute_ms else "DEVICE"
+    else:
+        cols.append(f"{'-':>9}")
+        win = "host" if host_ms <= dev_ms else "DEVICE"
+    print(" ".join(cols) + f"   {win}")
+    RESULTS.append(dict(family=family, kernel=name,
+                        host_ms=round(host_ms, 4),
+                        dev_e2e_ms=round(dev_ms, 4),
+                        dev_compute_ms=(round(dev_compute_ms, 4)
+                                        if dev_compute_ms is not None
+                                        else None),
+                        note=note))
+
+
+def _hdr(title):
+    print(f"\n-- {title}, ms per call --")
+    print(f"{'kernel/shape':<44} {'host':>9} {'dev e2e':>9} "
+          f"{'dev cmp':>9}")
 
 
 def bench_itx():
-    from dav1d_tpu.ops.itx import (itx_batch, itx_batch_c, itx_batch_np,
-                                   _txinfo)
+    import jax.numpy as jnp
+
+    from dav1d_tpu.ops.itx import (_jit_itx, itx_batch, itx_batch_c,
+                                   itx_batch_np, _txinfo)
 
     rng = np.random.default_rng(0)
-    print("\n-- itx (batched inverse transform), ms per call --")
-    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    _hdr("itx (batched inverse transform)")
     for tx, txtp, B in [(0, 0, 512), (1, 0, 512), (2, 0, 128),
                         (3, 0, 32), (4, 0, 8), (5, 4, 256), (9, 1, 128),
                         (0, 9, 512), (1, 9, 256)]:
@@ -60,19 +157,29 @@ def bench_itx():
         else:
             host = _time(lambda: itx_batch_np(cf, tx, txtp, 8))
         dev = _time(lambda: np.asarray(itx_batch(cf, tx, txtp, 8)))
-        _row(f"itx {w}x{h} txtp={txtp} B={B}", host, dev)
+        prog = _jit_itx(tx, txtp, 8)
+        rcf = _put(cf.astype(np.int16))
+        cmp_ms = _time_compute(prog=prog, args=(rcf,))
+        _row("itx", f"itx {w}x{h} txtp={txtp} B={B}", host, dev, cmp_ms)
 
     # Pallas tier (TPU backends only; interpret mode is not a perf path)
     from dav1d_tpu.dispatch import _platform
     from dav1d_tpu.ops.pallas_itx import itx_batch_pallas, supported
     if supported(8) and _platform() not in ("cpu", "none"):
+        from dav1d_tpu.ops import pallas_itx
         for tx, txtp, B in [(0, 0, 512), (1, 0, 512), (5, 4, 256)]:
             w, h, _, _ = _txinfo(tx)
             sw, sh = min(w, 32), min(h, 32)
             cf = rng.integers(-2000, 2000, (B, sw * sh), dtype=np.int32)
             host = _time(lambda: itx_batch_c(cf, tx, txtp, 8))
-            dev = _time(lambda: itx_batch_pallas(cf, tx, txtp, 8))
-            _row(f"itx-pallas {w}x{h} txtp={txtp} B={B}", host, dev)
+            dev = _time(
+                lambda: np.asarray(itx_batch_pallas(cf, tx, txtp, 8)))
+            rcf = _put(cf)
+            cmp_ms = _time_compute(
+                prog=lambda x: itx_batch_pallas(x, tx, txtp, 8),
+                args=(rcf,))
+            _row("itx", f"itx-pallas {w}x{h} txtp={txtp} B={B}", host,
+                 dev, cmp_ms)
 
 
 def bench_cdef():
@@ -80,14 +187,16 @@ def bench_cdef():
     from dav1d_tpu.ops import cdef as dcdef
 
     rng = np.random.default_rng(1)
-    print("\n-- cdef, ms per call --")
-    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    _hdr("cdef")
     for B in (64, 512, 2048):
         blk = rng.integers(0, 256, (B, 8, 8), dtype=np.int64)
         host = _time(lambda: hcdef.cdef_find_dir_batch(blk, 8))
         dev = _time(lambda: [np.asarray(x) for x in
                              dcdef.cdef_find_dir_batch(blk, 8)])
-        _row(f"cdef_dir 8x8 B={B}", host, dev)
+        rblk = _put(blk.astype(np.int32))
+        prog = dcdef._jit_find_dir(8)
+        cmp_ms = _time_compute(prog=prog, args=(rblk,))
+        _row("cdef", f"cdef_dir 8x8 B={B}", host, dev, cmp_ms)
     ph, pw = 1080, 1920
     canvas = rng.integers(0, 256, (ph + 4, pw + 4), dtype=np.int64) \
         .astype(np.int64)
@@ -101,7 +210,23 @@ def bench_cdef():
             canvas, ys, xs, 8, 8, pri, sec, dirs, 5, 8))
         dev = _time(lambda: dcdef.cdef_filter_batch(
             canvas, ys, xs, 8, 8, pri, sec, dirs, 5, 8))
-        _row(f"cdef_filter 8x8 B={B} (1080p canvas)", host, dev)
+        # compute-only: resident canvas + pre-padded per-unit vectors,
+        # the shape the device-resident chain dispatches
+        nb = dcdef._bucket(B)
+
+        def pad(a, fill=0):
+            out = np.full(nb, fill, dtype=np.int32)
+            out[:B] = a
+            return out
+
+        rcv, rys, rxs, rpri, rsec, rdirs = _put(
+            canvas.astype(np.int32), pad(ys, 1 << 24), pad(xs, 1 << 24),
+            pad(pri), pad(sec), pad(dirs))
+        prog = dcdef._jit_filter_plane(8, 8, ph + 4, pw + 4, 5, 8)
+        cmp_ms = _time_compute(
+            prog=prog, args=(rcv, rys, rxs, rpri, rsec, rdirs))
+        _row("cdef", f"cdef_filter 8x8 B={B} (1080p canvas)", host, dev,
+             cmp_ms)
 
 
 def bench_mc():
@@ -110,8 +235,7 @@ def bench_mc():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(2)
-    print("\n-- mc put_8tap, ms per call --")
-    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    _hdr("mc put_8tap")
     for w, h, B in [(8, 8, 256), (16, 16, 128), (32, 32, 32)]:
         win = rng.integers(0, 256, (B, h + 7, w + 7), dtype=np.int64)
         jwin = jnp.asarray(win, dtype=jnp.int32)
@@ -123,7 +247,12 @@ def bench_mc():
 
         dev = _time(lambda: np.asarray(
             dmc.put_8tap(jwin, mx=5, my=9, filter_type=0, bitdepth=8)))
-        _row(f"put_8tap {w}x{h} B={B}", _time(host), dev)
+        rwin = _put(np.asarray(win, dtype=np.int32))
+        cmp_ms = _time_compute(
+            prog=lambda x: dmc.put_8tap(x, mx=5, my=9, filter_type=0,
+                                        bitdepth=8),
+            args=(rwin,))
+        _row("mc", f"put_8tap {w}x{h} B={B}", _time(host), dev, cmp_ms)
 
 
 def bench_deblock():
@@ -132,8 +261,7 @@ def bench_deblock():
     import ctypes
 
     rng = np.random.default_rng(3)
-    print("\n-- deblock edge apply, ms per call --")
-    print(f"{'kernel/shape':<42} {'host(np)':>9} {'native':>9}")
+    _hdr("deblock edge apply (host np vs native C)")
     plane = rng.integers(0, 256, (1088, 1920), dtype=np.int32)
     e_lut, i_lut = calc_eih(0)
     N = 4096
@@ -162,16 +290,16 @@ def bench_deblock():
         natms = _time(native)
     else:
         natms = float("nan")
-    _row(f"deblock wd8 vertical N={N} (1080p)", host, natms)
+    _row("deblock", f"deblock wd8 vertical N={N} (1080p)", host, natms,
+         note="dev col = native C walk")
 
 
 def bench_lr():
-    from dav1d_tpu.ops.lr import wiener_batch
+    from dav1d_tpu.ops.lr import wiener_batch, _jit_wiener
     from dav1d_tpu.recon.lr_apply import _wiener
 
     rng = np.random.default_rng(5)
-    print("\n-- loop restoration (wiener), ms per call --")
-    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    _hdr("loop restoration (wiener)")
     for uw, sh, B in [(64, 64, 32), (128, 64, 16), (64, 16, 64)]:
         P = rng.integers(0, 256, (B, sh + 6, uw + 6), dtype=np.int64)
         fh = rng.integers(-5, 6, (B, 3))
@@ -182,16 +310,19 @@ def bench_lr():
                 _wiener(P[b], list(fh[b]), list(fv[b]), uw, sh, 8)
 
         dev = _time(lambda: wiener_batch(P, fh, fv, 8))
-        _row(f"wiener {uw}x{sh} B={B}", _time(host), dev)
+        prog = _jit_wiener(uw, sh, 8)
+        rP, rfh, rfv = _put(P.astype(np.int32), fh.astype(np.int32),
+                            fv.astype(np.int32))
+        cmp_ms = _time_compute(prog=prog, args=(rP, rfh, rfv))
+        _row("lr", f"wiener {uw}x{sh} B={B}", _time(host), dev, cmp_ms)
 
 
 def bench_fg():
-    from dav1d_tpu.ops.fg import fg_apply_batch
+    from dav1d_tpu.ops.fg import fg_apply_batch, _jit_apply
     from dav1d_tpu.recon.filmgrain import _round2_arr
 
     rng = np.random.default_rng(6)
-    print("\n-- film grain apply, ms per call --")
-    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    _hdr("film grain apply")
     for h, w in [(1080, 1920), (544, 960)]:
         src = rng.integers(0, 256, (h, w), dtype=np.int64)
         grain = rng.integers(-128, 128, (h, w), dtype=np.int64)
@@ -202,7 +333,12 @@ def bench_fg():
             np.clip(src + noise, 0, 255)
 
         dev = _time(lambda: fg_apply_batch(src, grain, lut, 8, 0, 255))
-        _row(f"fg_apply {w}x{h}", _time(host), dev)
+        prog = _jit_apply(8, 0, 255)
+        rsrc, rgrain, rlut = _put(src.astype(np.int32),
+                                  grain.astype(np.int32),
+                                  lut.astype(np.int32))
+        cmp_ms = _time_compute(prog=prog, args=(rsrc, rsrc, rgrain, rlut))
+        _row("fg", f"fg_apply {w}x{h}", _time(host), dev, cmp_ms)
 
     # whole-plane native grain pass (LUT sample + overlap blend + scale
     # + apply in one walk — what the decoder's host tier runs)
@@ -241,18 +377,16 @@ def bench_fg():
             host = _time(lambda: nat.dtpu_fg_apply_plane(
                 plane.ctypes.data, w, None, 0, w, 0, w, h, 0, 0,
                 lut_y.ctypes.data, sc.ctypes.data, ctypes.byref(c), 8, 0))
-            _row(f"fg_plane(native) {w}x{h}", host, float("inf"))
+            _row("fg", f"fg_plane(native) {w}x{h}", host, float("inf"))
 
 
 def bench_ipred():
     from dav1d_tpu.levels import IntraPredMode as M
-    from dav1d_tpu.ops.ipred import ipred_batch
+    from dav1d_tpu.ops.ipred import ipred_batch, _program
     from dav1d_tpu.recon.ipred import ipred
 
     rng = np.random.default_rng(8)
-    print("\n-- intra prediction (batched over same-key blocks), "
-          "ms per call --")
-    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    _hdr("intra prediction (batched over same-key blocks)")
     for mode, w, h, angle, label in [
             (int(M.DC_PRED), 16, 16, 0, "dc 16x16"),
             (int(M.SMOOTH_PRED), 16, 16, 0, "smooth 16x16"),
@@ -269,16 +403,18 @@ def bench_ipred():
 
         dev = _time(lambda: np.asarray(
             ipred_batch(mode, edges, w, h, angle, w, h, 8)))
-        _row(f"ipred {label} B={B}", _time(host), dev)
+        prog = _program(mode, w, h, angle, w, h, 8)
+        redges = _put(edges)
+        cmp_ms = _time_compute(prog=prog, args=(redges,))
+        _row("ipred", f"ipred {label} B={B}", _time(host), dev, cmp_ms)
 
 
 def bench_resize():
-    from dav1d_tpu.ops.resize import resize_rows
+    from dav1d_tpu.ops.resize import resize_rows, _program
     from dav1d_tpu.recon.mc_np import resize_row
 
     rng = np.random.default_rng(7)
-    print("\n-- super-res resample (horizontal upscale), ms per call --")
-    print(f"{'kernel/shape':<42} {'host':>9} {'device':>9}")
+    _hdr("super-res resample (horizontal upscale)")
     for h, in_w, out_w in [(1080, 960, 1920), (2160, 1920, 3840),
                            (1080, 1440, 1920)]:
         src_w = (in_w + 127) & ~127
@@ -287,7 +423,10 @@ def bench_resize():
         host = _time(lambda: resize_row(rows, out_w, src_w, step, 128, 8))
         dev = _time(lambda: np.asarray(
             resize_rows(rows, out_w, src_w, step, 128, 8)))
-        _row(f"resize {in_w}->{out_w} x{h}", host, dev)
+        prog = _program(out_w, src_w, step, 128, 8)
+        rrows = _put(rows)
+        cmp_ms = _time_compute(prog=prog, args=(rrows,))
+        _row("resize", f"resize {in_w}->{out_w} x{h}", host, dev, cmp_ms)
 
 
 FAMILIES = {"itx": bench_itx, "cdef": bench_cdef, "mc": bench_mc,
@@ -298,11 +437,32 @@ FAMILIES = {"itx": bench_itx, "cdef": bench_cdef, "mc": bench_mc,
 def main():
     import jax
 
-    names = [a for a in sys.argv[1:] if a in FAMILIES] or list(FAMILIES)
-    print(f"backend: {jax.devices()[0].platform} "
-          f"({len(jax.devices())} device(s))")
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    names = [a for a in args if a in FAMILIES] or list(FAMILIES)
+    backend = jax.devices()[0].platform
+    print(f"backend: {backend} ({len(jax.devices())} device(s))")
     for n in names:
-        FAMILIES[n]()
+        try:
+            FAMILIES[n]()
+        except Exception as e:  # noqa: BLE001 — partial artifact > none
+            print(f"[{n}] FAILED: {type(e).__name__}: {e}")
+    if json_path:
+        Path(json_path).write_text(json.dumps(dict(
+            backend=backend,
+            n_devices=len(jax.devices()),
+            device=str(jax.devices()[0]),
+            compute_reps=COMPUTE_REPS,
+            note=("dev_compute_ms = resident inputs, pipelined "
+                  "dispatches, one sync — on-chip kernel time; "
+                  "dev_e2e_ms includes host<->device transfer "
+                  "(network-tunneled on this harness)"),
+            results=RESULTS), indent=1))
+        print(f"\nwrote {json_path} ({len(RESULTS)} rows)")
 
 
 if __name__ == "__main__":
