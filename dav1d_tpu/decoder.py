@@ -89,9 +89,12 @@ class Picture:
 
 class _RefSlot:
     __slots__ = ("frame_hdr", "seq_hdr", "planes", "segmap", "cdf",
-                 "showable", "visible", "refmvs", "refpoc", "dev_planes")
+                 "showable", "visible", "refmvs", "refpoc", "dev_planes",
+                 "ready")
 
     def __init__(self):
+        import threading
+
         self.frame_hdr = None
         self.seq_hdr = None
         self.planes = None
@@ -102,6 +105,15 @@ class _RefSlot:
         self.visible = False
         self.refmvs = None  # saved temporal-MV 8x8 grid (refmvs.TMV_DT)
         self.refpoc = [0] * 7
+        # pixel-readiness token (the reference's per-picture filtered-
+        # row progress, src/picture.h:62, at frame granularity): SET
+        # when `planes` holds final filtered pixels — or when the slot
+        # will never get pixels (header-only refresh, initial slots) so
+        # a reader sees planes=None and takes the existing error paths
+        # instead of blocking.  Cleared only while a refreshing frame's
+        # reconstruction is in flight.
+        self.ready = threading.Event()
+        self.ready.set()
 
 
 @dataclasses.dataclass
@@ -137,14 +149,26 @@ class Decoder:
         # pipeline (reference frame threading, src/lib.c:109-126 /
         # src/thread_task.c); bounded by Settings.max_frame_delay
         self._pending: list = []
-        # n_threads >= 2: ordered reconstruction worker (see Settings)
+        # n_threads >= 2: reconstruction workers.  Pool size follows the
+        # reference's frame-context count n_fc = ceil(sqrt(n_threads)),
+        # capped at 8 (src/lib.c:109-126).  Frames are SUBMITTED in
+        # decode order but execute concurrently, each gated only on the
+        # readiness of the ref slots it actually reads (_RefSlot.ready)
+        # — the frame-granular form of the reference's lowest_pixel/
+        # progress protocol (src/thread_task.c:393-439).  Outputs drain
+        # via the in-order futures queue, so emission order and bytes
+        # are unchanged at any thread count.
         self._worker = None
         self._futures: list = []
         if self.settings.n_threads >= 2:
+            import math
             from concurrent.futures import ThreadPoolExecutor
 
+            self.n_fc = min(8, math.isqrt(self.settings.n_threads - 1) + 1)
             self._worker = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="dav1d_tpu-recon")
+                max_workers=self.n_fc, thread_name_prefix="dav1d_tpu-recon")
+        else:
+            self.n_fc = 1
 
     # -- input ---------------------------------------------------------------
 
@@ -387,6 +411,7 @@ class Decoder:
                 slot.refmvs = (f.rf.rp if f.rf is not None
                                and not hdr.allow_intrabc else None)
                 slot.refpoc = list(f.refpoc)
+                slot.ready.clear()  # pixels arrive at pass-2 finish
                 self.refs[i] = slot
                 slots.append(slot)
 
@@ -398,9 +423,12 @@ class Decoder:
         delay = self.settings.max_frame_delay
         if delay <= 0:
             # auto: one frame in flight when the two-pass pipeline can
-            # overlap device residual batches with the next pass 1
+            # overlap device residual batches with the next pass 1;
+            # with a worker pool, enough to keep every frame context
+            # busy (reference get_frame_delay, src/lib.c:118-126)
             delay = 2 if (self.settings.two_pass
                           or self.settings.mesh is not None) else 1
+            delay = max(delay, self.n_fc + 1)
         self._collect_futures(wait=False)
         while len(self._pending) + len(self._futures) > delay:
             if self._pending:
@@ -424,10 +452,24 @@ class Decoder:
             self.out_queue.append(pic)
 
     def _finish_task(self, f, hdr, meta, slots):
-        decode_frame_finish(f)
-        for slot in slots:
-            slot.planes = f.sr_planes
-            slot.dev_planes = getattr(f, "_dev_planes", None)
+        try:
+            # gate on the ref slots this frame actually reads — frames
+            # whose references are already final (or that have none)
+            # reconstruct concurrently on the worker pool
+            if f.refp is not None:
+                for slot in {id(s): s for s in f.refp if s is not None
+                             }.values():
+                    slot.ready.wait()
+            decode_frame_finish(f)
+            for slot in slots:
+                slot.planes = f.sr_planes
+                slot.dev_planes = getattr(f, "_dev_planes", None)
+        finally:
+            # readiness publishes even on error: a dependent frame sees
+            # planes=None and raises through the existing paths instead
+            # of deadlocking behind a failed producer
+            for slot in slots:
+                slot.ready.set()
         # output (reference src/decode.c:3544: invisible frames are
         # output too when output_invisible_frames is set)
         pic = self._make_picture(f)
@@ -513,7 +555,13 @@ class Decoder:
     def get_picture(self) -> Optional[Picture]:
         self._collect_futures(wait=False)
         while not self.out_queue and (self._pending or self._futures):
-            if self._futures:
+            if self._worker is not None:
+                # keep the n_fc pool fed: submit every deferred frame
+                # (each gates itself on its refs' readiness) BEFORE
+                # blocking on the oldest — one-at-a-time submission
+                # would serialize independent frames
+                while self._pending:
+                    self._finish_one()
                 self._collect_futures(wait=True, one=True)
             else:
                 self._finish_one()

@@ -42,8 +42,10 @@ def _platform() -> str:
         return "none"
 
 
-@functools.lru_cache(maxsize=None)
-def device_roundtrip_ms() -> float:
+_probe_cache: dict = {}
+
+
+def device_roundtrip_ms(fresh: bool = False) -> float:
     """Measured host->device->host latency for a small buffer.  The
     decoder's device batches move a few MB per frame; when the chip sits
     behind a network tunnel (this dev harness) a ~35 ms round trip makes
@@ -55,13 +57,22 @@ def device_roundtrip_ms() -> float:
     (the tunnel stalls for minutes at a time) must degrade to the host
     tier, not hang the decoder at the first frame — and a subprocess can
     be killed cleanly mid-transfer, where an abandoned in-process thread
-    stuck inside the runtime aborts interpreter teardown.  Trade-offs,
-    accepted deliberately: a stall longer than the deadline pins the
-    host tier for the process lifetime (restart to re-probe —
-    wrong-but-fast beats hanging), and the child pays one jax import
-    (one-time, and only on accelerator backends with no env override)."""
+    stuck inside the runtime aborts interpreter teardown.  A successful
+    probe is cached for the process lifetime; a FAILED probe is cached
+    only for _PROBE_RETRY_S seconds, after which use_device re-probes —
+    a transport that wedges once and recovers ends up back on the
+    device tier instead of silently running as a CPU decoder forever.
+    The child pays one jax import (only on accelerator backends with no
+    env override)."""
     import subprocess
     import sys
+    import time
+
+    ent = _probe_cache.get("rt")
+    if ent is not None and not fresh:
+        ms, expiry = ent
+        if expiry is None or time.monotonic() < expiry:
+            return ms
 
     try:
         r = subprocess.run(
@@ -69,9 +80,18 @@ def device_roundtrip_ms() -> float:
             capture_output=True, text=True,
             timeout=float(os.environ.get("DAV1D_TPU_PROBE_TIMEOUT", "10")))
         line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
-        return float(line)
+        ms = float(line)
+        _probe_cache["rt"] = (ms, None)  # good probe: process lifetime
     except Exception:
-        return float("inf")  # missed deadline / failed: host tier
+        ms = float("inf")  # missed deadline / failed: host tier for now
+        _probe_cache["rt"] = (ms, time.monotonic() + _PROBE_RETRY_S)
+    return ms
+
+
+# a failed probe is retried after this many seconds (use_device drops
+# its own cache alongside, so the decoder migrates back to the device
+# tier when the transport recovers)
+_PROBE_RETRY_S = float(os.environ.get("DAV1D_TPU_PROBE_RETRY_S", "120"))
 
 
 # Per-family default on an accelerator backend (tools/kernel_bench.py
@@ -79,10 +99,11 @@ def device_roundtrip_ms() -> float:
 # - itx: the batched device transform is ~20x faster than the host batch,
 #   but only pays off when the per-frame coefficient/residual transfers
 #   are cheap — gate on the measured round-trip latency.
-# - cdef: the current formulation re-uploads the padded frame canvas per
-#   plane per frame; host stays default until the filter chain is
-#   device-resident.
-_ACCEL_DEFAULT = {"itx": "latency", "cdef": False, "deblock": "latency",
+# - cdef: standalone calls re-upload the padded canvas per plane (the
+#   device-resident chain avoids that), so it rides the same latency
+#   gate: a co-located chip absorbs the canvas upload, a tunneled one
+#   does not.
+_ACCEL_DEFAULT = {"itx": "latency", "cdef": "latency", "deblock": "latency",
                   "lr": "latency", "fg": "latency", "mc": "latency",
                   "resize": "latency",
                   # device-resident deblock->CDEF chain (one plane
@@ -94,20 +115,48 @@ _ACCEL_DEFAULT = {"itx": "latency", "cdef": False, "deblock": "latency",
 _LATENCY_GATE_MS = 5.0
 
 
-@functools.lru_cache(maxsize=None)
+_use_cache: dict = {}
+
+
 def use_device(kind: str) -> bool:
+    # answers driven by a FAILED probe expire with it (see
+    # device_roundtrip_ms) — everything else caches for the process
+    ent = _use_cache.get(kind)
+    if ent is not None:
+        val, expiry = ent
+        import time
+
+        if expiry is None or time.monotonic() < expiry:
+            return val
+    val, expiry = _use_device_uncached(kind)
+    _use_cache[kind] = (val, expiry)
+    return val
+
+
+def _use_device_uncached(kind: str):
     per = os.environ.get(f"DAV1D_TPU_DEVICE_{kind.upper()}")
     if per is not None:
-        return per == "1"
+        return per == "1", None
     glob = os.environ.get("DAV1D_TPU_DEVICE")
     if glob is not None:
-        return glob == "1"
+        return glob == "1", None
     if _platform() in ("cpu", "none"):
-        return False
+        return False, None
     policy = _ACCEL_DEFAULT.get(kind, True)
     if policy == "latency":
-        return device_roundtrip_ms() < _LATENCY_GATE_MS
-    return bool(policy)
+        ms = device_roundtrip_ms()
+        if ms == float("inf"):
+            return False, _probe_cache["rt"][1]
+        return ms < _LATENCY_GATE_MS, None
+    return bool(policy), None
+
+
+def _cache_clear():
+    _use_cache.clear()
+    _probe_cache.clear()
+
+
+use_device.cache_clear = _cache_clear  # drop-in for the old lru_cache
 
 
 def _probe_main() -> None:

@@ -324,6 +324,14 @@ def _np_ptr(a):
 
 _ARENA_POOL: dict = {}  # (name, shape) -> [ndarray, ...]
 
+# concurrent reconstruction workers (decoder n_fc pool) release and
+# acquire arenas from different threads; compound get-check-pop /
+# stats updates need the lock (list.append alone would be GIL-atomic,
+# the read-modify-write sequences are not)
+import threading as _threading
+
+_POOL_LOCK = _threading.Lock()
+
 # process-wide allocation accounting per category (the reference's
 # TRACK_HEAP_ALLOCATIONS analog, src/mem.c:52-101): [allocs, reuses,
 # cur_bytes, peak_bytes], read via dav1d_tpu.decoder.memory_stats()
@@ -341,14 +349,15 @@ def _stat_alloc(name, nbytes, reuse):
 
 
 def _pool_get(name, shape, dtype):
-    lst = _ARENA_POOL.get((name, shape if isinstance(shape, tuple)
-                           else (shape,)))
-    if lst:
-        _stat_alloc(name, 0, reuse=True)
-        return lst.pop()
-    arr = np.zeros(shape, dtype=dtype)
-    _stat_alloc(name, arr.nbytes, reuse=False)
-    return arr
+    with _POOL_LOCK:
+        lst = _ARENA_POOL.get((name, shape if isinstance(shape, tuple)
+                               else (shape,)))
+        if lst:
+            _stat_alloc(name, 0, reuse=True)
+            return lst.pop()
+        _stat_alloc(name, int(np.prod(shape)) * np.dtype(dtype).itemsize,
+                    reuse=False)
+    return np.zeros(shape, dtype=dtype)
 
 
 def _pool_put(name, arr, used_rows):
@@ -364,7 +373,8 @@ def _pool_put(name, arr, used_rows):
     so recycling them dirty is sound and skips multi-MB clears."""
     if used_rows:
         arr[:used_rows] = 0
-    _ARENA_POOL.setdefault((name, arr.shape), []).append(arr)
+    with _POOL_LOCK:
+        _ARENA_POOL.setdefault((name, arr.shape), []).append(arr)
 
 
 class NativeFrameDecode:

@@ -96,3 +96,76 @@ def test_worker_thread_flush_recovers(stream):
         n += 1
     assert n == 2
     dec.close()
+
+
+def test_nfc_pool_bit_exact(stream):
+    """Multiple reconstruction workers (n_fc > 1): identical bytes at
+    every thread count, including delays larger than the pool."""
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Settings
+
+    tus = [tu for tu, _ in read_ivf(stream.read_bytes())]
+    _, ref = _md5(tus, Settings(two_pass=True))
+    for n_threads in (5, 10, 64):
+        n, got = _md5(tus, Settings(two_pass=True, n_threads=n_threads,
+                                    max_frame_delay=8))
+        assert n == 6
+        assert got == ref
+
+
+def test_nfc_pool_overlaps_independent_frames(tmp_path, monkeypatch):
+    """Two frames whose references are final must reconstruct
+    CONCURRENTLY on the worker pool (the reference's n_fc>1 frame
+    threading, src/lib.c:109-126).  Keyframes have no refs, so with
+    n_fc >= 2 their pass-2 intervals must overlap; a sleep inside the
+    finish keeps the check robust on a 1-core host."""
+    import time
+
+    from dav1d_tpu import decoder as dmod
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Decoder, Settings
+
+    p = tmp_path / "kf.ivf"
+    enc = AomEncoder(width=192, height=128, usage="good", cpu_used=8,
+                     q=40, kf_max_dist=1, lag=0)
+    pkts = enc.encode(gradient_frames(4, 192, 128))
+    enc.close()
+    write_ivf_packets(p, pkts, 192, 128)
+    tus = [tu for tu, _ in read_ivf(p.read_bytes())]
+
+    spans = []
+    real = dmod.decode_frame_finish
+
+    def slow_finish(f):
+        t0 = time.monotonic()
+        time.sleep(0.05)
+        real(f)
+        spans.append((t0, time.monotonic()))
+
+    monkeypatch.setattr(dmod, "decode_frame_finish", slow_finish)
+    dec = Decoder(Settings(two_pass=True, n_threads=5, max_frame_delay=8))
+    n = 0
+    for tu in tus:
+        dec.send_data(tu)
+    while dec.get_picture() is not None:
+        n += 1
+    dec.close()
+    assert n == 4 and len(spans) == 4
+    overlaps = sum(1 for i in range(len(spans)) for j in range(i + 1,
+                   len(spans))
+                   if spans[i][0] < spans[j][1] and spans[j][0] < spans[i][1])
+    assert overlaps >= 1, f"no concurrent pass-2 intervals: {spans}"
+
+
+def test_nfc_pool_respects_ref_dependency(stream):
+    """A frame referencing the previous one must observe its final
+    filtered pixels (the ready gate) — covered by byte-exactness on an
+    inter GOP at a pool size larger than the chain depth."""
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Settings
+
+    tus = [tu for tu, _ in read_ivf(stream.read_bytes())]
+    _, ref = _md5(tus, Settings(two_pass=True))
+    _, got = _md5(tus, Settings(two_pass=True, n_threads=64,
+                                max_frame_delay=16))
+    assert got == ref

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""dav1d_tpu CLI: decode AV1 (IVF) to y4m / yuv / md5.
+"""dav1d_tpu CLI: decode AV1 (IVF) to y4m / yuv / md5 / xxh3.
 
 Capability parity with the reference CLI (reference tools/dav1d.c): demux,
 decode loop (send/get), muxers, frame limits, verification.
@@ -63,13 +63,15 @@ def main(argv=None):
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--muxer", default="y4m",
-                   choices=["y4m", "yuv", "md5", "null"])
+                   choices=["y4m", "yuv", "md5", "xxh3", "null"])
     p.add_argument("-l", "--limit", type=int, default=0, help="max frames")
     p.add_argument("-s", "--skip", type=int, default=0,
                    help="skip decoding the first N frames")
-    p.add_argument("--verify", metavar="MD5",
-                   help="verify decoded output against an md5 digest "
-                        "(exit 1 on mismatch)")
+    p.add_argument("--verify", metavar="DIGEST",
+                   help="verify decoded output against a digest: md5, "
+                        "or xxh3-128 with --muxer xxh3 (exit 1 on "
+                        "mismatch; reference tools/output/md5.c, "
+                        "xxhash.c)")
     p.add_argument("-q", "--quiet", action="store_true",
                    help="suppress the per-decode status line")
     p.add_argument("--realtime", action="store_true",
@@ -103,7 +105,7 @@ def main(argv=None):
                         "per line (reference --frametimes)")
     args = p.parse_args(argv)
     if args.filmgrain is None:
-        args.filmgrain = 0 if args.muxer == "md5" else 1
+        args.filmgrain = 0 if args.muxer in ("md5", "xxh3") else 1
 
     data = Path(args.input).read_bytes()
     fps = (25, 1)
@@ -124,7 +126,14 @@ def main(argv=None):
         logger=None if args.quiet
         else lambda m: print(f"dav1d_tpu: {m}", file=sys.stderr)))
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
-    md5 = hashlib.md5()
+    if args.muxer == "xxh3":
+        # XXH3-128 digest of the raw planes, canonical (big-endian) hex
+        # like the reference muxer (tools/output/xxhash.c xxh3_close)
+        import xxhash
+
+        md5 = xxhash.xxh3_128()
+    else:
+        md5 = hashlib.md5()
     n = 0
     emitted = 0
     first = True
@@ -139,9 +148,9 @@ def main(argv=None):
             out.write(b"FRAME\n")
         for pl in range(len(pic.planes)):
             buf = pic.plane_buffer(pl)
-            if args.muxer == "md5" or args.verify:
+            if args.muxer in ("md5", "xxh3") or args.verify:
                 md5.update(buf)
-            if args.muxer not in ("md5", "null"):
+            if args.muxer not in ("md5", "xxh3", "null"):
                 out.write(buf)
         emitted += 1
         if frametimes is not None:
@@ -185,7 +194,7 @@ def main(argv=None):
     if frametimes is not None:
         Path(args.frametimes).write_text(
             "".join(f"{t}\n" for t in frametimes))
-    if args.muxer == "md5":
+    if args.muxer in ("md5", "xxh3"):
         out.write(f"{md5.hexdigest()}\n".encode())
     if out is not sys.stdout.buffer:
         out.close()

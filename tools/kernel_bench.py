@@ -37,10 +37,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 RESULTS: list[dict] = []
 
-# pipelined dispatches per compute-only measurement: sync once at the
-# end so the per-call figure amortizes the host->device command latency
-# the way a resident frame loop does
-COMPUTE_REPS = 20
+# extra fused in-graph iterations for the slope measurement (see
+# _time_compute): per-kernel time = (t(8+N) - t(8)) / N
+COMPUTE_REPS = 248
+
+# DAV1D_TPU_KB_E2E=0 skips the dev-e2e column's timed transfers (the
+# tunnel's multi-minute stalls can wedge a full run); the compute
+# column is unaffected
+import os  # noqa: E402
+
+SKIP_E2E = os.environ.get("DAV1D_TPU_KB_E2E", "1") == "0"
+
+
+def _time_e2e(fn, reps=5):
+    if SKIP_E2E:
+        return float("nan")
+    return _time(fn, reps)
 
 
 def _time(fn, reps=5):
@@ -56,12 +68,13 @@ def _time(fn, reps=5):
 def _time_compute(dispatch=None, reps=COMPUTE_REPS, prog=None, args=()):
     """On-chip kernel time, one of two protocols:
 
-    prog/args: K kernel iterations fused into ONE dispatch via
-    fori_loop (the first array argument is perturbed by the loop index
-    and every output reduced into the carry, so the loop can't be
-    hoisted).  This removes per-dispatch transport overhead entirely —
-    on this harness the network tunnel costs ~1.5 ms per dispatch even
-    pipelined, swamping sub-ms kernels.
+    prog/args: kernel iterations fused into ONE dispatch via fori_loop
+    (the first array argument is perturbed by the loop index and every
+    output reduced into the carry, so the loop can't be hoisted or
+    CSE'd), timed at two iteration counts; the slope cancels the fixed
+    dispatch+sync cost exactly.  Through this harness's network tunnel
+    that constant is ~20 ms — 20x any kernel here — and even locally
+    attached it is tens of microseconds.
 
     dispatch: fallback for callables that can't be traced under an
     outer jit — reps pipelined launches, one sync (includes dispatch
@@ -72,24 +85,38 @@ def _time_compute(dispatch=None, reps=COMPUTE_REPS, prog=None, args=()):
     if prog is not None:
         x0, rest = args[0], args[1:]
 
-        def run(x, *a):
-            def body(i, acc):
-                y = prog(x + i.astype(x.dtype), *a)
-                s = jnp.int32(0)
-                for leaf in jax.tree_util.tree_leaves(y):
-                    s = s + leaf.astype(jnp.int32).sum()
-                return acc + s
+        def make(k):
+            def run(x, *a):
+                def body(i, acc):
+                    y = prog(x + i.astype(x.dtype), *a)
+                    s = jnp.int32(0)
+                    for leaf in jax.tree_util.tree_leaves(y):
+                        s = s + leaf.astype(jnp.int32).sum()
+                    return acc + s
 
-            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-        r = jax.jit(run)
-        jax.block_until_ready(r(x0, *rest))  # warm: compile
-        best = float("inf")
+            return jax.jit(run)
+
+        # Sync protocol: fetching the int32 carry is the only TRUE
+        # completion signal on this harness — the tunneled runtime acks
+        # block_until_ready at enqueue, before the kernels execute
+        # (verified: a 4096-iteration loop "completed" in 30 us).  The
+        # fetch is 4 bytes, so its round trip is the same constant at
+        # both iteration counts and the slope cancels it.
+        lo, hi = 8, 8 + reps  # two-point slope
+        r_lo, r_hi = make(lo), make(hi)
+        np.asarray(r_lo(x0, *rest))  # warm: compile + fetch path
+        np.asarray(r_hi(x0, *rest))
+        t_lo = t_hi = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(r(x0, *rest))
-            best = min(best, (time.perf_counter() - t0) / reps)
-        return best * 1e3
+            np.asarray(r_lo(x0, *rest))
+            t_lo = min(t_lo, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(r_hi(x0, *rest))
+            t_hi = min(t_hi, time.perf_counter() - t0)
+        return max(t_hi - t_lo, 0.0) / (hi - lo) * 1e3
 
     jax.block_until_ready(dispatch())  # warm: compile + cache
     best = float("inf")
@@ -156,7 +183,7 @@ def bench_itx():
             host = _time(lambda: itx_batch_c(cf, tx, txtp, 8))
         else:
             host = _time(lambda: itx_batch_np(cf, tx, txtp, 8))
-        dev = _time(lambda: np.asarray(itx_batch(cf, tx, txtp, 8)))
+        dev = _time_e2e(lambda: np.asarray(itx_batch(cf, tx, txtp, 8)))
         prog = _jit_itx(tx, txtp, 8)
         rcf = _put(cf.astype(np.int16))
         cmp_ms = _time_compute(prog=prog, args=(rcf,))
@@ -172,7 +199,7 @@ def bench_itx():
             sw, sh = min(w, 32), min(h, 32)
             cf = rng.integers(-2000, 2000, (B, sw * sh), dtype=np.int32)
             host = _time(lambda: itx_batch_c(cf, tx, txtp, 8))
-            dev = _time(
+            dev = _time_e2e(
                 lambda: np.asarray(itx_batch_pallas(cf, tx, txtp, 8)))
             rcf = _put(cf)
             cmp_ms = _time_compute(
@@ -191,8 +218,8 @@ def bench_cdef():
     for B in (64, 512, 2048):
         blk = rng.integers(0, 256, (B, 8, 8), dtype=np.int64)
         host = _time(lambda: hcdef.cdef_find_dir_batch(blk, 8))
-        dev = _time(lambda: [np.asarray(x) for x in
-                             dcdef.cdef_find_dir_batch(blk, 8)])
+        dev = _time_e2e(lambda: [np.asarray(x) for x in
+                                 dcdef.cdef_find_dir_batch(blk, 8)])
         rblk = _put(blk.astype(np.int32))
         prog = dcdef._jit_find_dir(8)
         cmp_ms = _time_compute(prog=prog, args=(rblk,))
@@ -208,7 +235,7 @@ def bench_cdef():
         dirs = rng.integers(0, 8, B).astype(np.int64)
         host = _time(lambda: hcdef.cdef_filter_batch(
             canvas, ys, xs, 8, 8, pri, sec, dirs, 5, 8))
-        dev = _time(lambda: dcdef.cdef_filter_batch(
+        dev = _time_e2e(lambda: dcdef.cdef_filter_batch(
             canvas, ys, xs, 8, 8, pri, sec, dirs, 5, 8))
         # compute-only: resident canvas + pre-padded per-unit vectors,
         # the shape the device-resident chain dispatches
@@ -309,7 +336,7 @@ def bench_lr():
             for b in range(B):
                 _wiener(P[b], list(fh[b]), list(fv[b]), uw, sh, 8)
 
-        dev = _time(lambda: wiener_batch(P, fh, fv, 8))
+        dev = _time_e2e(lambda: wiener_batch(P, fh, fv, 8))
         prog = _jit_wiener(uw, sh, 8)
         rP, rfh, rfv = _put(P.astype(np.int32), fh.astype(np.int32),
                             fv.astype(np.int32))
@@ -332,7 +359,7 @@ def bench_fg():
             noise = _round2_arr(lut[src] * grain, 8)
             np.clip(src + noise, 0, 255)
 
-        dev = _time(lambda: fg_apply_batch(src, grain, lut, 8, 0, 255))
+        dev = _time_e2e(lambda: fg_apply_batch(src, grain, lut, 8, 0, 255))
         prog = _jit_apply(8, 0, 255)
         rsrc, rgrain, rlut = _put(src.astype(np.int32),
                                   grain.astype(np.int32),
@@ -401,7 +428,7 @@ def bench_ipred():
             for e in edges:
                 ipred(mode, e, 128, w, h, angle, w, h, 8)
 
-        dev = _time(lambda: np.asarray(
+        dev = _time_e2e(lambda: np.asarray(
             ipred_batch(mode, edges, w, h, angle, w, h, 8)))
         prog = _program(mode, w, h, angle, w, h, 8)
         redges = _put(edges)
@@ -421,7 +448,7 @@ def bench_resize():
         rows = rng.integers(0, 256, (h, src_w), dtype=np.int32)
         step = ((in_w << 14) + (out_w >> 1)) // out_w
         host = _time(lambda: resize_row(rows, out_w, src_w, step, 128, 8))
-        dev = _time(lambda: np.asarray(
+        dev = _time_e2e(lambda: np.asarray(
             resize_rows(rows, out_w, src_w, step, 128, 8)))
         prog = _program(out_w, src_w, step, 128, 8)
         rrows = _put(rows)
