@@ -27,6 +27,74 @@ def call(tag, prog, *args, **kw):
     return prog(*args, **kw)
 
 
+def time_program(prog, args, kw=None, reps0=248, signal_ms=4.0,
+                 max_reps=3968, samples=5):
+    """On-chip time of one launch of `prog(*args, **kw)` (ms), measured
+    with transport excluded:
+
+    - all array args are made device-resident;
+    - K iterations of the program are fused into ONE dispatch via
+      fori_loop, every output reduced into an int32 carry (so nothing
+      can be hoisted or dead-code-eliminated), with the SMALLEST array
+      argument perturbed by the loop index (perturbing a large one
+      would add its full read+write to every iteration — material for
+      bandwidth-bound kernels);
+    - the program is timed at two iteration counts and the slope taken:
+      the constant dispatch + 4-byte-fetch round trip cancels exactly.
+      Fetching the carry is the only true completion signal on a
+      tunneled runtime that acks block_until_ready at enqueue;
+    - if the measured signal (t_hi - t_lo) is below `signal_ms` the
+      iteration count escalates (x4 up to max_reps) so sub-10-us
+      kernels still resolve above transport jitter."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    kw = kw or {}
+    ra = [jax.device_put(np.asarray(x)) if isinstance(x, np.ndarray)
+          else x for x in args]
+    arr_idx = [i for i, x in enumerate(ra)
+               if getattr(x, "ndim", 0) > 0]
+    pert = min(arr_idx, key=lambda i: ra[i].size * ra[i].dtype.itemsize)
+    rest = ra[:pert] + ra[pert + 1:]
+
+    def make(k):
+        def run(x, *rr):
+            def body(i, acc):
+                aa = list(rr)
+                aa.insert(pert, x + i.astype(x.dtype))
+                y = prog(*aa, **kw)
+                s = jnp.int32(0)
+                for leaf in jax.tree_util.tree_leaves(y):
+                    s = s + leaf.astype(jnp.int32).sum()
+                return acc + s
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return jax.jit(run)
+
+    reps = reps0
+    while True:
+        lo, hi = 8, 8 + reps
+        r_lo, r_hi = make(lo), make(hi)
+        np.asarray(r_lo(ra[pert], *rest))  # warm: compile + fetch path
+        np.asarray(r_hi(ra[pert], *rest))
+        t_lo = t_hi = float("inf")
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            np.asarray(r_lo(ra[pert], *rest))
+            t_lo = min(t_lo, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(r_hi(ra[pert], *rest))
+            t_hi = min(t_hi, time.perf_counter() - t0)
+        signal = (t_hi - t_lo) * 1e3
+        if signal >= signal_ms or reps >= max_reps:
+            return max(signal, 0.0) / reps
+        reps *= 4
+
+
 class frame_marker:
     """Sentinel appended by the decoder at frame boundaries so the
     bench can attribute launches to frames."""

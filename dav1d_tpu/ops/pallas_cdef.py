@@ -1,0 +1,209 @@
+"""Pallas CDEF: whole-plane constrained directional filtering as a
+row-band kernel.
+
+Why Pallas here: the XLA formulation (ops/cdef.py _jit_filter_plane)
+gathers every 8x8 unit into a (B, h+4, w+4) tensor and scatters the
+filtered blocks back — two arbitrary-index gather/scatter passes that
+lower poorly on TPU.  CDEF is structurally a STENCIL: every pixel reads
+a <=2-px neighbourhood with direction-dependent taps.  This kernel
+processes one unit-row band per grid step (h+4 canvas rows DMA'd into
+VMEM), computes all h output rows as full (h, W) blocks — exactly the
+VPU's (8, 128) tiling — and selects each tap's offset by the unit's
+direction via one-hot masks over 8 statically-shifted views.  No
+gathers, no scatters, no per-unit work at all: absent units ride the
+same math with pri=sec=0 and pass through.
+
+Bit-exactness: the arithmetic is a restructuring of ops/cdef.py
+_jit_filter (itself verified against the scalar golden model and the
+reference oracle, src/cdef_tmpl.c:106): same constrain, same parity
+taps, same min/max clamp with the INT16_MIN sentinel replacement.
+tests/test_pallas_cdef.py asserts equality against the XLA tier in
+interpret mode and on real streams via the device-chain e2e.
+
+Reference: src/cdef_tmpl.c:56-321; the asm families x86/cdef*.asm.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+try:
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover - jax always present in this env
+    pl = None
+
+from ..recon.cdef import INT16_MIN, _DIR_DX, _DIR_DY
+
+_DY = np.asarray(_DIR_DY)  # (2, 12)
+_DX = np.asarray(_DIR_DX)
+
+
+def supported() -> bool:
+    return pl is not None
+
+
+def _ulog2_vec(v):
+    """floor(log2(v)) for v in [1, 512) as compares (no clz needed)."""
+    s = jnp.zeros_like(v)
+    for k in range(1, 10):
+        s = s + (v >= (1 << k)).astype(v.dtype)
+    return s
+
+
+@functools.lru_cache(maxsize=None)
+def _build(h_unit, w_unit, nbands, Wp, Wc, damping, bitdepth, interpret):
+    bdmin8 = bitdepth - 8
+    band_rows = h_unit + 4
+
+    def constrain(diff, thr, shift):
+        adiff = jnp.abs(diff)
+        v = jnp.minimum(adiff, jnp.maximum(0, thr - (adiff >> shift)))
+        return jnp.where(diff < 0, -v, v)
+
+    def kernel(canvas_ref, pri_ref, sec_ref, dir_ref, out_ref, band, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            canvas_ref.at[pl.ds(i * h_unit, band_rows)], band, sem)
+        dma.start()
+        dma.wait()
+        b = band[...].astype(jnp.int32)  # (band_rows, Wc)
+
+        def window(oy, ox):
+            return jax.lax.dynamic_slice(
+                b, (2 + oy, 2 + ox), (h_unit, Wp))
+
+        px = window(0, 0)
+        pri = pri_ref[...].astype(jnp.int32)  # (1, Wp) broadcast rows
+        sec = sec_ref[...].astype(jnp.int32)
+        dr = dir_ref[...].astype(jnp.int32)
+        oh = [(dr == d).astype(jnp.int32) for d in range(8)]
+
+        def tap(k, off, sgn):
+            """One-hot select of the per-direction shifted window for
+            tap table row k at table offset `off` with sign `sgn`."""
+            # dedupe identical offsets across directions
+            byoff = {}
+            for d in range(8):
+                oy = sgn * int(_DY[k][off + d])
+                ox = sgn * int(_DX[k][off + d])
+                byoff.setdefault((oy, ox), []).append(d)
+            acc = None
+            for (oy, ox), ds in byoff.items():
+                m = oh[ds[0]]
+                for d in ds[1:]:
+                    m = m + oh[d]
+                v = m * window(oy, ox)
+                acc = v if acc is None else acc + v
+            return acc
+
+        pri_nz = pri > 0
+        sec_nz = sec > 0
+        both = pri_nz & sec_nz
+        pri_shift = jnp.maximum(
+            0, damping - _ulog2_vec(jnp.maximum(pri, 1)))
+        sec_shift = damping - _ulog2_vec(jnp.maximum(sec, 1))
+        pri_tap0 = 4 - ((pri >> bdmin8) & 1)
+
+        sum_ = jnp.zeros_like(px)
+        mn = px
+        mx = px
+
+        def acc_minmax(v, mn, mx):
+            u = jnp.where(v == INT16_MIN, 0x7FFF0000, v)
+            return jnp.minimum(mn, u), jnp.maximum(mx, v)
+
+        for k in range(2):
+            p0 = tap(k, 2, 1)
+            p1 = tap(k, 2, -1)
+            ptk = pri_tap0 if k == 0 else (pri_tap0 & 3) | 2
+            pc = ptk * (constrain(p0 - px, pri, pri_shift)
+                        + constrain(p1 - px, pri, pri_shift))
+            sum_ += jnp.where(pri_nz, pc, 0)
+            mn, mx = acc_minmax(jnp.where(both, p0, px), mn, mx)
+            mn, mx = acc_minmax(jnp.where(both, p1, px), mn, mx)
+            sec_tap = 2 - k
+            for sdir_off in (4, 0):
+                for sgn in (1, -1):
+                    s = tap(k, sdir_off, sgn)
+                    sc = sec_tap * constrain(s - px, sec, sec_shift)
+                    sum_ += jnp.where(sec_nz, sc, 0)
+                    mn, mx = acc_minmax(jnp.where(both, s, px), mn, mx)
+
+        out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
+        out = jnp.where(both, jnp.clip(out, mn, mx), out)
+        out_ref[...] = jnp.where(pri_nz | sec_nz, out, px)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nbands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # canvas (HBM)
+            pl.BlockSpec((1, Wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((h_unit, Wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbands * h_unit, Wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((band_rows, Wc), jnp.int16),
+                        pltpu.SemaphoreType.DMA],
+        interpret=bool(interpret),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_plane(w, h, ph, pw, damping, bitdepth, interpret):
+    """Outer jit: sentinel canvas + per-pixel-column parameter maps from
+    the unit vectors, then the band kernel; same signature semantics as
+    ops/cdef.py _jit_filter_plane (pad units sit far out of bounds and
+    drop out of the scatter)."""
+    nbands = -(-ph // h)
+    ncols = -(-pw // w)
+    Wp = ((ncols * w + 127) // 128) * 128
+    Wc = Wp + 4
+    kern = _build(h, w, nbands, Wp, Wc, damping, bitdepth, interpret)
+
+    def fn(plane, ys, xs, pri, sec, dirs):
+        canvas = jnp.full((nbands * h + 4, Wc), INT16_MIN, jnp.int16)
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, plane[:ph, :pw].astype(jnp.int16), (2, 2))
+        ub = ys // h
+        uc = xs // w
+        zero = jnp.zeros((nbands, Wp // w), jnp.int32)
+        pm = zero.at[ub, uc].set(pri)
+        sm = zero.at[ub, uc].set(sec)
+        dm = zero.at[ub, uc].set(dirs)
+        rep = lambda m: jnp.repeat(m, w, axis=1)  # noqa: E731
+        out = kern(canvas, rep(pm), rep(sm), rep(dm))
+        return plane.at[:ph, :pw].set(out[:ph, :pw])
+
+    return jax.jit(fn)
+
+
+def cdef_filter_plane_pallas(plane_dev, ph, pw, ys, xs, w, h, pri, sec,
+                             dirs, damping, bitdepth, interpret=False):
+    """Drop-in for ops/cdef.cdef_filter_plane_dev, Pallas band kernel."""
+    from ..devrt import call
+
+    n = len(ys)
+    nb = 1 << max(0, (int(n) - 1).bit_length())
+    far = 1 << 24
+
+    def pad(a, fill=0):
+        out = np.full(max(nb, 1), fill, dtype=np.int32)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    return call("cdef_filter",
+                _jit_plane(int(w), int(h), int(ph), int(pw), int(damping),
+                           int(bitdepth), bool(interpret)),
+                plane_dev, pad(ys, far), pad(xs, far), pad(pri),
+                pad(sec), pad(dirs))

@@ -98,9 +98,31 @@ def filter_chain_device(f) -> bool:
     f.pre_cdef = None
 
     if do_cdef:
+        import os
+
         from ..ops.cdef import (cdef_filter_plane_dev,
                                 cdef_find_dir_plane_dev)
         from .cdef import UV_DIRS_420, UV_DIRS_422, cdef_collect
+
+        # CDEF unit filter tier: the Pallas band kernel replaces the
+        # XLA unit-gather/scatter formulation on real TPU backends
+        # (stencil > gather/scatter there; ops/pallas_cdef.py).
+        # DAV1D_TPU_CDEF_PALLAS=0 forces XLA, =1 forces Pallas
+        # (interpret mode off-TPU, for tests).
+        _pal_env = os.environ.get("DAV1D_TPU_CDEF_PALLAS")
+        from ..dispatch import _platform
+        from ..ops import pallas_cdef
+        use_pallas_cdef = pallas_cdef.supported() and (
+            _pal_env == "1" if _pal_env is not None
+            else _platform() not in ("cpu", "none"))
+        if use_pallas_cdef:
+            interp = _platform() in ("cpu", "none")
+
+            def cdef_filter_plane_dev(p, ph_, pw_, ys_, xs_, w_, h_,
+                                      pri_, sec_, dirs_, damp_, bd_):
+                return pallas_cdef.cdef_filter_plane_pallas(
+                    p, ph_, pw_, ys_, xs_, w_, h_, pri_, sec_, dirs_,
+                    damp_, bd_, interpret=interp)
 
         units = cdef_collect(f)
         if units is not None:

@@ -140,49 +140,9 @@ def main():
         groups[key_of(ent)].append(ent)
 
     def time_one(prog, a, kw, reps):
-        """kernel_bench's fused-repetition slope protocol: K iterations
-        in one dispatch (first array arg perturbed by the loop index,
-        outputs reduced into the int32 carry), timed at two iteration
-        counts; the slope cancels the constant dispatch + 4-byte fetch
-        round trip.  Fetching the carry is the only true completion
-        signal here — the tunneled runtime acks block_until_ready at
-        enqueue."""
-        import jax.numpy as jnp
+        from dav1d_tpu.devrt import time_program
 
-        ra = [jax.device_put(np.asarray(x)) if isinstance(x, np.ndarray)
-              else x for x in a]
-        first = next(i for i, x in enumerate(ra) if hasattr(x, "shape")
-                     and getattr(x, "ndim", 0) > 0)
-        rest = ra[:first] + ra[first + 1:]
-
-        def make(k):
-            def run(x, *rr):
-                def body(i, acc):
-                    aa = list(rr)
-                    aa.insert(first, x + i.astype(x.dtype))
-                    y = prog(*aa, **kw)
-                    s = jnp.int32(0)
-                    for leaf in jax.tree_util.tree_leaves(y):
-                        s = s + leaf.astype(jnp.int32).sum()
-                    return acc + s
-
-                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-            return jax.jit(run)
-
-        lo, hi = 4, 4 + reps
-        r_lo, r_hi = make(lo), make(hi)
-        np.asarray(r_lo(ra[first], *rest))  # warm: compile + fetch
-        np.asarray(r_hi(ra[first], *rest))
-        t_lo = t_hi = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(r_lo(ra[first], *rest))
-            t_lo = min(t_lo, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            np.asarray(r_hi(ra[first], *rest))
-            t_hi = min(t_hi, time.perf_counter() - t0)
-        return max(t_hi - t_lo, 0.0) / (hi - lo) * 1e3
+        return time_program(prog, a, kw=kw, reps0=reps)
 
     fam_ms = defaultdict(float)
     fam_launches = defaultdict(int)

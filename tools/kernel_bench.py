@@ -66,57 +66,17 @@ def _time(fn, reps=5):
 
 
 def _time_compute(dispatch=None, reps=COMPUTE_REPS, prog=None, args=()):
-    """On-chip kernel time, one of two protocols:
-
-    prog/args: kernel iterations fused into ONE dispatch via fori_loop
-    (the first array argument is perturbed by the loop index and every
-    output reduced into the carry, so the loop can't be hoisted or
-    CSE'd), timed at two iteration counts; the slope cancels the fixed
-    dispatch+sync cost exactly.  Through this harness's network tunnel
-    that constant is ~20 ms — 20x any kernel here — and even locally
-    attached it is tens of microseconds.
-
-    dispatch: fallback for callables that can't be traced under an
-    outer jit — reps pipelined launches, one sync (includes dispatch
-    overhead)."""
+    """On-chip kernel time.  prog/args delegates to devrt.time_program
+    (fused in-graph repetition, two-point slope, value-fetch sync,
+    adaptive iteration escalation — see its docstring).  dispatch: a
+    fallback for callables that can't be traced under an outer jit —
+    reps pipelined launches, one sync (includes dispatch overhead)."""
     import jax
-    import jax.numpy as jnp
 
     if prog is not None:
-        x0, rest = args[0], args[1:]
+        from dav1d_tpu.devrt import time_program
 
-        def make(k):
-            def run(x, *a):
-                def body(i, acc):
-                    y = prog(x + i.astype(x.dtype), *a)
-                    s = jnp.int32(0)
-                    for leaf in jax.tree_util.tree_leaves(y):
-                        s = s + leaf.astype(jnp.int32).sum()
-                    return acc + s
-
-                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-            return jax.jit(run)
-
-        # Sync protocol: fetching the int32 carry is the only TRUE
-        # completion signal on this harness — the tunneled runtime acks
-        # block_until_ready at enqueue, before the kernels execute
-        # (verified: a 4096-iteration loop "completed" in 30 us).  The
-        # fetch is 4 bytes, so its round trip is the same constant at
-        # both iteration counts and the slope cancels it.
-        lo, hi = 8, 8 + reps  # two-point slope
-        r_lo, r_hi = make(lo), make(hi)
-        np.asarray(r_lo(x0, *rest))  # warm: compile + fetch path
-        np.asarray(r_hi(x0, *rest))
-        t_lo = t_hi = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(r_lo(x0, *rest))
-            t_lo = min(t_lo, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            np.asarray(r_hi(x0, *rest))
-            t_hi = min(t_hi, time.perf_counter() - t0)
-        return max(t_hi - t_lo, 0.0) / (hi - lo) * 1e3
+        return time_program(prog, args, reps0=reps)
 
     jax.block_until_ready(dispatch())  # warm: compile + cache
     best = float("inf")
@@ -201,10 +161,15 @@ def bench_itx():
             host = _time(lambda: itx_batch_c(cf, tx, txtp, 8))
             dev = _time_e2e(
                 lambda: np.asarray(itx_batch_pallas(cf, tx, txtp, 8)))
-            rcf = _put(cf)
-            cmp_ms = _time_compute(
-                prog=lambda x: itx_batch_pallas(x, tx, txtp, 8),
-                args=(rcf,))
+            # raw pallas program on a resident pre-padded batch (the
+            # wrapper's numpy padding can't trace under the fused timer)
+            bb = pallas_itx._block_b(tx)
+            nb = bb * (1 << (max(1, -(-B // bb)) - 1).bit_length())
+            cfp = np.zeros((nb, sw * sh), np.int32)
+            cfp[:B] = cf
+            prog = pallas_itx._build(tx, txtp, 8, nb, False)
+            rcf = _put(cfp)
+            cmp_ms = _time_compute(prog=prog, args=(rcf,))
             _row("itx", f"itx-pallas {w}x{h} txtp={txtp} B={B}", host,
                  dev, cmp_ms)
 
@@ -254,6 +219,34 @@ def bench_cdef():
             prog=prog, args=(rcv, rys, rxs, rpri, rsec, rdirs))
         _row("cdef", f"cdef_filter 8x8 B={B} (1080p canvas)", host, dev,
              cmp_ms)
+
+    # Pallas band-kernel tier (stencil formulation; ops/pallas_cdef.py)
+    from dav1d_tpu.dispatch import _platform
+    from dav1d_tpu.ops import pallas_cdef
+    if pallas_cdef.supported() and _platform() not in ("cpu", "none"):
+        for B in (512, 2048):
+            ys = rng.integers(2, ph - 10, B).astype(np.int64)
+            xs = rng.integers(2, pw - 10, B).astype(np.int64)
+            pri = np.full(B, 8, dtype=np.int64)
+            sec = np.full(B, 2, dtype=np.int64)
+            dirs = rng.integers(0, 8, B).astype(np.int64)
+            nb = 1 << max(0, (B - 1).bit_length())
+            far = 1 << 24
+
+            def pad(a, fill=0):
+                out = np.full(nb, fill, dtype=np.int32)
+                out[:B] = a
+                return out
+
+            rcv, rys, rxs, rpri, rsec, rdirs = _put(
+                canvas.astype(np.int32), pad(ys, far), pad(xs, far),
+                pad(pri), pad(sec), pad(dirs))
+            prog = pallas_cdef._jit_plane(8, 8, ph + 4, pw + 4, 5, 8,
+                                          False)
+            cmp_ms = _time_compute(
+                prog=prog, args=(rcv, rys, rxs, rpri, rsec, rdirs))
+            _row("cdef", f"cdef_filter-pallas 8x8 B={B} (1080p canvas)",
+                 float("nan"), float("nan"), cmp_ms)
 
 
 def bench_mc():

@@ -1,0 +1,303 @@
+"""Multi-device scaling measurement -> SCALING artifact.
+
+BASELINE demands >=80% frames/s efficiency from 1 host to N>=2.  This
+harness has ONE real TPU chip and one CPU core, so the artifact is
+built from three honestly-labeled measurements instead of one
+unobtainable wall-clock curve:
+
+A. correctness + decomposition (virtual CPU mesh, N = 1/2/4/8): a real
+   multi-tile stream decodes through the mesh-sharded pass-2 + filter
+   chain at every N and must be byte-identical to the single-device
+   decode.  Wall-clock at each N is recorded but N virtual devices
+   share one physical core — it measures sharding overhead, not
+   scaling.  The decomposition stats (per-device shard rows, padded
+   batch utilization, halo bytes per frame) are the real content.
+
+B. strong-scaling compute efficiency (real chip): every device program
+   a forced-device decode of the same stream actually launched is
+   re-timed on resident inputs at its full batch and at the 1/N shard
+   a mesh decode would give each chip (devrt.time_program: fused
+   in-graph repetition, slope, value-fetch sync).  efficiency(N) =
+   t(full) / (N * t(shard)) aggregated over launches weighted by time.
+   This measures the real loss source on TPUs — small per-chip batches
+   underfilling the vector units — without owning N chips.
+
+C. ICI bound (analysis): the mesh filter chain's only cross-chip
+   traffic is fixed halo rows (recon/mesh_lf.py: 8 rows in + up to 16
+   written rows + masks back; recon/mesh_cdef.py: 2+2 rows), all
+   nearest-neighbour ppermutes that ride ICI.  bytes/frame is computed
+   from geometry and compared against per-chip compute time at a
+   conservative 45 GB/s/link to bound the efficiency loss.
+
+    python tools/scaling_bench.py --part A --json SCALING_A.json
+    python tools/scaling_bench.py --part B --json SCALING_B.json
+    python tools/scaling_bench.py --merge A.json B.json --json OUT.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+W, H, FRAMES = 1920, 1080, 3
+ICI_GBPS = 45.0  # conservative per-link ICI bandwidth (v5e class)
+
+
+def _stream():
+    from aom_enc import AomEncoder, gradient_frames, write_ivf_packets
+
+    path = Path(f"/tmp/dav1d_tpu_scaling_{W}x{H}_{FRAMES}_t21.ivf")
+    if not path.exists():
+        enc = AomEncoder(width=W, height=H, usage="good", cpu_used=8,
+                         q=45, kf_max_dist=9999, lag=0,
+                         options={"enable-order-hint": 1,
+                                  "tile-columns": 2, "tile-rows": 1})
+        write_ivf_packets(
+            path, enc.encode(gradient_frames(FRAMES, W, H)), W, H)
+        enc.close()
+    return path
+
+
+def _decode_md5(tus, settings):
+    from dav1d_tpu.decoder import Decoder
+
+    dec = Decoder(settings)
+    h = hashlib.md5()
+    n = 0
+    for tu in tus:
+        dec.send_data(tu)
+        while (p := dec.get_picture()) is not None:
+            n += 1
+            for pl in range(3):
+                h.update(p.plane_bytes(pl))
+    return n, h.hexdigest()
+
+
+def part_a():
+    # must run on the virtual CPU mesh: re-exec with the env if needed
+    if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        env = dict(os.environ,
+                   XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                              + " --xla_force_host_platform_device_count=8"
+                              ).strip(),
+                   JAX_PLATFORMS="cpu")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from jax.sharding import Mesh
+
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Settings
+
+    tus = [tu for tu, _ in read_ivf(_stream().read_bytes())]
+    devices = jax.devices()
+    n_ref, ref = _decode_md5(tus, Settings(two_pass=True))
+
+    runs = []
+    for n in (1, 2, 4, 8):
+        mesh = Mesh(np.array(devices[:n]), axis_names=("tiles",))
+        t0 = time.perf_counter()
+        nn, got = _decode_md5(tus, Settings(two_pass=True, mesh=mesh))
+        dt = time.perf_counter() - t0
+        assert nn == n_ref and got == ref, f"N={n} bytes diverge"
+        runs.append(dict(n_devices=n, byte_equal=True,
+                         wall_fps=round(nn / dt, 3)))
+        print(f"N={n}: byte-equal, {nn / dt:.2f} fps wall "
+              f"(virtual devices share ONE core)")
+
+    # halo traffic per frame (recon/mesh_lf.py HALO=8 in + 8 write-back
+    # rows x2 directions + int8 masks; recon/mesh_cdef.py 2+2 rows),
+    # nearest-neighbour only
+    halos = []
+    for n in (2, 4, 8):
+        per_boundary = 0
+        for pl_w, pl_h in ((W, H), (W // 2, H // 2), (W // 2, H // 2)):
+            deblock = (8 + 16) * pl_w * 4 + 16 * pl_w * 1  # rows + masks
+            cdef = 4 * pl_w * 4
+            per_boundary += deblock + cdef
+        halos.append(dict(
+            n_devices=n,
+            halo_mb_per_frame=round((n - 1) * per_boundary / 1e6, 3),
+            ici_ms_per_frame_at_45GBps=round(
+                per_boundary / (ICI_GBPS * 1e9) * 1e3, 4)))
+
+    return dict(part="A", width=W, height=H, frames=n_ref,
+                tiles="4x2", byte_equal_all=True, runs=runs,
+                halo_model=halos,
+                note=("wall_fps at N>1 runs N virtual devices on ONE "
+                      "core: it measures sharding overhead, not "
+                      "scaling; byte_equal is the correctness claim"))
+
+
+def part_b(reps=64):
+    os.environ["DAV1D_TPU_DEVICE"] = "1"
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DAV1D_TPU_JAX_CACHE",
+                                     "/tmp/jax_cache"))
+    from dav1d_tpu import devrt
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Decoder, Settings
+
+    tus = [tu for tu, _ in read_ivf(_stream().read_bytes())]
+    sink = []
+    devrt.SINK = sink
+    dec = Decoder(Settings(two_pass=True))
+    n_frames = 0
+    for tu in tus:
+        dec.send_data(tu)
+    while dec.get_picture() is not None:
+        n_frames += 1
+    devrt.SINK = None
+    print(f"decode: {n_frames} frames, {len(sink)} launches")
+
+    PLANE_TAGS = {"deblock", "cdef_filter", "fg", "resize"}
+
+    def shard_args(tag, a, n):
+        """1/N of a launch's work the way the mesh shards it.  Batch
+        programs (itx/mc/lr unit batches) slice the leading batch axis
+        of every batch-length array; plane programs (deblock/cdef/fg/
+        resize row bands) slice plane-shaped args to a band + halo and
+        keep ~1/N of the unit-index vectors; replicated state (ref
+        planes, LR snapshots, LUTs, scalars) stays whole — exactly the
+        sharding recon/mesh_lf.py, mesh_cdef.py and the pass-2 batch
+        sharding apply on a real mesh."""
+        arrs = [np.asarray(x) if hasattr(x, "shape") else x for x in a]
+        plane = (tag in PLANE_TAGS
+                 or (tag == "cdef_dir" and arrs[0].ndim == 2))
+        if plane:
+            rows = arrs[0].shape[0]
+            out = []
+            for x in arrs:
+                if getattr(x, "ndim", 0) == 2 and x.shape[0] >= rows:
+                    out.append(x[:max(x.shape[0] // n + 8, 32)])
+                elif getattr(x, "ndim", 0) == 1 and len(x) > 512:
+                    out.append(x[:max(len(x) // n, 1)])
+                else:
+                    out.append(x)
+            return out
+        if tag in ("mc_resident", "lr"):
+            # leading plane/snapshot state replicated; unit vectors
+            # and per-unit rows shard
+            keep = 1 if tag == "mc_resident" else 2
+            b = max(len(x) for x in arrs[keep:]
+                    if getattr(x, "ndim", 0) >= 1)
+            sb = max(-(-b // n), 1)
+            return arrs[:keep] + [
+                x[:sb] if getattr(x, "ndim", 0) >= 1 and len(x) == b
+                else x for x in arrs[keep:]]
+        b = arrs[0].shape[0] if getattr(arrs[0], "ndim", 0) else 1
+        sb = max(-(-b // n), 1)
+        return [x[:sb] if getattr(x, "ndim", 0) >= 1 and len(x) == b
+                else x for x in arrs]
+
+    groups = defaultdict(list)
+    for ent in sink:
+        if ent[0] == "frame":
+            continue
+        tag, prog, a, kw = ent
+        shapes = tuple(
+            (tuple(x.shape), str(x.dtype)) if hasattr(x, "shape")
+            else repr(x) for x in a)
+        groups[(tag, id(prog), shapes, tuple(sorted(kw.items())))] \
+            .append(ent)
+
+    rows = []
+    NS = (2, 4, 8)
+    tot_full = 0.0
+    tot_shard = {n: 0.0 for n in NS}
+    for key, ents in sorted(groups.items(), key=lambda kv: -len(kv[1])):
+        tag = key[0]
+        _, prog, a, kw = ents[0]
+        try:
+            full = devrt.time_program(prog, a, kw=kw, reps0=reps)
+            shard_ms = {}
+            for n in NS:
+                sa = shard_args(tag, a, n)
+                shard_ms[n] = devrt.time_program(prog, sa, kw=kw,
+                                                 reps0=reps)
+        except Exception as e:  # noqa: BLE001
+            print(f"  [{tag}] failed: {type(e).__name__}: {e}")
+            continue
+        cnt = len(ents)
+        tot_full += full * cnt
+        for n in NS:
+            tot_shard[n] += shard_ms[n] * cnt
+        rows.append(dict(
+            family=tag, launches=cnt, full_ms=round(full, 4),
+            shard_ms={str(n): round(shard_ms[n], 4) for n in NS},
+            efficiency={str(n): round(full / (n * shard_ms[n]), 3)
+                        if shard_ms[n] > 0 else None for n in NS}))
+        print(f"  {tag:<12} full {full:8.4f}ms  " + "  ".join(
+            f"N={n}: {shard_ms[n]:7.4f}ms eff="
+            f"{full / (n * shard_ms[n]):4.2f}" if shard_ms[n] > 0 else
+            f"N={n}: ~0" for n in NS))
+
+    eff = {str(n): round(tot_full / (n * tot_shard[n]), 3)
+           if tot_shard[n] > 0 else None for n in NS}
+    print(f"aggregate strong-scaling compute efficiency: {eff}")
+    return dict(part="B", n_frames=n_frames,
+                device_compute_ms_per_frame=round(tot_full / n_frames, 3),
+                per_chip_ms_per_frame={
+                    str(n): round(tot_shard[n] / n_frames, 3)
+                    for n in NS},
+                compute_efficiency=eff, rows=rows, reps=reps,
+                note=("efficiency(N) = t(full)/(N*t(shard_1/N)) on the "
+                      "real chip; losses = per-chip batches "
+                      "underfilling the VPU/MXU.  Excludes ICI (see "
+                      "part C halo model) and host entropy decode."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--part", choices=["A", "B"], default=None)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--merge", nargs="*", default=None,
+                    help="merge part artifacts into one")
+    ap.add_argument("--reps", type=int, default=64)
+    args = ap.parse_args()
+
+    if args.merge is not None:
+        parts = [json.load(open(p)) for p in args.merge]
+        out = dict(parts={d.get("part", str(i)): d
+                          for i, d in enumerate(parts)})
+        a = out["parts"].get("A", {})
+        b = out["parts"].get("B", {})
+        if a and b:
+            # combined projection: per-chip compute + ICI halo bound
+            proj = {}
+            for hm in a.get("halo_model", []):
+                n = hm["n_devices"]
+                per_chip = b["per_chip_ms_per_frame"].get(str(n))
+                if per_chip is None:
+                    continue
+                ici = hm["ici_ms_per_frame_at_45GBps"]
+                full = b["device_compute_ms_per_frame"]
+                proj[str(n)] = round(full / (n * (per_chip + ici)), 3)
+            out["projected_efficiency_with_ici"] = proj
+        Path(args.json).write_text(json.dumps(out, indent=1))
+        print(f"wrote {args.json}")
+        return
+
+    res = part_a() if args.part == "A" else part_b(args.reps)
+    if args.json:
+        Path(args.json).write_text(json.dumps(res, indent=1))
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
