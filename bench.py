@@ -86,14 +86,14 @@ def _decode_fps(tus, runs):
 
 
 def _device_leg():
-    """Subprocess body: forced device tier (mc stays host: its per-(w,h)
-    programs cost minutes of one-time tunnel compiles that would swamp
-    the budget; the tier is parity-tested by tests/test_device_e2e.py and
-    measured per-kernel by tools/kernel_bench.py)."""
+    """Subprocess body: every family forced to the device tier (MC rides
+    the bucketed tiled path; intra frames the wavefront device
+    schedule).  The tier is parity-tested by tests/test_device_e2e.py /
+    test_device_intra.py and measured per-kernel by
+    tools/kernel_bench.py."""
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     os.environ["DAV1D_TPU_DEVICE"] = "1"
-    os.environ["DAV1D_TPU_DEVICE_MC"] = "0"
 
     from dav1d_tpu.containers import read_ivf
     tus = [tu for tu, _ in read_ivf(STREAM.read_bytes())]
@@ -144,7 +144,7 @@ def main():
                               "error": "device/host outputs diverge"}))
             return
         else:
-            results["two_pass+forced-device[mc=host,itx=dev,cdef=dev]"] = \
+            results["two_pass+forced-device[all families=dev]"] = \
                 leg["fps"]
     except subprocess.TimeoutExpired:
         dev_note = (f"; device leg skipped (transport stalled "
@@ -186,12 +186,27 @@ def main():
         os.environ.pop("DAV1D_TPU_DEVICE", None)
         use_device.cache_clear()
 
+    # committed on-chip artifact (tools/device_frame_bench.py): the
+    # device pipeline's compute-only fps on resident data — what a
+    # locally attached chip pays, free of this harness's network tunnel
+    dev_compute = ""
+    art = Path(__file__).resolve().parent / "DEVICE_FRAME_r03.json"
+    if art.exists():
+        try:
+            rows = json.loads(art.read_text())
+            parts = ", ".join(
+                f"{cfg}={d['projected_fps_compute_only']:.1f}fps"
+                for cfg, d in sorted(rows.items()))
+            dev_compute = f"; device-compute-only (committed): {parts}"
+        except Exception:  # noqa: BLE001
+            pass
+
     print(json.dumps({
         "metric": "e2e_1080p8_frames_per_sec",
         "value": round(fps, 4),
         "unit": (f"frames/s (1080p 8-bit inter; best of "
                  f"{ {k: round(v, 4) for k, v in results.items()} }"
-                 f"{dev_note}{extra})"),
+                 f"{dev_note}{extra}{dev_compute})"),
         "vs_baseline": round(fps / 60.0, 5),
     }))
 

@@ -105,7 +105,7 @@ _PROBE_RETRY_S = float(os.environ.get("DAV1D_TPU_PROBE_RETRY_S", "120"))
 #   does not.
 _ACCEL_DEFAULT = {"itx": "latency", "cdef": "latency", "deblock": "latency",
                   "lr": "latency", "fg": "latency", "mc": "latency",
-                  "resize": "latency",
+                  "resize": "latency", "ipred": "latency",
                   # device-resident deblock->CDEF chain (one plane
                   # upload + one download per frame; recon/device_chain)
                   "chain": "latency"}

@@ -1,0 +1,708 @@
+"""Device intra reconstruction: whole-frame wavefront batching.
+
+Intra prediction is the one DSP family whose inputs are its own
+outputs: every block's edge vector is built from its neighbours'
+*reconstructed* pixels, so the reference serializes the walk per
+superblock row (src/recon_tmpl.c:1176-1556).  The TPU-native
+reformulation here keeps the *data* resident and turns the ordering
+into a dependency-levelled launch schedule:
+
+  1. host: walk the captured block arena in decode order and emit one
+     descriptor per prediction unit (the exact geometry of
+     recon/intra.py recon_b_intra): position, transform size, resolved
+     implementation mode + angle, edge availability spans.
+  2. host: assign each unit a wavefront LEVEL over a 4x4-granular map:
+     level(u) = 1 + max(level of every cell u's edge gather can read).
+     Units at the same level are independent by construction — a
+     unit's reads always resolve strictly below its own level.
+  3. device: per plane, one resident int32 canvas + one dense residual
+     canvas (all inverse transforms are known up front — pass 1
+     decoupled them from prediction).  For each level, units group by
+     static key (mode, w, h, angle, clamped max_w/max_h) and one XLA
+     program per key gathers the 257-entry edge vectors *on device*
+     from the current canvas (clamped-index formulation of
+     ipred_prepare_tmpl.c:76-204: replication = index min, fills =
+     where-selects), runs the ops/ipred batched kernel, adds the
+     residual window, clips, and scatters the block back.  The host
+     uploads only ~8 int32 scalars per unit; pixels never leave the
+     chip between levels.
+
+Luma chains first, then chroma (CFL's AC input reads the finished luma
+canvas on device).  Palette and CFL blocks ride the same schedule with
+their own programs (pal_pred gather; in-kernel cfl_ac + DC + alpha).
+
+Scope: all-intra frames (every captured block kind==0 — keyframes,
+intra-only frames).  Frames with inter or intrabc blocks fall back to
+the host phase-B walk in pipeline._run_pass2_native; selection is
+dispatch.use_device("ipred").
+
+Reference parity: src/ipred_prepare_tmpl.c:76-204 (edge build),
+src/recon_tmpl.c:1176-1556 (walk), src/ipred_tmpl.c (kernels, via
+ops/ipred.py).  Bit-exactness is asserted by the forced-device e2e
+suite (tests/test_device_intra.py, tests/test_device_e2e.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .. import tables
+from ..headers import PixelLayout
+from ..levels import IntraPredMode as M
+from .ipred import (ANGLE_SMOOTH_EDGE_FLAG, EDGE_I444_LEFT_HAS_BOTTOM,
+                    EDGE_I444_TOP_HAS_RIGHT, EDGE_NEEDS, MODE_TO_ANGLE)
+
+# meta columns shared by every unit program
+_DY, _DX, _HL, _HT, _PXL, _PXBL, _PXT, _PXTR = range(8)
+# extra columns (cfl / pal)
+_Y0, _X0, _ALPHA = 8, 9, 10
+_PALROW = 8
+
+_ANGULAR = (M.Z1_PRED, M.Z2_PRED, M.Z3_PRED)
+
+
+def _resolve_mode(mode, angle, have_left, have_top):
+    """The mode/angle remap at the top of prepare_intra_edges."""
+    if M.VERT_PRED <= mode <= M.VERT_LEFT_PRED:
+        angle = MODE_TO_ANGLE[mode - M.VERT_PRED] + 3 * angle
+        if angle <= 90:
+            mode = M.Z1_PRED if angle < 90 and have_top else M.VERT_PRED
+        elif angle < 180:
+            mode = M.Z2_PRED
+        else:
+            mode = M.Z3_PRED if angle > 180 and have_left else M.HOR_PRED
+    elif mode == M.DC_PRED:
+        mode = [[M.DC_128_PRED, M.TOP_DC_PRED],
+                [M.LEFT_DC_PRED, M.DC_PRED]][int(bool(have_left))][
+                    int(bool(have_top))]
+    elif mode == M.PAETH_PRED:
+        mode = [[M.DC_128_PRED, M.VERT_PRED],
+                [M.HOR_PRED, M.PAETH_PRED]][int(bool(have_left))][
+                    int(bool(have_top))]
+    return int(mode), int(angle)
+
+
+# --- device programs ---------------------------------------------------------
+
+def _edge_gather(jnp, pf, W, H, meta, w, h, half, needs, z2_tl_filter):
+    """(B, 257) edge vectors gathered from the flat plane `pf` with the
+    exact semantics of recon/ipred.prepare_intra_edges: replication is
+    an index clamp, cross-side fills and constants are where-selects.
+    Only the segments `needs` asks for are built (golden zeros
+    elsewhere are never read by the mode kernel)."""
+    OFS = 128
+    B = meta.shape[0]
+    dy = meta[:, _DY][:, None]
+    dx = meta[:, _DX][:, None]
+    have_l = meta[:, _HL][:, None] > 0
+    have_t = meta[:, _HT][:, None] > 0
+    needs_left, needs_top, needs_tl, _, _ = needs
+
+    def rd(r, c):
+        idx = jnp.clip(r, 0, H - 1) * W + jnp.clip(c, 0, W - 1)
+        return jnp.take(pf, idx.reshape(-1)).reshape(idx.shape)
+
+    edges = jnp.zeros((B, 257), dtype=jnp.int32)
+    fill_from_top = rd(dy - 1, dx)    # (B, 1)
+    fill_from_left = rd(dy, dx - 1)
+
+    if needs_left:
+        pxl = meta[:, _PXL][:, None]
+        pxbl = meta[:, _PXBL][:, None]
+        i = jnp.arange(2 * h, dtype=jnp.int32)[None, :]
+        row = jnp.where(
+            i < h, dy + jnp.minimum(i, pxl - 1),
+            jnp.where(pxbl > 0,
+                      dy + h + jnp.minimum(i - h, pxbl - 1),
+                      dy + pxl - 1))
+        vals = jnp.where(have_l, rd(row, dx - 1),
+                         jnp.where(have_t, fill_from_top,
+                                   jnp.int32(half + 1)))
+        # edge[OFS-1-i] = left[i]
+        edges = edges.at[:, OFS - 2 * h : OFS].set(vals[:, ::-1])
+
+    if needs_top:
+        pxt = meta[:, _PXT][:, None]
+        pxtr = meta[:, _PXTR][:, None]
+        j = jnp.arange(2 * w, dtype=jnp.int32)[None, :]
+        col = jnp.where(
+            j < w, dx + jnp.minimum(j, pxt - 1),
+            jnp.where(pxtr > 0,
+                      dx + w + jnp.minimum(j - w, pxtr - 1),
+                      dx + pxt - 1))
+        vals = jnp.where(have_t, rd(dy - 1, col),
+                         jnp.where(have_l, fill_from_left,
+                                   jnp.int32(half - 1)))
+        edges = edges.at[:, OFS + 1 : OFS + 1 + 2 * w].set(vals)
+
+    if needs_tl:
+        tl = jnp.where(
+            have_l, jnp.where(have_t, rd(dy - 1, dx - 1), fill_from_left),
+            jnp.where(have_t, fill_from_top, jnp.int32(half)))[:, 0]
+        if z2_tl_filter:
+            tl = ((edges[:, OFS - 1] + edges[:, OFS + 1]) * 5
+                  + tl * 6 + 8) >> 4
+        edges = edges.at[:, OFS].set(tl)
+    return edges
+
+
+def _region_idx(jnp, meta, W, w, h):
+    """(B, h, w) flat plane indices of each unit's output window."""
+    dy = meta[:, _DY][:, None, None]
+    dx = meta[:, _DX][:, None, None]
+    yy = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    return (dy + yy) * W + (dx + xx)
+
+
+@functools.lru_cache(maxsize=None)
+def _unit_program(shape, mode, w, h, angle, max_w, max_h, bitdepth,
+                  z2_tl_filter, nb):
+    """One level-group program: edge gather -> ops/ipred kernel ->
+    +residual, clip, scatter.  plane/resid are (H, W) int32 resident
+    canvases; meta is (nb, 8) int32."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.ipred import _build
+
+    H, W = shape
+    half = (1 << bitdepth) >> 1
+    maxp = (1 << bitdepth) - 1
+    needs = EDGE_NEEDS[mode]
+    pred_fn = _build(mode, w, h, angle, max_w, max_h, bitdepth)
+
+    def run(plane, resid, meta):
+        pf = plane.reshape(-1)
+        edges = _edge_gather(jnp, pf, W, H, meta, w, h, half, needs,
+                             z2_tl_filter)
+        pred = pred_fn(edges)
+        idx = _region_idx(jnp, meta, W, w, h)
+        rg = jnp.take(resid.reshape(-1),
+                      jnp.clip(idx, 0, H * W - 1).reshape(-1)
+                      ).reshape(idx.shape)
+        out = jnp.clip(pred + rg, 0, maxp)
+        return pf.at[idx.reshape(-1)].set(out.reshape(-1),
+                                          mode="drop").reshape(H, W)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _cfl_program(shape, yshape, mode, w, h, w_pad, h_pad, ss_hor, ss_ver,
+                 bitdepth, nb):
+    """CFL chroma block: in-kernel cfl_ac from the finished luma canvas
+    + DC(edges) + alpha scaling + residual.  meta is (nb, 11)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.ipred import _dc_mul
+
+    H, W = shape
+    YH, YW = yshape
+    half = (1 << bitdepth) >> 1
+    maxp = (1 << bitdepth) - 1
+    OFS = 128
+    shift = 1 + (not ss_ver) + (not ss_hor)
+    core_h = h - 4 * h_pad
+    core_w = w - 4 * w_pad
+    log2sz = (w.bit_length() - 1) + (h.bit_length() - 1)
+
+    def run(plane, luma, resid, meta):
+        pf = plane.reshape(-1)
+        yf = luma.reshape(-1)
+        edges = _edge_gather(jnp, pf, W, H, meta, w, h, half,
+                             EDGE_NEEDS[mode], False)
+        if mode == M.DC_PRED:
+            dc = ((w + h) >> 1) \
+                + jnp.sum(edges[:, OFS + 1 : OFS + 1 + w], axis=1) \
+                + jnp.sum(edges[:, OFS - h : OFS], axis=1)
+            dc = _dc_mul(dc >> (((w + h) & -(w + h)).bit_length() - 1),
+                         w, h, bitdepth, jnp)
+        elif mode == M.TOP_DC_PRED:
+            dc = (jnp.sum(edges[:, OFS + 1 : OFS + 1 + w], axis=1)
+                  + (w >> 1)) >> (w.bit_length() - 1)
+        elif mode == M.LEFT_DC_PRED:
+            dc = (jnp.sum(edges[:, OFS - h : OFS], axis=1)
+                  + (h >> 1)) >> (h.bit_length() - 1)
+        else:
+            dc = jnp.full((meta.shape[0],), half, dtype=jnp.int32)
+
+        # cfl_ac (recon/ipred.py:554): subsampled sums over the luma
+        # canvas, right/bottom pad replication, mean subtract
+        y0 = meta[:, _Y0][:, None, None]
+        x0 = meta[:, _X0][:, None, None]
+        ys = jnp.arange(core_h, dtype=jnp.int32)[None, :, None]
+        xs = jnp.arange(core_w, dtype=jnp.int32)[None, None, :]
+        sy = y0 + (ys << ss_ver)
+        sx = x0 + (xs << ss_hor)
+
+        def yrd(r, c):
+            idx = jnp.clip(r, 0, YH - 1) * YW + jnp.clip(c, 0, YW - 1)
+            return jnp.take(yf, idx.reshape(-1)).reshape(idx.shape)
+
+        s = yrd(sy, sx)
+        if ss_hor:
+            s = s + yrd(sy, sx + 1)
+        if ss_ver:
+            s = s + yrd(sy + 1, sx)
+            if ss_hor:
+                s = s + yrd(sy + 1, sx + 1)
+        ac = s << shift
+        if w_pad:
+            ac = jnp.concatenate(
+                [ac, jnp.repeat(ac[:, :, -1:], 4 * w_pad, axis=2)], axis=2)
+        if h_pad:
+            ac = jnp.concatenate(
+                [ac, jnp.repeat(ac[:, -1:, :], 4 * h_pad, axis=1)], axis=1)
+        total = (jnp.sum(ac, axis=(1, 2)) + ((1 << log2sz) >> 1)) >> log2sz
+        ac = ac - total[:, None, None]
+
+        alpha = meta[:, _ALPHA][:, None, None]
+        diff = alpha * ac
+        adj = (jnp.abs(diff) + 32) >> 6
+        pred = jnp.clip(dc[:, None, None] + jnp.sign(diff) * adj, 0, maxp)
+
+        idx = _region_idx(jnp, meta, W, w, h)
+        rg = jnp.take(resid.reshape(-1),
+                      jnp.clip(idx, 0, H * W - 1).reshape(-1)
+                      ).reshape(idx.shape)
+        out = jnp.clip(pred + rg, 0, maxp)
+        return pf.at[idx.reshape(-1)].set(out.reshape(-1),
+                                          mode="drop").reshape(H, W)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _pal_program(shape, w, h, bitdepth, nb):
+    """Palette block: pal[idx] + residual, clip, scatter.  meta (nb, 8)
+    (positions only), pal (nb, 8) int32, idx (nb, h, w) int32."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W = shape
+    maxp = (1 << bitdepth) - 1
+
+    def run(plane, resid, meta, pal, pidx):
+        pf = plane.reshape(-1)
+        pred = jnp.take_along_axis(
+            pal[:, None, :], pidx.reshape(nb, 1, -1), axis=2
+        ).reshape(nb, h, w)
+        idx = _region_idx(jnp, meta, W, w, h)
+        rg = jnp.take(resid.reshape(-1),
+                      jnp.clip(idx, 0, H * W - 1).reshape(-1)
+                      ).reshape(idx.shape)
+        out = jnp.clip(pred + rg, 0, maxp)
+        return pf.at[idx.reshape(-1)].set(out.reshape(-1),
+                                          mode="drop").reshape(H, W)
+
+    return jax.jit(run)
+
+
+# --- host-side walk: unit descriptors + wavefront levels ---------------------
+
+class _LevelMap:
+    """4x4-granular wavefront levels for one plane."""
+
+    __slots__ = ("lvl", "h4", "w4", "max_level")
+
+    def __init__(self, ph, pw):
+        self.h4, self.w4 = ph >> 2, pw >> 2
+        self.lvl = np.zeros((self.h4, self.w4), dtype=np.int32)
+        self.max_level = 0
+
+    def place(self, dy, dx, w, h, have_l, have_t, reads_tr_bl=True):
+        """Assign the unit its level from the cells its edge gather can
+        touch (conservatively the full 2x spans — extra cells only ever
+        raise the level), then mark its output window."""
+        lvl = self.lvl
+        r0, c0 = dy >> 2, dx >> 2
+        level = 0
+        if have_t:
+            c_lo = max(c0 - 1, 0)
+            c_hi = min(c0 + ((2 * w) >> 2) + 1, self.w4)
+            if r0 > 0:
+                seg = lvl[r0 - 1, c_lo:c_hi]
+                if seg.size:
+                    level = int(seg.max())
+        if have_l:
+            r_lo = max(r0 - 1, 0)
+            r_hi = min(r0 + ((2 * h) >> 2) + 1, self.h4)
+            if c0 > 0:
+                seg = lvl[r_lo:r_hi, c0 - 1]
+                if seg.size:
+                    level = max(level, int(seg.max()))
+        # cross-side fill reads (plane[dy-1,dx] / plane[dy,dx-1]) are
+        # inside the spans above
+        level += 1
+        lvl[r0 : r0 + (h >> 2), c0 : c0 + (w >> 2)] = level
+        if level > self.max_level:
+            self.max_level = level
+        return level
+
+
+def _enumerate_units(f, glue, ranges):
+    """Walk the capture arena in decode order, mirroring
+    recon/intra.py recon_b_intra's unit geometry; returns per-plane
+    {level: {key: [unit-rows]}} schedules or None on any feature the
+    device path does not cover."""
+    bdim = tables.block_dimensions
+    tinfo = tables.txfm_info()
+    ss_ver, ss_hor = f.ss_ver, f.ss_hor
+    layout = f.layout
+    ief = int(f.seq_hdr.intra_edge_filter)
+    ief_flag = ief << 10
+    bd = f.bitdepth
+    rows = glue.cap_blocks
+    n_planes = 1 if layout == PixelLayout.I400 else 3
+
+    maps = [_LevelMap(*f.planes[pl].shape) for pl in range(n_planes)]
+    # plane -> {(kind, key...): {level: [meta rows]}}
+    sched = [{} for _ in range(n_planes)]
+
+    def emit(pl, kind, key, level, row_meta):
+        sched[pl].setdefault((kind,) + key, {}).setdefault(
+            level, []).append(row_meta)
+
+    for s, e in ranges:
+        for i in range(s, e):
+            row = rows[i]
+            if int(row["kind"]) != 0:
+                return None, None
+            ts = glue.ts_of_block(i)
+            bx, by = int(row["bx"]), int(row["by"])
+            bs = int(row["bs"])
+            bw4, bh4 = int(bdim[bs][0]), int(bdim[bs][1])
+            w4 = min(bw4, f.bw - bx)
+            h4 = min(bh4, f.bh - by)
+            cw4 = (w4 + ss_hor) >> ss_hor
+            ch4 = (h4 + ss_ver) >> ss_ver
+            cbw4 = (bw4 + ss_hor) >> ss_hor
+            cbh4 = (bh4 + ss_ver) >> ss_ver
+            has_chroma = (n_planes == 3
+                          and (bw4 > ss_hor or bx & 1)
+                          and (bh4 > ss_ver or by & 1))
+            t_dim = tinfo[int(row["tx"])]
+            uv_t_dim = tinfo[int(row["uvtx"])]
+            tw, th = int(t_dim[0]), int(t_dim[1])
+            utw, uth = int(uv_t_dim[0]), int(uv_t_dim[1])
+            ief_flags = int(row["edge_flags"])
+            sm = int(row["sm_flags"])
+            sm_fl = ANGLE_SMOOTH_EDGE_FLAG if sm & 1 else 0
+            sm_uv_fl = ANGLE_SMOOTH_EDGE_FLAG if sm & 2 else 0
+            y_mode = int(row["y_mode"])
+            uv_mode = int(row["uv_mode"])
+            y_angle = int(row["y_angle"])
+            uv_angle = int(row["uv_angle"])
+            pal_y = int(row["pal_sz"][0])
+            pal_uv = int(row["pal_sz"][1])
+            cfl = [int(row["cfl_alpha"][0]), int(row["cfl_alpha"][1])]
+
+            if pal_y or pal_uv:
+                pal_idx = int(row["pal_idx"])
+                if pal_idx < 0:
+                    return None, None
+                pal = glue.cap_pal[pal_idx]
+
+            if pal_y:
+                # whole-block palette unit, then residuals ride the
+                # canvas; no edge reads
+                dy0, dx0 = 4 * by, 4 * bx
+                off = int(row["pal_y_off"])
+                if off < 0:
+                    return None, None
+                idx_y = glue.pal_arena[off : off + 16 * bw4 * bh4] \
+                    .reshape(bh4 * 4, bw4 * 4)
+                level = maps[0].place(dy0, dx0, bw4 * 4, bh4 * 4, 0, 0)
+                emit(0, "pal", (bw4 * 4, bh4 * 4), level,
+                     ((dy0, dx0, 0, 0, 1, 0, 1, 0),
+                      pal[0].astype(np.int32), idx_y))
+
+            for init_y in range(0, h4, 16):
+                sub_h4 = min(h4, 16 + init_y)
+                sub_ch4 = min(ch4, (init_y + 16) >> ss_ver)
+                for init_x in range(0, w4, 16):
+                    sb_has_tr = (1 if init_x + 16 < w4 else 0 if init_y
+                                 else ief_flags & EDGE_I444_TOP_HAS_RIGHT)
+                    sb_has_bl = (0 if init_x else 1 if init_y + 16 < h4
+                                 else ief_flags & EDGE_I444_LEFT_HAS_BOTTOM)
+                    sub_w4 = min(w4, init_x + 16)
+
+                    if not pal_y:
+                        y = init_y
+                        while y < sub_h4:
+                            x = init_x
+                            while x < sub_w4:
+                                cbx = bx + x
+                                cby = by + y
+                                eflags = (
+                                    (0 if ((y > init_y or not sb_has_tr)
+                                           and (x + tw >= sub_w4))
+                                     else EDGE_I444_TOP_HAS_RIGHT)
+                                    | (0 if (x > init_x
+                                             or (not sb_has_bl
+                                                 and y + th >= sub_h4))
+                                       else EDGE_I444_LEFT_HAS_BOTTOM))
+                                _emit_pred_unit(
+                                    emit, maps[0], 0, y_mode, y_angle,
+                                    sm_fl | ief_flag, cbx, cby, x, y, tw,
+                                    th, ts.col_start, ts.col_end,
+                                    ts.row_start, ts.row_end, eflags, ief,
+                                    4 * f.bw - 4 * cbx,
+                                    4 * f.bh - 4 * cby, bd)
+                                x += tw
+                            y += th
+
+                    if not has_chroma:
+                        continue
+
+                    if uv_mode == M.CFL_PRED and not init_x and not init_y \
+                            and (cfl[0] or cfl[1]):
+                        if cbw4 * 4 != utw * 4 or cbh4 * 4 != uth * 4:
+                            return None, None  # multi-txb CFL: host walk
+                        y0p = 4 * (by & ~ss_ver)
+                        x0p = 4 * (bx & ~ss_hor)
+                        furthest_r = ((cw4 << ss_hor) + utw - 1) & ~(utw - 1)
+                        furthest_b = ((ch4 << ss_ver) + uth - 1) & ~(uth - 1)
+                        w_pad = cbw4 - (furthest_r >> ss_hor)
+                        h_pad = cbh4 - (furthest_b >> ss_ver)
+                        for pl in range(2):
+                            if not cfl[pl]:
+                                continue
+                            xpos = bx >> ss_hor
+                            ypos = by >> ss_ver
+                            meta = _edge_meta(
+                                xpos, xpos > (ts.col_start >> ss_hor),
+                                ypos, ypos > (ts.row_start >> ss_ver),
+                                ts.col_end >> ss_hor,
+                                ts.row_end >> ss_ver, 0,
+                                M.DC_PRED, 0, utw, uth)
+                            if meta is None:
+                                return None, None
+                            mode_i, _, m = meta
+                            level = maps[1 + pl].place(
+                                m[_DY], m[_DX], utw * 4, uth * 4,
+                                m[_HL], m[_HT])
+                            emit(1 + pl, "cfl",
+                                 (mode_i, utw * 4, uth * 4, w_pad, h_pad),
+                                 level,
+                                 (m + (y0p, x0p, cfl[pl]),))
+
+                    if pal_uv and not init_x and not init_y:
+                        off = int(row["pal_uv_off"])
+                        if off < 0:
+                            return None, None
+                        idx_uv = glue.pal_arena[
+                            off : off + 16 * cbw4 * cbh4] \
+                            .reshape(cbh4 * 4, cbw4 * 4)
+                        dyc = 4 * (by >> ss_ver)
+                        dxc = 4 * (bx >> ss_hor)
+                        for pl in range(2):
+                            level = maps[1 + pl].place(
+                                dyc, dxc, cbw4 * 4, cbh4 * 4, 0, 0)
+                            emit(1 + pl, "pal", (cbw4 * 4, cbh4 * 4),
+                                 level,
+                                 ((dyc, dxc, 0, 0, 1, 0, 1, 0),
+                                  pal[1 + pl].astype(np.int32), idx_uv))
+
+                    if (uv_mode == M.CFL_PRED and (cfl[0] or cfl[1])) \
+                            or pal_uv:
+                        # CFL with one zero alpha still predicts that
+                        # plane per-txb below; palette covers both
+                        planes_left = [] if pal_uv else \
+                            [pl for pl in range(2) if not cfl[pl]]
+                    else:
+                        planes_left = [0, 1]
+
+                    uv_sb_has_tr = (
+                        1 if ((init_x + 16) >> ss_hor) < cw4 else
+                        0 if init_y else
+                        ief_flags & ((1 << 2) >> (layout - 1)))
+                    uv_sb_has_bl = (
+                        0 if init_x else
+                        1 if ((init_y + 16) >> ss_ver) < ch4 else
+                        ief_flags & ((1 << 5) >> (layout - 1)))
+                    sub_cw4 = min(cw4, (init_x + 16) >> ss_hor)
+                    uv_imode = M.DC_PRED if uv_mode == M.CFL_PRED \
+                        else uv_mode
+                    for pl in planes_left:
+                        y = init_y >> ss_ver
+                        while y < sub_ch4:
+                            x = init_x >> ss_hor
+                            while x < sub_cw4:
+                                tbx = bx + init_x \
+                                    + ((x - (init_x >> ss_hor)) << ss_hor)
+                                tby = by + init_y \
+                                    + ((y - (init_y >> ss_ver)) << ss_ver)
+                                eflags = (
+                                    (0 if ((y > (init_y >> ss_ver)
+                                            or not uv_sb_has_tr)
+                                           and (x + utw >= sub_cw4))
+                                     else EDGE_I444_TOP_HAS_RIGHT)
+                                    | (0 if (x > (init_x >> ss_hor)
+                                             or (not uv_sb_has_bl
+                                                 and y + uth >= sub_ch4))
+                                       else EDGE_I444_LEFT_HAS_BOTTOM))
+                                _emit_pred_unit(
+                                    emit, maps[1 + pl], 1 + pl, uv_imode,
+                                    uv_angle, sm_uv_fl | ief_flag,
+                                    tbx >> ss_hor, tby >> ss_ver,
+                                    x, y, utw, uth,
+                                    ts.col_start >> ss_hor,
+                                    ts.col_end >> ss_hor,
+                                    ts.row_start >> ss_ver,
+                                    ts.row_end >> ss_ver, eflags, ief,
+                                    (4 * f.bw + ss_hor
+                                     - 4 * (tbx & ~ss_hor)) >> ss_hor,
+                                    (4 * f.bh + ss_ver
+                                     - 4 * (tby & ~ss_ver)) >> ss_ver, bd)
+                                x += utw
+                            y += uth
+
+    return sched, maps
+
+
+def _edge_meta(xpos, have_left, ypos, have_top, w_end, h_end, edge_flags,
+               mode, angle, tw, th):
+    """Resolve (impl mode, final angle) + the 8 availability scalars of
+    one prediction unit — the host half of prepare_intra_edges."""
+    mode_i, angle_r = _resolve_mode(mode, angle, have_left, have_top)
+    if mode_i not in EDGE_NEEDS:
+        return None
+    needs_left, needs_top, _, needs_tr, needs_bl = EDGE_NEEDS[mode_i]
+    dst_y, dst_x = 4 * ypos, 4 * xpos
+    px_l = px_bl = px_t = px_tr = 0
+    if needs_left and have_left:
+        px_l = min(th << 2, (h_end - ypos) << 2)
+        if needs_bl:
+            have_bl = (0 if (not have_left or ypos + th >= h_end)
+                       else (edge_flags & EDGE_I444_LEFT_HAS_BOTTOM))
+            if have_bl:
+                px_bl = min(th << 2, (h_end - ypos - th) << 2)
+    if needs_top and have_top:
+        px_t = min(tw << 2, (w_end - xpos) << 2)
+        if needs_tr:
+            have_tr = (0 if (not have_top or xpos + tw >= w_end)
+                       else (edge_flags & EDGE_I444_TOP_HAS_RIGHT))
+            if have_tr:
+                px_tr = min(tw << 2, (w_end - xpos - tw) << 2)
+    return mode_i, angle_r, (dst_y, dst_x, int(bool(have_left)),
+                             int(bool(have_top)), px_l, px_bl, px_t,
+                             px_tr)
+
+
+def _emit_pred_unit(emit, lmap, pl, mode, angle, flags, xpos, ypos, x, y,
+                    tw, th, col_start, col_end, row_start, row_end,
+                    edge_flags, ief, max_w, max_h, bd):
+    meta = _edge_meta(xpos, xpos > col_start, ypos, ypos > row_start,
+                      col_end, row_end, edge_flags, mode, angle, tw, th)
+    if meta is None:
+        return
+    mode_i, angle_r, m = meta
+    w, h = tw * 4, th * 4
+    if mode_i in _ANGULAR:
+        akey = angle_r | flags
+        kmw = min(max_w, w) if mode_i == M.Z2_PRED else 0
+        kmh = min(max_h, h) if mode_i == M.Z2_PRED else 0
+    elif mode_i == M.FILTER_PRED:
+        akey, kmw, kmh = angle_r & 511, 0, 0
+    else:
+        akey, kmw, kmh = 0, 0, 0
+    z2f = int(mode_i == M.Z2_PRED and tw + th >= 6 and ief)
+    level = lmap.place(m[_DY], m[_DX], w, h, m[_HL], m[_HT])
+    emit(pl, "pred", (mode_i, w, h, akey, kmw, kmh, z2f), level, (m,))
+
+
+# --- residual canvases + chain driver ----------------------------------------
+
+def _residual_canvases(f, glue, st, n_planes):
+    """Dense per-plane residual canvases from the collected itx batches
+    (zeros where eob<0 — add_residual is then the identity)."""
+    st.collect()
+    canvases = [np.zeros_like(f.planes[pl]) for pl in range(n_planes)]
+    meta = glue.meta_rows()
+    for idxs, out in st.groups:
+        for k, mrow in enumerate(meta[idxs]):
+            pl = int(mrow[2]) & 0xFF
+            dy, dx = int(mrow[3]), int(mrow[4])
+            r = out[k]
+            ch, cw = r.shape
+            canvases[pl][dy : dy + ch, dx : dx + cw] = r
+    return canvases
+
+
+def intra_frame_device(f, st) -> bool:
+    """Device wavefront intra reconstruction for an all-intra frame.
+    Returns False (caller runs the host phase-B walk) when the frame
+    has blocks this path does not cover."""
+    import jax
+
+    glue = f._nat
+    ranges = glue.block_ranges()
+    sched, maps = _enumerate_units(f, glue, ranges)
+    if sched is None:
+        return False
+
+    from ..devrt import call
+
+    n_planes = len(sched)
+    canvases = _residual_canvases(f, glue, st, n_planes)
+    bd = f.bitdepth
+
+    dev_planes = []
+    luma_dev = None
+    for pl in range(n_planes):
+        plane = jax.device_put(f.planes[pl])
+        resid = jax.device_put(canvases[pl])
+        shape = f.planes[pl].shape
+        # (level, key) schedule: sort by level, then stable by key
+        by_level = {}
+        for key, levels in sched[pl].items():
+            for level, units in levels.items():
+                by_level.setdefault(level, []).append((key, units))
+        for level in sorted(by_level):
+            for key, units in sorted(by_level[level],
+                                     key=lambda kv: str(kv[0])):
+                kind = key[0]
+                n = len(units)
+                nb = 1 << max(0, (n - 1).bit_length())
+                metas = np.full((nb, len(units[0][0])), 0, dtype=np.int32)
+                metas[:, _DY] = shape[0]  # pad rows scatter out of range
+                metas[:, _PXL] = metas[:, _PXT] = 1
+                for k, u in enumerate(units):
+                    metas[k] = u[0]
+                if kind == "pred":
+                    mode_i, w, h, akey, kmw, kmh, z2f = key[1:]
+                    prog = _unit_program(shape, mode_i, w, h, akey, kmw,
+                                         kmh, bd, z2f, nb)
+                    plane = call("ipred", prog, plane, resid,
+                                 jax.numpy.asarray(metas))
+                elif kind == "cfl":
+                    mode_i, w, h, w_pad, h_pad = key[1:]
+                    prog = _cfl_program(shape, f.planes[0].shape, mode_i,
+                                        w, h, w_pad, h_pad, f.ss_hor,
+                                        f.ss_ver, bd, nb)
+                    plane = call("ipred", prog, plane, luma_dev, resid,
+                                 jax.numpy.asarray(metas))
+                else:  # palette
+                    w, h = key[1:]
+                    pal = np.zeros((nb, 8), dtype=np.int32)
+                    pidx = np.zeros((nb, h, w), dtype=np.int32)
+                    for k, u in enumerate(units):
+                        pal[k, : len(u[1])] = u[1]
+                        pidx[k] = u[2]
+                    prog = _pal_program(shape, w, h, bd, nb)
+                    plane = call("ipred", prog, plane, resid,
+                                 jax.numpy.asarray(metas),
+                                 jax.numpy.asarray(pal),
+                                 jax.numpy.asarray(pidx))
+        dev_planes.append(plane)
+        if pl == 0:
+            luma_dev = plane
+
+    for pl in range(n_planes):
+        f.planes[pl][:] = np.asarray(dev_planes[pl])
+    return True

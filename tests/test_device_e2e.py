@@ -62,13 +62,14 @@ def _decode_md5(ivf_bytes):
 def test_device_pipeline_matches_host(tmp_path, name):
     from dav1d_tpu.dispatch import use_device
 
-    # XLA:CPU compiles are not served by the persistent cache on this
-    # setup (machine-feature tag mismatch), so every process pays the
-    # full compile bill — default-run one representative case, all three
-    # under DAV1D_TPU_TEST_DEVICE_FULL=1
+    # The full gauntlet runs by default (VERDICT r02: regressions in the
+    # device tier must not be silent).  DAV1D_TPU_TEST_DEVICE_FAST=1
+    # keeps only one representative case for quick local iteration —
+    # XLA:CPU compiles are not served by the persistent cache here
+    # (machine-feature tag mismatch), so each case pays its compiles.
     if name != "grain" and \
-            os.environ.get("DAV1D_TPU_TEST_DEVICE_FULL") != "1":
-        pytest.skip("set DAV1D_TPU_TEST_DEVICE_FULL=1 for the full set")
+            os.environ.get("DAV1D_TPU_TEST_DEVICE_FAST") == "1":
+        pytest.skip("DAV1D_TPU_TEST_DEVICE_FAST=1: representative case only")
 
     kw = dict(CASES[name])
     n = kw.pop("n")

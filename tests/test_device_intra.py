@@ -1,0 +1,177 @@
+"""Forced-device intra reconstruction parity (recon/device_intra.py).
+
+Decodes all-intra streams with ONLY the ipred family forced to the
+device tier (DAV1D_TPU_DEVICE_IPRED=1, everything else host) and
+requires byte equality with the all-host decode — which test_e2e_aom
+pins to the reference oracle.  Content is chosen to hit every program
+family: palette + screen tools, angular/Z modes + CFL via noisy
+content, 10-bit, 4:4:4 odd sizes, monochrome, tile boundaries
+(have_left/have_top at interior tile edges), 64x64 superblocks, and a
+mixed stream whose inter frames must fall back to the host walk while
+its keyframe rides the device schedule.
+"""
+
+import hashlib
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from aom_enc import AomEncoder, gradient_frames, write_ivf_packets  # noqa
+
+
+def noisy_frames(n, w, h, bitdepth=8, seed=7):
+    """Gradients + structured noise: angular / Z / CFL / filter-intra
+    bait (smooth gradients alone collapse to DC/SMOOTH)."""
+    rng = np.random.default_rng(seed)
+    maxv = (1 << bitdepth) - 1
+    dt = np.uint8 if bitdepth == 8 else np.uint16
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        stripes = ((yy * 3 + xx * 7 + t * 11) // 9) % (maxv + 1)
+        noise = rng.integers(0, maxv // 3 + 1, size=(h, w))
+        y = np.minimum(stripes + noise, maxv).astype(dt)
+        u = ((xx[: (h + 1) // 2 * 2 : 2, ::2] * 5 + t)
+             % (maxv + 1)).astype(dt)
+        v = ((yy[::2, : (w + 1) // 2 * 2 : 2] * 3 + t)
+             % (maxv + 1)).astype(dt)
+        frames.append([y, u[: (h + 1) // 2, : (w + 1) // 2],
+                       v[: (h + 1) // 2, : (w + 1) // 2]])
+    return frames
+
+
+def screen_frames(n, w, h, bitdepth=8, seed=3, ncolors=7):
+    rng = np.random.default_rng(seed)
+    maxv = (1 << bitdepth) - 1
+    colors = rng.integers(0, maxv + 1, size=ncolors)
+    base = colors[rng.integers(0, ncolors, size=(h // 8 + 2, w // 8 + 2))]
+    base = np.repeat(np.repeat(base, 8, 0), 8, 1)
+    frames = []
+    for t in range(n):
+        y = base[:h, :w].copy()
+        patt = colors[rng.integers(0, ncolors, size=(8, 24))]
+        for k in range(4):
+            yy, xx = (k * 16 + t) % (h - 8), (k * 32) % (w - 24)
+            y[yy : yy + 8, xx : xx + 24] = patt
+        u = np.full(((h + 1) // 2, (w + 1) // 2), colors[0])
+        v = np.full(((h + 1) // 2, (w + 1) // 2), colors[1 % ncolors])
+        frames.append([y, u, v])
+    return frames
+
+
+CASES = {
+    # palette (y + uv) + screen tools; intrabc stays off so the frame
+    # is device-eligible
+    "screen_palette": dict(
+        n=2, w=128, h=96, frames=screen_frames, cpu_used=3, q=40,
+        options={"enable-palette": 1, "enable-intrabc": 0,
+                 "tune-content": "screen"}),
+    # noisy content at slow speed: angular modes, CFL, filter intra
+    "angular_cfl": dict(n=2, w=128, h=96, frames=noisy_frames,
+                        cpu_used=2, q=32),
+    "hbd10": dict(n=2, w=96, h=64, frames=noisy_frames, bitdepth=10,
+                  cpu_used=3, q=32),
+    "i444_odd": dict(n=2, w=108, h=84, frames=noisy_frames, fmt="444",
+                     cpu_used=3, q=36),
+    "mono": dict(n=2, w=96, h=64, frames=noisy_frames, monochrome=True,
+                 cpu_used=3, q=36),
+    "tiles": dict(n=2, w=256, h=128, frames=noisy_frames, cpu_used=4,
+                  q=44, options={"tile-columns": 1, "tile-rows": 1}),
+    "sb64": dict(n=2, w=96, h=64, frames=noisy_frames, cpu_used=3,
+                 q=36, options={"sb-size": 64}),
+}
+
+# skipped only under DAV1D_TPU_TEST_DEVICE_FAST=1 (quick iteration)
+_HEAVY = {"hbd10", "mono", "sb64"}
+
+
+def _decode_md5(data):
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Decoder, Settings
+
+    dec = Decoder(Settings(two_pass=True))
+    h = hashlib.md5()
+    n = 0
+    for tu, _ in read_ivf(data):
+        dec.send_data(tu)
+        while (pic := dec.get_picture()) is not None:
+            for pl in range(len(pic.planes)):
+                h.update(pic.plane_bytes(pl))
+            n += 1
+    return n, h.hexdigest()
+
+
+def _host_vs_device_ipred(data):
+    from dav1d_tpu.dispatch import use_device
+
+    saved = {k: os.environ.get(k)
+             for k in ("DAV1D_TPU_DEVICE", "DAV1D_TPU_DEVICE_IPRED")}
+    try:
+        os.environ["DAV1D_TPU_DEVICE"] = "0"
+        os.environ.pop("DAV1D_TPU_DEVICE_IPRED", None)
+        use_device.cache_clear()
+        host = _decode_md5(data)
+        os.environ["DAV1D_TPU_DEVICE_IPRED"] = "1"
+        use_device.cache_clear()
+        dev = _decode_md5(data)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        use_device.cache_clear()
+    return host, dev
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_device_intra_matches_host(tmp_path, name):
+    if name in _HEAVY and \
+            os.environ.get("DAV1D_TPU_TEST_DEVICE_FAST") == "1":
+        pytest.skip("DAV1D_TPU_TEST_DEVICE_FAST=1: core cases only")
+    kw = dict(CASES[name])
+    n = kw.pop("n")
+    w, h = kw.pop("w"), kw.pop("h")
+    gen = kw.pop("frames")
+    bitdepth = kw.pop("bitdepth", 8)
+    fmt = kw.pop("fmt", "420")
+    mono = kw.pop("monochrome", False)
+    enc = AomEncoder(width=w, height=h, usage="good", kf_max_dist=1,
+                     lag=0, bitdepth=bitdepth, monochrome=mono,
+                     fmt=fmt, **kw)
+    frames = gen(n, w, h, bitdepth=bitdepth)
+    if fmt == "444":
+        frames = [[f[0],
+                   np.repeat(np.repeat(f[1], 2, 0), 2, 1)[:h, :w],
+                   np.repeat(np.repeat(f[2], 2, 0), 2, 1)[:h, :w]]
+                  for f in frames]
+    if mono:
+        frames = [[f[0]] for f in frames]
+    pkts = enc.encode(frames)
+    enc.close()
+    ivf = tmp_path / f"{name}.ivf"
+    write_ivf_packets(ivf, pkts, w, h)
+
+    host, dev = _host_vs_device_ipred(ivf.read_bytes())
+    assert host[0] == n and dev[0] == n
+    assert dev[1] == host[1], f"{name}: device intra diverges"
+
+
+def test_mixed_stream_falls_back(tmp_path):
+    """Inter frames must fall back to the host walk; the keyframe rides
+    the device schedule.  Whole-stream bytes stay equal."""
+    w, h, n = 128, 96, 5
+    enc = AomEncoder(width=w, height=h, usage="good", kf_max_dist=3,
+                     lag=0, cpu_used=4, q=40)
+    pkts = enc.encode(noisy_frames(n, w, h))
+    enc.close()
+    ivf = tmp_path / "mixed.ivf"
+    write_ivf_packets(ivf, pkts, w, h)
+    host, dev = _host_vs_device_ipred(ivf.read_bytes())
+    assert host[0] == dev[0] == n
+    assert dev[1] == host[1]
