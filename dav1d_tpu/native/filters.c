@@ -1687,6 +1687,127 @@ static void cdef_filter_unit_perm(const int16_t *restrict base,
             _mm256_cvtepi16_epi32(_mm256_extracti128_si256(hi, 1)));
     }
 }
+
+/* Paired 4-wide variant: two horizontally adjacent 4xh units (xs
+ * differing by 4) ride one 8-lane-wide pass — the 16-col preloaded
+ * window of the single kernel already covers both units' taps, so the
+ * only changes are per-lane parameters: strengths/taps/shifts blend by
+ * lane group (vpsravw for the per-unit constrain shifts), the tap
+ * index tables blend between the two directions, and the final
+ * min/max clamp applies per lane group.  Doubles the useful lanes of
+ * chroma CDEF (4:2:0 4x4 and 4:2:2 4x8 units). */
+static void cdef_filter_unit_perm_pair(const int16_t *restrict base,
+                                       int64_t cstride, int h,
+                                       int pA, int sA, int pB, int sB,
+                                       int pshA, int sshA, int pshB,
+                                       int sshB, int t0A, int t1A,
+                                       int t0B, int t1B, int dirA,
+                                       int dirB, int32_t *restrict o,
+                                       int64_t ostride)
+{
+    const __mmask32 BL = 0xF0F0F0F0;  /* lanes with c = (l&7) >= 4 */
+    const __m512i *idxA = cdef_pidx[dirA], *idxB = cdef_pidx[dirB];
+    const __mmask32 *phiA = cdef_phi[dirA], *phiB = cdef_phi[dirB];
+    const __m512i vp = _mm512_mask_blend_epi16(
+        BL, _mm512_set1_epi16((short)pA), _mm512_set1_epi16((short)pB));
+    const __m512i vs = _mm512_mask_blend_epi16(
+        BL, _mm512_set1_epi16((short)sA), _mm512_set1_epi16((short)sB));
+    const __m512i shp = _mm512_mask_blend_epi16(
+        BL, _mm512_set1_epi16((short)pshA),
+        _mm512_set1_epi16((short)pshB));
+    const __m512i shs = _mm512_mask_blend_epi16(
+        BL, _mm512_set1_epi16((short)sshA),
+        _mm512_set1_epi16((short)sshB));
+    const __m512i tp0 = _mm512_mask_blend_epi16(
+        BL, _mm512_set1_epi16((short)t0A), _mm512_set1_epi16((short)t0B));
+    const __m512i tp1 = _mm512_mask_blend_epi16(
+        BL, _mm512_set1_epi16((short)t1A), _mm512_set1_epi16((short)t1B));
+    const __m512i v8v = _mm512_set1_epi16(8);
+    const __m512i t2 = _mm512_set1_epi16(2);
+    const __m512i t1v = _mm512_set1_epi16(1);
+    const __mmask32 trk = (pA && sA ? ~BL & 0xFFFFFFFF : 0) |
+                          (pB && sB ? BL : 0);
+    const int any_p = pA | pB, any_s = sA | sB;
+
+    for (int y = 0; y < h; y += 4) {
+        const int16_t *r = base + (int64_t)(y - 2) * cstride - 2;
+        __m512i Z0, Z1, Z2, Z3;
+        Z0 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                 _mm256_loadu_si256((const __m256i *)r)),
+             _mm256_loadu_si256((const __m256i *)(r + cstride)), 1);
+        Z1 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                 _mm256_loadu_si256((const __m256i *)(r + 2 * cstride))),
+             _mm256_loadu_si256((const __m256i *)(r + 3 * cstride)), 1);
+        Z2 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                 _mm256_loadu_si256((const __m256i *)(r + 4 * cstride))),
+             _mm256_loadu_si256((const __m256i *)(r + 5 * cstride)), 1);
+        Z3 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                 _mm256_loadu_si256((const __m256i *)(r + 6 * cstride))),
+             _mm256_loadu_si256((const __m256i *)(r + 7 * cstride)), 1);
+#define CDEF_PTAPP(t)                                                  \
+    _mm512_mask_blend_epi16(                                           \
+        (phiA[t] & ~BL) | (phiB[t] & BL),                              \
+        _mm512_permutex2var_epi16(Z0,                                  \
+            _mm512_mask_blend_epi16(BL, idxA[t], idxB[t]), Z1),        \
+        _mm512_permutex2var_epi16(Z2,                                  \
+            _mm512_mask_blend_epi16(BL, idxA[t], idxB[t]), Z3))
+        const __m512i px = CDEF_PTAPP(12);
+        __m512i sum = _mm512_setzero_si512();
+        __m512i umn = _mm512_set1_epi16(0x7FFF);
+        __m512i mx = px;
+        if (any_p)
+            for (int k = 0; k < 4; k++) {
+                const __m512i t = CDEF_PTAPP(k);
+                const __m512i d = _mm512_sub_epi16(t, px);
+                const __m512i m = _mm512_srai_epi16(d, 15);
+                const __m512i ad = _mm512_abs_epi16(d);
+                const __m512i cl =
+                    _mm512_subs_epu16(vp, _mm512_srav_epi16(ad, shp));
+                __m512i v = _mm512_min_epu16(ad, cl);
+                v = _mm512_sub_epi16(_mm512_xor_si512(v, m), m);
+                sum = _mm512_add_epi16(sum,
+                    _mm512_mullo_epi16(k < 2 ? tp0 : tp1, v));
+                umn = _mm512_min_epu16(umn, t);
+                mx = _mm512_max_epi16(mx, t);
+            }
+        if (any_s)
+            for (int k = 4; k < 12; k++) {
+                const __m512i t = CDEF_PTAPP(k);
+                const __m512i d = _mm512_sub_epi16(t, px);
+                const __m512i m = _mm512_srai_epi16(d, 15);
+                const __m512i ad = _mm512_abs_epi16(d);
+                const __m512i cl =
+                    _mm512_subs_epu16(vs, _mm512_srav_epi16(ad, shs));
+                __m512i v = _mm512_min_epu16(ad, cl);
+                v = _mm512_sub_epi16(_mm512_xor_si512(v, m), m);
+                sum = _mm512_add_epi16(sum,
+                    _mm512_mullo_epi16(k < 8 ? t2 : t1v, v));
+                umn = _mm512_min_epu16(umn, t);
+                mx = _mm512_max_epi16(mx, t);
+            }
+#undef CDEF_PTAPP
+        __m512i res = _mm512_add_epi16(px, _mm512_srai_epi16(
+            _mm512_add_epi16(_mm512_add_epi16(sum,
+                _mm512_srai_epi16(sum, 15)), v8v), 4));
+        if (trk) {
+            const __m512i mn = _mm512_min_epi16(px, umn);
+            __m512i cl = _mm512_max_epi16(res, mn);
+            cl = _mm512_min_epi16(cl, mx);
+            res = _mm512_mask_blend_epi16(trk, res, cl);
+        }
+        const __m256i lo = _mm512_castsi512_si256(res);
+        const __m256i hi = _mm512_extracti64x4_epi64(res, 1);
+        int32_t *o0 = o + (int64_t)y * ostride;
+        _mm256_storeu_si256((__m256i *)o0,
+            _mm256_cvtepi16_epi32(_mm256_castsi256_si128(lo)));
+        _mm256_storeu_si256((__m256i *)(o0 + ostride),
+            _mm256_cvtepi16_epi32(_mm256_extracti128_si256(lo, 1)));
+        _mm256_storeu_si256((__m256i *)(o0 + 2 * ostride),
+            _mm256_cvtepi16_epi32(_mm256_castsi256_si128(hi)));
+        _mm256_storeu_si256((__m256i *)(o0 + 3 * ostride),
+            _mm256_cvtepi16_epi32(_mm256_extracti128_si256(hi, 1)));
+    }
+}
 #endif /* __AVX512BW__ && __AVX512VL__ */
 
 /* Whole-plane unit pass: copy the plane into the caller's sentinel-
@@ -1758,6 +1879,21 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
         int32_t *o = plane + ys[u] * stride + xs[u];
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         if (use_perm) {
+            if (w == 4 && u + 1 < n && ys[u + 1] == ys[u] &&
+                xs[u + 1] == xs[u] + 4 &&
+                (pri[u + 1] | sec[u + 1])) {
+                const int pB = (int)pri[u + 1], sB = (int)sec[u + 1];
+                const int pshB_raw = pB ? damping - ulog2i(pB) : 0;
+                const int pshB = pshB_raw < 0 ? 0 : pshB_raw;
+                const int sshB = sB ? damping - ulog2i(sB) : 0;
+                const int t0B = 4 - ((pB >> bdmin8) & 1);
+                cdef_filter_unit_perm_pair(
+                    base, cstride, h, p, s, pB, sB, pri_shift, sec_shift,
+                    pshB, sshB, pri_tap0, pri_tap1, t0B, (t0B & 3) | 2,
+                    dir, (int)dirs[u + 1], o, stride);
+                u++;
+                continue;
+            }
             cdef_filter_unit_perm(base, cstride, w, h, p, s, pri_shift,
                                   sec_shift, pri_tap0, pri_tap1, dir, o,
                                   stride);

@@ -131,9 +131,14 @@ def test_cdef_filter_plane_parity():
             # from the native pass's skip of zero-strength units)
             cells = np.arange(((ph - h) // h) * ((pw - w) // w))
             pick = rng.permutation(cells)[:120]
+            # dense raster block: horizontally adjacent units exercise
+            # the paired 4-wide AVX-512 kernel
+            pick = np.unique(np.concatenate([pick, cells[:48]]))
             n = pick.size
             ys = (pick // ((pw - w) // w) * h).astype(np.int64)
             xs = (pick % ((pw - w) // w) * w).astype(np.int64)
+            order = np.argsort(ys * pw + xs, kind="stable")
+            ys, xs = ys[order], xs[order]
             pri = (rng.integers(0, 16, n) << (bd - 8)).astype(np.int64)
             sec = (rng.integers(0, 3, n) << (bd - 8)).astype(np.int64)
             pri[:5] = 0

@@ -131,9 +131,11 @@ def bench_itx():
 
     rng = np.random.default_rng(0)
     _hdr("itx (batched inverse transform)")
+    # every combo must be AV1-legal: ADST rows/cols exist only for
+    # dims <= 16 (tx 9 is 16x32 — DCT/IDTX only)
     for tx, txtp, B in [(0, 0, 512), (1, 0, 512), (2, 0, 128),
-                        (3, 0, 32), (4, 0, 8), (5, 4, 256), (9, 1, 128),
-                        (0, 9, 512), (1, 9, 256)]:
+                        (3, 0, 32), (4, 0, 8), (5, 4, 256), (2, 1, 128),
+                        (9, 0, 128), (0, 9, 512), (1, 9, 256)]:
         w, h, _, _ = _txinfo(tx)
         sw, sh = min(w, 32), min(h, 32)
         cf = rng.integers(-2000, 2000, (B, sw * sh), dtype=np.int32)
@@ -252,27 +254,53 @@ def bench_cdef():
 def bench_mc():
     from dav1d_tpu.recon import mc_np
     from dav1d_tpu.ops import mc as dmc
-    import jax.numpy as jnp
+    from dav1d_tpu import tables
 
     rng = np.random.default_rng(2)
-    _hdr("mc put_8tap")
+    _hdr("mc put_8tap (host col = python golden; the production host "
+         "tier is the native replay)")
+    filt = tables.mc_subpel_filters
     for w, h, B in [(8, 8, 256), (16, 16, 128), (32, 32, 32)]:
         win = rng.integers(0, 256, (B, h + 7, w + 7), dtype=np.int64)
-        jwin = jnp.asarray(win, dtype=jnp.int32)
+        fh = np.broadcast_to(filt[0][5 - 1].astype(np.int32),
+                             (B, 8)).copy()
+        fv = np.broadcast_to(filt[0][9 - 1].astype(np.int32),
+                             (B, 8)).copy()
 
         def host():
             for b in range(B):
                 mc_np.put_8tap(win[b], w + 7, h + 7, 0, 0, w, h, 5, 9,
                                0, 8)
 
-        dev = _time(lambda: np.asarray(
-            dmc.put_8tap(jwin, mx=5, my=9, filter_type=0, bitdepth=8)))
-        rwin = _put(np.asarray(win, dtype=np.int32))
+        dev = _time_e2e(lambda: np.asarray(dmc.put_8tap(
+            np.asarray(win, dtype=np.int32), fh, fv, w=w, h=h,
+            bitdepth=8)))
+        rwin, rfh, rfv = _put(np.asarray(win, dtype=np.int32), fh, fv)
         cmp_ms = _time_compute(
-            prog=lambda x: dmc.put_8tap(x, mx=5, my=9, filter_type=0,
-                                        bitdepth=8),
-            args=(rwin,))
+            prog=lambda s, a, b: dmc._put_8tap_prog(s, a, b, w=w, h=h,
+                                                    bitdepth=8),
+            args=(rwin, rfh, rfv))
         _row("mc", f"put_8tap {w}x{h} B={B}", _time(host), dev, cmp_ms)
+
+    # the wired device path: windows gathered on-chip from a resident
+    # 1080p reference plane; only coords + filter rows cross the host
+    ph, pw = 1088, 1920
+    plane = rng.integers(0, 256, (ph, pw), dtype=np.int64)
+    for w, h, B in [(8, 8, 1024), (16, 16, 512)]:
+        dys = rng.integers(0, ph - h, B).astype(np.int32)
+        dxs = rng.integers(0, pw - w, B).astype(np.int32)
+        fh = np.broadcast_to(filt[0][5 - 1].astype(np.int32),
+                             (B, 8)).copy()
+        fv = np.broadcast_to(filt[0][9 - 1].astype(np.int32),
+                             (B, 8)).copy()
+        rpl, rdy, rdx, rfh, rfv = _put(
+            plane.astype(np.int32), dys, dxs, fh, fv)
+        cmp_ms = _time_compute(
+            prog=lambda p, y, x, a, b: dmc._put_8tap_resident_prog(
+                p, y, x, a, b, pw, ph, w=w, h=h, bitdepth=8),
+            args=(rpl, rdy, rdx, rfh, rfv))
+        _row("mc", f"put_8tap_resident {w}x{h} B={B} (1080p ref)",
+             float("nan"), float("nan"), cmp_ms)
 
 
 def bench_deblock():
@@ -456,6 +484,13 @@ FAMILIES = {"itx": bench_itx, "cdef": bench_cdef, "mc": bench_mc,
 
 def main():
     import jax
+
+    # persistent compile cache: the fused timing programs are expensive
+    # one-time compiles through the tunnel; deadline-bounded retries
+    # (tools/kb_retry.sh) accumulate progress through this cache
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DAV1D_TPU_JAX_CACHE",
+                                     "/tmp/jax_cache"))
 
     args = sys.argv[1:]
     json_path = None
