@@ -56,9 +56,17 @@ def _ulog2_vec(v):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(h_unit, w_unit, nbands, Wp, Wc, damping, bitdepth, interpret):
+def _build(nsteps, Wp, Wc, damping, bitdepth, interpret):
+    """One grid step = 8 output plane rows (the VPU's native sublane
+    count and a TPU-legal block height for any unit size): parameters
+    are per-PIXEL planes (units replicate their strength/direction over
+    their rows/cols on the outer jit), so a step can span unit-row
+    boundaries — 8x8 luma units and 4x4/4x8 chroma units ride the same
+    kernel.  The 12-row canvas band (8 + 2 halo each side) DMAs from
+    HBM into a 16-row VMEM scratch."""
     bdmin8 = bitdepth - 8
-    band_rows = h_unit + 4
+    OUT_ROWS = 8
+    band_rows = OUT_ROWS + 4
 
     def constrain(diff, thr, shift):
         adiff = jnp.abs(diff)
@@ -67,18 +75,21 @@ def _build(h_unit, w_unit, nbands, Wp, Wc, damping, bitdepth, interpret):
 
     def kernel(canvas_ref, pri_ref, sec_ref, dir_ref, out_ref, band, sem):
         i = pl.program_id(0)
+        # 16-row copy: DMA slice heights must align to the (8, 128)
+        # tile; the canvas carries 12 rows of bottom padding for the
+        # last step's over-read
         dma = pltpu.make_async_copy(
-            canvas_ref.at[pl.ds(i * h_unit, band_rows)], band, sem)
+            canvas_ref.at[pl.ds(i * OUT_ROWS, 16)], band, sem)
         dma.start()
         dma.wait()
-        b = band[...].astype(jnp.int32)  # (band_rows, Wc)
+        b = band[...].astype(jnp.int32)  # (16, Wc); rows 12-15 unused
 
         def window(oy, ox):
-            return jax.lax.dynamic_slice(
-                b, (2 + oy, 2 + ox), (h_unit, Wp))
+            # oy/ox are trace-time tap constants: static slices
+            return b[2 + oy : 2 + oy + OUT_ROWS, 2 + ox : 2 + ox + Wp]
 
         px = window(0, 0)
-        pri = pri_ref[...].astype(jnp.int32)  # (1, Wp) broadcast rows
+        pri = pri_ref[...].astype(jnp.int32)  # (8, Wp) per-pixel maps
         sec = sec_ref[...].astype(jnp.int32)
         dr = dir_ref[...].astype(jnp.int32)
         oh = [(dr == d).astype(jnp.int32) for d in range(8)]
@@ -140,20 +151,21 @@ def _build(h_unit, w_unit, nbands, Wp, Wc, damping, bitdepth, interpret):
 
     return pl.pallas_call(
         kernel,
-        grid=(nbands,),
+        grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # canvas (HBM)
-            pl.BlockSpec((1, Wp), lambda i: (i, 0),
+            pl.BlockSpec((OUT_ROWS, Wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Wp), lambda i: (i, 0),
+            pl.BlockSpec((OUT_ROWS, Wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Wp), lambda i: (i, 0),
+            pl.BlockSpec((OUT_ROWS, Wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((h_unit, Wp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((OUT_ROWS, Wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbands * h_unit, Wp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((band_rows, Wc), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((nsteps * OUT_ROWS, Wp),
+                                       jnp.int32),
+        scratch_shapes=[pltpu.VMEM((16, Wc), jnp.int16),
                         pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
     )
@@ -161,18 +173,20 @@ def _build(h_unit, w_unit, nbands, Wp, Wc, damping, bitdepth, interpret):
 
 @functools.lru_cache(maxsize=None)
 def _jit_plane(w, h, ph, pw, damping, bitdepth, interpret):
-    """Outer jit: sentinel canvas + per-pixel-column parameter maps from
-    the unit vectors, then the band kernel; same signature semantics as
-    ops/cdef.py _jit_filter_plane (pad units sit far out of bounds and
-    drop out of the scatter)."""
+    """Outer jit: sentinel canvas + per-pixel parameter planes from the
+    unit vectors, then the 8-row band kernel; same signature semantics
+    as ops/cdef.py _jit_filter_plane (pad units sit far out of bounds
+    and drop out of the scatter)."""
     nbands = -(-ph // h)
     ncols = -(-pw // w)
+    R = -(-(nbands * h) // 8) * 8
+    nsteps = R // 8
     Wp = ((ncols * w + 127) // 128) * 128
-    Wc = Wp + 4
-    kern = _build(h, w, nbands, Wp, Wc, damping, bitdepth, interpret)
+    Wc = Wp + 128  # canvas columns padded to the VMEM lane tile
+    kern = _build(nsteps, Wp, Wc, damping, bitdepth, interpret)
 
     def fn(plane, ys, xs, pri, sec, dirs):
-        canvas = jnp.full((nbands * h + 4, Wc), INT16_MIN, jnp.int16)
+        canvas = jnp.full((R + 16, Wc), INT16_MIN, jnp.int16)
         canvas = jax.lax.dynamic_update_slice(
             canvas, plane[:ph, :pw].astype(jnp.int16), (2, 2))
         ub = ys // h
@@ -181,7 +195,11 @@ def _jit_plane(w, h, ph, pw, damping, bitdepth, interpret):
         pm = zero.at[ub, uc].set(pri)
         sm = zero.at[ub, uc].set(sec)
         dm = zero.at[ub, uc].set(dirs)
-        rep = lambda m: jnp.repeat(m, w, axis=1)  # noqa: E731
+
+        def rep(m):  # unit map -> per-pixel (R, Wp) plane
+            m = jnp.repeat(jnp.repeat(m, w, axis=1), h, axis=0)
+            return jnp.pad(m, ((0, R - nbands * h), (0, 0)))
+
         out = kern(canvas, rep(pm), rep(sm), rep(dm))
         return plane.at[:ph, :pw].set(out[:ph, :pw])
 
