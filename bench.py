@@ -182,6 +182,10 @@ def main():
                 # BASELINE config 3: 4K 10-bit with film grain synthesis
                 ("4k10_grain", dict(w=3840, h=2160, n=3, kf=9999,
                                     bitdepth=10, noise=15)),
+                # heavy motion + noise: denser residuals/MV field than
+                # the smooth gradients (VERDICT r02: bench content soft)
+                ("motion_1080p", dict(w=1920, h=1080, n=4, kf=9999,
+                                      motion=8, gen_noise=16)),
             ))
         os.environ.pop("DAV1D_TPU_DEVICE", None)
         use_device.cache_clear()
@@ -211,14 +215,19 @@ def main():
     }))
 
 
-def _bench_config(w, h, n, kf, bitdepth=8, noise=0):
+def _bench_config(w, h, n, kf, bitdepth=8, noise=0, motion=2,
+                  gen_noise=6):
     """Decode fps for one extra configuration (BASELINE configs 1/3)."""
     from aom_enc import AomEncoder, gradient_frames, write_ivf_packets
 
     from dav1d_tpu.containers import read_ivf
 
     path = Path(f"/tmp/dav1d_tpu_bench_{w}x{h}_{n}_kf{kf}"
-                f"_bd{bitdepth}_n{noise}.ivf")
+                f"_bd{bitdepth}_n{noise}_m{motion}g{gen_noise}.ivf")
+    legacy = Path(f"/tmp/dav1d_tpu_bench_{w}x{h}_{n}_kf{kf}"
+                  f"_bd{bitdepth}_n{noise}.ivf")
+    if motion == 2 and gen_noise == 6 and legacy.exists():
+        path = legacy
     if not path.exists():
         opts = {"enable-order-hint": 1}
         if noise:
@@ -227,7 +236,9 @@ def _bench_config(w, h, n, kf, bitdepth=8, noise=0):
                          kf_max_dist=kf, lag=0, bitdepth=bitdepth,
                          options=opts)
         write_ivf_packets(
-            path, enc.encode(gradient_frames(n, w, h, bitdepth=bitdepth)),
+            path, enc.encode(gradient_frames(n, w, h, bitdepth=bitdepth,
+                                             motion=motion,
+                                             noise=gen_noise)),
             w, h)
         enc.close()
     tus = [tu for tu, _ in read_ivf(path.read_bytes())]

@@ -94,15 +94,15 @@ def device_roundtrip_ms(fresh: bool = False) -> float:
 _PROBE_RETRY_S = float(os.environ.get("DAV1D_TPU_PROBE_RETRY_S", "120"))
 
 
-# Per-family default on an accelerator backend (tools/kernel_bench.py
-# measurements on the real chip):
-# - itx: the batched device transform is ~20x faster than the host batch,
-#   but only pays off when the per-frame coefficient/residual transfers
-#   are cheap — gate on the measured round-trip latency.
-# - cdef: standalone calls re-upload the padded canvas per plane (the
-#   device-resident chain avoids that), so it rides the same latency
-#   gate: a co-located chip absorbs the canvas upload, a tunneled one
-#   does not.
+# Per-family default on an accelerator backend.  Measured on-chip
+# numbers: KERNEL_BENCH_r03.json (TPU v5e, fused-repetition slope
+# protocol) — e.g. itx 8x8 B=512 device 0.004 ms vs host C 0.21 ms,
+# Pallas CDEF full-1080p-plane 0.38 ms vs host C 2.1-2.7 ms, mc
+# put_8tap B>=128 0.004-0.007 ms.  On-chip the device tier wins every
+# family at batch sizes the decoder produces; what decides the tier is
+# the TRANSPORT — per-frame offload only pays when the measured
+# round-trip is cheap (a locally attached chip), hence every family
+# rides the latency gate below.
 _ACCEL_DEFAULT = {"itx": "latency", "cdef": "latency", "deblock": "latency",
                   "lr": "latency", "fg": "latency", "mc": "latency",
                   "resize": "latency", "ipred": "latency",

@@ -173,6 +173,12 @@ CASES = {
               _args(w=1280, h=720, cpu_used=6, q=48, lag=4,
                     options={"enable-order-hint": 1,
                              "enable-ref-frame-mvs": 1})),
+    # long GOP: deep ref chains, 8-slot cycling, CDF adaptation drift
+    # over 36 frames (VERDICT r02 item 8 — suites were <=14 frames)
+    "long_gop": (dict(n=36),
+                 _args(w=192, h=128, lag=8, q=50, cpu_used=6,
+                       options={"enable-order-hint": 1,
+                                "enable-ref-frame-mvs": 1})),
     "hd720_superres_tiles": (
         dict(n=4),
         _args(w=1280, h=720, cpu_used=7, q=50,
