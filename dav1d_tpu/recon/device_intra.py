@@ -634,6 +634,30 @@ def _residual_canvases(f, glue, st, n_planes):
     return canvases
 
 
+# Launch-funnel shim: the intra chain makes hundreds of launches per
+# keyframe whose inputs are successive VERSIONS of the resident plane —
+# recording them verbatim would pin every intermediate canvas on HBM
+# for the whole decode (devrt.SINK holds its entries alive).  Instead
+# each distinct program records ONE representative args tuple (host
+# snapshots, fetched once); later launches of the same program record
+# the same tuple, so the bench's dedup-and-multiply accounting still
+# sees correct launch counts.
+_sink_rep: dict = {}
+
+
+def _chain_call(tag, prog, *args):
+    from .. import devrt
+
+    if devrt.SINK is not None:
+        rep = _sink_rep.get(id(prog))
+        if rep is None:
+            rep = tuple(np.asarray(a) for a in args)
+            _sink_rep[id(prog)] = rep
+        devrt.SINK.append((tag, prog, rep, {}))
+        return prog(*args)
+    return prog(*args)
+
+
 def intra_frame_device(f, st) -> bool:
     """Device wavefront intra reconstruction for an all-intra frame.
     Returns False (caller runs the host phase-B walk) when the frame
@@ -646,7 +670,7 @@ def intra_frame_device(f, st) -> bool:
     if sched is None:
         return False
 
-    from ..devrt import call
+    call = _chain_call
 
     n_planes = len(sched)
     canvases = _residual_canvases(f, glue, st, n_planes)
