@@ -160,9 +160,12 @@ static inline lf_v4 lfv_clamp(lf_v4 v, lf_v4 lo, lf_v4 hi)
     return lfv_blend(v > hi, hi, v);
 }
 
-static void lf_edge4_h(int32_t *px0, ptrdiff_t stride, int E, int I,
-                       int H, int wd, int bitdepth)
+static int lf_core4(lf_v4 *t, int E, int I, int H, int wd,
+                    int bitdepth)
 {
+    /* t[o+7] = tap vector for offset o in [-7, 6] (4 lanes = the 4
+     * lines of the edge).  Returns 0 when no lane passes the filter
+     * mask (caller skips the store-back). */
     const int bd_m8 = bitdepth - 8;
     const lf_v4 zero = {0};
     const lf_v4 vF = zero + (1 << bd_m8);
@@ -172,8 +175,8 @@ static void lf_edge4_h(int32_t *px0, ptrdiff_t stride, int E, int I,
     const lf_v4 vE = zero + (E << bd_m8), vI = zero + (I << bd_m8),
                 vH = zero + (H << bd_m8);
 
-#define LD(o) (*(const lf_v4 *)(px0 + (ptrdiff_t)(o) * stride))
-#define ST(o, v) (*(lf_v4 *)(px0 + (ptrdiff_t)(o) * stride) = (v))
+#define LD(o) (t[(o) + 7])
+#define ST(o, v) (t[(o) + 7] = (v))
     const lf_v4 p1 = LD(-2), p0 = LD(-1), q0 = LD(0), q1 = LD(1);
     lf_v4 fm = (lfv_abs(p1 - p0) <= vI) & (lfv_abs(q1 - q0) <= vI) &
                (lfv_abs(p0 - q0) * 2 + (lfv_abs(p1 - q1) >> 1) <= vE);
@@ -189,8 +192,7 @@ static void lf_edge4_h(int32_t *px0, ptrdiff_t stride, int E, int I,
         }
     }
     if (!(fm[0] | fm[1] | fm[2] | fm[3]))
-        return;
-
+        return 0;
     lf_v4 flat8in = zero;
     if (wd >= 6)
         flat8in = (lfv_abs(p2 - p0) <= vF) & (lfv_abs(p1 - p0) <= vF) &
@@ -331,6 +333,81 @@ static void lf_edge4_h(int32_t *px0, ptrdiff_t stride, int E, int I,
     }
 #undef LD
 #undef ST
+    return 1;
+}
+
+
+static void lf_edge4_h(int32_t *px0, ptrdiff_t stride, int E, int I,
+                       int H, int wd, int bitdepth)
+{
+    const int lo = wd >= 16 ? -7 : wd >= 8 ? -4 : wd == 6 ? -3 : -2;
+    const int hi = wd >= 16 ? 6 : wd >= 8 ? 3 : wd == 6 ? 2 : 1;
+    lf_v4 t[14];
+    for (int o = lo; o <= hi; o++)
+        t[o + 7] = *(const lf_v4 *)(px0 + (ptrdiff_t)o * stride);
+    if (!lf_core4(t, E, I, H, wd, bitdepth))
+        return;
+    const int slo = wd >= 16 ? -6 : wd >= 8 ? -3 : -2;
+    const int shi = wd >= 16 ? 5 : wd >= 8 ? 2 : 1;
+    for (int o = slo; o <= shi; o++)
+        *(lf_v4 *)(px0 + (ptrdiff_t)o * stride) = t[o + 7];
+}
+
+static inline void lf_tr4(lf_v4 *a, lf_v4 *b, lf_v4 *c, lf_v4 *d)
+{
+    const lf_v4 t0 = __builtin_shufflevector(*a, *b, 0, 4, 1, 5);
+    const lf_v4 t1 = __builtin_shufflevector(*a, *b, 2, 6, 3, 7);
+    const lf_v4 t2 = __builtin_shufflevector(*c, *d, 0, 4, 1, 5);
+    const lf_v4 t3 = __builtin_shufflevector(*c, *d, 2, 6, 3, 7);
+    *a = __builtin_shufflevector(t0, t2, 0, 1, 4, 5);
+    *b = __builtin_shufflevector(t0, t2, 2, 3, 6, 7);
+    *c = __builtin_shufflevector(t1, t3, 0, 1, 4, 5);
+    *d = __builtin_shufflevector(t1, t3, 2, 3, 6, 7);
+}
+
+/* Vertical-edge variant: taps run along the rows, so the 4 edge lines
+ * load as 4 row segments and transpose into per-tap vectors (4x4
+ * shuffle transposes), run the same masked core, and transpose back.
+ * Window sizes match the scalar reads: 8 columns from -4 below wd16
+ * (vertical edges start at x >= 4), 16 from -8 at wd16 (x >= 16 by
+ * transform geometry). */
+static void lf_edge4_v(int32_t *px0, ptrdiff_t stride, int E, int I,
+                       int H, int wd, int bitdepth)
+{
+    lf_v4 g[4][4]; /* [col group][row] */
+    const int wide = wd >= 16;
+    const int ng = wide ? 4 : 2;
+    const int base = wide ? -8 : -4;
+    for (int r = 0; r < 4; r++) {
+        const int32_t *row = px0 + (ptrdiff_t)r * stride + base;
+        for (int gi = 0; gi < ng; gi++)
+            g[gi][r] = *(const lf_v4 *)(row + 4 * gi);
+    }
+    for (int gi = 0; gi < ng; gi++)
+        lf_tr4(&g[gi][0], &g[gi][1], &g[gi][2], &g[gi][3]);
+    /* column j of the window = g[j>>2][j&3]; tap o = column o - base */
+    lf_v4 t[14];
+    const int lo = wide ? -7 : wd >= 8 ? -4 : wd == 6 ? -3 : -2;
+    const int hi = wide ? 6 : wd >= 8 ? 3 : wd == 6 ? 2 : 1;
+    for (int o = lo; o <= hi; o++) {
+        const int j = o - base;
+        t[o + 7] = g[j >> 2][j & 3];
+    }
+    if (!lf_core4(t, E, I, H, wd, bitdepth))
+        return;
+    const int slo = wide ? -6 : wd >= 8 ? -3 : -2;
+    const int shi = wide ? 5 : wd >= 8 ? 2 : 1;
+    for (int o = slo; o <= shi; o++) {
+        const int j = o - base;
+        g[j >> 2][j & 3] = t[o + 7];
+    }
+    for (int gi = 0; gi < ng; gi++)
+        lf_tr4(&g[gi][0], &g[gi][1], &g[gi][2], &g[gi][3]);
+    for (int r = 0; r < 4; r++) {
+        int32_t *row = px0 + (ptrdiff_t)r * stride + base;
+        for (int gi = 0; gi < ng; gi++)
+            *(lf_v4 *)(row + 4 * gi) = g[gi][r];
+    }
 }
 
 /* Clipped residual add: plane[dy:dy+h, dx:dx+w] += r, clip [0, maxp]
@@ -553,8 +630,8 @@ void dtpu_lf_filter_plane(int32_t *plane, int64_t stride,
                 const int E = e_lut[lv], I = i_lut[lv], H = lv >> 4;
                 const int wd_px = wd_map[c];
                 if (dir == 0)
-                    lf_edge4(plane + (int64_t)y * 4 * stride + x * 4,
-                             stride, 1, E, I, H, wd_px, bitdepth);
+                    lf_edge4_v(plane + (int64_t)y * 4 * stride + x * 4,
+                               stride, E, I, H, wd_px, bitdepth);
                 else
                     lf_edge4_h(plane + (int64_t)y * 4 * stride + x * 4,
                                stride, E, I, H, wd_px, bitdepth);
