@@ -224,36 +224,41 @@ void dtpu_ipred(int mode, const int32_t *edge, int ofs, int width,
         const uint8_t *wv = sm_weights + height;
         const int right = top[width - 1] /* edge[ofs+width] */;
         const int bottom = edge[ofs - height];
-        for (int y = 0; y < height; y++)
+        /* int32 is exact: each term <= 256 * 4095, sum < 2^23 —
+         * and lets the auto-vectorizer take the inner loop */
+        for (int y = 0; y < height; y++) {
+            const int32_t vt = wv[y], vb = 256 - wv[y];
+            const int32_t l = edge[ofs - 1 - y];
             for (int x = 0; x < width; x++) {
-                int64_t p = (int64_t)wv[y] * top[x] +
-                            (int64_t)(256 - wv[y]) * bottom +
-                            (int64_t)wh_[x] * edge[ofs - 1 - y] +
-                            (int64_t)(256 - wh_[x]) * right;
-                out[(size_t)y * ostride + x] = (int32_t)((p + 256) >> 9);
+                const int32_t p = vt * top[x] + vb * bottom +
+                                  (int32_t)wh_[x] * l +
+                                  (256 - (int32_t)wh_[x]) * right;
+                out[(size_t)y * ostride + x] = (p + 256) >> 9;
             }
+        }
         return;
     }
     case 10: { /* SMOOTH_V */
         const uint8_t *wv = sm_weights + height;
         const int bottom = edge[ofs - height];
-        for (int y = 0; y < height; y++)
-            for (int x = 0; x < width; x++) {
-                int64_t p = (int64_t)wv[y] * top[x] +
-                            (int64_t)(256 - wv[y]) * bottom;
-                out[(size_t)y * ostride + x] = (int32_t)((p + 128) >> 8);
-            }
+        for (int y = 0; y < height; y++) {
+            const int32_t vt = wv[y], vb = (256 - wv[y]) * bottom + 128;
+            for (int x = 0; x < width; x++)
+                out[(size_t)y * ostride + x] =
+                    (vt * top[x] + vb) >> 8;
+        }
         return;
     }
     case 11: { /* SMOOTH_H */
         const uint8_t *wh_ = sm_weights + width;
         const int right = top[width - 1];
-        for (int y = 0; y < height; y++)
-            for (int x = 0; x < width; x++) {
-                int64_t p = (int64_t)wh_[x] * edge[ofs - 1 - y] +
-                            (int64_t)(256 - wh_[x]) * right;
-                out[(size_t)y * ostride + x] = (int32_t)((p + 128) >> 8);
-            }
+        for (int y = 0; y < height; y++) {
+            const int32_t l = edge[ofs - 1 - y];
+            for (int x = 0; x < width; x++)
+                out[(size_t)y * ostride + x] =
+                    ((int32_t)wh_[x] * l +
+                     (256 - (int32_t)wh_[x]) * right + 128) >> 8;
+        }
         return;
     }
     case 6: { /* Z1 */
