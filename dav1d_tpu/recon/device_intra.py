@@ -86,12 +86,18 @@ def _resolve_mode(mode, angle, have_left, have_top):
 
 # --- device programs ---------------------------------------------------------
 
-def _edge_gather(jnp, pf, W, H, meta, w, h, half, needs, z2_tl_filter):
+def _edge_gather(jnp, pf, W, H, ph_unit, meta, w, h, half, needs,
+                 z2_tl_filter):
     """(B, 257) edge vectors gathered from the flat plane `pf` with the
     exact semantics of recon/ipred.prepare_intra_edges: replication is
     an index clamp, cross-side fills and constants are where-selects.
     Only the segments `needs` asks for are built (golden zeros
-    elsewhere are never read by the mode kernel)."""
+    elsewhere are never read by the mode kernel).
+
+    ph_unit: rows of ONE plane inside the canvas — the u/v chroma
+    chains stack both planes vertically into one (2*ph, W) canvas so
+    their launches merge, and each unit's row clamp stays inside its
+    own plane half."""
     OFS = 128
     B = meta.shape[0]
     dy = meta[:, _DY][:, None]
@@ -99,10 +105,13 @@ def _edge_gather(jnp, pf, W, H, meta, w, h, half, needs, z2_tl_filter):
     have_l = meta[:, _HL][:, None] > 0
     have_t = meta[:, _HT][:, None] > 0
     needs_left, needs_top, needs_tl, _, _ = needs
+    row_lo = jnp.where(dy >= ph_unit, ph_unit, 0)
 
     def rd(r, c):
-        idx = jnp.clip(r, 0, H - 1) * W + jnp.clip(c, 0, W - 1)
-        return jnp.take(pf, idx.reshape(-1)).reshape(idx.shape)
+        idx = (jnp.clip(r, row_lo, row_lo + ph_unit - 1) * W
+               + jnp.clip(c, 0, W - 1))
+        return jnp.take(pf, jnp.clip(idx, 0, H * W - 1).reshape(-1)
+                        ).reshape(idx.shape)
 
     edges = jnp.zeros((B, 257), dtype=jnp.int32)
     fill_from_top = rd(dy - 1, dx)    # (B, 1)
@@ -158,11 +167,12 @@ def _region_idx(jnp, meta, W, w, h):
 
 
 @functools.lru_cache(maxsize=None)
-def _unit_program(shape, mode, w, h, angle, max_w, max_h, bitdepth,
-                  z2_tl_filter, nb):
+def _unit_program(shape, ph_unit, mode, w, h, angle, max_w, max_h,
+                  bitdepth, z2_tl_filter, nb):
     """One level-group program: edge gather -> ops/ipred kernel ->
     +residual, clip, scatter.  plane/resid are (H, W) int32 resident
-    canvases; meta is (nb, 8) int32."""
+    canvases (H = 2*ph_unit for the stacked chroma pair); meta is
+    (nb, 8) int32."""
     import jax
     import jax.numpy as jnp
 
@@ -176,8 +186,8 @@ def _unit_program(shape, mode, w, h, angle, max_w, max_h, bitdepth,
 
     def run(plane, resid, meta):
         pf = plane.reshape(-1)
-        edges = _edge_gather(jnp, pf, W, H, meta, w, h, half, needs,
-                             z2_tl_filter)
+        edges = _edge_gather(jnp, pf, W, H, ph_unit, meta, w, h, half,
+                             needs, z2_tl_filter)
         pred = pred_fn(edges)
         idx = _region_idx(jnp, meta, W, w, h)
         rg = jnp.take(resid.reshape(-1),
@@ -191,8 +201,8 @@ def _unit_program(shape, mode, w, h, angle, max_w, max_h, bitdepth,
 
 
 @functools.lru_cache(maxsize=None)
-def _cfl_program(shape, yshape, mode, w, h, w_pad, h_pad, ss_hor, ss_ver,
-                 bitdepth, nb):
+def _cfl_program(shape, ph_unit, yshape, mode, w, h, w_pad, h_pad,
+                 ss_hor, ss_ver, bitdepth, nb):
     """CFL chroma block: in-kernel cfl_ac from the finished luma canvas
     + DC(edges) + alpha scaling + residual.  meta is (nb, 11)."""
     import jax
@@ -213,7 +223,7 @@ def _cfl_program(shape, yshape, mode, w, h, w_pad, h_pad, ss_hor, ss_ver,
     def run(plane, luma, resid, meta):
         pf = plane.reshape(-1)
         yf = luma.reshape(-1)
-        edges = _edge_gather(jnp, pf, W, H, meta, w, h, half,
+        edges = _edge_gather(jnp, pf, W, H, ph_unit, meta, w, h, half,
                              EDGE_NEEDS[mode], False)
         if mode == M.DC_PRED:
             dc = ((w + h) >> 1) \
@@ -358,10 +368,16 @@ def _enumerate_units(f, glue, ranges):
     bd = f.bitdepth
     rows = glue.cap_blocks
     n_planes = 1 if layout == PixelLayout.I400 else 3
+    # chain 0 = luma; chain 1 = u and v STACKED vertically (same
+    # geometry, independent pixels -> same levels, merged launches)
+    hc = f.planes[1].shape[0] if n_planes == 3 else 0
+    n_chains = 1 if n_planes == 1 else 2
 
-    maps = [_LevelMap(*f.planes[pl].shape) for pl in range(n_planes)]
-    # plane -> {(kind, key...): {level: [meta rows]}}
-    sched = [{} for _ in range(n_planes)]
+    maps = [_LevelMap(*f.planes[0].shape)]
+    if n_chains == 2:
+        maps.append(_LevelMap(2 * hc, f.planes[1].shape[1]))
+    # chain -> {(kind, key...): {level: [meta rows]}}
+    sched = [{} for _ in range(n_chains)]
 
     def emit(pl, kind, key, level, row_meta):
         sched[pl].setdefault((kind,) + key, {}).setdefault(
@@ -483,10 +499,11 @@ def _enumerate_units(f, glue, ranges):
                             if meta is None:
                                 return None, None
                             mode_i, _, m = meta
-                            level = maps[1 + pl].place(
+                            m = (m[_DY] + pl * hc,) + m[1:]
+                            level = maps[1].place(
                                 m[_DY], m[_DX], utw * 4, uth * 4,
                                 m[_HL], m[_HT])
-                            emit(1 + pl, "cfl",
+                            emit(1, "cfl",
                                  (mode_i, utw * 4, uth * 4, w_pad, h_pad),
                                  level,
                                  (m + (y0p, x0p, cfl[pl]),))
@@ -501,11 +518,12 @@ def _enumerate_units(f, glue, ranges):
                         dyc = 4 * (by >> ss_ver)
                         dxc = 4 * (bx >> ss_hor)
                         for pl in range(2):
-                            level = maps[1 + pl].place(
-                                dyc, dxc, cbw4 * 4, cbh4 * 4, 0, 0)
-                            emit(1 + pl, "pal", (cbw4 * 4, cbh4 * 4),
+                            level = maps[1].place(
+                                dyc + pl * hc, dxc, cbw4 * 4,
+                                cbh4 * 4, 0, 0)
+                            emit(1, "pal", (cbw4 * 4, cbh4 * 4),
                                  level,
-                                 ((dyc, dxc, 0, 0, 1, 0, 1, 0),
+                                 ((dyc + pl * hc, dxc, 0, 0, 1, 0, 1, 0),
                                   pal[1 + pl].astype(np.int32), idx_uv))
 
                     if (uv_mode == M.CFL_PRED and (cfl[0] or cfl[1])) \
@@ -547,7 +565,7 @@ def _enumerate_units(f, glue, ranges):
                                                  and y + uth >= sub_ch4))
                                        else EDGE_I444_LEFT_HAS_BOTTOM))
                                 _emit_pred_unit(
-                                    emit, maps[1 + pl], 1 + pl, uv_imode,
+                                    emit, maps[1], 1, uv_imode,
                                     uv_angle, sm_uv_fl | ief_flag,
                                     tbx >> ss_hor, tby >> ss_ver,
                                     x, y, utw, uth,
@@ -558,7 +576,8 @@ def _enumerate_units(f, glue, ranges):
                                     (4 * f.bw + ss_hor
                                      - 4 * (tbx & ~ss_hor)) >> ss_hor,
                                     (4 * f.bh + ss_ver
-                                     - 4 * (tby & ~ss_ver)) >> ss_ver, bd)
+                                     - 4 * (tby & ~ss_ver)) >> ss_ver, bd,
+                                    row_off=pl * hc)
                                 x += utw
                             y += uth
 
@@ -596,12 +615,14 @@ def _edge_meta(xpos, have_left, ypos, have_top, w_end, h_end, edge_flags,
 
 def _emit_pred_unit(emit, lmap, pl, mode, angle, flags, xpos, ypos, x, y,
                     tw, th, col_start, col_end, row_start, row_end,
-                    edge_flags, ief, max_w, max_h, bd):
+                    edge_flags, ief, max_w, max_h, bd, row_off=0):
     meta = _edge_meta(xpos, xpos > col_start, ypos, ypos > row_start,
                       col_end, row_end, edge_flags, mode, angle, tw, th)
     if meta is None:
         return
     mode_i, angle_r, m = meta
+    if row_off:
+        m = (m[_DY] + row_off,) + m[1:]
     w, h = tw * 4, th * 4
     if mode_i in _ANGULAR:
         akey = angle_r | flags
@@ -672,19 +693,26 @@ def intra_frame_device(f, st) -> bool:
 
     call = _chain_call
 
-    n_planes = len(sched)
+    n_planes = 1 if len(sched) == 1 else 3
     canvases = _residual_canvases(f, glue, st, n_planes)
     bd = f.bitdepth
+    hc = f.planes[1].shape[0] if n_planes == 3 else 0
+
+    # chain canvases: luma as-is; u/v stacked vertically
+    chains = [(f.planes[0], canvases[0], f.planes[0].shape[0])]
+    if n_planes == 3:
+        chains.append((np.concatenate([f.planes[1], f.planes[2]]),
+                       np.concatenate([canvases[1], canvases[2]]), hc))
 
     dev_planes = []
     luma_dev = None
-    for pl in range(n_planes):
-        plane = jax.device_put(f.planes[pl])
-        resid = jax.device_put(canvases[pl])
-        shape = f.planes[pl].shape
+    for ci, (host_plane, host_resid, ph_unit) in enumerate(chains):
+        plane = jax.device_put(host_plane)
+        resid = jax.device_put(host_resid)
+        shape = host_plane.shape
         # (level, key) schedule: sort by level, then stable by key
         by_level = {}
-        for key, levels in sched[pl].items():
+        for key, levels in sched[ci].items():
             for level, units in levels.items():
                 by_level.setdefault(level, []).append((key, units))
         for level in sorted(by_level):
@@ -700,13 +728,14 @@ def intra_frame_device(f, st) -> bool:
                     metas[k] = u[0]
                 if kind == "pred":
                     mode_i, w, h, akey, kmw, kmh, z2f = key[1:]
-                    prog = _unit_program(shape, mode_i, w, h, akey, kmw,
-                                         kmh, bd, z2f, nb)
+                    prog = _unit_program(shape, ph_unit, mode_i, w, h,
+                                         akey, kmw, kmh, bd, z2f, nb)
                     plane = call("ipred", prog, plane, resid,
                                  jax.numpy.asarray(metas))
                 elif kind == "cfl":
                     mode_i, w, h, w_pad, h_pad = key[1:]
-                    prog = _cfl_program(shape, f.planes[0].shape, mode_i,
+                    prog = _cfl_program(shape, ph_unit,
+                                        f.planes[0].shape, mode_i,
                                         w, h, w_pad, h_pad, f.ss_hor,
                                         f.ss_ver, bd, nb)
                     plane = call("ipred", prog, plane, luma_dev, resid,
@@ -724,9 +753,12 @@ def intra_frame_device(f, st) -> bool:
                                  jax.numpy.asarray(pal),
                                  jax.numpy.asarray(pidx))
         dev_planes.append(plane)
-        if pl == 0:
+        if ci == 0:
             luma_dev = plane
 
-    for pl in range(n_planes):
-        f.planes[pl][:] = np.asarray(dev_planes[pl])
+    f.planes[0][:] = np.asarray(dev_planes[0])
+    if n_planes == 3:
+        uv = np.asarray(dev_planes[1])
+        f.planes[1][:] = uv[:hc]
+        f.planes[2][:] = uv[hc:]
     return True
