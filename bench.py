@@ -94,6 +94,11 @@ def _device_leg():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     os.environ["DAV1D_TPU_DEVICE"] = "1"
+    # intra stays host per the measured policy (DEVICE_FRAME_r03.json:
+    # the wavefront schedule's launch count loses to host C until
+    # levels fuse); this leg represents the configuration a locally
+    # attached chip would actually select
+    os.environ["DAV1D_TPU_DEVICE_IPRED"] = "0"
 
     from dav1d_tpu.containers import read_ivf
     tus = [tu for tu, _ in read_ivf(STREAM.read_bytes())]
@@ -144,8 +149,8 @@ def main():
                               "error": "device/host outputs diverge"}))
             return
         else:
-            results["two_pass+forced-device[all families=dev]"] = \
-                leg["fps"]
+            results["two_pass+forced-device[ipred=host per measured "
+                    "policy]"] = leg["fps"]
     except subprocess.TimeoutExpired:
         dev_note = (f"; device leg skipped (transport stalled "
                     f">{DEVICE_LEG_BUDGET_S:.0f}s)")

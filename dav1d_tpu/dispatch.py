@@ -105,7 +105,14 @@ _PROBE_RETRY_S = float(os.environ.get("DAV1D_TPU_PROBE_RETRY_S", "120"))
 # rides the latency gate below.
 _ACCEL_DEFAULT = {"itx": "latency", "cdef": "latency", "deblock": "latency",
                   "lr": "latency", "fg": "latency", "mc": "latency",
-                  "resize": "latency", "ipred": "latency",
+                  "resize": "latency",
+                  # measured (DEVICE_FRAME_r03.json): the wavefront
+                  # schedule's per-(level,key) launches put a 1080p
+                  # keyframe at ~105 ms on-chip vs ~30 ms host C — the
+                  # serial intra chain needs level fusion before the
+                  # chip wins it.  Off by default; DAV1D_TPU_DEVICE=1 /
+                  # _IPRED=1 force it (tests, benches).
+                  "ipred": False,
                   # device-resident deblock->CDEF chain (one plane
                   # upload + one download per frame; recon/device_chain)
                   "chain": "latency"}

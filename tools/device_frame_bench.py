@@ -121,13 +121,18 @@ def main():
     print(f"decode: {n_frames} frames, {len(sink)} device launches, "
           f"{decode_wall:.1f}s wall (tunnel-bound, not the metric)")
 
-    # -- upload volume: numpy args cross the host boundary ------------
+    # -- upload volume: numpy args cross the host boundary.  Count each
+    # distinct array once (resident state and the intra chain's
+    # representative snapshots recur across launches without
+    # re-uploading).
     up_bytes = 0
+    seen = set()
     for ent in sink:
         if ent[0] == "frame":
             continue
         for a in ent[2]:
-            if isinstance(a, np.ndarray):
+            if isinstance(a, np.ndarray) and id(a) not in seen:
+                seen.add(id(a))
                 up_bytes += a.nbytes
 
     # -- dedupe by (program identity, input shapes), time each --------
