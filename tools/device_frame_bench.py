@@ -46,7 +46,10 @@ sys.path.insert(0, str(REPO / "tools"))
 
 CONFIGS = {
     "1080p": dict(w=1920, h=1080, n=4, kf=9999),
-    "1080p-intra": dict(w=1920, h=1080, n=4, kf=1),
+    # 2 frames: every frame is a keyframe (the metric is per-frame) and
+    # the wavefront intra chain's launch count makes the recorded
+    # decode the long pole through the tunnel
+    "1080p-intra": dict(w=1920, h=1080, n=2, kf=1),
     "4k": dict(w=3840, h=2160, n=3, kf=9999),
     "4k10-grain": dict(w=3840, h=2160, n=3, kf=9999, bitdepth=10,
                        noise=15),
