@@ -589,6 +589,64 @@ class Decoder:
         self.tile_groups = []
         self.n_tiles = 0
 
+    def export_state(self) -> bytes:
+        """Serialize the decode position: the 8-slot reference state
+        (pictures, segmaps, per-slot CDFs, temporal MVs, ref POCs) plus
+        sequence context.  This is the mid-GOP handoff protocol of the
+        GOP-parallel axis (SURVEY §2.7 "GOPs → hosts"): a second host
+        imports these bytes and continues the stream from here with
+        byte-identical output — the ref-plane broadcast the reference's
+        shared-memory frame threads get for free, made explicit.  Every
+        sent TU must be fully decoded and drained (send_data + while
+        get_picture()) before exporting.
+
+        Uses pickle: the payload is decoder-internal state exchanged
+        between trusted workers of one deployment, not a container
+        format; import only states you produced."""
+        import pickle
+
+        self._collect_futures(wait=True)
+        if self._pending or self.tile_groups:
+            raise RuntimeError("export_state with frames in flight")
+        slots = []
+        for s in self.refs:
+            slots.append(dict(
+                frame_hdr=s.frame_hdr, seq_hdr=s.seq_hdr,
+                planes=[np.ascontiguousarray(p) for p in s.planes]
+                if s.planes is not None else None,
+                segmap=s.segmap, cdf=s.cdf, showable=s.showable,
+                visible=s.visible, refmvs=s.refmvs,
+                refpoc=list(s.refpoc)))
+        return pickle.dumps(dict(
+            seq_hdr=self.seq_hdr,
+            operating_point_idc=self.operating_point_idc,
+            max_spatial_id=self.max_spatial_id,
+            refs=slots), protocol=pickle.HIGHEST_PROTOCOL)
+
+    def import_state(self, blob: bytes) -> None:
+        """Seed this decoder from export_state() bytes (see there)."""
+        import pickle
+
+        st = pickle.loads(blob)
+        self.flush()
+        self.seq_hdr = st["seq_hdr"]
+        self.operating_point_idc = st["operating_point_idc"]
+        self.max_spatial_id = st["max_spatial_id"]
+        self.refs = []
+        for sd in st["refs"]:
+            s = _RefSlot()
+            s.frame_hdr = sd["frame_hdr"]
+            s.seq_hdr = sd["seq_hdr"]
+            s.planes = sd["planes"]
+            s.segmap = sd["segmap"]
+            s.cdf = sd["cdf"]
+            s.showable = sd["showable"]
+            s.visible = sd["visible"]
+            s.refmvs = sd["refmvs"]
+            s.refpoc = list(sd["refpoc"])
+            s.ready.set()
+            self.refs.append(s)
+
     def close(self) -> None:
         self.flush()
         if self._worker is not None:

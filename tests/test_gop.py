@@ -51,3 +51,34 @@ def test_gop_split_and_parallel_matches_serial(tmp_path):
         total += c
     assert total == n_serial == 10
     assert got.hexdigest() == h.hexdigest()
+
+
+def test_relay_handoff_matches_serial(tmp_path):
+    """Mid-GOP relay (export_state/import_state across processes) on a
+    single-GOP stream: arbitrary split points, byte-equal stitch."""
+    from gop_decode import relay_decode
+
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Decoder, Settings
+
+    data = _stream(tmp_path, kf_dist=9999)  # one GOP: no keyframe splits
+    tus = [tu for tu, _ in read_ivf(data)]
+
+    dec = Decoder(Settings(two_pass=True, max_frame_delay=4))
+    h = hashlib.md5()
+    n_serial = 0
+    for tu in tus:
+        dec.send_data(tu)
+    while (pic := dec.get_picture()) is not None:
+        for pl in range(len(pic.planes)):
+            h.update(pic.plane_bytes(pl))
+        n_serial += 1
+
+    parts = relay_decode(data, segments=3, workdir=str(tmp_path))
+    got = hashlib.md5()
+    total = 0
+    for c, path in parts:
+        got.update(Path(path).read_bytes())
+        total += c
+    assert total == n_serial == 10
+    assert got.hexdigest() == h.hexdigest()

@@ -143,19 +143,82 @@ def gop_decode(data: bytes, jobs: int, two_pass: bool = True,
     return [(c, a[2]) for c, a in zip(counts, jobs_args)]
 
 
+def _relay_segment(args):
+    """Subprocess body for relay_decode: import the predecessor's state,
+    decode this segment, export state for the successor."""
+    seq, tus, out_path, state_in, state_out, two_pass = args
+    from dav1d_tpu.decoder import Decoder, Settings
+
+    dec = Decoder(Settings(two_pass=two_pass))
+    if state_in is not None:
+        dec.import_state(Path(state_in).read_bytes())
+    elif seq is not None:
+        dec.send_data(seq)
+    n = 0
+    with open(out_path, "wb") as out:
+        for tu in tus:
+            dec.send_data(tu)
+            while (pic := dec.get_picture()) is not None:
+                for pl in range(len(pic.planes)):
+                    out.write(pic.plane_bytes(pl))
+                n += 1
+    if state_out is not None:
+        Path(state_out).write_bytes(dec.export_state())
+    return n
+
+
+def relay_decode(data: bytes, segments: int, two_pass: bool = True,
+                 workdir: str | None = None):
+    """Mid-GOP handoff relay: split the stream at ARBITRARY TU
+    positions (no keyframes needed) and decode each segment in a fresh
+    subprocess seeded with its predecessor's exported reference state —
+    the cross-host ref-plane handoff protocol
+    (Decoder.export_state/import_state), exercised process-to-process.
+    Inherently sequential (the state at a split depends on everything
+    before it); the parallel axis remains keyframe segments, while this
+    is the migration/failover/pipeline building block."""
+    import multiprocessing as mp
+
+    from dav1d_tpu.containers import read_ivf
+
+    tus = [tu for tu, _ in read_ivf(data)]
+    seq, _ = split_gops(tus)
+    td = workdir or tempfile.mkdtemp(prefix="dav1d_tpu_relay_")
+    bounds = [round(i * len(tus) / segments) for i in range(segments + 1)]
+    ctx = mp.get_context("spawn")
+    results = []
+    prev_state = None
+    for i in range(segments):
+        seg = tus[bounds[i] : bounds[i + 1]]
+        out_path = os.path.join(td, f"relay{i:04d}.yuv")
+        state_out = os.path.join(td, f"state{i:04d}.bin") \
+            if i + 1 < segments else None
+        with ctx.Pool(1) as pool:
+            n = pool.apply(_relay_segment,
+                           ((seq if i == 0 else None, seg, out_path,
+                             prev_state, state_out, two_pass),))
+        prev_state = state_out
+        results.append((n, out_path))
+    return results
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--muxer", default="md5", choices=["md5", "yuv", "null"])
     p.add_argument("-j", "--jobs", type=int, default=os.cpu_count() or 1)
+    p.add_argument("--relay", type=int, default=0, metavar="N",
+                   help="mid-GOP handoff mode: N arbitrary segments "
+                        "relayed through export_state/import_state")
     args = p.parse_args(argv)
 
     data = Path(args.input).read_bytes()
     import time
 
     t0 = time.perf_counter()
-    parts = gop_decode(data, args.jobs)
+    parts = relay_decode(data, args.relay) if args.relay > 1 \
+        else gop_decode(data, args.jobs)
     elapsed = time.perf_counter() - t0
     total = sum(c for c, _ in parts)
     out = sys.stdout.buffer if args.output == "-" else open(args.output,
@@ -171,7 +234,8 @@ def main(argv=None):
         out.write(f"{md5.hexdigest()}\n".encode())
     if out is not sys.stdout.buffer:
         out.close()
-    print(f"decoded {total} frames in {len(parts)} GOP segments, "
+    kind = "relay" if args.relay > 1 else "GOP"
+    print(f"decoded {total} frames in {len(parts)} {kind} segments, "
           f"{elapsed:.2f}s ({total / elapsed:.2f} fps)", file=sys.stderr)
     return 0
 
