@@ -95,6 +95,38 @@ def time_program(prog, args, kw=None, reps0=248, signal_ms=4.0,
         reps *= 4
 
 
+def mesh_put(a, mesh, spec):
+    """Shard a host array over `mesh`: plain device_put when every mesh
+    device is addressable (single process — the virtual CPU mesh, a
+    locally attached pod slice), make_array_from_callback when the mesh
+    spans processes (jax.distributed multi-host: each process may only
+    touch its own devices, and the host state is replicated — every
+    process decoded the same stream, so `a` is available everywhere)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(a, sh)
+    a = np.asarray(a)
+    return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+
+def mesh_fetch(x):
+    """Fetch a (possibly multi-host) global array to a full host copy:
+    np.asarray when fully addressable, cross-process allgather when the
+    shards live on other hosts (each host needs the full filtered plane
+    back — it is the replicated reference state for later frames)."""
+    import numpy as np
+
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 class frame_marker:
     """Sentinel appended by the decoder at frame boundaries so the
     bench can attribute launches to frames."""

@@ -51,18 +51,20 @@ def _mesh_put(arrs, mesh):
     always a valid unit) and shard it across the mesh: restoration units
     are spatially independent (they read only pre-LR snapshots), so the
     unit batch IS the decoder's tiles->chips axis for this stage."""
-    from jax.sharding import NamedSharding, PartitionSpec
+    from jax.sharding import PartitionSpec
+
+    from ..devrt import mesh_put
 
     ndev = int(mesh.devices.size)
     B = arrs[0].shape[0]
     nb = -(-B // ndev) * ndev
-    sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    spec = PartitionSpec(mesh.axis_names[0])
     out = []
     for a in arrs:
         if nb != B:
             a = np.concatenate([a, np.repeat(a[:1], nb - B, axis=0)])
-        out.append(jax.device_put(np.ascontiguousarray(a, dtype=np.int32),
-                                  sh))
+        out.append(mesh_put(np.ascontiguousarray(a, dtype=np.int32),
+                            mesh, spec))
     return out
 
 
@@ -72,8 +74,10 @@ def wiener_batch(P, fh, fv, bitdepth, mesh=None):
     B, ph, pw = P.shape
     prog = _jit_wiener(pw - 6, ph - 6, int(bitdepth))
     if mesh is not None:
+        from ..devrt import mesh_fetch
+
         args = _mesh_put([P, fh, fv], mesh)
-        return np.asarray(prog(*args))[:B]
+        return mesh_fetch(prog(*args))[:B]
     from ..devrt import call
 
     out = call("lr", prog,
@@ -216,7 +220,9 @@ def sgr_batch(P, src, s0, s1, w0, w1, bitdepth, variant, mesh=None):
     prog = _jit_sgr(pw - 6, ph - 6, int(bitdepth), int(variant))
     if mesh is not None:
         args = _mesh_put([P, src, s0, s1, w0, w1], mesh)
-        return np.asarray(prog(*args))[:B]
+        from ..devrt import mesh_fetch
+
+        return mesh_fetch(prog(*args))[:B]
     from ..devrt import call
 
     out = call("lr", prog,

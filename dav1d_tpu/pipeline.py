@@ -70,7 +70,8 @@ class _NativeResiduals:
 
     def collect(self):
         for fut, idxs in self.pending:
-            resid = np.ascontiguousarray(np.asarray(fut)[: len(idxs)])
+            from .devrt import mesh_fetch
+            resid = np.ascontiguousarray(mesh_fetch(fut)[: len(idxs)])
             self._register(idxs, resid)
         self.pending = []
 
@@ -140,15 +141,17 @@ def _launch_residuals_native(f):
             cfs = np.zeros((nb, nc), dtype=dt)
             cfs[: len(idxs)] = gath
             if mesh is not None:
-                import jax
-                from jax.sharding import NamedSharding, PartitionSpec
+                from jax.sharding import PartitionSpec
 
-                sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
-                arg = jax.device_put(cfs, sh)
+                from .devrt import mesh_put
+
+                arg = mesh_put(cfs, mesh,
+                               PartitionSpec(mesh.axis_names[0]))
             else:
                 arg = cfs
             fut = itx_batch(arg, gtx, gtxtp, f.bitdepth)
-            fut.copy_to_host_async()
+            if getattr(fut, 'is_fully_addressable', True):
+                fut.copy_to_host_async()
             st.pending.append((fut, idxs))
         else:
             ptrs = (cf_base +
@@ -333,7 +336,8 @@ def _launch_mc_device(f, glue, n):
                 jnp.asarray(fh), jnp.asarray(fv),
                 np.int32(vw), np.int32(vh), w=w, h=h,
                 bitdepth=f.bitdepth)
-            fut.copy_to_host_async()
+            if getattr(fut, 'is_fully_addressable', True):
+                fut.copy_to_host_async()
             launched.append((fut, (pls[sg], jdsty[sg], jdstx[sg], h, w)))
         if not host_rel:
             continue
@@ -362,7 +366,8 @@ def _launch_mc_device(f, glue, n):
         fh, fv = filter_rows(g, nb)
         fut = dmc.put_8tap(jnp.asarray(win), jnp.asarray(fh),
                            jnp.asarray(fv), w=w, h=h, bitdepth=f.bitdepth)
-        fut.copy_to_host_async()
+        if getattr(fut, 'is_fully_addressable', True):
+                fut.copy_to_host_async()
         launched.append((fut, (pls[g], jdsty[g], jdstx[g], h, w)))
 
     mc_st = _McDevice()
@@ -533,15 +538,17 @@ def _launch_residuals(f):
                 # multi-chip: the transform batch is the decoder's
                 # spatial-unit axis — shard it across the mesh (SURVEY
                 # §2.7 tiles->chips; each chip transforms its share)
-                import jax
-                from jax.sharding import NamedSharding, PartitionSpec
+                from jax.sharding import PartitionSpec
 
-                sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
-                arg = jax.device_put(cfs, sh)
+                from .devrt import mesh_put
+
+                arg = mesh_put(cfs, mesh,
+                               PartitionSpec(mesh.axis_names[0]))
             else:
                 arg = cfs
             fut = itx_batch(arg, tx, txtp, f.bitdepth)
-            fut.copy_to_host_async()
+            if getattr(fut, 'is_fully_addressable', True):
+                fut.copy_to_host_async()
             launched.append((fut, items))
             continue
         else:
@@ -559,7 +566,8 @@ def _launch_residuals(f):
 
 def _collect_residuals(launched) -> None:
     for fut, items in launched:
-        resid = np.asarray(fut)[: len(items)]
+        from .devrt import mesh_fetch
+        resid = mesh_fetch(fut)[: len(items)]
         for j, (_, rec, i) in enumerate(items):
             rec["resid"][i] = resid[j]
 

@@ -186,14 +186,13 @@ def cdef_frame_mesh(f) -> bool:
         prog = _band_program(mesh, ndev, axis, band_h, pw, cap, w, h,
                              int(damping - (1 if pl else 0)),
                              int(bitdepth))
-        shard = NamedSharding(mesh, PartitionSpec(axis))
-        bands = jax.device_put(
-            padded.reshape(ndev, band_h, pw), shard)
-        us = NamedSharding(mesh, PartitionSpec(axis))
-        args = [jax.device_put(a, us)
+        from ..devrt import mesh_fetch, mesh_put
+        spec = PartitionSpec(axis)
+        bands = mesh_put(padded.reshape(ndev, band_h, pw), mesh, spec)
+        args = [mesh_put(a, mesh, spec)
                 for a in (ys_l, xs_l, pri_l, sec_l, dir_l)]
         out = prog(bands, *args)
-        plane[:ph, :pw] = np.asarray(out).reshape(H, pw)[:ph]
+        plane[:ph, :pw] = mesh_fetch(out).reshape(H, pw)[:ph]
 
     m_pri = y_pri > 0
     m = (m_pri & ((y_adj | y_sec) != 0)) | (~m_pri & (y_sec > 0))

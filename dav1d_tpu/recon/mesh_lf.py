@@ -177,10 +177,12 @@ def deblock_frame_mesh(f) -> bool:
         padded[:ph] = plane[:ph, :pw]
         prog = _band_program(mesh, ndev, axis, band_h, pw, tuple(sig),
                              int(f.bitdepth))
-        bands = jax.device_put(padded.reshape(ndev, band_h, pw), shard)
-        args = [jax.device_put(a, shard) for a in packs]
+        from ..devrt import mesh_fetch, mesh_put
+        spec = PartitionSpec(axis)
+        bands = mesh_put(padded.reshape(ndev, band_h, pw), mesh, spec)
+        args = [mesh_put(a, mesh, spec) for a in packs]
         out = prog(bands, *args)
-        plane[:ph, :pw] = np.asarray(out).reshape(H, pw)[:ph]
+        plane[:ph, :pw] = mesh_fetch(out).reshape(H, pw)[:ph]
 
     lf = hdr.loopfilter
     if lf.level_y[0] or lf.level_y[1]:
