@@ -50,9 +50,12 @@ CONFIGS = {
     # the wavefront intra chain's launch count makes the recorded
     # decode the long pole through the tunnel
     "1080p-intra": dict(w=1920, h=1080, n=2, kf=1),
-    "4k": dict(w=3840, h=2160, n=3, kf=9999),
+    # ipred=host at 4K: the measured dispatch policy (a 4K keyframe's
+    # wavefront launch count is tunnel-infeasible to record and loses
+    # on-chip anyway — see the 1080p-intra config for the measurement)
+    "4k": dict(w=3840, h=2160, n=3, kf=9999, ipred_host=True),
     "4k10-grain": dict(w=3840, h=2160, n=3, kf=9999, bitdepth=10,
-                       noise=15),
+                       noise=15, ipred_host=True),
 }
 
 
@@ -94,6 +97,9 @@ def main():
     import os
 
     os.environ["DAV1D_TPU_DEVICE"] = "1"
+    cfg_all = dict(CONFIGS[args.config])
+    if cfg_all.pop("ipred_host", False):
+        os.environ["DAV1D_TPU_DEVICE_IPRED"] = "0"
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -105,8 +111,7 @@ def main():
     from dav1d_tpu.containers import read_ivf
     from dav1d_tpu.decoder import Decoder, Settings
 
-    cfg = CONFIGS[args.config]
-    path = _stream(**cfg)
+    path = _stream(**cfg_all)
     tus = [tu for tu, _ in read_ivf(path.read_bytes())]
 
     # -- record the launch stream of a real forced-device decode ------
