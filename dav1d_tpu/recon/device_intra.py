@@ -201,6 +201,48 @@ def _unit_program(shape, ph_unit, mode, w, h, angle, max_w, max_h,
 
 
 @functools.lru_cache(maxsize=None)
+def _unit_run_program(shape, ph_unit, mode, w, h, angle, max_w, max_h,
+                      bitdepth, z2_tl_filter, capg, G):
+    """Fused RUN of G consecutive wavefront levels that contain only
+    this key: one launch, an in-program fori_loop applying each level's
+    batch in order (each iteration's edge gathers see the previous
+    iterations' scatters through the carried plane).  Collapses the
+    per-launch dispatch cost that dominates the schedule on smooth
+    content, where long single-key runs are the common case.  meta is
+    (G, capg, 8) int32."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.ipred import _build
+
+    H, W = shape
+    half = (1 << bitdepth) >> 1
+    maxp = (1 << bitdepth) - 1
+    needs = EDGE_NEEDS[mode]
+    pred_fn = _build(mode, w, h, angle, max_w, max_h, bitdepth)
+
+    def run(plane, resid, meta):
+        rf = resid.reshape(-1)
+
+        def body(g, pf):
+            m = jax.lax.dynamic_index_in_dim(meta, g, keepdims=False)
+            edges = _edge_gather(jnp, pf, W, H, ph_unit, m, w, h, half,
+                                 needs, z2_tl_filter)
+            pred = pred_fn(edges)
+            idx = _region_idx(jnp, m, W, w, h)
+            rg = jnp.take(rf, jnp.clip(idx, 0, H * W - 1).reshape(-1)
+                          ).reshape(idx.shape)
+            out = jnp.clip(pred + rg, 0, maxp)
+            return pf.at[idx.reshape(-1)].set(out.reshape(-1),
+                                              mode="drop")
+
+        pf = jax.lax.fori_loop(0, G, body, plane.reshape(-1))
+        return pf.reshape(H, W)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
 def _cfl_program(shape, ph_unit, yshape, mode, w, h, w_pad, h_pad,
                  ss_hor, ss_ver, bitdepth, nb):
     """CFL chroma block: in-kernel cfl_ac from the finished luma canvas
@@ -710,14 +752,51 @@ def intra_frame_device(f, st) -> bool:
         plane = jax.device_put(host_plane)
         resid = jax.device_put(host_resid)
         shape = host_plane.shape
-        # (level, key) schedule: sort by level, then stable by key
+        # (level, key) schedule: sort by level, then stable by key;
+        # then merge RUNS — consecutive levels containing only one
+        # "pred" key fuse into a single launch whose in-program loop
+        # applies each level in order (cross-level deps inside a run
+        # are same-key by construction, respected by the loop; deps in
+        # and out of the run keep the plan's order)
         by_level = {}
         for key, levels in sched[ci].items():
             for level, units in levels.items():
                 by_level.setdefault(level, []).append((key, units))
+        plan = []  # ["run", key, [units...]] | ["single", key, units]
         for level in sorted(by_level):
-            for key, units in sorted(by_level[level],
-                                     key=lambda kv: str(kv[0])):
+            groups = sorted(by_level[level], key=lambda kv: str(kv[0]))
+            if len(groups) == 1 and groups[0][0][0] == "pred":
+                key, units = groups[0]
+                if plan and plan[-1][0] == "run" and plan[-1][1] == key:
+                    plan[-1][2].append(units)
+                else:
+                    plan.append(["run", key, [units]])
+                continue
+            for key, units in groups:
+                plan.append(["single", key, units])
+
+        for ent in plan:
+            if ent[0] == "run" and len(ent[2]) > 1:
+                key, unit_lists = ent[1], ent[2]
+                mode_i, w, h, akey, kmw, kmh, z2f = key[1:]
+                capg = 1 << max(0, (max(len(u) for u in unit_lists)
+                                    - 1).bit_length())
+                Gb = 1 << max(0, (len(unit_lists) - 1).bit_length())
+                metas = np.full((Gb, capg, 8), 0, dtype=np.int32)
+                metas[:, :, _DY] = shape[0]
+                metas[:, :, _PXL] = metas[:, :, _PXT] = 1
+                for gi, ul in enumerate(unit_lists):
+                    for k, u in enumerate(ul):
+                        metas[gi, k] = u[0]
+                prog = _unit_run_program(shape, ph_unit, mode_i, w, h,
+                                         akey, kmw, kmh, bd, z2f, capg,
+                                         Gb)
+                plane = call("ipred", prog, plane, resid,
+                             jax.numpy.asarray(metas))
+                continue
+            key, units = (ent[1], ent[2][0]) if ent[0] == "run" \
+                else (ent[1], ent[2])
+            if True:
                 kind = key[0]
                 n = len(units)
                 nb = 1 << max(0, (n - 1).bit_length())
