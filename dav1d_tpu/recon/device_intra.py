@@ -201,15 +201,20 @@ def _unit_program(shape, ph_unit, mode, w, h, angle, max_w, max_h,
 
 
 @functools.lru_cache(maxsize=None)
-def _unit_run_program(shape, ph_unit, mode, w, h, angle, max_w, max_h,
-                      bitdepth, z2_tl_filter, capg, G):
-    """Fused RUN of G consecutive wavefront levels that contain only
-    this key: one launch, an in-program fori_loop applying each level's
-    batch in order (each iteration's edge gathers see the previous
-    iterations' scatters through the carried plane).  Collapses the
-    per-launch dispatch cost that dominates the schedule on smooth
-    content, where long single-key runs are the common case.  meta is
-    (G, capg, 8) int32."""
+def _multi_run_program(shape, ph_unit, bitdepth, keyspecs, G):
+    """Fused RUN of G consecutive wavefront levels spanning several
+    static keys: ONE launch, an in-program fori_loop over the levels;
+    each iteration applies every key's (possibly empty, padded) batch.
+    Units at one level are independent by construction (a unit's edge
+    reads always resolve strictly below its own level), so the
+    within-level key order is free; cross-level dependencies ride the
+    carried plane.  This collapses the per-(level, key) launch storm —
+    the dominant cost of the wavefront schedule (DEVICE_FRAME_r03:
+    ~18k launches / ~105 ms on-chip per 1080p keyframe before fusion).
+
+    keyspecs: tuple of (mode, w, h, angle, max_w, max_h, z2_tl_filter,
+    capg); metas arrive as one (G, capg, 8) int32 array per key, padded
+    with sentinel rows (dy = H) whose scatters drop out of range."""
     import jax
     import jax.numpy as jnp
 
@@ -218,23 +223,27 @@ def _unit_run_program(shape, ph_unit, mode, w, h, angle, max_w, max_h,
     H, W = shape
     half = (1 << bitdepth) >> 1
     maxp = (1 << bitdepth) - 1
-    needs = EDGE_NEEDS[mode]
-    pred_fn = _build(mode, w, h, angle, max_w, max_h, bitdepth)
+    preds = [(w, h, _build(mode, w, h, angle, max_w, max_h, bitdepth),
+              EDGE_NEEDS[mode], z2f)
+             for (mode, w, h, angle, max_w, max_h, z2f, _capg)
+             in keyspecs]
 
-    def run(plane, resid, meta):
+    def run(plane, resid, *metas):
         rf = resid.reshape(-1)
 
         def body(g, pf):
-            m = jax.lax.dynamic_index_in_dim(meta, g, keepdims=False)
-            edges = _edge_gather(jnp, pf, W, H, ph_unit, m, w, h, half,
-                                 needs, z2_tl_filter)
-            pred = pred_fn(edges)
-            idx = _region_idx(jnp, m, W, w, h)
-            rg = jnp.take(rf, jnp.clip(idx, 0, H * W - 1).reshape(-1)
-                          ).reshape(idx.shape)
-            out = jnp.clip(pred + rg, 0, maxp)
-            return pf.at[idx.reshape(-1)].set(out.reshape(-1),
-                                              mode="drop")
+            for (w, h, pred_fn, needs, z2f), meta in zip(preds, metas):
+                m = jax.lax.dynamic_index_in_dim(meta, g, keepdims=False)
+                edges = _edge_gather(jnp, pf, W, H, ph_unit, m, w, h,
+                                     half, needs, z2f)
+                pred = pred_fn(edges)
+                idx = _region_idx(jnp, m, W, w, h)
+                rg = jnp.take(rf, jnp.clip(idx, 0, H * W - 1).reshape(-1)
+                              ).reshape(idx.shape)
+                out = jnp.clip(pred + rg, 0, maxp)
+                pf = pf.at[idx.reshape(-1)].set(out.reshape(-1),
+                                                mode="drop")
+            return pf
 
         pf = jax.lax.fori_loop(0, G, body, plane.reshape(-1))
         return pf.reshape(H, W)
@@ -752,50 +761,79 @@ def intra_frame_device(f, st) -> bool:
         plane = jax.device_put(host_plane)
         resid = jax.device_put(host_resid)
         shape = host_plane.shape
-        # (level, key) schedule: sort by level, then stable by key;
-        # then merge RUNS — consecutive levels containing only one
-        # "pred" key fuse into a single launch whose in-program loop
-        # applies each level in order (cross-level deps inside a run
-        # are same-key by construction, respected by the loop; deps in
-        # and out of the run keep the plan's order)
+        # (level, key) schedule -> RUN plan: consecutive levels whose
+        # groups are all "pred" fuse into one multi-key launch as long
+        # as the union key set stays small (bounded padding waste and
+        # program diversity); cfl/palette groups flush the run and
+        # execute as singles at their level boundary, preserving the
+        # level order on both sides.
         by_level = {}
         for key, levels in sched[ci].items():
             for level, units in levels.items():
                 by_level.setdefault(level, []).append((key, units))
-        plan = []  # ["run", key, [units...]] | ["single", key, units]
+        KMAX, GMAX = 6, 64
+        plan = []  # ["multi", {key: [units-per-level]}] | ["single", key, units]
+        cur = None
+
+        def _flush():
+            nonlocal cur
+            if cur is not None and cur["G"]:
+                plan.append(["multi", cur])
+            cur = None
+
         for level in sorted(by_level):
-            groups = sorted(by_level[level], key=lambda kv: str(kv[0]))
-            if len(groups) == 1 and groups[0][0][0] == "pred":
-                key, units = groups[0]
-                if plan and plan[-1][0] == "run" and plan[-1][1] == key:
-                    plan[-1][2].append(units)
-                else:
-                    plan.append(["run", key, [units]])
-                continue
-            for key, units in groups:
-                plan.append(["single", key, units])
+            groups = by_level[level]
+            pred_g = sorted(((k, u) for k, u in groups
+                             if k[0] == "pred"), key=lambda kv: kv[0][1:])
+            other_g = sorted(((k, u) for k, u in groups
+                              if k[0] != "pred"), key=lambda kv: str(kv[0]))
+            if pred_g:
+                newk = {k for k, _ in pred_g}
+                if (cur is None or cur["G"] >= GMAX
+                        or len(newk | set(cur["keys"])) > KMAX):
+                    _flush()
+                    cur = {"keys": {}, "G": 0}
+                g = cur["G"]
+                for k, units in pred_g:
+                    cur["keys"].setdefault(
+                        k, [[] for _ in range(g)]).append(units)
+                for lists in cur["keys"].values():
+                    while len(lists) < g + 1:
+                        lists.append([])
+                cur["G"] = g + 1
+            if other_g:
+                _flush()
+                for key, units in other_g:
+                    plan.append(["single", key, units])
+        _flush()
 
         for ent in plan:
-            if ent[0] == "run" and len(ent[2]) > 1:
-                key, unit_lists = ent[1], ent[2]
-                mode_i, w, h, akey, kmw, kmh, z2f = key[1:]
-                capg = 1 << max(0, (max(len(u) for u in unit_lists)
-                                    - 1).bit_length())
-                Gb = 1 << max(0, (len(unit_lists) - 1).bit_length())
-                metas = np.full((Gb, capg, 8), 0, dtype=np.int32)
-                metas[:, :, _DY] = shape[0]
-                metas[:, :, _PXL] = metas[:, :, _PXT] = 1
-                for gi, ul in enumerate(unit_lists):
-                    for k, u in enumerate(ul):
-                        metas[gi, k] = u[0]
-                prog = _unit_run_program(shape, ph_unit, mode_i, w, h,
-                                         akey, kmw, kmh, bd, z2f, capg,
-                                         Gb)
-                plane = call("ipred", prog, plane, resid,
-                             jax.numpy.asarray(metas))
-                continue
-            key, units = (ent[1], ent[2][0]) if ent[0] == "run" \
-                else (ent[1], ent[2])
+            if ent[0] == "multi":
+                keys, G = ent[1]["keys"], ent[1]["G"]
+                order = sorted(keys, key=lambda k: k[1:])
+                if G == 1 and len(order) == 1:
+                    ent = ["single", order[0], keys[order[0]][0]]
+                else:
+                    Gb = 1 << max(0, (G - 1).bit_length())
+                    keyspecs, margs = [], []
+                    for k in order:
+                        unit_lists = keys[k]
+                        capg = 1 << max(0, (max(len(u)
+                                              for u in unit_lists)
+                                            - 1).bit_length())
+                        keyspecs.append(k[1:] + (capg,))
+                        metas = np.zeros((Gb, capg, 8), dtype=np.int32)
+                        metas[:, :, _DY] = shape[0]
+                        metas[:, :, _PXL] = metas[:, :, _PXT] = 1
+                        for gi, ul in enumerate(unit_lists):
+                            for j, u in enumerate(ul):
+                                metas[gi, j] = u[0]
+                        margs.append(jax.numpy.asarray(metas))
+                    prog = _multi_run_program(shape, ph_unit, bd,
+                                              tuple(keyspecs), Gb)
+                    plane = call("ipred", prog, plane, resid, *margs)
+                    continue
+            key, units = ent[1], ent[2]
             if True:
                 kind = key[0]
                 n = len(units)
