@@ -169,6 +169,19 @@ class _McDevice:
     __slots__ = ("handled", "block_idxs", "launched")
 
 
+def _mc_pallas() -> bool:
+    """Pallas per-block-DMA window gather for interior resident MC
+    (ops/pallas_mc.py).  DAV1D_TPU_MC_PALLAS=1/0 forces; default: on
+    for real accelerator backends (the kernel is TPU-only — the CPU
+    backend keeps the XLA clamped-gather program)."""
+    env = os.environ.get("DAV1D_TPU_MC_PALLAS")
+    if env is not None:
+        return env == "1"
+    from . import dispatch
+
+    return dispatch._platform() not in ("cpu", "none")
+
+
 _F2D_HTYPE = np.array([0, 0, 0, 2, 2, 2, 1, 1, 1], dtype=np.int32)
 
 
@@ -323,22 +336,48 @@ def _launch_mc_device(f, glue, n):
             ss_v = ss_ver if pl else 0
             vw = (slot.frame_hdr.width[1] + ss_h) >> ss_h
             vh = (slot.frame_hdr.height + ss_v) >> ss_v
-            N = len(sg)
-            nb = 1
-            while nb < N:
-                nb <<= 1
-            dys = np.zeros(nb, dtype=np.int32)
-            dxs = np.zeros(nb, dtype=np.int32)
-            dys[:N], dxs[:N] = jdy[sg], jdx[sg]
-            fh, fv = filter_rows(sg, nb)
-            fut = dmc.put_8tap_resident(
-                devp[pl], jnp.asarray(dys), jnp.asarray(dxs),
-                jnp.asarray(fh), jnp.asarray(fv),
-                np.int32(vw), np.int32(vh), w=w, h=h,
-                bitdepth=f.bitdepth)
-            if getattr(fut, 'is_fully_addressable', True):
-                fut.copy_to_host_async()
-            launched.append((fut, (pls[sg], jdsty[sg], jdstx[sg], h, w)))
+            # emu_edge split (reference src/mc_tmpl.c:130-180): blocks
+            # whose (h+7, w+7) window stays inside the valid reference
+            # area ride the Pallas per-block-DMA kernel (the window
+            # read the XLA gather form pays ~2.5 ms/1024-block batch
+            # for); edge blocks keep the clamped-gather replication
+            # program.
+            parts = [(sg, False)]
+            if _mc_pallas() and vh >= h + 7 and vw >= w + 7:
+                inter = ((jdy[sg] >= 3) & (jdy[sg] + h + 4 <= vh)
+                         & (jdx[sg] >= 3) & (jdx[sg] + w + 4 <= vw))
+                if inter.any():
+                    parts = [(sg[inter], True)]
+                    if not inter.all():
+                        parts.append((sg[~inter], False))
+            for sp, fast in parts:
+                N = len(sp)
+                nb = 1
+                while nb < N:
+                    nb <<= 1
+                if fast:
+                    from .ops.pallas_mc import BB as _BB
+                    nb = max(nb, _BB)
+                dys = np.full(nb, 3, dtype=np.int32)
+                dxs = np.full(nb, 3, dtype=np.int32)
+                dys[:N], dxs[:N] = jdy[sp], jdx[sp]
+                fh, fv = filter_rows(sp, nb)
+                if fast:
+                    from .ops.pallas_mc import gather_put_8tap
+                    fut = gather_put_8tap(
+                        devp[pl], jnp.asarray(dys), jnp.asarray(dxs),
+                        jnp.asarray(fh), jnp.asarray(fv), w=w, h=h,
+                        bitdepth=f.bitdepth)
+                else:
+                    fut = dmc.put_8tap_resident(
+                        devp[pl], jnp.asarray(dys), jnp.asarray(dxs),
+                        jnp.asarray(fh), jnp.asarray(fv),
+                        np.int32(vw), np.int32(vh), w=w, h=h,
+                        bitdepth=f.bitdepth)
+                if getattr(fut, 'is_fully_addressable', True):
+                    fut.copy_to_host_async()
+                launched.append((fut,
+                                 (pls[sp], jdsty[sp], jdstx[sp], h, w)))
         if not host_rel:
             continue
         g = g[np.concatenate(host_rel)]

@@ -302,6 +302,27 @@ def bench_mc():
         _row("mc", f"put_8tap_resident {w}x{h} B={B} (1080p ref)",
              float("nan"), float("nan"), cmp_ms)
 
+    # Pallas per-block-DMA window gather (interior fast path of the
+    # resident tier — pipeline.py's emu_edge split): vs the XLA
+    # clamped-gather row above
+    from dav1d_tpu.ops import pallas_mc
+
+    for w, h, B in [(8, 8, 1024), (4, 4, 1024)]:
+        dys = rng.integers(3, ph - h - 4, B).astype(np.int32)
+        dxs = rng.integers(3, pw - w - 4, B).astype(np.int32)
+        fh = np.broadcast_to(filt[0][5 - 1].astype(np.int32),
+                             (B, 8)).copy()
+        fv = np.broadcast_to(filt[0][9 - 1].astype(np.int32),
+                             (B, 8)).copy()
+        rpl, rdy, rdx, rfh, rfv = _put(
+            plane.astype(np.int32), dys, dxs, fh, fv)
+        cmp_ms = _time_compute(
+            prog=lambda p, y, x, a, b: pallas_mc._gather_put_prog(
+                p, y, x, a, b, w=w, h=h, bitdepth=8),
+            args=(rpl, rdy, rdx, rfh, rfv))
+        _row("mc", f"pallas_gather_put {w}x{h} B={B} (1080p ref)",
+             float("nan"), float("nan"), cmp_ms)
+
 
 def bench_deblock():
     from dav1d_tpu.native import lib as nat
