@@ -509,12 +509,13 @@ def _run_pass2_native(f, st) -> None:
                                        mc_st.block_idxs.ctypes.data,
                                        len(mc_st.block_idxs))
 
-    # phase B: ordered intra walk.  Device tier first: all-intra frames
-    # run the wavefront-levelled on-device schedule (recon/device_intra)
-    # — edge gathers, prediction, residual add and scatter all on
-    # resident canvases.  Frames it does not cover (any inter/intrabc
-    # block, multi-txb CFL) fall through to the host C walk, which
-    # stops at blocks needing Python.
+    # phase B: ordered intra walk.  Device tier first: intra blocks run
+    # the wavefront-levelled on-device schedule (recon/device_intra) —
+    # edge gathers, prediction, residual add and scatter all on
+    # resident canvases; inter blocks are already final from phase A
+    # (level 0 in the wavefront).  Frames it does not cover (intrabc,
+    # multi-txb CFL) fall through to the host C walk, which stops at
+    # blocks needing Python.
     # per-tile ranges are a valid order: intra prediction never crosses
     # tile boundaries (the reference reconstructs tiles independently)
     if use_device("ipred"):

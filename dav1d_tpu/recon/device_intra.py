@@ -31,10 +31,13 @@ Luma chains first, then chroma (CFL's AC input reads the finished luma
 canvas on device).  Palette and CFL blocks ride the same schedule with
 their own programs (pal_pred gather; in-kernel cfl_ac + DC + alpha).
 
-Scope: all-intra frames (every captured block kind==0 — keyframes,
-intra-only frames).  Frames with inter or intrabc blocks fall back to
-the host phase-B walk in pipeline._run_pass2_native; selection is
-dispatch.use_device("ipred").
+Scope: intra blocks of ANY frame.  Inter blocks are final before this
+schedule runs (phase A — the native inter replay + residual adds — has
+completed), so their cells sit at wavefront level 0 and intra units
+reading them level correctly above; an all-inter frame exits with zero
+launches.  Only frames with intrabc blocks (which copy from the
+in-progress canvas in decode order) fall back to the host phase-B walk
+in pipeline._run_pass2_native; selection is dispatch.use_device("ipred").
 
 Reference parity: src/ipred_prepare_tmpl.c:76-204 (edge build),
 src/recon_tmpl.c:1176-1556 (walk), src/ipred_tmpl.c (kernels, via
@@ -437,8 +440,18 @@ def _enumerate_units(f, glue, ranges):
     for s, e in ranges:
         for i in range(s, e):
             row = rows[i]
-            if int(row["kind"]) != 0:
+            kind = int(row["kind"])
+            if kind == 2:
+                # intrabc copies from the in-progress canvas in decode
+                # order — needs the interleaved host walk
                 return None, None
+            if kind == 1:
+                # inter block: phase A (native inter replay + residual
+                # adds) finished before this schedule runs, so its
+                # pixels are FINAL in the uploaded canvas — its cells
+                # stay at wavefront level 0 and any intra unit whose
+                # edge gather reads them lands at level >= 1
+                continue
             ts = glue.ts_of_block(i)
             bx, by = int(row["bx"]), int(row["by"])
             bs = int(row["bs"])
@@ -741,6 +754,11 @@ def intra_frame_device(f, st) -> bool:
     sched, maps = _enumerate_units(f, glue, ranges)
     if sched is None:
         return False
+    if not any(sched):
+        # all-inter frame: phase A already reconstructed every block;
+        # phase B has no intra work
+        st.collect()
+        return True
 
     call = _chain_call
 

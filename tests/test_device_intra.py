@@ -162,9 +162,10 @@ def test_device_intra_matches_host(tmp_path, name):
     assert dev[1] == host[1], f"{name}: device intra diverges"
 
 
-def test_mixed_stream_falls_back(tmp_path):
-    """Inter frames must fall back to the host walk; the keyframe rides
-    the device schedule.  Whole-stream bytes stay equal."""
+def test_mixed_stream(tmp_path):
+    """Inter frames ride the device schedule too: their blocks are
+    final after phase A (level 0), only the intra blocks launch.
+    Whole-stream bytes stay equal."""
     w, h, n = 128, 96, 5
     enc = AomEncoder(width=w, height=h, usage="good", kf_max_dist=3,
                      lag=0, cpu_used=4, q=40)
