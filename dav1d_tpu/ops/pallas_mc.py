@@ -126,9 +126,31 @@ def _gather_put_prog(plane, dys, dxs, fh, fv, *, w, h, bitdepth,
     return out.reshape(h, n, ww).transpose(1, 0, 2)[:, :, :w]
 
 
+_BROKEN = False  # sticky: first Mosaic/compile failure -> XLA fallback
+
+
 def gather_put_8tap(plane, dys, dxs, fh, fv, *, w, h, bitdepth,
                     interpret=False):
+    """Pallas gather+put with a sticky XLA fallback: a compile failure
+    on an unexpected backend must degrade to the (slower, bit-exact)
+    clamped-gather program, never kill the decode."""
+    global _BROKEN
     from ..devrt import call
 
-    return call("mc_resident", _gather_put_prog, plane, dys, dxs, fh,
-                fv, w=w, h=h, bitdepth=bitdepth, interpret=interpret)
+    if not _BROKEN:
+        try:
+            return call("mc_resident", _gather_put_prog, plane, dys,
+                        dxs, fh, fv, w=w, h=h, bitdepth=bitdepth,
+                        interpret=interpret)
+        except Exception:
+            _BROKEN = True
+    import numpy as np
+
+    from .mc import _put_8tap_resident_prog
+
+    # interior contract: every window is in-bounds, so the fallback's
+    # clamp limits (physical plane shape here) never bind
+    ph, pw = plane.shape
+    return call("mc_resident", _put_8tap_resident_prog, plane, dys,
+                dxs, fh, fv, np.int32(pw), np.int32(ph), w=w, h=h,
+                bitdepth=bitdepth)
