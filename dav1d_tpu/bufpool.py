@@ -1,0 +1,91 @@
+"""Frame-buffer pool: recycles the large per-frame numpy allocations.
+
+The reference keeps picture buffers in a refcounted pool
+(src/mem.c dav1d_mem_pool_push/pop, include/dav1d/dav1d.h allocator) so a
+steady-state decode never returns frame-sized buffers to the OS.  Python
+GC gives us lifetimes for free but not memory reuse: a 4K int32 plane is
+~33 MB, glibc serves it with fresh mmap'd pages, and first-touch page
+faults during reconstruction cost ~45 ms/frame at 4K (measured: touching
+every page of a fresh np.zeros costs 52 ms vs 7.6 ms for a warm pooled
+buffer + memset).
+
+Design: the pool owns every raw buffer it ever handed out (a bounded
+registry of strong references).  Callers get dtype/shape views of a raw
+1-D buffer; numpy collapses ``view.base`` to the memory owner, so ANY
+surviving view (a cropped output picture a user still holds, a reference
+plane in the 8-slot state) keeps the raw buffer's refcount above the
+sole-owner threshold and the pool will not reuse it.  No explicit
+release call exists or is needed — exactly the lifetime rule the
+reference implements with atomics, expressed with CPython refcounts.
+"""
+
+import sys
+import threading
+
+import numpy as np
+
+# registry cap per size bucket: 8 ref slots + output queue + frames in
+# flight; beyond this the oldest sole-owned buffers are dropped to GC
+_BUCKET_CAP = 24
+
+
+class BufPool:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._bufs = {}  # nbytes -> list[np.ndarray(uint8, 1-D)]
+
+    def take(self, shape, dtype, fill=None):
+        """A (shape, dtype) array backed by a pooled buffer.  fill=None
+        leaves reused memory UNINITIALIZED (np.empty semantics); pass 0
+        (np.zeros semantics) or any scalar otherwise."""
+        dtype = np.dtype(dtype)
+        n = 1
+        for s in shape:
+            n *= int(s)
+        nbytes = n * dtype.itemsize
+        # round the raw size up to a 1/8th-power-of-two granule so
+        # near-sized requests (itx residual batches vary per frame)
+        # share buckets; waste is <= 12.5%
+        if nbytes > (1 << 16):
+            g = 1 << (max(nbytes.bit_length() - 4, 13))
+            nbytes = (nbytes + g - 1) & ~(g - 1)
+        else:
+            nbytes = 1 << 16
+        raw = None
+        with self._lock:
+            bucket = self._bufs.get(nbytes)
+            if bucket:
+                # sole-owned = referenced only by the bucket (+ the
+                # getrefcount argument): every view a FrameContext,
+                # ref slot or user picture holds counts via .base
+                for i, cand in enumerate(bucket):
+                    if sys.getrefcount(cand) == 3:
+                        raw = cand
+                        # move to the back: keeps hot buffers hot
+                        bucket.append(bucket.pop(i))
+                        break
+            if raw is None:
+                raw = np.empty(nbytes, dtype=np.uint8)
+                b = self._bufs.setdefault(nbytes, [])
+                b.append(raw)
+                if len(b) > _BUCKET_CAP:
+                    # drop the oldest sole-owned entry if any
+                    for i, cand in enumerate(b):
+                        if cand is not raw and sys.getrefcount(cand) == 3:
+                            del b[i]
+                            break
+        arr = raw.view(dtype)[:n].reshape(shape)
+        if fill is not None:
+            arr.fill(fill)
+        return arr
+
+    def clear(self):
+        with self._lock:
+            self._bufs.clear()
+
+
+pool = BufPool()
+
+
+def take(shape, dtype, fill=None):
+    return pool.take(shape, dtype, fill)

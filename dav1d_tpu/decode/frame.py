@@ -92,11 +92,14 @@ class FrameContext:
         align = self.sb_step
         yw = ((self.bw + align - 1) & ~(align - 1)) * 4
         yh = ((self.bh + align - 1) & ~(align - 1)) * 4
-        self.planes = [np.zeros((yh, yw), dtype=np.int32)]
+        # pooled: fresh-page faults on frame-sized buffers cost ~45 ms
+        # per 4K frame (see bufpool.py; reference analog src/mem.c pools)
+        from ..bufpool import take as _take
+        self.planes = [_take((yh, yw), np.int32, fill=0)]
         if self.layout != PixelLayout.I400:
             cw = (yw + ss_hor) >> ss_hor
             ch = (yh + ss_ver) >> ss_ver
-            self.planes += [np.zeros((ch, cw), dtype=np.int32)
+            self.planes += [_take((ch, cw), np.int32, fill=0)
                             for _ in range(2)]
 
         # quantizer matrices: (tx, plane) -> weights, absent when disabled
@@ -117,10 +120,8 @@ class FrameContext:
         self.dq = init_quant_tables(seq_hdr, hdr, hdr.quant.yac)
 
         self.cur_segmap = (
-            np.zeros((self.b4_stride, self.b4_stride), dtype=np.uint8)
+            _take((self.bh, self.bw), np.uint8, fill=0)
             if hdr.segmentation.enabled else None)
-        if self.cur_segmap is not None:
-            self.cur_segmap = np.zeros((self.bh, self.bw), dtype=np.uint8)
         self.prev_segmap = prev_segmap
         self.refs = refs or [None] * 7
         self.refp = self.refs  # 7 reference slots (planes + frame_hdr)
@@ -195,17 +196,17 @@ class FrameContext:
         # pre-filter bottom-row backup per sbrow for next sbrow's intra
         n_pl = 1 if self.layout == PixelLayout.I400 else 3
         self.ipred_edge = [
-            np.zeros((self.sbh, self.sb128w * 128 >> (ss_hor if pl else 0)),
-                     dtype=np.int32) for pl in range(n_pl)]
+            _take((self.sbh, self.sb128w * 128 >> (ss_hor if pl else 0)),
+                  np.int32, fill=0) for pl in range(n_pl)]
 
         # deblock state: per-4x4 levels + frame-wide edge width-class
         # planes ([0] vertical edges, [1] horizontal; see recon/lf.py)
         h4a = (self.bh + 31) & ~31
-        self.lf_level = np.zeros((h4a, self.b4_stride, 4), dtype=np.uint8)
-        self.lf_wd_y = np.zeros((2, h4a, self.b4_stride), dtype=np.uint8)
-        self.lf_wd_uv = np.zeros(
+        self.lf_level = _take((h4a, self.b4_stride, 4), np.uint8, fill=0)
+        self.lf_wd_y = _take((2, h4a, self.b4_stride), np.uint8, fill=0)
+        self.lf_wd_uv = _take(
             (2, (h4a + ss_ver) >> ss_ver,
-             (self.b4_stride + ss_hor) >> ss_hor), dtype=np.uint8)
+             (self.b4_stride + ss_hor) >> ss_hor), np.uint8, fill=0)
         self.lf_lim_lut = calc_eih(hdr.loopfilter.sharpness)
         self.lf_lvl = calc_lf_values(hdr, [0, 0, 0, 0])
         self.start_of_tile_row = [0] * self.sbh
@@ -221,16 +222,17 @@ class FrameContext:
         # (reference f->lf.tx_lpf_right_edge, src/decode.c:3055-3065)
         align_h = (self.bh + 31) & ~31
         self.tx_lpf_right_edge = [
-            np.zeros(align_h * hdr.tiling.cols, dtype=np.uint8),
-            np.zeros((align_h >> ss_ver) * hdr.tiling.cols, dtype=np.uint8)]
+            _take((align_h * hdr.tiling.cols,), np.uint8, fill=0),
+            _take(((align_h >> ss_ver) * hdr.tiling.cols,), np.uint8,
+                  fill=0)]
 
         # cdef index per 64x64 unit: (sb128h*2, sb128w*2)
-        self.cdef_idx = np.full((self.sb128h * 2, self.sb128w * 2), -1,
-                                dtype=np.int32)
+        self.cdef_idx = _take((self.sb128h * 2, self.sb128w * 2),
+                              np.int32, fill=-1)
         # per-8x8-unit "any coded coefficients" mask for cdef
         # (reference Av1Filter.noskip_mask, set in src/decode.c:1946-1955)
-        self.noskip = np.zeros((self.sb128h * 16, self.sb128w * 32),
-                               dtype=bool)
+        self.noskip = _take((self.sb128h * 16, self.sb128w * 32),
+                            np.bool_, fill=False)
         self.ts: list[TileState] = []
 
         # loop restoration state (reference src/decode.c:3030,2662-2713)

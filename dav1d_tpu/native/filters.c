@@ -1613,15 +1613,21 @@ static void cdef_filter_unit_perm(const int16_t *restrict base,
     const int track = p && s;
     const __mmask8 smask = w == 8 ? 0xFF : 0x0F;
 
+    __m512i Z0, Z1, Z2, Z3;
     for (int y = 0; y < h; y += 4) {
         const int16_t *r = base + (int64_t)(y - 2) * cstride - 2;
-        __m512i Z0, Z1, Z2, Z3;
-        Z0 = _mm512_inserti64x4(_mm512_castsi256_si512(
-                 _mm256_loadu_si256((const __m256i *)r)),
-             _mm256_loadu_si256((const __m256i *)(r + cstride)), 1);
-        Z1 = _mm512_inserti64x4(_mm512_castsi256_si512(
-                 _mm256_loadu_si256((const __m256i *)(r + 2 * cstride))),
-             _mm256_loadu_si256((const __m256i *)(r + 3 * cstride)), 1);
+        if (y == 0) {
+            Z0 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                     _mm256_loadu_si256((const __m256i *)r)),
+                 _mm256_loadu_si256((const __m256i *)(r + cstride)), 1);
+            Z1 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                     _mm256_loadu_si256((const __m256i *)(r + 2 * cstride))),
+                 _mm256_loadu_si256((const __m256i *)(r + 3 * cstride)), 1);
+        } else {
+            /* rows y-2..y+1 were the previous iteration's y+2..y+5 */
+            Z0 = Z2;
+            Z1 = Z3;
+        }
         Z2 = _mm512_inserti64x4(_mm512_castsi256_si512(
                  _mm256_loadu_si256((const __m256i *)(r + 4 * cstride))),
              _mm256_loadu_si256((const __m256i *)(r + 5 * cstride)), 1);
@@ -1734,15 +1740,21 @@ static void cdef_filter_unit_perm_pair(const int16_t *restrict base,
                           (pB && sB ? BL : 0);
     const int any_p = pA | pB, any_s = sA | sB;
 
+    __m512i Z0, Z1, Z2, Z3;
     for (int y = 0; y < h; y += 4) {
         const int16_t *r = base + (int64_t)(y - 2) * cstride - 2;
-        __m512i Z0, Z1, Z2, Z3;
-        Z0 = _mm512_inserti64x4(_mm512_castsi256_si512(
-                 _mm256_loadu_si256((const __m256i *)r)),
-             _mm256_loadu_si256((const __m256i *)(r + cstride)), 1);
-        Z1 = _mm512_inserti64x4(_mm512_castsi256_si512(
-                 _mm256_loadu_si256((const __m256i *)(r + 2 * cstride))),
-             _mm256_loadu_si256((const __m256i *)(r + 3 * cstride)), 1);
+        if (y == 0) {
+            Z0 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                     _mm256_loadu_si256((const __m256i *)r)),
+                 _mm256_loadu_si256((const __m256i *)(r + cstride)), 1);
+            Z1 = _mm512_inserti64x4(_mm512_castsi256_si512(
+                     _mm256_loadu_si256((const __m256i *)(r + 2 * cstride))),
+                 _mm256_loadu_si256((const __m256i *)(r + 3 * cstride)), 1);
+        } else {
+            /* rows y-2..y+1 were the previous iteration's y+2..y+5 */
+            Z0 = Z2;
+            Z1 = Z3;
+        }
         Z2 = _mm512_inserti64x4(_mm512_castsi256_si512(
                  _mm256_loadu_si256((const __m256i *)(r + 4 * cstride))),
              _mm256_loadu_si256((const __m256i *)(r + 5 * cstride)), 1);

@@ -228,7 +228,8 @@ def itx_batch_c_list(cfs, tx, txtp, bitdepth):
     ptrs = np.fromiter((a.ctypes.data for a in cfs), dtype=np.uint64,
                        count=n)
     w, h, lw, lh = _txinfo(tx)
-    out = np.empty((n, h, w), dtype=np.int32)
+    from ..bufpool import take as _take
+    out = _take((n, h, w), np.int32)  # pooled: C writes every element
     if txtp == TxfmType.WHT_WHT:
         _nlib.dtpu_itx_batch_ptrs(ptrs.ctypes.data, n, 4, 4, 0, 0, 0,
                                   0, bitdepth, 1, out.ctypes.data)
@@ -270,7 +271,8 @@ def itx_batch_c_ptrs(ptrs, tx, txtp, bitdepth, eob=None):
 
     n = len(ptrs)
     w, h, lw, lh = _txinfo(tx)
-    out = np.empty((n, h, w), dtype=np.int32)
+    from ..bufpool import take as _take
+    out = _take((n, h, w), np.int32)  # pooled: C writes every element
     if txtp == TxfmType.WHT_WHT:
         _nlib.dtpu_itx_batch_ptrs(ptrs.ctypes.data, n, 4, 4, 0, 0, 0,
                                   0, bitdepth, 1, out.ctypes.data)
