@@ -19,6 +19,7 @@ release call exists or is needed — exactly the lifetime rule the
 reference implements with atomics, expressed with CPython refcounts.
 """
 
+import ctypes
 import sys
 import threading
 
@@ -76,7 +77,16 @@ class BufPool:
                             break
         arr = raw.view(dtype)[:n].reshape(shape)
         if fill is not None:
-            arr.fill(fill)
+            # ndarray.fill is a scalar strided-copy loop (~0.4 GB/s —
+            # it showed up at 29% of decode CPU); all-zeros and
+            # all-ones-bytes patterns take the libc memset path instead
+            iv = int(fill) if dtype.kind in "iub" else None
+            if iv == 0 or (fill is False):
+                ctypes.memset(arr.ctypes.data, 0, n * dtype.itemsize)
+            elif iv == -1 and dtype.kind == "i":
+                ctypes.memset(arr.ctypes.data, 0xFF, n * dtype.itemsize)
+            else:
+                arr.fill(fill)
         return arr
 
     def clear(self):
