@@ -353,6 +353,9 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,  # xb, yb (NULL = unknown)
         ctypes.c_void_p]
     lib.dtpu_itx_batch_ptrs_b.restype = None
+    lib.dtpu_itx_batch_ptrs_b16.argtypes = \
+        lib.dtpu_itx_batch_ptrs_b.argtypes
+    lib.dtpu_itx_batch_ptrs_b16.restype = None
 
     # pass-2 intra replay (replay.c); ctx struct lives in decode_glue
     lib.dtpu_intra_replay.argtypes = [

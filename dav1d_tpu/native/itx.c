@@ -22,6 +22,36 @@ static inline int ulg2(int v)
 }
 
 typedef int32_t dtpu_v8i __attribute__((vector_size(32)));
+typedef int16_t dtpu_v8h __attribute__((vector_size(16)));
+
+/* int16 residual stores: the final (v + 8) >> 4 output is bounded by
+ * (col_max + 8) >> 4 < 2 * (maxp + 1) <= 2^13 at every bitdepth (the
+ * col pass clips to +-(maxp+1)<<5 before the shift), so residuals
+ * always fit int16 — the replay adders already take elsz = 2 (the
+ * device tier's 8-bit transfer format).  i16 halves the dominant
+ * memory traffic of the host residual stage. */
+static inline void itx_out_flat(void *out, int64_t base, int64_t nout,
+                                int32_t o, int i16)
+{
+    if (i16) {
+        int16_t *op = (int16_t *)out + base;
+        for (int64_t i = 0; i < nout; i++)
+            op[i] = (int16_t)o;
+    } else {
+        int32_t *op = (int32_t *)out + base;
+        for (int64_t i = 0; i < nout; i++)
+            op[i] = o;
+    }
+}
+
+static inline void itx_out_scalar(void *out, int64_t idx, int64_t v,
+                                  int i16)
+{
+    if (i16)
+        ((int16_t *)out)[idx] = (int16_t)v;
+    else
+        ((int32_t *)out)[idx] = (int32_t)v;
+}
 
 /* 8x8 lane transpose shuffle network: consumes a0..a7 (8-lane vectors
  * of type VT, lane = block), defines r0..r7 (lane = x position).
@@ -57,7 +87,7 @@ static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
                                int w, int h, int shift, int row_t,
                                int col_t, int is_rect2, int bitdepth,
                                const uint8_t *xb, const uint8_t *yb,
-                               int32_t *out);
+                               void *out, int i16);
 
 /* cfp: per-block coefficient pointers ((sw*sh) int32 column-major each);
  * out: (nb, h, w) int32 residuals ((x + 8) >> 4 scaled).  The pointer
@@ -71,17 +101,17 @@ static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
  * src/itx_tmpl.c:44-130).  They bound the staging scan, shrink the
  * mid-buffer clear, and expose an exact flat fast path for DC-only
  * DCT_DCT blocks. */
-void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
+static void itx_batch_core(const int32_t *const *cfp, int64_t nb, int w,
                            int h, int shift, int row_t, int col_t,
                            int is_rect2, int bitdepth, int is_wht,
                            const uint8_t *xb, const uint8_t *yb,
-                           int32_t *out)
+                           void *out, int i16)
 {
     const int sw = w < 32 ? w : 32, sh = h < 32 ? h : 32;
     const int64_t nout = (int64_t)w * h;
 
     if (is_wht) {
-        for (int64_t b = 0; b < nb; b++, out += nout) {
+        for (int64_t b = 0; b < nb; b++) {
             const int32_t *const cf = cfp[b];
             int64_t m[16];
             for (int x = 0; x < 4; x++)
@@ -92,7 +122,7 @@ void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
             for (int x = 0; x < 4; x++)
                 itx1d_wht4(m + x, 4, 0, 0);
             for (int i = 0; i < 16; i++)
-                out[i] = (int32_t)m[i];
+                itx_out_scalar(out, b * nout + i, m[i], i16);
         }
         return;
     }
@@ -101,7 +131,7 @@ void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
         /* 16-lane int32 path: bit-identical (generator-certified
          * interval bounds) at twice the SIMD width */
         itx_batch_ptrs_i32(cfp, nb, w, h, shift, row_t, col_t,
-                           is_rect2, bitdepth, xb, yb, out);
+                           is_rect2, bitdepth, xb, yb, out, i16);
         return;
     }
 
@@ -155,9 +185,7 @@ void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
                 v = (v + rnd) >> shift;
                 v = v < col_min ? col_min : v > col_max ? col_max : v;
                 const int32_t o = (int32_t)((v * 181 + 128 + 2048) >> 12);
-                int32_t *op = out + (g + l) * nout;
-                for (int64_t i = 0; i < nout; i++)
-                    op[i] = o;
+                itx_out_flat(out, (g + l) * nout, nout, o, i16);
             }
             continue;
         }
@@ -205,8 +233,8 @@ void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
         if (!rowmask) {
             /* every lane all-zero: 1-D transforms are linear, output
              * is identically ((0 + 8) >> 4) == 0 */
-            for (int l = 0; l < lanes; l++)
-                memset(out + (g + l) * nout, 0, sizeof(int32_t) * nout);
+            memset((char *)out + g * nout * (i16 ? 2 : 4), 0,
+                   (size_t)lanes * nout * (i16 ? 2 : 4));
             continue;
         }
         /* eob-gated sub-kernels (reference's eob-based downshift
@@ -256,39 +284,35 @@ void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
                                   a7 = (c7[y] + v8) >> 4;
                     DTPU_TR8X8(dtpu_v8);
                     const int64_t pos = y * w + x0;
-                    const dtpu_v8i s0 = __builtin_convertvector(
-                                        r0, dtpu_v8i),
-                                   s1 = __builtin_convertvector(
-                                        r1, dtpu_v8i),
-                                   s2 = __builtin_convertvector(
-                                        r2, dtpu_v8i),
-                                   s3 = __builtin_convertvector(
-                                        r3, dtpu_v8i),
-                                   s4 = __builtin_convertvector(
-                                        r4, dtpu_v8i),
-                                   s5 = __builtin_convertvector(
-                                        r5, dtpu_v8i),
-                                   s6 = __builtin_convertvector(
-                                        r6, dtpu_v8i),
-                                   s7 = __builtin_convertvector(
-                                        r7, dtpu_v8i);
-                    memcpy(out + (g + 0) * nout + pos, &s0, 32);
-                    memcpy(out + (g + 1) * nout + pos, &s1, 32);
-                    memcpy(out + (g + 2) * nout + pos, &s2, 32);
-                    memcpy(out + (g + 3) * nout + pos, &s3, 32);
-                    memcpy(out + (g + 4) * nout + pos, &s4, 32);
-                    memcpy(out + (g + 5) * nout + pos, &s5, 32);
-                    memcpy(out + (g + 6) * nout + pos, &s6, 32);
-                    memcpy(out + (g + 7) * nout + pos, &s7, 32);
+#define ITX_ST64(i, r)                                                  \
+    do {                                                                \
+        if (i16) {                                                      \
+            const dtpu_v8h s = __builtin_convertvector(r, dtpu_v8h);    \
+            memcpy((int16_t *)out + (g + i) * nout + pos, &s, 16);      \
+        } else {                                                        \
+            const dtpu_v8i s = __builtin_convertvector(r, dtpu_v8i);    \
+            memcpy((int32_t *)out + (g + i) * nout + pos, &s, 32);      \
+        }                                                               \
+    } while (0)
+                    ITX_ST64(0, r0);
+                    ITX_ST64(1, r1);
+                    ITX_ST64(2, r2);
+                    ITX_ST64(3, r3);
+                    ITX_ST64(4, r4);
+                    ITX_ST64(5, r5);
+                    ITX_ST64(6, r6);
+                    ITX_ST64(7, r7);
+#undef ITX_ST64
                 }
             }
         } else {
             for (int l = 0; l < lanes; l++) {
-                int32_t *const o = out + (g + l) * nout;
+                const int64_t ob = (g + l) * nout;
                 for (int y = 0; y < h; y++)
                     for (int x = 0; x < w; x++)
-                        o[y * w + x] =
-                            (int32_t)((ml[(x * h + y) * 8 + l] + 8) >> 4);
+                        itx_out_scalar(
+                            out, ob + y * w + x,
+                            (ml[(x * h + y) * 8 + l] + 8) >> 4, i16);
             }
         }
     }
@@ -303,7 +327,7 @@ static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
                                int w, int h, int shift, int row_t,
                                int col_t, int is_rect2, int bitdepth,
                                const uint8_t *xb, const uint8_t *yb,
-                               int32_t *out)
+                               void *out, int i16)
 {
     const int sw = w < 32 ? w : 32, sh = h < 32 ? h : 32;
     const int64_t nout = (int64_t)w * h;
@@ -347,9 +371,7 @@ static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
                 v = (v + rnd) >> shift;
                 v = v < col_min ? col_min : v > col_max ? col_max : v;
                 const int32_t o = (int32_t)((v * 181 + 128 + 2048) >> 12);
-                int32_t *op = out + (g + l) * nout;
-                for (int64_t i = 0; i < nout; i++)
-                    op[i] = o;
+                itx_out_flat(out, (g + l) * nout, nout, o, i16);
             }
             continue;
         }
@@ -385,8 +407,8 @@ static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
                 }
         }
         if (!rowmask) {
-            for (int l = 0; l < lanes; l++)
-                memset(out + (g + l) * nout, 0, sizeof(int32_t) * nout);
+            memset((char *)out + g * nout * (i16 ? 2 : 4), 0,
+                   (size_t)lanes * nout * (i16 ? 2 : 4));
             continue;
         }
         const int ymax = 31 - __builtin_clz(rowmask);
@@ -434,27 +456,59 @@ static void itx_batch_ptrs_i32(const int32_t *const *cfp, int64_t nb,
                         a7 = (a7 + v8) >> 4;
                         DTPU_TR8X8(dtpu_v8i);
                         const int64_t pos = y * w + x0;
-                        memcpy(out + (go + 0) * nout + pos, &r0, 32);
-                        memcpy(out + (go + 1) * nout + pos, &r1, 32);
-                        memcpy(out + (go + 2) * nout + pos, &r2, 32);
-                        memcpy(out + (go + 3) * nout + pos, &r3, 32);
-                        memcpy(out + (go + 4) * nout + pos, &r4, 32);
-                        memcpy(out + (go + 5) * nout + pos, &r5, 32);
-                        memcpy(out + (go + 6) * nout + pos, &r6, 32);
-                        memcpy(out + (go + 7) * nout + pos, &r7, 32);
+#define ITX_ST32(i, r)                                                  \
+    do {                                                                \
+        if (i16) {                                                      \
+            const dtpu_v8h s = __builtin_convertvector(r, dtpu_v8h);    \
+            memcpy((int16_t *)out + (go + i) * nout + pos, &s, 16);     \
+        } else {                                                        \
+            memcpy((int32_t *)out + (go + i) * nout + pos, &r, 32);     \
+        }                                                               \
+    } while (0)
+                        ITX_ST32(0, r0);
+                        ITX_ST32(1, r1);
+                        ITX_ST32(2, r2);
+                        ITX_ST32(3, r3);
+                        ITX_ST32(4, r4);
+                        ITX_ST32(5, r5);
+                        ITX_ST32(6, r6);
+                        ITX_ST32(7, r7);
+#undef ITX_ST32
                     }
                 }
             }
         } else {
             for (int l = 0; l < lanes; l++) {
-                int32_t *const o = out + (g + l) * nout;
+                const int64_t ob = (g + l) * nout;
                 for (int y = 0; y < h; y++)
                     for (int x = 0; x < w; x++)
-                        o[y * w + x] =
-                            (ml[(x * h + y) * 16 + l] + 8) >> 4;
+                        itx_out_scalar(
+                            out, ob + y * w + x,
+                            (ml[(x * h + y) * 16 + l] + 8) >> 4, i16);
             }
         }
     }
+}
+
+void dtpu_itx_batch_ptrs_b(const int32_t *const *cfp, int64_t nb, int w,
+                           int h, int shift, int row_t, int col_t,
+                           int is_rect2, int bitdepth, int is_wht,
+                           const uint8_t *xb, const uint8_t *yb,
+                           int32_t *out)
+{
+    itx_batch_core(cfp, nb, w, h, shift, row_t, col_t, is_rect2,
+                   bitdepth, is_wht, xb, yb, out, 0);
+}
+
+/* int16-residual form (see itx_out_flat bound proof above) */
+void dtpu_itx_batch_ptrs_b16(const int32_t *const *cfp, int64_t nb,
+                             int w, int h, int shift, int row_t,
+                             int col_t, int is_rect2, int bitdepth,
+                             int is_wht, const uint8_t *xb,
+                             const uint8_t *yb, int16_t *out)
+{
+    itx_batch_core(cfp, nb, w, h, shift, row_t, col_t, is_rect2,
+                   bitdepth, is_wht, xb, yb, out, 1);
 }
 
 void dtpu_itx_batch_ptrs(const int32_t *const *cfp, int64_t nb, int w,

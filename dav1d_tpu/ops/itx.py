@@ -265,17 +265,28 @@ def itx_batch_c_ptrs(ptrs, tx, txtp, bitdepth, eob=None):
     all; the record-free variant of itx_batch_c_list).  When the
     per-block eob array is given and the transform is TWO_D-class, the
     scan-derived coefficient bounds are passed down so the C kernel can
-    bound its staging scan and take its flat DC-only path."""
+    bound its staging scan and take its flat DC-only path.
+
+    Residuals come back int16 for bitdepth <= 10 (max |residual| is
+    8192 = (col_max + 8) >> 4, checked exhaustively over all tx/txtp at
+    extreme coefficient magnitudes), and the replay adders take
+    elsz = 2 — halving the residual-stage traffic.  12-bit IDTX exceeds
+    int16 (its unclipped identity upscale reaches +-32768), so 12-bit
+    stays int32."""
     from .. import tables
     from ..native import lib as _nlib
 
     n = len(ptrs)
     w, h, lw, lh = _txinfo(tx)
     from ..bufpool import take as _take
-    out = _take((n, h, w), np.int32)  # pooled: C writes every element
+    i16 = bitdepth <= 10
+    fn = _nlib.dtpu_itx_batch_ptrs_b16 if i16 \
+        else _nlib.dtpu_itx_batch_ptrs_b
+    out = _take((n, h, w), np.int16 if i16 else np.int32)
     if txtp == TxfmType.WHT_WHT:
-        _nlib.dtpu_itx_batch_ptrs(ptrs.ctypes.data, n, 4, 4, 0, 0, 0,
-                                  0, bitdepth, 1, out.ctypes.data)
+        fn(ptrs.ctypes.data, n, 4, 4, 0, 0,
+           0, 0, bitdepth, 1, None, None,
+           out.ctypes.data)
         return out
     xb = yb = None
     if eob is not None and txtp != TxfmType.WHT_WHT \
@@ -285,11 +296,10 @@ def itx_batch_c_ptrs(ptrs, tx, txtp, bitdepth, eob=None):
         yb = np.ascontiguousarray(ly[eob])
     row_t, col_t = TX1D_TYPES[TxfmType(txtp)]
     is_rect2 = int((w * 2 == h) or (h * 2 == w))
-    _nlib.dtpu_itx_batch_ptrs_b(
-        ptrs.ctypes.data, n, w, h, int(TX_SHIFT[tx]), int(row_t),
-        int(col_t), is_rect2, int(bitdepth), 0,
-        xb.ctypes.data if xb is not None else None,
-        yb.ctypes.data if yb is not None else None, out.ctypes.data)
+    fn(ptrs.ctypes.data, n, w, h, int(TX_SHIFT[tx]), int(row_t),
+       int(col_t), is_rect2, int(bitdepth), 0,
+       xb.ctypes.data if xb is not None else None,
+       yb.ctypes.data if yb is not None else None, out.ctypes.data)
     return out
 
 

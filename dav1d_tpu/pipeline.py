@@ -122,6 +122,10 @@ def _launch_residuals_native(f):
 
     if device:
         st.elsz = 4 if use_pallas else (2 if f.bitdepth == 8 else 4)
+    else:
+        # host itx emits int16 residuals for bd <= 10 (see
+        # ops/itx.itx_batch_c_ptrs bound note); 12-bit IDTX needs int32
+        st.elsz = 2 if f.bitdepth <= 10 else 4
     for idxs in group_idxs:
         m0 = meta[idxs[0]]
         gtx, gtxtp = int(m0[2]) >> 8, int(m0[1])
