@@ -20,10 +20,13 @@ reference implements with atomics, expressed with CPython refcounts.
 """
 
 import ctypes
+import os
 import sys
 import threading
 
 import numpy as np
+
+_DISABLED = os.environ.get("DAV1D_TPU_POOL") == "0"
 
 # registry cap per size bucket: 8 ref slots + output queue + frames in
 # flight; beyond this the oldest sole-owned buffers are dropped to GC
@@ -44,37 +47,38 @@ class BufPool:
         for s in shape:
             n *= int(s)
         nbytes = n * dtype.itemsize
+        if _DISABLED or nbytes < (1 << 20):
+            # small buffers: fresh-page cost is trivial and pooling
+            # them only bloats buckets and scan time — plain numpy
+            if fill is None:
+                return np.empty(shape, dtype)
+            if fill == 0 or fill is False:
+                return np.zeros(shape, dtype)
+            return np.full(shape, fill, dtype)
         # round the raw size up to a 1/8th-power-of-two granule so
         # near-sized requests (itx residual batches vary per frame)
         # share buckets; waste is <= 12.5%
-        if nbytes > (1 << 16):
-            g = 1 << (max(nbytes.bit_length() - 4, 13))
-            nbytes = (nbytes + g - 1) & ~(g - 1)
-        else:
-            nbytes = 1 << 16
+        g = 1 << (nbytes.bit_length() - 4)
+        nbytes = (nbytes + g - 1) & ~(g - 1)
         raw = None
         with self._lock:
-            bucket = self._bufs.get(nbytes)
-            if bucket:
-                # sole-owned = referenced only by the bucket (+ the
-                # getrefcount argument): every view a FrameContext,
-                # ref slot or user picture holds counts via .base
-                for i, cand in enumerate(bucket):
-                    if sys.getrefcount(cand) == 3:
-                        raw = cand
-                        # move to the back: keeps hot buffers hot
-                        bucket.append(bucket.pop(i))
-                        break
+            bucket = self._bufs.setdefault(nbytes, [])
+            # sole-owned = referenced only by the bucket (+ the loop
+            # variable and the getrefcount argument): every view a
+            # FrameContext, ref slot or user picture holds counts via
+            # .base
+            for i, cand in enumerate(bucket):
+                if sys.getrefcount(cand) == 4:
+                    raw = cand
+                    # move to the back: keeps hot buffers hot
+                    bucket.append(bucket.pop(i))
+                    break
             if raw is None:
                 raw = np.empty(nbytes, dtype=np.uint8)
-                b = self._bufs.setdefault(nbytes, [])
-                b.append(raw)
-                if len(b) > _BUCKET_CAP:
-                    # drop the oldest sole-owned entry if any
-                    for i, cand in enumerate(b):
-                        if cand is not raw and sys.getrefcount(cand) == 3:
-                            del b[i]
-                            break
+                if len(bucket) < _BUCKET_CAP:
+                    bucket.append(raw)
+                # beyond the cap the buffer stays unpooled (plain GC):
+                # an all-pinned bucket must not grow without bound
         arr = raw.view(dtype)[:n].reshape(shape)
         if fill is not None:
             # ndarray.fill is a scalar strided-copy loop (~0.4 GB/s —

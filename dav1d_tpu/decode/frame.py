@@ -93,14 +93,29 @@ class FrameContext:
         yw = ((self.bw + align - 1) & ~(align - 1)) * 4
         yh = ((self.bh + align - 1) & ~(align - 1)) * 4
         # pooled: fresh-page faults on frame-sized buffers cost ~45 ms
-        # per 4K frame (see bufpool.py; reference analog src/mem.c pools)
+        # per 4K frame (see bufpool.py; reference analog src/mem.c pools).
+        # The coded bw*4 x bh*4 area is NOT pre-zeroed: reconstruction
+        # writes every pixel of every 4x4 block (skip blocks via MC,
+        # coded via prediction+residual), MC clamps reference reads to
+        # the real frame dims, the filter chain and output crop stay
+        # inside the coded area — so only the superblock-alignment
+        # padding needs deterministic contents (partial edge blocks
+        # write full TX blocks into it, but nothing ever reads it; it
+        # is zeroed for insurance).  decode errors zero the planes of
+        # the half-written frame (decoder._finish_task) so errored
+        # frames referenced by later frames stay deterministic.
         from ..bufpool import take as _take
-        self.planes = [_take((yh, yw), np.int32, fill=0)]
+        self.planes = [_take((yh, yw), np.int32)]
         if self.layout != PixelLayout.I400:
             cw = (yw + ss_hor) >> ss_hor
             ch = (yh + ss_ver) >> ss_ver
-            self.planes += [_take((ch, cw), np.int32, fill=0)
+            self.planes += [_take((ch, cw), np.int32)
                             for _ in range(2)]
+        cph, cpw = self.bh * 4, self.bw * 4
+        for pl, p in enumerate(self.planes):
+            sv, sh_ = (ss_ver, ss_hor) if pl else (0, 0)
+            p[(cph + sv) >> sv :, :] = 0
+            p[:, (cpw + sh_) >> sh_ :] = 0
 
         # quantizer matrices: (tx, plane) -> weights, absent when disabled
         # or qm level 15 (reference src/decode.c:3078-3085)
@@ -696,6 +711,15 @@ def decode_frame_finish(f: FrameContext) -> None:
     if nat is not None:
         nat.release()
         f._nat = None
+
+    # per-frame filter state is dead once the chain ran; dropping the
+    # references lets the buffer pool reuse the backing memory while
+    # the frame itself lives on in the 8-slot ref state
+    f.lf_level = f.lf_wd_y = f.lf_wd_uv = None
+    f.noskip = f.cdef_idx = None
+    f.ipred_edge = None
+    f.tx_lpf_right_edge = None
+    f.tasks = []
 
 
 def _cdiv(a, b):

@@ -460,7 +460,16 @@ class Decoder:
                 for slot in {id(s): s for s in f.refp if s is not None
                              }.values():
                     slot.ready.wait()
-            decode_frame_finish(f)
+            try:
+                decode_frame_finish(f)
+            except BaseException:
+                # planes are no longer pre-zeroed (bufpool); a frame
+                # that errored half-written must stay deterministic in
+                # case later frames still reference its slot
+                for p in f.planes:
+                    if p is not None:
+                        p[:] = 0
+                raise
             for slot in slots:
                 slot.planes = f.sr_planes
                 slot.dev_planes = getattr(f, "_dev_planes", None)
