@@ -61,6 +61,21 @@ class Settings:
 
 
 @dataclasses.dataclass
+class DataProps:
+    """Per-packet metadata carried through the decoder (reference
+    Dav1dDataProps, include/dav1d/data.h:41-59): set on send_data,
+    surfaced on the Picture(s) decoded from that packet (Dav1dPicture.m)
+    and on Decoder.decode_error_props after a failed decode
+    (dav1d_get_decode_error_data_props, reference src/lib.c:716)."""
+
+    timestamp: int = -9223372036854775808  # INT64_MIN, like the reference
+    duration: int = 0
+    offset: int = -1
+    size: int = 0
+    user_data: object = None
+
+
+@dataclasses.dataclass
 class Picture:
     planes: list  # numpy int32 planes, cropped
     width: int
@@ -73,6 +88,7 @@ class Picture:
     content_light: object = None
     mastering_display: object = None
     itut_t35: list = dataclasses.field(default_factory=list)
+    props: object = None  # DataProps of the originating packet
 
     def plane_buffer(self, pl: int) -> np.ndarray:
         """Output-width view of a plane: one contiguous cast (uint8 at
@@ -141,6 +157,10 @@ class Decoder:
         self.n_tiles = 0
         self.out_queue: list[Picture] = []
         self.event_flags = 0
+        # props of the packet whose decode failed (reference
+        # dav1d_get_decode_error_data_props)
+        self.decode_error_props = None
+        self._cur_props = None
         self.content_light = None
         self.mastering_display = None
         self.itut_t35: list = []
@@ -177,12 +197,21 @@ class Decoder:
         if cb is not None:
             cb(msg)
 
-    def send_data(self, data: bytes) -> None:
-        """Consume a temporal unit / arbitrary OBU chunk."""
+    def send_data(self, data: bytes, props: DataProps | None = None) \
+            -> None:
+        """Consume a temporal unit / arbitrary OBU chunk.  props (opt.)
+        rides along to the decoded Picture(s) (.props) and, on a failed
+        decode, to Decoder.decode_error_props."""
+        if props is None:
+            props = DataProps(size=len(data))
+        elif props.size == 0:
+            props = dataclasses.replace(props, size=len(data))
+        self._cur_props = props
         try:
             for o in obu_mod.split_obus(data):
                 self._handle_obu(data, o)
         except Exception as e:
+            self.decode_error_props = props
             self._log(f"error: {e}")
             raise
 
@@ -383,6 +412,7 @@ class Decoder:
         f.inloop_filters = self.settings.inloop_filters
         f.mesh = self.settings.mesh
         f.n_threads = self.settings.n_threads
+        f._props = self._cur_props
         two_pass = self.settings.two_pass or self.settings.mesh is not None
         if not two_pass:
             # fused reconstruction reads ref pixels during pass 1 —
@@ -469,6 +499,7 @@ class Decoder:
                 for p in f.planes:
                     if p is not None:
                         p[:] = 0
+                self.decode_error_props = getattr(f, "_props", None)
                 raise
             for slot in slots:
                 slot.planes = f.sr_planes
@@ -541,7 +572,8 @@ class Decoder:
             ch = (h + f.ss_ver) >> f.ss_ver
             planes += [p[:ch, :cw] for p in f.sr_planes[1:]]
         return Picture(planes=planes, width=w, height=h, layout=f.layout,
-                       bitdepth=f.bitdepth, seq_hdr=f.seq_hdr, frame_hdr=hdr)
+                       bitdepth=f.bitdepth, seq_hdr=f.seq_hdr,
+                       frame_hdr=hdr, props=getattr(f, "_props", None))
 
     # -- output --------------------------------------------------------------
 

@@ -165,3 +165,44 @@ def test_logger_callback(tmp_path):
     ok = Decoder(Settings(logger=msgs.append))
     ok.send_data(tus[0])
     assert ok.get_picture() is not None
+
+
+def test_data_props_roundtrip_and_error_props(tmp_path):
+    """DataProps ride from send_data to the output Picture (reference
+    Dav1dPicture.m) and to decode_error_props on a failed decode
+    (reference dav1d_get_decode_error_data_props, src/lib.c:716)."""
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import DataProps, Decoder
+
+    data = _stream(tmp_path, n=3, kf=9999)
+    tus = [tu for tu, _ in read_ivf(data)]
+
+    dec = Decoder()
+    out = []
+    for i, tu in enumerate(tus):
+        dec.send_data(tu, props=DataProps(timestamp=1000 + i, offset=i,
+                                          user_data=("tag", i)))
+        while (p := dec.get_picture()) is not None:
+            out.append(p)
+    assert len(out) == 3
+    for i, p in enumerate(out):
+        assert p.props.timestamp == 1000 + i
+        assert p.props.offset == i
+        assert p.props.user_data == ("tag", i)
+        assert p.props.size == len(tus[i])
+    assert dec.decode_error_props is None
+
+    # corrupt the second TU's payload: the failing packet's props are
+    # retrievable afterwards
+    bad = bytearray(tus[1])
+    bad[len(bad) // 2 :] = b"\xff" * (len(bad) - len(bad) // 2)
+    dec2 = Decoder()
+    dec2.send_data(tus[0], props=DataProps(timestamp=7))
+    try:
+        dec2.send_data(bytes(bad), props=DataProps(timestamp=8, offset=1))
+        while dec2.get_picture() is not None:
+            pass
+    except Exception:
+        pass
+    assert dec2.decode_error_props is not None
+    assert dec2.decode_error_props.timestamp == 8
