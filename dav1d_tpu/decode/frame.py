@@ -684,7 +684,12 @@ def decode_frame_finish(f: FrameContext) -> None:
         f.pre_cdef = None
         do_lr = f.restore_planes and (f.inloop_filters & 4)
         if do_lr:
-            f.pre_cdef = [p.copy() for p in f.planes]
+            from ..bufpool import take as _take
+            f.pre_cdef = []
+            for p in f.planes:
+                c = _take(p.shape, p.dtype)
+                c[:] = p  # full-buffer copy: pad too (LR reads edges)
+                f.pre_cdef.append(c)
 
         if f.seq_hdr.cdef and not hdr.allow_intrabc \
                 and not hdr.all_lossless \
@@ -761,7 +766,10 @@ def _superres_frame(f: FrameContext, planes):
     out_planes = []
     for pl, p in enumerate(planes):
         out_w, src_w, step, mx0, h, alloc_w = superres_geometry(f, pl)
-        dst = np.zeros((p.shape[0], alloc_w), dtype=np.int32)
+        from ..bufpool import take as _take
+        dst = _take((p.shape[0], alloc_w), np.int32)
+        dst[h:, :] = 0
+        dst[:h, out_w:] = 0
         if on_device:
             dst[:h, :out_w] = np.asarray(
                 resize_rows(p[:h], out_w, src_w, step, mx0, f.bitdepth))

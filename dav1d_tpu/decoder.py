@@ -589,7 +589,13 @@ class Decoder:
                                   or d.num_uv_points[1]):
             return pic
         from .recon.filmgrain import apply_grain
-        pic.planes = [p.copy() for p in pic.planes]
+        from .bufpool import take as _take
+        copies = []
+        for p in pic.planes:
+            c = _take(p.shape, p.dtype)
+            c[:] = p
+            copies.append(c)
+        pic.planes = copies
         apply_grain(pic)
         return pic
 
