@@ -18,7 +18,7 @@ _HERE = Path(__file__).parent
 _SRCS = [_HERE / "msac_coef.c", _HERE / "filters.c", _HERE / "lf.c",
          _HERE / "refmvs.c", _HERE / "decode.c", _HERE / "itx.c",
          _HERE / "replay.c", _HERE / "replay_inter.c", _HERE / "fg.c"]
-_HDRS = [_HERE / "dtpu.h", _HERE / "itx1d_gen.h"]
+_HDRS = [_HERE / "dtpu.h", _HERE / "itx1d_gen.h", _HERE / "lf_core.h"]
 
 
 def _build() -> Path | None:

@@ -1606,8 +1606,6 @@ static void cdef_filter_unit_perm(const int16_t *restrict base,
     const __m128i shp = _mm_cvtsi32_si128(pri_shift);
     const __m128i shs = _mm_cvtsi32_si128(sec_shift);
     const __m512i v8v = _mm512_set1_epi16(8);
-    const __m512i t2 = _mm512_set1_epi16(2);
-    const __m512i t1 = _mm512_set1_epi16(1);
     const __m512i tp0 = _mm512_set1_epi16((short)pri_tap0);
     const __m512i tp1 = _mm512_set1_epi16((short)pri_tap1);
     const int track = p && s;
@@ -1669,8 +1667,10 @@ static void cdef_filter_unit_perm(const int16_t *restrict base,
                     _mm512_subs_epu16(vs, _mm512_sra_epi16(ad, shs));
                 __m512i v = _mm512_min_epu16(ad, cl);
                 v = _mm512_sub_epi16(_mm512_xor_si512(v, m), m);
-                sum = _mm512_add_epi16(sum,
-                    _mm512_mullo_epi16(k < 8 ? t2 : t1, v));
+                /* sec weights are 2 (k<8) and 1: adds, not mullo */
+                if (k < 8)
+                    v = _mm512_add_epi16(v, v);
+                sum = _mm512_add_epi16(sum, v);
                 if (track) {
                     umn = _mm512_min_epu16(umn, t);
                     mx = _mm512_max_epi16(mx, t);
@@ -1734,8 +1734,6 @@ static void cdef_filter_unit_perm_pair(const int16_t *restrict base,
     const __m512i tp1 = _mm512_mask_blend_epi16(
         BL, _mm512_set1_epi16((short)t1A), _mm512_set1_epi16((short)t1B));
     const __m512i v8v = _mm512_set1_epi16(8);
-    const __m512i t2 = _mm512_set1_epi16(2);
-    const __m512i t1v = _mm512_set1_epi16(1);
     const __mmask32 trk = (pA && sA ? ~BL & 0xFFFFFFFF : 0) |
                           (pB && sB ? BL : 0);
     const int any_p = pA | pB, any_s = sA | sB;
@@ -1797,8 +1795,10 @@ static void cdef_filter_unit_perm_pair(const int16_t *restrict base,
                     _mm512_subs_epu16(vs, _mm512_srav_epi16(ad, shs));
                 __m512i v = _mm512_min_epu16(ad, cl);
                 v = _mm512_sub_epi16(_mm512_xor_si512(v, m), m);
-                sum = _mm512_add_epi16(sum,
-                    _mm512_mullo_epi16(k < 8 ? t2 : t1v, v));
+                /* sec weights are 2 (k<8) and 1: adds, not mullo */
+                if (k < 8)
+                    v = _mm512_add_epi16(v, v);
+                sum = _mm512_add_epi16(sum, v);
                 umn = _mm512_min_epu16(umn, t);
                 mx = _mm512_max_epi16(mx, t);
             }

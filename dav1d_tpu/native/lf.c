@@ -160,180 +160,26 @@ static inline lf_v4 lfv_clamp(lf_v4 v, lf_v4 lo, lf_v4 hi)
     return lfv_blend(v > hi, hi, v);
 }
 
+typedef int32_t lf_v8 __attribute__((vector_size(32), aligned(4),
+                                     may_alias));
+
+#define LF_CORE_NAME lf_core4_impl
+#define LF_VT lf_v4
+#define LF_NL 4
+#include "lf_core.h"
+
+#define LF_CORE_NAME lf_core8_impl
+#define LF_VT lf_v8
+#define LF_NL 8
+#include "lf_core.h"
+
 static int lf_core4(lf_v4 *t, int E, int I, int H, int wd,
                     int bitdepth)
 {
-    /* t[o+7] = tap vector for offset o in [-7, 6] (4 lanes = the 4
-     * lines of the edge).  Returns 0 when no lane passes the filter
-     * mask (caller skips the store-back). */
     const int bd_m8 = bitdepth - 8;
     const lf_v4 zero = {0};
-    const lf_v4 vF = zero + (1 << bd_m8);
-    const lf_v4 vmaxp = zero + ((1 << bitdepth) - 1);
-    const int cd_lim = 128 << bd_m8;
-    const lf_v4 vcd_hi = zero + (cd_lim - 1), vcd_lo = zero - cd_lim;
-    const lf_v4 vE = zero + (E << bd_m8), vI = zero + (I << bd_m8),
-                vH = zero + (H << bd_m8);
-
-#define LD(o) (t[(o) + 7])
-#define ST(o, v) (t[(o) + 7] = (v))
-    const lf_v4 p1 = LD(-2), p0 = LD(-1), q0 = LD(0), q1 = LD(1);
-    lf_v4 fm = (lfv_abs(p1 - p0) <= vI) & (lfv_abs(q1 - q0) <= vI) &
-               (lfv_abs(p0 - q0) * 2 + (lfv_abs(p1 - q1) >> 1) <= vE);
-    lf_v4 p2 = zero, q2 = zero, p3 = zero, q3 = zero;
-    if (wd > 4) {
-        p2 = LD(-3);
-        q2 = LD(2);
-        fm &= (lfv_abs(p2 - p1) <= vI) & (lfv_abs(q2 - q1) <= vI);
-        if (wd > 6) {
-            p3 = LD(-4);
-            q3 = LD(3);
-            fm &= (lfv_abs(p3 - p2) <= vI) & (lfv_abs(q3 - q2) <= vI);
-        }
-    }
-    if (!(fm[0] | fm[1] | fm[2] | fm[3]))
-        return 0;
-    lf_v4 flat8in = zero;
-    if (wd >= 6)
-        flat8in = (lfv_abs(p2 - p0) <= vF) & (lfv_abs(p1 - p0) <= vF) &
-                  (lfv_abs(q1 - q0) <= vF) & (lfv_abs(q2 - q0) <= vF);
-    if (wd >= 8)
-        flat8in &= (lfv_abs(p3 - p0) <= vF) & (lfv_abs(q3 - q0) <= vF);
-
-    /* narrow family (always computed: the cheap fallback lanes) */
-    const lf_v4 hev = (lfv_abs(p1 - p0) > vH) | (lfv_abs(q1 - q0) > vH);
-    lf_v4 fh = lfv_clamp(p1 - q1, vcd_lo, vcd_hi);
-    fh = lfv_clamp(3 * (q0 - p0) + fh, vcd_lo, vcd_hi);
-    const lf_v4 fnh = lfv_clamp(3 * (q0 - p0), vcd_lo, vcd_hi);
-    const lf_v4 f = lfv_blend(hev, fh, fnh);
-    const lf_v4 f1 = lfv_blend(f + 4 < vcd_hi, f + 4, vcd_hi) >> 3;
-    const lf_v4 f2 = lfv_blend(f + 3 < vcd_hi, f + 3, vcd_hi) >> 3;
-    const lf_v4 g = (f1 + 1) >> 1;
-    const lf_v4 n_p0 = lfv_clamp(p0 + f2, zero, vmaxp);
-    const lf_v4 n_q0 = lfv_clamp(q0 - f1, zero, vmaxp);
-    const lf_v4 n_p1 = lfv_clamp(p1 + g, zero, vmaxp);
-    const lf_v4 n_q1 = lfv_clamp(q1 - g, zero, vmaxp);
-
-    lf_v4 m16 = zero, m8 = zero, m6 = zero;
-    lf_v4 p6 = zero, p5 = zero, p4 = zero, q4 = zero, q5 = zero,
-          q6 = zero;
-    if (wd >= 16) {
-        p6 = LD(-7);
-        p5 = LD(-6);
-        p4 = LD(-5);
-        q4 = LD(4);
-        q5 = LD(5);
-        q6 = LD(6);
-        const lf_v4 flat8out =
-            (lfv_abs(p6 - p0) <= vF) & (lfv_abs(p5 - p0) <= vF) &
-            (lfv_abs(p4 - p0) <= vF) & (lfv_abs(q4 - q0) <= vF) &
-            (lfv_abs(q5 - q0) <= vF) & (lfv_abs(q6 - q0) <= vF);
-        m16 = fm & flat8out & flat8in;
-        m8 = fm & flat8in & ~m16;
-    } else if (wd >= 8) {
-        m8 = fm & flat8in;
-    } else if (wd == 6) {
-        m6 = fm & flat8in;
-    }
-    const lf_v4 mwide = m16 | m8 | m6;
-    const lf_v4 mn = fm & ~mwide;           /* narrow */
-    const lf_v4 mn2 = mn & ~hev;            /* narrow side taps */
-
-    if (wd >= 16) {
-        const lf_v4 e8 = zero + 8;
-        ST(-6, lfv_blend(m16,
-               (p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0 + e8)
-                   >> 4, LD(-6)));
-        ST(-5, lfv_blend(m16,
-               (p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 +
-                q1 + e8) >> 4, LD(-5)));
-        ST(-4, lfv_blend(m16,
-               (p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 +
-                q1 + q2 + e8) >> 4, LD(-4)));
-        ST(3, lfv_blend(m16,
-              (p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 * 2 + q5 +
-               q6 * 4 + e8) >> 4, LD(3)));
-        ST(4, lfv_blend(m16,
-              (p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 * 2 +
-               q6 * 5 + e8) >> 4, LD(4)));
-        ST(5, lfv_blend(m16,
-              (p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2 + q6 * 7 + e8)
-                  >> 4, LD(5)));
-    }
-    if (wd >= 8) {
-        const lf_v4 e4 = zero + 4, e8 = zero + 8;
-        lf_v4 v;
-        v = lfv_blend(m8, (p3 + p3 + p3 + 2 * p2 + p1 + p0 + q0 + e4)
-                              >> 3, LD(-3));
-        if (wd >= 16)
-            v = lfv_blend(m16,
-                (p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0 +
-                 q1 + q2 + q3 + e8) >> 4, v);
-        ST(-3, v);
-        v = lfv_blend(m8, (p0 + q0 + q1 + 2 * q2 + q3 + q3 + q3 + e4)
-                              >> 3, LD(2));
-        if (wd >= 16)
-            v = lfv_blend(m16,
-                (p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 + q3 * 2 + q4 +
-                 q5 + q6 * 3 + e8) >> 4, v);
-        ST(2, v);
-    }
-    {
-        const lf_v4 e4 = zero + 4, e8 = zero + 8;
-        /* offsets -2..1: all four families can write them */
-        lf_v4 v;
-        v = lfv_blend(mn2, n_p1, p1);
-        if (wd == 6)
-            v = lfv_blend(m6, (p2 + 2 * p2 + 2 * p1 + 2 * p0 + q0 + e4)
-                                  >> 3, v);
-        if (wd >= 8)
-            v = lfv_blend(m8, (p3 + p3 + p2 + 2 * p1 + p0 + q0 + q1 + e4)
-                                  >> 3, v);
-        if (wd >= 16)
-            v = lfv_blend(m16,
-                (p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2 + q0 +
-                 q1 + q2 + q3 + q4 + e8) >> 4, v);
-        ST(-2, v);
-        v = lfv_blend(mn, n_p0, p0);
-        if (wd == 6)
-            v = lfv_blend(m6, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + e4)
-                                  >> 3, v);
-        if (wd >= 8)
-            v = lfv_blend(m8, (p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + e4)
-                                  >> 3, v);
-        if (wd >= 16)
-            v = lfv_blend(m16,
-                (p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 +
-                 q2 + q3 + q4 + q5 + e8) >> 4, v);
-        ST(-1, v);
-        v = lfv_blend(mn, n_q0, q0);
-        if (wd == 6)
-            v = lfv_blend(m6, (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + e4)
-                                  >> 3, v);
-        if (wd >= 8)
-            v = lfv_blend(m8, (p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3 + e4)
-                                  >> 3, v);
-        if (wd >= 16)
-            v = lfv_blend(m16,
-                (p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2 +
-                 q3 + q4 + q5 + q6 + e8) >> 4, v);
-        ST(0, v);
-        v = lfv_blend(mn2, n_q1, q1);
-        if (wd == 6)
-            v = lfv_blend(m6, (p0 + 2 * q0 + 2 * q1 + 2 * q2 + q2 + e4)
-                                  >> 3, v);
-        if (wd >= 8)
-            v = lfv_blend(m8, (p1 + p0 + q0 + 2 * q1 + q2 + q3 + q3 + e4)
-                                  >> 3, v);
-        if (wd >= 16)
-            v = lfv_blend(m16,
-                (p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 * 2 + q3 +
-                 q4 + q5 + q6 * 2 + e8) >> 4, v);
-        ST(1, v);
-    }
-#undef LD
-#undef ST
-    return 1;
+    return lf_core4_impl(t, zero + (E << bd_m8), zero + (I << bd_m8),
+                         zero + (H << bd_m8), wd, bitdepth);
 }
 
 
@@ -408,6 +254,98 @@ static void lf_edge4_v(int32_t *px0, ptrdiff_t stride, int E, int I,
         for (int gi = 0; gi < ng; gi++)
             *(lf_v4 *)(row + 4 * gi) = g[gi][r];
     }
+}
+
+/* Paired horizontal-edge filter: two adjacent 4px cells of the same
+ * edge (8 contiguous columns) with the same width class but their own
+ * strengths ride one 8-lane pass (low lanes = left cell). */
+static void lf_edge8_h(int32_t *px0, ptrdiff_t stride, int EA, int IA,
+                       int HA, int EB, int IB, int HB, int wd,
+                       int bitdepth)
+{
+    const int bd_m8 = bitdepth - 8;
+    const lf_v8 zero = {0};
+    const lf_v8 lo = {-1, -1, -1, -1, 0, 0, 0, 0};
+    lf_v8 vE = ((zero + (EA << bd_m8)) & lo) |
+               ((zero + (EB << bd_m8)) & ~lo);
+    lf_v8 vI = ((zero + (IA << bd_m8)) & lo) |
+               ((zero + (IB << bd_m8)) & ~lo);
+    lf_v8 vH = ((zero + (HA << bd_m8)) & lo) |
+               ((zero + (HB << bd_m8)) & ~lo);
+    const int tlo = wd >= 16 ? -7 : wd >= 8 ? -4 : wd == 6 ? -3 : -2;
+    const int thi = wd >= 16 ? 6 : wd >= 8 ? 3 : wd == 6 ? 2 : 1;
+    lf_v8 t[14];
+    for (int o = tlo; o <= thi; o++)
+        __builtin_memcpy(&t[o + 7], px0 + (ptrdiff_t)o * stride, 32);
+    if (!lf_core8_impl(t, vE, vI, vH, wd, bitdepth))
+        return;
+    const int slo = wd >= 16 ? -6 : wd >= 8 ? -3 : -2;
+    const int shi = wd >= 16 ? 5 : wd >= 8 ? 2 : 1;
+    for (int o = slo; o <= shi; o++)
+        __builtin_memcpy(px0 + (ptrdiff_t)o * stride, &t[o + 7], 32);
+}
+
+/* Paired vertical-edge filter: two vertically adjacent 4-line cells of
+ * the same column edge (8 consecutive rows), same width class, own
+ * strengths (low lanes = upper cell). */
+static void lf_edge8_v(int32_t *px0, ptrdiff_t stride, int EA, int IA,
+                       int HA, int EB, int IB, int HB, int wd,
+                       int bitdepth)
+{
+    const int bd_m8 = bitdepth - 8;
+    const lf_v8 zero = {0};
+    const lf_v8 lo = {-1, -1, -1, -1, 0, 0, 0, 0};
+    lf_v8 vE = ((zero + (EA << bd_m8)) & lo) |
+               ((zero + (EB << bd_m8)) & ~lo);
+    lf_v8 vI = ((zero + (IA << bd_m8)) & lo) |
+               ((zero + (IB << bd_m8)) & ~lo);
+    lf_v8 vH = ((zero + (HA << bd_m8)) & lo) |
+               ((zero + (HB << bd_m8)) & ~lo);
+    const int wide = wd >= 16;
+    const int ng = wide ? 4 : 2;
+    const int base = wide ? -8 : -4;
+    lf_v4 g[2][4][4]; /* [half][col group][row] */
+    for (int h = 0; h < 2; h++)
+        for (int r = 0; r < 4; r++) {
+            const int32_t *row =
+                px0 + (ptrdiff_t)(4 * h + r) * stride + base;
+            for (int gi = 0; gi < ng; gi++)
+                g[h][gi][r] = *(const lf_v4 *)(row + 4 * gi);
+        }
+    for (int h = 0; h < 2; h++)
+        for (int gi = 0; gi < ng; gi++)
+            lf_tr4(&g[h][gi][0], &g[h][gi][1], &g[h][gi][2],
+                   &g[h][gi][3]);
+    lf_v8 t[14];
+    const int tlo = wide ? -7 : wd >= 8 ? -4 : wd == 6 ? -3 : -2;
+    const int thi = wide ? 6 : wd >= 8 ? 3 : wd == 6 ? 2 : 1;
+    for (int o = tlo; o <= thi; o++) {
+        const int j = o - base;
+        const lf_v4 a = g[0][j >> 2][j & 3], b = g[1][j >> 2][j & 3];
+        t[o + 7] = __builtin_shufflevector(a, b, 0, 1, 2, 3, 4, 5, 6, 7);
+    }
+    if (!lf_core8_impl(t, vE, vI, vH, wd, bitdepth))
+        return;
+    const int slo = wide ? -6 : wd >= 8 ? -3 : -2;
+    const int shi = wide ? 5 : wd >= 8 ? 2 : 1;
+    for (int o = slo; o <= shi; o++) {
+        const int j = o - base;
+        const lf_v8 v = t[o + 7];
+        g[0][j >> 2][j & 3] =
+            __builtin_shufflevector(v, v, 0, 1, 2, 3);
+        g[1][j >> 2][j & 3] =
+            __builtin_shufflevector(v, v, 4, 5, 6, 7);
+    }
+    for (int h = 0; h < 2; h++)
+        for (int gi = 0; gi < ng; gi++)
+            lf_tr4(&g[h][gi][0], &g[h][gi][1], &g[h][gi][2],
+                   &g[h][gi][3]);
+    for (int h = 0; h < 2; h++)
+        for (int r = 0; r < 4; r++) {
+            int32_t *row = px0 + (ptrdiff_t)(4 * h + r) * stride + base;
+            for (int gi = 0; gi < ng; gi++)
+                *(lf_v4 *)(row + 4 * gi) = g[h][gi][r];
+        }
 }
 
 /* Clipped residual add: plane[dy:dy+h, dx:dx+w] += r, clip [0, maxp]
@@ -603,12 +541,72 @@ void dtpu_lf_filter_plane(int32_t *plane, int64_t stride,
     static const int wd_y_map[4] = {0, 4, 8, 16};
     static const int wd_uv_map[3] = {0, 4, 6};
     const int *wd_map = is_uv ? wd_uv_map : wd_y_map;
-    for (int y = dir == 1 ? 1 : 0; y < n_rows; y++) {
+
+    if (dir == 0) {
+        /* vertical edges: two vertically adjacent cells of one column
+         * edge are disjoint (8 consecutive rows) — pair them into the
+         * 8-lane core when their width classes match */
+        for (int y = 0; y < n_rows; y += 2) {
+            const int has2 = y + 1 < n_rows;
+            const uint8_t *wrA = wd + (int64_t)y * wd_stride;
+            const uint8_t *wrB = wrA + (has2 ? wd_stride : 0);
+            const uint8_t *lrA = level + (int64_t)y * lvl_stride;
+            const uint8_t *lrB = lrA + (has2 ? lvl_stride : 0);
+            int x = 1;
+            while (x < n_cols) {
+                if (!(x & 7) && x + 8 <= n_cols) {
+                    uint64_t wa, wb = 0;
+                    memcpy(&wa, wrA + x, 8);
+                    if (has2)
+                        memcpy(&wb, wrB + x, 8);
+                    if (!(wa | wb)) {
+                        x += 8;
+                        continue;
+                    }
+                }
+                const int cA = wrA[x], cB = has2 ? wrB[x] : 0;
+                if (!(cA | cB)) {
+                    x++;
+                    continue;
+                }
+                int lvA = 0, lvB = 0;
+                if (cA) {
+                    lvA = lrA[x * 4 + pd_idx];
+                    if (!lvA)
+                        lvA = lrA[(x - 1) * 4 + pd_idx];
+                }
+                if (cB) {
+                    lvB = lrB[x * 4 + pd_idx];
+                    if (!lvB)
+                        lvB = lrB[(x - 1) * 4 + pd_idx];
+                }
+                int32_t *px = plane + (int64_t)y * 4 * stride + x * 4;
+                if (lvA && lvB && cA == cB) {
+                    lf_edge8_v(px, stride, e_lut[lvA], i_lut[lvA],
+                               lvA >> 4, e_lut[lvB], i_lut[lvB],
+                               lvB >> 4, wd_map[cA], bitdepth);
+                } else {
+                    if (lvA)
+                        lf_edge4_v(px, stride, e_lut[lvA], i_lut[lvA],
+                                   lvA >> 4, wd_map[cA], bitdepth);
+                    if (lvB)
+                        lf_edge4_v(px + 4 * stride, stride, e_lut[lvB],
+                                   i_lut[lvB], lvB >> 4, wd_map[cB],
+                                   bitdepth);
+                }
+                x++;
+            }
+        }
+        return;
+    }
+
+    /* horizontal edges: two horizontally adjacent cells of one row
+     * edge are disjoint (8 contiguous columns) — same pairing */
+    for (int y = 1; y < n_rows; y++) {
         const uint8_t *wrow = wd + (int64_t)y * wd_stride;
         const uint8_t *lrow = level + (int64_t)y * lvl_stride;
-        int x = dir == 0 ? 1 : 0;
+        int x = 0;
         while (x < n_cols) {
-            /* word-skip runs of edge-free cells */
             if (!(x & 7) && x + 8 <= n_cols) {
                 uint64_t wword;
                 memcpy(&wword, wrow + x, 8);
@@ -624,18 +622,28 @@ void dtpu_lf_filter_plane(int32_t *plane, int64_t stride,
             }
             int lv = lrow[x * 4 + pd_idx];
             if (!lv)
-                lv = dir == 0 ? lrow[(x - 1) * 4 + pd_idx]
-                              : lrow[x * 4 + pd_idx - lvl_stride];
-            if (lv) {
-                const int E = e_lut[lv], I = i_lut[lv], H = lv >> 4;
-                const int wd_px = wd_map[c];
-                if (dir == 0)
-                    lf_edge4_v(plane + (int64_t)y * 4 * stride + x * 4,
-                               stride, E, I, H, wd_px, bitdepth);
-                else
-                    lf_edge4_h(plane + (int64_t)y * 4 * stride + x * 4,
-                               stride, E, I, H, wd_px, bitdepth);
+                lv = lrow[x * 4 + pd_idx - lvl_stride];
+            if (!lv) {
+                x++;
+                continue;
             }
+            const int wd_px = wd_map[c];
+            if (x + 1 < n_cols && wrow[x + 1] == c) {
+                int lv2 = lrow[(x + 1) * 4 + pd_idx];
+                if (!lv2)
+                    lv2 = lrow[(x + 1) * 4 + pd_idx - lvl_stride];
+                if (lv2) {
+                    lf_edge8_h(plane + (int64_t)y * 4 * stride + x * 4,
+                               stride, e_lut[lv], i_lut[lv], lv >> 4,
+                               e_lut[lv2], i_lut[lv2], lv2 >> 4, wd_px,
+                               bitdepth);
+                    x += 2;
+                    continue;
+                }
+            }
+            lf_edge4_h(plane + (int64_t)y * 4 * stride + x * 4,
+                       stride, e_lut[lv], i_lut[lv], lv >> 4, wd_px,
+                       bitdepth);
             x++;
         }
     }
