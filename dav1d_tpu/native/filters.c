@@ -1834,6 +1834,30 @@ static void cdef_filter_unit_perm_pair(const int16_t *restrict base,
  * Removes the Python-side plane copy, unit gather and result scatter. */
 /* 8-bit whole-plane pass over an int16 canvas (reinterprets the
  * caller's int32 canvas scratch, which is twice the needed size). */
+/* Stage plane rows [y0, y1) into the sentinel-bordered int16 canvas
+ * (pre-CDEF pixel backup).  Called band-by-band so the filter reads
+ * canvas rows staged moments earlier (cache-warm) instead of
+ * re-walking a frame-sized canvas cold. */
+static void cdef_stage_rows_i16(const int32_t *plane, int64_t stride,
+                                int pw, int ph, int16_t *canvas,
+                                int64_t y0, int64_t y1)
+{
+    const int64_t cstride = pw + 4;
+    if (y0 == 0)
+        for (int64_t x = 0; x < cstride * 2; x++)
+            canvas[x] = CDEF_SENTINEL;
+    for (int64_t y = y0; y < y1; y++) {
+        int16_t *crow = canvas + (y + 2) * cstride;
+        const int32_t *prow = plane + y * stride;
+        crow[0] = crow[1] = crow[pw + 2] = crow[pw + 3] = CDEF_SENTINEL;
+        for (int x = 0; x < pw; x++)
+            crow[2 + x] = (int16_t)prow[x];
+    }
+    if (y1 >= ph)
+        for (int64_t x = 0; x < cstride * 2; x++)
+            canvas[(int64_t)(ph + 2) * cstride + x] = CDEF_SENTINEL;
+}
+
 static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
                                   int ph, int16_t *canvas,
                                   const int64_t *ys, const int64_t *xs,
@@ -1843,17 +1867,9 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
                                   int bdmin8)
 {
     const int64_t cstride = pw + 4;
-    for (int64_t x = 0; x < cstride * 2; x++)
-        canvas[x] = CDEF_SENTINEL;
-    for (int y = 0; y < ph; y++) {
-        int16_t *crow = canvas + (int64_t)(y + 2) * cstride;
-        const int32_t *prow = plane + (int64_t)y * stride;
-        crow[0] = crow[1] = crow[pw + 2] = crow[pw + 3] = CDEF_SENTINEL;
-        for (int x = 0; x < pw; x++)
-            crow[2 + x] = (int16_t)prow[x];
-    }
-    for (int64_t x = 0; x < cstride * 2; x++)
-        canvas[(int64_t)(ph + 2) * cstride + x] = CDEF_SENTINEL;
+    /* staging happens per unit-row band, always strictly ahead of the
+     * rows filtered so far, so the canvas content stays pre-CDEF */
+    int64_t staged = 0;
 
     /* all 8 directions' tap offsets, hoisted out of the unit loop (the
      * canvas stride is constant across the plane) */
@@ -1884,6 +1900,16 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
         const int p = (int)pri[u], s = (int)sec[u];
         if (!p && !s)
             continue;
+        if (ys[u] + h + 2 > staged) {
+            /* stage this unit row band (+halo) just before filtering
+             * it; always rows strictly below anything written so far */
+            int64_t need = ys[u] + h + 2;
+            if (need > ph)
+                need = ph;
+            cdef_stage_rows_i16(plane, stride, pw, ph, canvas, staged,
+                                need);
+            staged = need;
+        }
         const int pri_shift_raw = p ? damping - ulog2i(p) : 0;
         const int pri_shift = pri_shift_raw < 0 ? 0 : pri_shift_raw;
         const int sec_shift = s ? damping - ulog2i(s) : 0;
