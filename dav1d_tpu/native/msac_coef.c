@@ -104,8 +104,7 @@ int dtpu_decode_bool(DtpuMsac *s, unsigned f) {
     return ret;
 }
 
-static int decode_symbol_adapt_c(DtpuMsac *s, uint16_t *cdf,
-                                 size_t n_symbols) {
+int dtpu_decode_symbol_adapt(DtpuMsac *s, uint16_t *cdf, size_t n_symbols) {
     uint32_t c = (uint32_t)(s->dif >> (EC_WIN_SIZE - 16));
     uint32_t r = s->rng >> 8;
     int val = -1;
@@ -130,72 +129,6 @@ static int decode_symbol_adapt_c(DtpuMsac *s, uint16_t *cdf,
     }
     return val;
 }
-
-#if defined(__AVX512BW__) && defined(__AVX512VL__) && \
-    defined(__AVX512F__)
-#include <immintrin.h>
-
-/* Vector symbol decode: every candidate v computes at once, the chosen
- * symbol falls out of a compare mask, and the CDF adaptation is one
- * masked blend+store — the branch-free form the reference implements
- * per ISA in asm (msac_decode_symbol_adapt sse2/avx2/neon).  Masked
- * loads/stores fault-suppress the lanes past n_symbols, so arbitrary
- * caller CDF buffers (n+1 uint16 entries) need no tail padding.
- * Bit-identical to the scalar form; the (invalid-stream) case where no
- * lane satisfies c >= v falls back to the scalar loop so even
- * out-of-contract behavior matches. */
-int dtpu_decode_symbol_adapt(DtpuMsac *s, uint16_t *cdf, size_t n_symbols) {
-    const uint32_t c = (uint32_t)(s->dif >> (EC_WIN_SIZE - 16));
-    const uint32_t r = s->rng >> 8;
-    const int n = (int)n_symbols;
-    if (n > 16)  /* AV1 alphabets are <= 16 symbols; belt and braces */
-        return decode_symbol_adapt_c(s, cdf, n_symbols);
-    const __mmask16 kn = (__mmask16)((1u << n) - 1);
-    const __m256i cv = _mm256_maskz_loadu_epi16(kn, cdf);
-    /* v_i = (r * (cdf_i >> 6) >> 1) + 4 * (n - i), 32-bit lanes */
-    const __m512i iota = _mm512_set_epi32(15, 14, 13, 12, 11, 10, 9, 8,
-                                          7, 6, 5, 4, 3, 2, 1, 0);
-    __m512i v = _mm512_srli_epi32(_mm512_cvtepu16_epi32(cv),
-                                  EC_PROB_SHIFT);
-    v = _mm512_mullo_epi32(v, _mm512_set1_epi32((int)r));
-    v = _mm512_srli_epi32(v, 7 - EC_PROB_SHIFT);
-    v = _mm512_add_epi32(
-        v, _mm512_slli_epi32(
-               _mm512_sub_epi32(_mm512_set1_epi32(n), iota), 2));
-    const __mmask16 kge = _mm512_mask_cmp_epu32_mask(
-        kn, _mm512_set1_epi32((int)c), v, _MM_CMPINT_GE);
-    if (!kge)
-        return decode_symbol_adapt_c(s, cdf, n_symbols);
-    const int val = __builtin_ctz((unsigned)kge);
-    int32_t varr[16] __attribute__((aligned(64)));
-    _mm512_store_si512((__m512i *)varr, v);
-    const uint32_t vv = (uint32_t)varr[val];
-    const uint32_t u = val ? (uint32_t)varr[val - 1] : s->rng;
-    norm(s, s->dif - ((uint64_t)vv << (EC_WIN_SIZE - 16)), u - vv);
-
-    if (s->allow_update_cdf) {
-        const uint16_t count = cdf[n_symbols];
-        const int rate = 4 + (count >> 4) + (n > 2);
-        const __m128i sh = _mm_cvtsi32_si128(rate);
-        const __mmask16 klt = (__mmask16)((1u << val) - 1);
-        const __m256i up = _mm256_add_epi16(
-            cv, _mm256_srl_epi16(
-                    _mm256_sub_epi16(_mm256_set1_epi16(
-                                         (short)0x8000),
-                                     cv), sh));
-        const __m256i dn =
-            _mm256_sub_epi16(cv, _mm256_srl_epi16(cv, sh));
-        _mm256_mask_storeu_epi16(cdf, kn,
-                                 _mm256_mask_blend_epi16(klt, dn, up));
-        cdf[n_symbols] = count + (count < 32);
-    }
-    return val;
-}
-#else
-int dtpu_decode_symbol_adapt(DtpuMsac *s, uint16_t *cdf, size_t n_symbols) {
-    return decode_symbol_adapt_c(s, cdf, n_symbols);
-}
-#endif
 
 int dtpu_decode_bool_adapt(DtpuMsac *s, uint16_t *cdf) {
     int bit = dtpu_decode_bool(s, cdf[0]);
