@@ -763,10 +763,10 @@ def _superres_frame(f: FrameContext, planes):
     if on_device:
         from ..ops.resize import resize_rows
 
+    from ..bufpool import take as _take
     out_planes = []
     for pl, p in enumerate(planes):
         out_w, src_w, step, mx0, h, alloc_w = superres_geometry(f, pl)
-        from ..bufpool import take as _take
         dst = _take((p.shape[0], alloc_w), np.int32)
         dst[h:, :] = 0
         dst[:h, out_w:] = 0

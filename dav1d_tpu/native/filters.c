@@ -1858,18 +1858,20 @@ static void cdef_stage_rows_i16(const int32_t *plane, int64_t stride,
             canvas[(int64_t)(ph + 2) * cstride + x] = CDEF_SENTINEL;
 }
 
-static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
+/* Filter units [u0, u1) (a row band, or a whole sorted unit list) off
+ * the sentinel-bordered int16 canvas, staging canvas rows on demand
+ * through *staged_io (shared across calls so a caller can interleave
+ * per-band work — e.g. the luma direction search — with filtering). */
+static void cdef_filter_units_i16(int32_t *plane, int64_t stride, int pw,
                                   int ph, int16_t *canvas,
                                   const int64_t *ys, const int64_t *xs,
-                                  int64_t n, int w, int h,
                                   const int64_t *pri, const int64_t *sec,
-                                  const int64_t *dirs, int damping,
-                                  int bdmin8)
+                                  const int64_t *dirs, int64_t u0,
+                                  int64_t u1, int w, int h, int damping,
+                                  int bdmin8, int64_t *staged_io)
 {
     const int64_t cstride = pw + 4;
-    /* staging happens per unit-row band, always strictly ahead of the
-     * rows filtered so far, so the canvas content stays pre-CDEF */
-    int64_t staged = 0;
+    int64_t staged = *staged_io;
 
     /* all 8 directions' tap offsets, hoisted out of the unit loop (the
      * canvas stride is constant across the plane) */
@@ -1896,7 +1898,7 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
     const int use_perm = (w == 8 || w == 4) && (h == 8 || h == 4);
 #endif
-    for (int64_t u = 0; u < n; u++) {
+    for (int64_t u = u0; u < u1; u++) {
         const int p = (int)pri[u], s = (int)sec[u];
         if (!p && !s)
             continue;
@@ -1922,7 +1924,7 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
         int32_t *o = plane + ys[u] * stride + xs[u];
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         if (use_perm) {
-            if (w == 4 && u + 1 < n && ys[u + 1] == ys[u] &&
+            if (w == 4 && u + 1 < u1 && ys[u + 1] == ys[u] &&
                 xs[u + 1] == xs[u] + 4 &&
                 (pri[u + 1] | sec[u + 1])) {
                 const int pB = (int)pri[u + 1], sB = (int)sec[u + 1];
@@ -1946,6 +1948,21 @@ static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
         fn(base, cstride, h, p, s, pri_shift, sec_shift, pri_tap0,
            pri_tap1, dpoff[dir], dsoff[dir], o, stride);
     }
+    *staged_io = staged;
+}
+
+static void cdef_filter_plane_i16(int32_t *plane, int64_t stride, int pw,
+                                  int ph, int16_t *canvas,
+                                  const int64_t *ys, const int64_t *xs,
+                                  int64_t n, int w, int h,
+                                  const int64_t *pri, const int64_t *sec,
+                                  const int64_t *dirs, int damping,
+                                  int bdmin8)
+{
+    int64_t staged = 0;
+    cdef_filter_units_i16(plane, stride, pw, ph, canvas, ys, xs, pri,
+                          sec, dirs, 0, n, w, h, damping, bdmin8,
+                          &staged);
 }
 
 /* Whole-frame CDEF driver (the in-C form of recon/cdef.py cdef_frame:
@@ -2007,54 +2024,66 @@ int dtpu_cdef_frame(int32_t *p0, int32_t *p1, int32_t *p2,
         return 1;
     }
 
-    /* direction search for units with any primary strength (pre-CDEF
-     * luma reads: no filtering has happened yet) */
-    int64_t nd = 0;
-    for (int64_t u = 0; u < n; u++)
-        if (ypri[u] | uvpri[u]) {
-            dys[nd] = ys[u];
-            dxs[nd] = xs[u];
-            nd++;
-        }
-    if (nd) {
-        int64_t *ddir = malloc(sizeof(int64_t) * nd * 2);
-        if (!ddir) {
-            free(buf);
-            return 0;
-        }
-        dtpu_cdef_find_dir_pos(p0, stride0, dys, dxs, nd, bitdepth,
-                               ddir, ddir + nd);
-        int64_t k = 0;
-        for (int64_t u = 0; u < n; u++)
-            if (ypri[u] | uvpri[u]) {
-                dirs[u] = ddir[k];
-                vars[u] = ddir[nd + k];
-                k++;
-            } else {
-                dirs[u] = 0;
-                vars[u] = 0;
-            }
-        free(ddir);
-    } else
-        for (int64_t u = 0; u < n; u++)
-            dirs[u] = vars[u] = 0;
-
-    /* variance-adjusted primary strength (reference adjust_strength);
-     * dys/dxs become the luma plane's per-unit p/dir arrays */
-    for (int64_t u = 0; u < n; u++) {
-        int64_t yadj = 0;
-        if (ypri[u] && vars[u]) {
-            const int v6 = (int)(vars[u] >> 6);
-            const int i = v6 ? imini(ulog2i(v6), 12) : 0;
-            yadj = (ypri[u] * (4 + i) + 8) >> 4;
-        }
-        dys[u] = ypri[u] ? yadj : 0;
-        dxs[u] = ypri[u] ? dirs[u] : 0;
-    }
+    /* banded luma pass: per unit-row band, run the direction search
+     * (pre-CDEF reads — the band's own rows are not filtered yet, and
+     * filtering never touches rows below the current band), adjust
+     * strengths, then filter.  One walk over the plane instead of a
+     * separate frame-wide direction pass whose rows are cache-cold
+     * again by filter time. */
     const int64_t pw0 = (int64_t)bw * 4, ph0 = (int64_t)bh * 4;
-    dtpu_cdef_filter_plane(p0, stride0, (int)pw0, (int)ph0, canvas0,
-                           ys, xs, n, 8, 8, dys, ysec, dxs, damping,
-                           bitdepth);
+    const int64_t bandcap = ncols + 1;
+    int64_t *bpos = malloc(sizeof(int64_t) * bandcap * 4);
+    if (!bpos) {
+        free(buf);
+        return 0;
+    }
+    int64_t staged = 0;
+    for (int64_t u = 0; u < n;) {
+        int64_t ub = u;
+        const int64_t by = ys[u];
+        while (ub < n && ys[ub] == by)
+            ub++;
+        /* dir search for this band's primary-strength units */
+        int64_t ndb = 0;
+        for (int64_t k = u; k < ub; k++)
+            if (ypri[k] | uvpri[k]) {
+                bpos[ndb] = ys[k];
+                bpos[bandcap + ndb] = xs[k];
+                ndb++;
+            }
+        if (ndb)
+            dtpu_cdef_find_dir_pos(p0, stride0, bpos, bpos + bandcap,
+                                   ndb, bitdepth, bpos + 2 * bandcap,
+                                   bpos + 3 * bandcap);
+        int64_t kk = 0;
+        for (int64_t k = u; k < ub; k++) {
+            if (ypri[k] | uvpri[k]) {
+                dirs[k] = bpos[2 * bandcap + kk];
+                vars[k] = bpos[3 * bandcap + kk];
+                kk++;
+            } else {
+                dirs[k] = 0;
+                vars[k] = 0;
+            }
+            /* variance-adjusted primary strength (reference
+             * adjust_strength); dys/dxs become the luma plane's
+             * per-unit p/dir arrays */
+            int64_t yadj = 0;
+            if (ypri[k] && vars[k]) {
+                const int v6 = (int)(vars[k] >> 6);
+                const int i = v6 ? imini(ulog2i(v6), 12) : 0;
+                yadj = (ypri[k] * (4 + i) + 8) >> 4;
+            }
+            dys[k] = ypri[k] ? yadj : 0;
+            dxs[k] = ypri[k] ? dirs[k] : 0;
+        }
+        cdef_filter_units_i16(p0, stride0, (int)pw0, (int)ph0,
+                              (int16_t *)canvas0, ys, xs, dys, ysec,
+                              dxs, u, ub, 8, 8, damping, bitdepth - 8,
+                              &staged);
+        u = ub;
+    }
+    free(bpos);
 
     if (has_chroma) {
         /* chroma coords/strengths/dirs in place: ys/xs shift to the
