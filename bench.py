@@ -199,7 +199,9 @@ def main():
     # device pipeline's compute-only fps on resident data — what a
     # locally attached chip pays, free of this harness's network tunnel
     dev_compute = ""
-    art = Path(__file__).resolve().parent / "DEVICE_FRAME_r03.json"
+    arts = sorted(Path(__file__).resolve().parent.glob(
+        "DEVICE_FRAME_r*.json"))
+    art = arts[-1] if arts else Path("/nonexistent")
     if art.exists():
         try:
             rows = json.loads(art.read_text())

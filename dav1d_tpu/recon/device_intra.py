@@ -216,8 +216,12 @@ def _multi_run_program(shape, ph_unit, bitdepth, keyspecs, G):
     ~18k launches / ~105 ms on-chip per 1080p keyframe before fusion).
 
     keyspecs: tuple of (mode, w, h, angle, max_w, max_h, z2_tl_filter,
-    capg); metas arrive as one (G, capg, 8) int32 array per key, padded
-    with sentinel rows (dy = H) whose scatters drop out of range."""
+    capg); metas arrive CONCATENATED along the unit axis as one
+    (G, sum(capg), 8) int32 array — a single host->device upload per
+    launch (the per-key upload stream dominated the recorded intra
+    decode) — and split back per key with static slices in-program.
+    Rows pad with sentinels (dy = H) whose scatters drop out of
+    range."""
     import jax
     import jax.numpy as jnp
 
@@ -230,9 +234,16 @@ def _multi_run_program(shape, ph_unit, bitdepth, keyspecs, G):
               EDGE_NEEDS[mode], z2f)
              for (mode, w, h, angle, max_w, max_h, z2f, _capg)
              in keyspecs]
+    offs = []
+    o = 0
+    for ks in keyspecs:
+        offs.append((o, ks[-1]))
+        o += ks[-1]
 
-    def run(plane, resid, *metas):
+    def run(plane, resid, metas_cat):
         rf = resid.reshape(-1)
+        metas = [jax.lax.slice_in_dim(metas_cat, off, off + capg, axis=1)
+                 for off, capg in offs]
 
         def body(g, pf):
             for (w, h, pred_fn, needs, z2f), meta in zip(preds, metas):
@@ -833,7 +844,7 @@ def intra_frame_device(f, st) -> bool:
                     ent = ["single", order[0], keys[order[0]][0]]
                 else:
                     Gb = 1 << max(0, (G - 1).bit_length())
-                    keyspecs, margs = [], []
+                    keyspecs, mparts = [], []
                     for k in order:
                         unit_lists = keys[k]
                         capg = 1 << max(0, (max(len(u)
@@ -846,10 +857,12 @@ def intra_frame_device(f, st) -> bool:
                         for gi, ul in enumerate(unit_lists):
                             for j, u in enumerate(ul):
                                 metas[gi, j] = u[0]
-                        margs.append(jax.numpy.asarray(metas))
+                        mparts.append(metas)
                     prog = _multi_run_program(shape, ph_unit, bd,
                                               tuple(keyspecs), Gb)
-                    plane = call("ipred", prog, plane, resid, *margs)
+                    plane = call("ipred", prog, plane, resid,
+                                 jax.numpy.asarray(
+                                     np.concatenate(mparts, axis=1)))
                     continue
             key, units = ent[1], ent[2]
             if True:

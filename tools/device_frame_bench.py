@@ -45,7 +45,12 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 
 CONFIGS = {
-    "1080p": dict(w=1920, h=1080, n=4, kf=9999),
+    # ipred=host: this config measures the INTER pipeline
+    # (mc/itx/deblock/cdef/lr); since device intra covers mixed frames
+    # (r3-end), a fully-forced decode would spend hours of tunnel
+    # round-trips on the wavefront launch stream of each inter frame's
+    # intra blocks.  The wavefront path is measured by 1080p-intra.
+    "1080p": dict(w=1920, h=1080, n=4, kf=9999, ipred_host=True),
     # 2 frames: every frame is a keyframe (the metric is per-frame) and
     # the wavefront intra chain's launch count makes the recorded
     # decode the long pole through the tunnel
