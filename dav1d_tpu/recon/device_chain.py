@@ -54,6 +54,8 @@ def filter_chain_device(f) -> bool:
            for p in f.planes]
 
     if do_deblock:
+        import os
+
         from ..ops.lf import loop_filter_batch
         from .lf import _collect_edges, _fix_tile_boundaries
 
@@ -67,26 +69,53 @@ def filter_chain_device(f) -> bool:
             (lf.level_u or lf.level_v)
         y_wd = {1: 4, 2: 8, 3: 16}
         uv_wd = {1: 4, 2: 6}
-        for dir_ in (0, 1):  # vertical edges first, then horizontal
-            jobs = [(0, f.lf_wd_y[dir_], dir_, y_wd, f.h4, f.w4)]
-            if do_uv:
-                jobs += [(pl, f.lf_wd_uv[dir_], 1 + pl, uv_wd, ch4, cw4)
-                         for pl in (1, 2)]
-            for pl, wd_plane, pd_idx, wd_map, n_rows, n_cols in jobs:
-                ys, xs, cls, L = _collect_edges(level, wd_plane, pd_idx,
-                                                dir_, n_rows, n_cols)
-                if ys.size == 0:
-                    continue
-                E = e_lut[L].astype(np.int64)
-                I = i_lut[L].astype(np.int64)
-                H = L >> 4
-                for c, wd_px in wd_map.items():
-                    sel = cls == c
-                    if not sel.any():
+
+        # Deblock tier: the Pallas band-stencil kernel replaces the
+        # XLA edge-gather/scatter formulation on real TPU backends
+        # (ops/pallas_lf.py; one launch per plane covering both
+        # directions).  DAV1D_TPU_LF_PALLAS=0 forces XLA, =1 forces
+        # Pallas (interpret mode off-TPU, for tests).
+        from ..dispatch import _platform
+        from ..ops import pallas_lf
+        _lf_env = os.environ.get("DAV1D_TPU_LF_PALLAS")
+        use_pallas_lf = pallas_lf.supported() and (
+            _lf_env == "1" if _lf_env is not None
+            else _platform() not in ("cpu", "none"))
+
+        def _edges(pl, dir_):
+            wd_plane = f.lf_wd_y[dir_] if pl == 0 else f.lf_wd_uv[dir_]
+            pd_idx = dir_ if pl == 0 else 1 + pl
+            n_rows, n_cols = (f.h4, f.w4) if pl == 0 else (ch4, cw4)
+            ys, xs, cls, L = _collect_edges(level, wd_plane, pd_idx,
+                                            dir_, n_rows, n_cols)
+            if ys.size == 0:
+                return None
+            return ys, xs, e_lut[L].astype(np.int64), \
+                i_lut[L].astype(np.int64), L >> 4, cls
+
+        planes_ = [0] + ([1, 2] if do_uv else [])
+        if use_pallas_lf:
+            interp = _platform() in ("cpu", "none")
+            for pl in planes_:
+                dev[pl] = pallas_lf.deblock_plane_pallas(
+                    dev[pl], _edges(pl, 0), _edges(pl, 1), f.bitdepth,
+                    pl == 0, interpret=interp)
+        else:
+            for dir_ in (0, 1):  # vertical edges first, then horizontal
+                for pl in planes_:
+                    lst = _edges(pl, dir_)
+                    if lst is None:
                         continue
-                    dev[pl] = loop_filter_batch(
-                        dev[pl], ys[sel] * 4, xs[sel] * 4, E[sel],
-                        I[sel], H[sel], dir_ == 0, wd_px, f.bitdepth)
+                    ys, xs, E, I, H, cls = lst
+                    wd_map = y_wd if pl == 0 else uv_wd
+                    for c, wd_px in wd_map.items():
+                        sel = cls == c
+                        if not sel.any():
+                            continue
+                        dev[pl] = loop_filter_batch(
+                            dev[pl], ys[sel] * 4, xs[sel] * 4, E[sel],
+                            I[sel], H[sel], dir_ == 0, wd_px,
+                            f.bitdepth)
 
     pre_dev = None
     if do_lr:
