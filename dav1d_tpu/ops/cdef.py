@@ -70,6 +70,34 @@ def cdef_find_dir_batch(blocks, bitdepth):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_find_dir_maps(R8, W8, bitdepth):
+    base = _jit_find_dir(bitdepth)
+
+    def fn(plane):
+        blocks = plane[:R8 * 8, :W8 * 8].reshape(R8, 8, W8, 8) \
+            .transpose(0, 2, 1, 3).reshape(-1, 64)
+        d, v = base(blocks)
+        return d.reshape(R8, W8), v.reshape(R8, W8)
+
+    return jax.jit(fn)
+
+
+def cdef_find_dir_maps_dev(plane_dev, bitdepth):
+    """Direction search for every 8-aligned 8x8 block of the resident
+    luma plane, gather-free: CDEF units sit on the 8-px grid, so the
+    block extraction is a reshape/transpose instead of the
+    arbitrary-index gather that dominated the on-chip CDEF cost
+    (DEVICE_FRAME_r03/r04 cdef_dir rows).  Returns device-resident
+    (dir, var) maps of shape (H//8, W//8); callers index them at
+    unit coordinates (reference cdef_find_dir, src/cdef_tmpl.c:56)."""
+    from ..devrt import call
+
+    ph, pw = plane_dev.shape
+    return call("cdef_dir",
+                _jit_find_dir_maps(ph // 8, pw // 8, bitdepth), plane_dev)
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_filter(w, h, damping, bitdepth):
     dir_dy = jnp.asarray(_DIR_DY, dtype=jnp.int32)
     dir_dx = jnp.asarray(_DIR_DX, dtype=jnp.int32)

@@ -171,12 +171,10 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret):
     )
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_plane(w, h, ph, pw, damping, bitdepth, interpret):
-    """Outer jit: sentinel canvas + per-pixel parameter planes from the
-    unit vectors, then the 8-row band kernel; same signature semantics
-    as ops/cdef.py _jit_filter_plane (pad units sit far out of bounds
-    and drop out of the scatter)."""
+def _filter_tail(w, h, ph, pw, damping, bitdepth, interpret):
+    """Shared outer-jit tail: sentinel canvas + per-pixel parameter
+    planes from the unit vectors, then the 8-row band kernel (pad units
+    sit far out of bounds and drop out of the scatter)."""
     nbands = -(-ph // h)
     ncols = -(-pw // w)
     R = -(-(nbands * h) // 8) * 8
@@ -185,7 +183,7 @@ def _jit_plane(w, h, ph, pw, damping, bitdepth, interpret):
     Wc = Wp + 128  # canvas columns padded to the VMEM lane tile
     kern = _build(nsteps, Wp, Wc, damping, bitdepth, interpret)
 
-    def fn(plane, ys, xs, pri, sec, dirs):
+    def apply(plane, ys, xs, pri, sec, dirs):
         canvas = jnp.full((R + 16, Wc), INT16_MIN, jnp.int16)
         canvas = jax.lax.dynamic_update_slice(
             canvas, plane[:ph, :pw].astype(jnp.int16), (2, 2))
@@ -203,7 +201,81 @@ def _jit_plane(w, h, ph, pw, damping, bitdepth, interpret):
         out = kern(canvas, rep(pm), rep(sm), rep(dm))
         return plane.at[:ph, :pw].set(out[:ph, :pw])
 
+    return apply
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_plane(w, h, ph, pw, damping, bitdepth, interpret):
+    """List-parameter variant: same signature semantics as ops/cdef.py
+    _jit_filter_plane."""
+    return jax.jit(_filter_tail(w, h, ph, pw, damping, bitdepth,
+                                interpret))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_plane_resident(w, h, ph, pw, damping, bitdepth, luma,
+                        layout_422, interpret):
+    """Fully resident variant: the per-unit direction (and, for luma,
+    the variance-based primary-strength adjustment) derive in-graph
+    from the resident direction/variance maps
+    (ops/cdef.cdef_find_dir_maps_dev), so the deblock -> CDEF chain
+    runs with no host round trip.  Semantics: reference
+    adjust_strength (src/cdef_apply_tmpl.c:impl) for luma; chroma
+    directions remap through the layout's UV dir table.  Units whose
+    derived pri and sec are both zero pass through in-kernel, matching
+    the host path's selection masks."""
+    tail = _filter_tail(w, h, ph, pw, damping, bitdepth, interpret)
+    if not luma:
+        from ..recon.cdef import UV_DIRS_420, UV_DIRS_422
+        uvdm = jnp.asarray(UV_DIRS_422 if layout_422 else UV_DIRS_420,
+                           dtype=jnp.int32)
+
+    def fn(plane, dmap, vmap, ys, xs, ys8, xs8, pri_in, sec):
+        d = dmap[ys8, xs8]
+        mp = pri_in > 0
+        if luma:
+            v = vmap[ys8, xs8]
+            v6 = v >> 6
+            lg = jnp.zeros_like(v6)
+            # floor(log2(v6)) by compares; var <= sum(partial^2)*w
+            # < 2^30, so 30 bits bound it
+            for k in range(1, 31):
+                lg = lg + (v6 >= (1 << k)).astype(v6.dtype)
+            adj = (pri_in * (4 + jnp.minimum(lg, 12)) + 8) >> 4
+            pri = jnp.where(mp & (v != 0), adj, 0)
+            dirs = jnp.where(mp, d, 0)
+        else:
+            pri = pri_in
+            dirs = jnp.where(mp, uvdm[d], 0)
+        return tail(plane, ys, xs, pri, sec, dirs)
+
     return jax.jit(fn)
+
+
+def cdef_filter_plane_resident(plane_dev, dmap, vmap, ph, pw, uys, uxs,
+                               ys8, xs8, w, h, pri, sec, damping,
+                               bitdepth, luma, layout_422,
+                               interpret=False):
+    """Band-kernel CDEF with resident dir/var maps: one launch per
+    plane, parameters derived on-device (no dir fetch sync)."""
+    from ..devrt import call
+
+    n = len(uys)
+    nb = 1 << max(0, (int(n) - 1).bit_length())
+    far = 1 << 24
+
+    def pad(a, fill=0):
+        out = np.full(max(nb, 1), fill, dtype=np.int32)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    return call("cdef_filter",
+                _jit_plane_resident(int(w), int(h), int(ph), int(pw),
+                                    int(damping), int(bitdepth),
+                                    bool(luma), bool(layout_422),
+                                    bool(interpret)),
+                plane_dev, dmap, vmap, pad(uys, far), pad(uxs, far),
+                pad(ys8), pad(xs8), pad(pri), pad(sec))
 
 
 def cdef_filter_plane_pallas(plane_dev, ph, pw, ys, xs, w, h, pri, sec,

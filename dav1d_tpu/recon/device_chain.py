@@ -130,7 +130,7 @@ def filter_chain_device(f) -> bool:
         import os
 
         from ..ops.cdef import (cdef_filter_plane_dev,
-                                cdef_find_dir_plane_dev)
+                                cdef_find_dir_maps_dev)
         from .cdef import UV_DIRS_420, UV_DIRS_422, cdef_collect
 
         # CDEF unit filter tier: the Pallas band kernel replaces the
@@ -144,17 +144,52 @@ def filter_chain_device(f) -> bool:
         use_pallas_cdef = pallas_cdef.supported() and (
             _pal_env == "1" if _pal_env is not None
             else _platform() not in ("cpu", "none"))
-        if use_pallas_cdef:
-            interp = _platform() in ("cpu", "none")
-
-            def cdef_filter_plane_dev(p, ph_, pw_, ys_, xs_, w_, h_,
-                                      pri_, sec_, dirs_, damp_, bd_):
-                return pallas_cdef.cdef_filter_plane_pallas(
-                    p, ph_, pw_, ys_, xs_, w_, h_, pri_, sec_, dirs_,
-                    damp_, bd_, interpret=interp)
 
         units = cdef_collect(f)
-        if units is not None:
+        if units is not None and use_pallas_cdef:
+            # fully resident path: dir/var maps stay on device; the
+            # strength adjustment and UV dir remap derive in-graph
+            # inside each plane's filter program — no host round trip
+            # between deblock and CDEF (ops/pallas_cdef.py)
+            interp = _platform() in ("cpu", "none")
+            bys, bxs, y_pri, y_sec, uv_pri, uv_sec, uvlvl = units
+            damping = hdr.cdef.damping + f.bitdepth - 8
+            ss_ver = int(f.layout == PixelLayout.I420)
+            ss_hor = int(f.layout != PixelLayout.I444)
+            has_chroma = f.layout != PixelLayout.I400
+            if ((y_pri | uv_pri) > 0).any():
+                dmap, vmap = cdef_find_dir_maps_dev(dev[0], f.bitdepth)
+            else:
+                z = jnp.zeros((dev[0].shape[0] // 8,
+                               dev[0].shape[1] // 8), jnp.int32)
+                dmap = vmap = z
+            ys8 = (bys * 4) // 8
+            xs8 = (bxs * 4) // 8
+            for pl in range(3 if has_chroma else 1):
+                if pl == 0:
+                    # conservative superset of the host selection (the
+                    # variance-gated members resolve in-kernel: derived
+                    # pri == sec == 0 passes through)
+                    m = (y_pri | y_sec) != 0
+                    pri_l, sec_l = y_pri[m], y_sec[m]
+                    uys, uxs = bys[m] * 4, bxs[m] * 4
+                    sv = sh = 0
+                else:
+                    m = uvlvl != 0
+                    pri_l, sec_l = uv_pri[m], uv_sec[m]
+                    uys = (bys[m] * 4) >> ss_ver
+                    uxs = (bxs[m] * 4) >> ss_hor
+                    sv, sh = ss_ver, ss_hor
+                if not m.any():
+                    continue
+                w, h = 8 >> sh, 8 >> sv
+                pw, ph = (f.bw * 4) >> sh, (f.bh * 4) >> sv
+                dev[pl] = pallas_cdef.cdef_filter_plane_resident(
+                    dev[pl], dmap, vmap, ph, pw, uys, uxs, ys8[m],
+                    xs8[m], w, h, pri_l, sec_l,
+                    damping - (1 if pl else 0), f.bitdepth, pl == 0,
+                    f.layout == PixelLayout.I422, interp)
+        elif units is not None:
             bys, bxs, y_pri, y_sec, uv_pri, uv_sec, uvlvl = units
             bdmin8 = f.bitdepth - 8
             damping = hdr.cdef.damping + bdmin8
@@ -168,11 +203,12 @@ def filter_chain_device(f) -> bool:
             dirs = np.zeros(bys.size, dtype=np.int64)
             variances = np.zeros(bys.size, dtype=np.int64)
             if need_dir.any():
-                d, v = cdef_find_dir_plane_dev(
-                    dev[0], bys[need_dir] * 4, bxs[need_dir] * 4,
-                    f.bitdepth)
-                dirs[need_dir] = d
-                variances[need_dir] = v
+                dmap, vmap = cdef_find_dir_maps_dev(dev[0], f.bitdepth)
+                ys8 = (bys[need_dir] * 4) // 8
+                xs8 = (bxs[need_dir] * 4) // 8
+                dirs[need_dir] = np.asarray(dmap).astype(np.int64)[ys8, xs8]
+                variances[need_dir] = \
+                    np.asarray(vmap).astype(np.int64)[ys8, xs8]
 
             # vectorized adjust_strength (reference adjust_strength)
             v6 = variances >> 6

@@ -41,3 +41,24 @@ def test_cdef_dir_device_parity():
         d2, v2 = dc.cdef_find_dir_batch(blocks.astype(np.int32), bitdepth)
         assert np.array_equal(d1, d2)
         assert np.array_equal(v1, v2)
+
+
+def test_cdef_dir_maps_parity():
+    """Whole-plane reshape form == gathered-block form at every
+    8-aligned unit position."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    for bitdepth in (8, 10):
+        ph, pw = 72, 136  # not multiples of 8 in both dims
+        plane = rng.integers(0, 1 << bitdepth, size=(ph, pw)) \
+            .astype(np.int32)
+        jplane = jnp.asarray(plane)
+        dmap, vmap = dc.cdef_find_dir_maps_dev(jplane, bitdepth)
+        dmap, vmap = np.asarray(dmap), np.asarray(vmap)
+        ys, xs = np.meshgrid(np.arange(ph // 8) * 8,
+                             np.arange(pw // 8) * 8, indexing="ij")
+        ys, xs = ys.ravel(), xs.ravel()
+        d, v = dc.cdef_find_dir_plane_dev(jplane, ys, xs, bitdepth)
+        assert np.array_equal(dmap[ys // 8, xs // 8], d)
+        assert np.array_equal(vmap[ys // 8, xs // 8], v)

@@ -96,9 +96,9 @@ def test_matches_xla_tier(luma, bitdepth, ph, pw, sharp):
 
 def test_device_chain_e2e_pallas(tmp_path):
     """Real libaom stream through the forced-device pipeline with the
-    Pallas deblock tier forced on (interpret mode on this CPU
-    backend): bytes must match the host tier, which test_e2e_aom pins
-    to the reference oracle."""
+    Pallas deblock AND resident-CDEF tiers forced on (interpret mode
+    on this CPU backend): bytes must match the host tier, which
+    test_e2e_aom pins to the reference oracle."""
     import os
     import sys
     from pathlib import Path
@@ -119,13 +119,15 @@ def test_device_chain_e2e_pallas(tmp_path):
     data = ivf.read_bytes()
 
     saved = {k: os.environ.get(k)
-             for k in ("DAV1D_TPU_DEVICE", "DAV1D_TPU_LF_PALLAS")}
+             for k in ("DAV1D_TPU_DEVICE", "DAV1D_TPU_LF_PALLAS",
+                       "DAV1D_TPU_CDEF_PALLAS")}
     try:
         os.environ["DAV1D_TPU_DEVICE"] = "0"
         use_device.cache_clear()
         n_host, md5_host = _decode_md5(data)
         os.environ["DAV1D_TPU_DEVICE"] = "1"
         os.environ["DAV1D_TPU_LF_PALLAS"] = "1"
+        os.environ["DAV1D_TPU_CDEF_PALLAS"] = "1"
         use_device.cache_clear()
         n_dev, md5_dev = _decode_md5(data)
     finally:
