@@ -44,31 +44,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mc import intermediate_bits
 
-BB = 8  # blocks packed per grid step (lane axis)
+BB = 16  # blocks packed per grid step (lane axis)
 
 
-def _kernel(h, w, bitdepth, dys_ref, dxs_ref, plane_ref, fh_ref, fv_ref,
-            out_ref, win, sems):
+def _kernel(h, w, bitdepth, steps, dys_ref, dxs_ref, plane_ref, fh_ref,
+            fv_ref, out_ref, win, sems):
     ib = intermediate_bits(bitdepth)
     wh, ww = h + 7, w + 7
     L = BB * ww
     i = pl.program_id(0)
-    base = i * BB
 
-    copies = []
-    for j in range(BB):
-        y0 = dys_ref[base + j] - 3
-        x0 = dxs_ref[base + j] - 3
-        cp = pltpu.make_async_copy(
+    def dma(step, slot, j):
+        y0 = dys_ref[step * BB + j] - 3
+        x0 = dxs_ref[step * BB + j] - 3
+        return pltpu.make_async_copy(
             plane_ref.at[pl.ds(y0, wh), pl.ds(x0, ww)],
-            win.at[:, pl.ds(j * ww, ww)],
-            sems.at[j])
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
+            win.at[slot, :, pl.ds(j * ww, ww)],
+            sems.at[slot, j])
 
-    src = win[:]  # (wh, L) int32
+    # double buffer: step i computes slot i%2 while step i+1's window
+    # DMAs fill the other slot (issued before the waits so the copies
+    # overlap both each other and this step's filter math)
+    @pl.when(i == 0)
+    def _():
+        for j in range(BB):
+            dma(0, 0, j).start()
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i + 1 < steps)
+    def _():
+        for j in range(BB):
+            dma(i + 1, 1 - slot, j).start()
+
+    for j in range(BB):
+        dma(i, slot, j).wait()
+
+    src = win[slot]  # (wh, L) int32
     rh = 1 << (5 - ib)
     mid = fh_ref[0, 0, :][None, :] * src
     for t in range(1, 8):
@@ -112,12 +124,12 @@ def _gather_put_prog(plane, dys, dxs, fh, fv, *, w, h, bitdepth,
         ],
         out_specs=pl.BlockSpec((h, L), lambda i, dys, dxs: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((wh, L), jnp.int32),
-            pltpu.SemaphoreType.DMA((BB,)),
+            pltpu.VMEM((2, wh, L), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, BB)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, h, w, bitdepth),
+        functools.partial(_kernel, h, w, bitdepth, steps),
         out_shape=jax.ShapeDtypeStruct((h, steps * L), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -173,6 +173,26 @@ class _McDevice:
     __slots__ = ("handled", "block_idxs", "launched")
 
 
+@functools.lru_cache(maxsize=None)
+def _stack_prog(n):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
+
+
+def _stack_planes(arrs):
+    """Concatenate resident ref planes into one tall device array (one
+    copy per frame; lets the whole interior MC population launch as a
+    single program per tile shape regardless of how many ref slots and
+    planes it reads)."""
+    if len(arrs) == 1:
+        return arrs[0]
+    from .devrt import call
+
+    return call("mc_stack", _stack_prog(len(arrs)), *arrs)
+
+
 def _mc_pallas() -> bool:
     """Pallas per-block-DMA window gather for interior resident MC
     (ops/pallas_mc.py).  DAV1D_TPU_MC_PALLAS=1/0 forces; default: on
@@ -291,8 +311,12 @@ def _launch_mc_device(f, glue, n):
     # the w x h block equals filtering each tile against its own
     # window.  All AV1 block dims here are powers of two >= 4, so the
     # decomposition is always full tiles.  Program count collapses to
-    # 2 shapes x pow2 batch buckets (the itx batches' rationale).
-    tsz = np.where(np.minimum(jw, jh) >= 8, 8, 4).astype(np.int32)
+    # 3 shapes x pow2 batch buckets (the itx batches' rationale); the
+    # 16x16 tier quarters the per-window DMA count of the resident
+    # gather for large blocks.
+    mn = np.minimum(jw, jh)
+    tsz = np.where(mn >= 16, 16,
+                   np.where(mn >= 8, 8, 4)).astype(np.int32)
     nx = jw // tsz
     ny = jh // tsz
     counts = (nx * ny).astype(np.int64)
@@ -318,70 +342,110 @@ def _launch_mc_device(f, glue, n):
     jfv = jfv[job_of]
 
     launched = []
+
+    # --- resident-ref routing ------------------------------------------
+    # Slots finished through the device chain carry resident planes;
+    # interior windows of those refs gather ON DEVICE.  Every eligible
+    # ref shares the current frame's dimensions (ref_ok above), so the
+    # used (ref, plane) pairs STACK into one tall resident array per
+    # plane geometry and the whole interior population launches as ONE
+    # Pallas program per tile shape — the launch count stops scaling
+    # with the ref x plane split (DEVICE_FRAME_r04 measured 53
+    # mc_resident launches/frame under the per-pair grouping).
+    resident = np.zeros(len(pls), dtype=bool)
+    dev_of = {}
+    for r in np.unique(jrefs):
+        devp = getattr(f.refp[int(r)], "dev_planes", None)
+        if devp is not None:
+            dev_of[int(r)] = devp
+            resident |= jrefs == r
+    vhp = np.where(pls == 0, hdr.height,
+                   (hdr.height + ss_ver) >> ss_ver)
+    vwp = np.where(pls == 0, hdr.width[1],
+                   (hdr.width[1] + ss_hor) >> ss_hor)
+    # emu_edge split (reference src/mc_tmpl.c:130-180): interior =
+    # the (h+7, w+7) window stays inside the valid reference area;
+    # edge blocks keep the clamped-gather replication program
+    fast = resident & (jdy >= 3) & (jdy + jh + 4 <= vhp) \
+        & (jdx >= 3) & (jdx + jw + 4 <= vwp) if _mc_pallas() \
+        else np.zeros_like(resident)
+
+    stack_slot = np.full((7, 3), -1, dtype=np.int32)
+    stacks = {}
+    if fast.any():
+        pairs = sorted({(int(r), int(p))
+                        for r, p in zip(jrefs[fast], pls[fast])})
+        for kind, kpl in (("y", (0,)), ("uv", (1, 2))):
+            kp = [(r, p) for (r, p) in pairs if p in kpl]
+            if not kp:
+                continue
+            for si, (r, p) in enumerate(kp):
+                stack_slot[r, p] = si
+            arrs = [dev_of[r][p] for r, p in kp]
+            stacks[kind] = (_stack_planes(arrs), arrs[0].shape[0])
+
     key = (jw.astype(np.int64) << 16) | jh
     order = np.argsort(key, kind="stable")
     cuts = np.flatnonzero(np.diff(key[order])) + 1
     for g in np.split(order, cuts):
         w, h = int(jw[g[0]]), int(jh[g[0]])
-        # split per (ref slot, plane); slots finished through the device
-        # chain carry resident planes — those jobs gather ON DEVICE
-        # (ops/mc.py put_8tap_resident), the rest gather host windows
+        gf = g[fast[g]]
+        for kind in ("y", "uv"):
+            sp = gf[(pls[gf] == 0) if kind == "y" else (pls[gf] != 0)]
+            if not sp.size:
+                continue
+            from .ops.pallas_mc import BB as _BB
+            from .ops.pallas_mc import gather_put_8tap
+
+            stack, ph_one = stacks[kind]
+            N = len(sp)
+            nb = max(_BB, 1 << max(0, int(N - 1).bit_length()))
+            dys = np.full(nb, 3, dtype=np.int32)
+            dxs = np.full(nb, 3, dtype=np.int32)
+            dys[:N] = jdy[sp] + stack_slot[jrefs[sp], pls[sp]] * ph_one
+            dxs[:N] = jdx[sp]
+            fh, fv = filter_rows(sp, nb)
+            fut = gather_put_8tap(
+                stack, jnp.asarray(dys), jnp.asarray(dxs),
+                jnp.asarray(fh), jnp.asarray(fv), w=w, h=h,
+                bitdepth=f.bitdepth)
+            if getattr(fut, 'is_fully_addressable', True):
+                fut.copy_to_host_async()
+            launched.append((fut, (pls[sp], jdsty[sp], jdstx[sp], h, w)))
+
+        # resident edge blocks: clamped-gather replication program per
+        # (ref, plane); non-resident refs gather host windows below
+        g = g[~fast[g]]
         gkey = (jrefs[g].astype(np.int64) << 4) | pls[g]
         host_rel = []
         for sg_rel in _split_groups(gkey):
             sg = g[sg_rel]
             r, pl = int(jrefs[sg[0]]), int(pls[sg[0]])
-            slot = f.refp[r]
-            devp = getattr(slot, "dev_planes", None)
+            devp = dev_of.get(r)
             if devp is None:
                 host_rel.append(sg_rel)
                 continue
             ss_h = ss_hor if pl else 0
             ss_v = ss_ver if pl else 0
-            vw = (slot.frame_hdr.width[1] + ss_h) >> ss_h
-            vh = (slot.frame_hdr.height + ss_v) >> ss_v
-            # emu_edge split (reference src/mc_tmpl.c:130-180): blocks
-            # whose (h+7, w+7) window stays inside the valid reference
-            # area ride the Pallas per-block-DMA kernel (the window
-            # read the XLA gather form pays ~2.5 ms/1024-block batch
-            # for); edge blocks keep the clamped-gather replication
-            # program.
-            parts = [(sg, False)]
-            if _mc_pallas() and vh >= h + 7 and vw >= w + 7:
-                inter = ((jdy[sg] >= 3) & (jdy[sg] + h + 4 <= vh)
-                         & (jdx[sg] >= 3) & (jdx[sg] + w + 4 <= vw))
-                if inter.any():
-                    parts = [(sg[inter], True)]
-                    if not inter.all():
-                        parts.append((sg[~inter], False))
-            for sp, fast in parts:
-                N = len(sp)
-                nb = 1
-                while nb < N:
-                    nb <<= 1
-                if fast:
-                    from .ops.pallas_mc import BB as _BB
-                    nb = max(nb, _BB)
-                dys = np.full(nb, 3, dtype=np.int32)
-                dxs = np.full(nb, 3, dtype=np.int32)
-                dys[:N], dxs[:N] = jdy[sp], jdx[sp]
-                fh, fv = filter_rows(sp, nb)
-                if fast:
-                    from .ops.pallas_mc import gather_put_8tap
-                    fut = gather_put_8tap(
-                        devp[pl], jnp.asarray(dys), jnp.asarray(dxs),
-                        jnp.asarray(fh), jnp.asarray(fv), w=w, h=h,
-                        bitdepth=f.bitdepth)
-                else:
-                    fut = dmc.put_8tap_resident(
-                        devp[pl], jnp.asarray(dys), jnp.asarray(dxs),
-                        jnp.asarray(fh), jnp.asarray(fv),
-                        np.int32(vw), np.int32(vh), w=w, h=h,
-                        bitdepth=f.bitdepth)
-                if getattr(fut, 'is_fully_addressable', True):
-                    fut.copy_to_host_async()
-                launched.append((fut,
-                                 (pls[sp], jdsty[sp], jdstx[sp], h, w)))
+            vw = (hdr.width[1] + ss_h) >> ss_h
+            vh = (hdr.height + ss_v) >> ss_v
+            N = len(sg)
+            nb = 1
+            while nb < N:
+                nb <<= 1
+            dys = np.full(nb, 3, dtype=np.int32)
+            dxs = np.full(nb, 3, dtype=np.int32)
+            dys[:N], dxs[:N] = jdy[sg], jdx[sg]
+            fh, fv = filter_rows(sg, nb)
+            fut = dmc.put_8tap_resident(
+                devp[pl], jnp.asarray(dys), jnp.asarray(dxs),
+                jnp.asarray(fh), jnp.asarray(fv),
+                np.int32(vw), np.int32(vh), w=w, h=h,
+                bitdepth=f.bitdepth)
+            if getattr(fut, 'is_fully_addressable', True):
+                fut.copy_to_host_async()
+            launched.append((fut,
+                             (pls[sg], jdsty[sg], jdstx[sg], h, w)))
         if not host_rel:
             continue
         g = g[np.concatenate(host_rel)]

@@ -120,7 +120,7 @@ def test_device_chain_e2e_pallas(tmp_path):
 
     saved = {k: os.environ.get(k)
              for k in ("DAV1D_TPU_DEVICE", "DAV1D_TPU_LF_PALLAS",
-                       "DAV1D_TPU_CDEF_PALLAS")}
+                       "DAV1D_TPU_CDEF_PALLAS", "DAV1D_TPU_MC_PALLAS")}
     try:
         os.environ["DAV1D_TPU_DEVICE"] = "0"
         use_device.cache_clear()
@@ -128,6 +128,10 @@ def test_device_chain_e2e_pallas(tmp_path):
         os.environ["DAV1D_TPU_DEVICE"] = "1"
         os.environ["DAV1D_TPU_LF_PALLAS"] = "1"
         os.environ["DAV1D_TPU_CDEF_PALLAS"] = "1"
+        # MC: covers the stacked-resident-ref geometry (the Pallas
+        # kernel itself can't compile on this backend; the sticky XLA
+        # fallback runs the same stacked program inputs)
+        os.environ["DAV1D_TPU_MC_PALLAS"] = "1"
         use_device.cache_clear()
         n_dev, md5_dev = _decode_md5(data)
     finally:

@@ -15,7 +15,8 @@ import pytest
 
 
 @pytest.mark.parametrize("w,h,bitdepth", [(8, 8, 8), (4, 4, 8),
-                                          (8, 8, 10), (4, 4, 12)])
+                                          (8, 8, 10), (4, 4, 12),
+                                          (16, 16, 8), (16, 16, 10)])
 def test_gather_put_matches_xla(w, h, bitdepth):
     import jax.numpy as jnp
 

@@ -250,6 +250,14 @@ def bench_cdef():
             _row("cdef", f"cdef_filter-pallas 8x8 B={B} (1080p canvas)",
                  float("nan"), float("nan"), cmp_ms)
 
+    # gather-free whole-plane direction maps (the wired resident form)
+    plane = rng.integers(0, 256, (1088, 1920), dtype=np.int64)
+    rplane = _put(plane.astype(np.int32))
+    prog = dcdef._jit_find_dir_maps(1088 // 8, 1920 // 8, 8)
+    cmp_ms = _time_compute(prog=prog, args=(rplane,))
+    _row("cdef", "cdef_dir maps 1080p (all 32640 units)",
+         float("nan"), float("nan"), cmp_ms)
+
 
 def bench_mc():
     from dav1d_tpu.recon import mc_np
@@ -307,7 +315,8 @@ def bench_mc():
     # clamped-gather row above
     from dav1d_tpu.ops import pallas_mc
 
-    for w, h, B in [(8, 8, 1024), (4, 4, 1024)]:
+    for w, h, B in [(8, 8, 1024), (4, 4, 1024), (16, 16, 256),
+                    (8, 8, 4096)]:
         dys = rng.integers(3, ph - h - 4, B).astype(np.int32)
         dxs = rng.integers(3, pw - w - 4, B).astype(np.int32)
         fh = np.broadcast_to(filt[0][5 - 1].astype(np.int32),
@@ -361,6 +370,47 @@ def bench_deblock():
         natms = float("nan")
     _row("deblock", f"deblock wd8 vertical N={N} (1080p)", host, natms,
          note="dev col = native C walk")
+
+    # Pallas band-stencil whole-plane tier (ops/pallas_lf.py): both
+    # directions of a dense 1080p edge population (8-px spacing, wd8)
+    # in ONE program — the wired resident-chain form
+    from dav1d_tpu.dispatch import _platform
+    from dav1d_tpu.ops import pallas_lf
+    if pallas_lf.supported() and _platform() not in ("cpu", "none"):
+        n_rows, n_cols = 272, 480
+        yy, xx = np.meshgrid(np.arange(n_rows),
+                             np.arange(2, n_cols, 2), indexing="ij")
+        vys, vxs = yy.ravel(), xx.ravel()
+        yy, xx = np.meshgrid(np.arange(2, n_rows, 2),
+                             np.arange(n_cols), indexing="ij")
+        hys, hxs = yy.ravel(), xx.ravel()
+
+        def pk_of(n):
+            L = rng.integers(1, 64, n)
+            return (e_lut[L].astype(np.int64)
+                    | (i_lut[L].astype(np.int64) << 8)
+                    | ((L >> 4).astype(np.int64) << 16)
+                    | (np.int64(2) << 24)).astype(np.int32)
+
+        def pad(a, fill, nb):
+            out = np.full(nb, fill, dtype=np.int32)
+            out[: len(a)] = a
+            return out
+
+        far = 1 << 20
+        nbv = 1 << (vys.size - 1).bit_length()
+        nbh = 1 << (hys.size - 1).bit_length()
+        args = _put(plane.astype(np.int32),
+                    pad(vys, far, nbv), pad(vxs, far, nbv),
+                    pad(pk_of(vys.size), 0, nbv),
+                    pad(hys, far, nbh), pad(hxs, far, nbh),
+                    pad(pk_of(hys.size), 0, nbh))
+        prog = pallas_lf._jit_plane(1088, 1920, pallas_lf.LUMA_CLASSES,
+                                    8, nbv, nbh, False)
+        cmp_ms = _time_compute(prog=prog, args=args)
+        _row("deblock",
+             f"pallas both-dir plane V={vys.size} H={hys.size} (1080p)",
+             float("nan"), float("nan"), cmp_ms)
 
 
 def bench_lr():
