@@ -189,9 +189,12 @@ def _core(tap, P, classes, bitdepth):
     return out
 
 
+OUT = 32  # output rows per grid step (both passes)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_v(nsteps, Wp, classes, bitdepth, interpret):
-    """Vertical-edge pass: one grid step = 8 plane rows, no row halo
+    """Vertical-edge pass: one grid step = OUT plane rows, no row halo
     (taps read only within the edge's own rows).  Canvas holds the
     plane at column offset 16 so every static column shift stays in
     bounds; the filter core runs at every canvas position u (plane col
@@ -218,33 +221,34 @@ def _build_v(nsteps, Wp, classes, bitdepth, interpret):
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((8, Wc), lambda i: (i, 0),
+            pl.BlockSpec((OUT, Wc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, Wc), lambda i: (i, 0),
+            pl.BlockSpec((OUT, Wc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, Wp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((OUT, Wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nsteps * 8, Wp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nsteps * OUT, Wp), jnp.int32),
         interpret=bool(interpret),
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _build_h(nsteps, Wp, classes, bitdepth, interpret):
-    """Horizontal-edge pass: one grid step = 8 output rows.  Writers
-    for a band live at plane rows [s-5, s+13] (offset reach -6..5) and
-    their taps read rows [s-12, s+19], so a 40-row int16 canvas window
-    starting at plane row s-16 (canvas top pad 16 keeps the DMA start
-    at the 8-aligned canvas row s) is DMA'd per step; the packed
-    parameter plane (top pad 8) contributes a 24-row window covering
-    core rows [s-8, s+16)."""
+    """Horizontal-edge pass: one grid step = OUT output rows.  Writers
+    for a band live at plane rows [s-5, s+OUT+5] (offset reach -6..5),
+    so the core evaluates CORE = OUT+16 rows [s-8, s+OUT+8); their
+    taps read rows [s-15, s+OUT+14], covered by an (OUT+32)-row int16
+    canvas window starting at plane row s-16 (canvas top pad 16 keeps
+    the DMA start at the aligned canvas row s).  The packed parameter
+    plane (top pad 8) contributes a CORE-row window."""
+    CORE = OUT + 16
 
     def kernel(canvas_ref, prm_ref, out_ref, band, prm, sems):
         i = pl.program_id(0)
-        d1 = pltpu.make_async_copy(canvas_ref.at[pl.ds(i * 8, 40)],
+        d1 = pltpu.make_async_copy(canvas_ref.at[pl.ds(i * OUT, OUT + 32)],
                                    band, sems.at[0])
-        d2 = pltpu.make_async_copy(prm_ref.at[pl.ds(i * 8, 24)],
+        d2 = pltpu.make_async_copy(prm_ref.at[pl.ds(i * OUT, CORE)],
                                    prm, sems.at[1])
         d1.start()
         d2.start()
@@ -254,13 +258,13 @@ def _build_h(nsteps, Wp, classes, bitdepth, interpret):
         P = prm[...]
 
         def tap(o):
-            return b[8 + o : 8 + o + 24, :]
+            return b[8 + o : 8 + o + CORE, :]
 
-        res = b[16:24, :]
+        res = b[16:16 + OUT, :]
         core = _core(tap, P, classes, bitdepth)
         for o, (cond, val) in sorted(core.items()):
-            res = jnp.where(cond[8 - o : 8 - o + 8, :],
-                            val[8 - o : 8 - o + 8, :], res)
+            res = jnp.where(cond[8 - o : 8 - o + OUT, :],
+                            val[8 - o : 8 - o + OUT, :], res)
         out_ref[...] = res
 
     return pl.pallas_call(
@@ -268,11 +272,11 @@ def _build_h(nsteps, Wp, classes, bitdepth, interpret):
         grid=(nsteps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((8, Wp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((OUT, Wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nsteps * 8, Wp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((40, Wp), jnp.int16),
-                        pltpu.VMEM((24, Wp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nsteps * OUT, Wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((OUT + 32, Wp), jnp.int16),
+                        pltpu.VMEM((CORE, Wp), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=bool(interpret),
     )
@@ -287,12 +291,14 @@ def _jit_plane(ph, pw, classes, bitdepth, nbv, nbh, interpret):
     horizontal edges one pixel row across 4 columns (dilate rows,
     repeat cols).  Pad entries sit far out of bounds and drop out of
     the scatter."""
-    R = -(-ph // 8) * 8
+    R = -(-ph // OUT) * OUT
     Wp = -(-pw // 128) * 128
     Wc = Wp + 128
     R4, W4 = R // 4, Wp // 4
-    kv = _build_v(R // 8, Wp, classes, bitdepth, interpret) if nbv else None
-    kh = _build_h(R // 8, Wp, classes, bitdepth, interpret) if nbh else None
+    kv = _build_v(R // OUT, Wp, classes, bitdepth, interpret) \
+        if nbv else None
+    kh = _build_h(R // OUT, Wp, classes, bitdepth, interpret) \
+        if nbh else None
 
     def expand(ys, xs, pk, row_exact):
         m = jnp.zeros((R4, W4), jnp.int32).at[ys, xs].set(pk)
@@ -313,8 +319,8 @@ def _jit_plane(ph, pw, classes, bitdepth, nbv, nbh, interpret):
                 :ph, 16:16 + pw].set(plane)
             plane = kv(canvas, prm)[:ph, :pw]
         if kh is not None:
-            prm = jnp.pad(expand(hys, hxs, hpk, True), ((8, 16), (0, 0)))
-            canvas = jnp.zeros((16 + R + 24, Wp), jnp.int16).at[
+            prm = jnp.pad(expand(hys, hxs, hpk, True), ((8, 8), (0, 0)))
+            canvas = jnp.zeros((16 + R + 16, Wp), jnp.int16).at[
                 16:16 + ph, :pw].set(plane.astype(jnp.int16))
             plane = kh(canvas, prm)[:ph, :pw]
         return plane
