@@ -357,6 +357,273 @@ def _build(mode, w, h, angle, max_w, max_h, bitdepth):
     return fn
 
 
+def _filter_edge_apply_rt(jnp, edges, plan, strength, lo=None, hi=None):
+    """filter_edge with RUNTIME per-unit strength and optional runtime
+    pass-through limits (plan built with the full [0, sz) active
+    span).  strength: (N,) int; lo/hi: (N,) limits — a position i is
+    passed through when i < lo or i >= hi."""
+    conv_idx, center_idx, passthru = plan
+    sz = center_idx.shape[0]
+    g = jnp.take(edges, jnp.asarray(conv_idx.reshape(-1)), axis=1)
+    g = g.reshape(edges.shape[0], sz, 5)
+    k = jnp.asarray(_EDGE_KERNELS.astype(np.int32))[
+        jnp.clip(strength - 1, 0, 2)]  # (N, 5)
+    f = (jnp.sum(g * k[:, None, :], axis=2) + 8) >> 4
+    c = jnp.take(edges, jnp.asarray(center_idx), axis=1)
+    pt = jnp.asarray(passthru)[None]
+    i = jnp.arange(sz, dtype=jnp.int32)[None]
+    if lo is not None:
+        pt = pt | (i < lo[:, None])
+    if hi is not None:
+        pt = pt | (i >= hi[:, None])
+    return jnp.where(pt, c, f)
+
+
+def _str_ups_tables(n):
+    """Trace-time (2, 90) strength/upsample tables over the delta
+    range, so the per-unit decision is one gather."""
+    st = np.zeros((2, 90), np.int32)
+    ut = np.zeros((2, 90), np.int32)
+    for sm in (0, 1):
+        for da in range(90):
+            st[sm, da] = get_filter_strength(n, da, sm)
+            ut[sm, da] = get_upsample(n, da, sm)
+    return st, ut
+
+
+def _build_rt(mode, w, h, bitdepth):
+    """Runtime-parameter variant of _build for the angular and
+    filter-intra modes: the angle (with its smooth/filter flag bits),
+    the Z2 clamped max_w/max_h, and every decision derived from them
+    (edge filter strength, upsampling, derivative stepping) arrive
+    PER UNIT, so one compiled program serves every angle of a
+    (mode, w, h) key — collapsing the device-intra schedule's program
+    diversity (the per-(level, key) launch/compile storm) at the cost
+    of evaluating both the upsampled and non-upsampled index paths for
+    keys small enough to upsample (w + h <= 16).
+
+    Returns fn(edges (N, 257), prm (N, >=3) int32) with prm columns
+    (akey, max_w, max_h); bit 9 of akey = smooth-filter flag, bit 10 =
+    enable-intra-edge-filter, low 9 bits = final angle (reference
+    src/ipred_prepare_tmpl.c sm_/enable flags + angle)."""
+    jnp = _jnp()
+    dr = jnp_dr = None
+    maxp = (1 << bitdepth) - 1
+
+    if mode in (M.Z1_PRED, M.Z3_PRED):
+        n = w + h
+        str_tab, ups_tab = _str_ups_tables(n)
+        if mode == M.Z1_PRED:
+            inp0, base, frm, to = OFS, 1, -1, w + min(w, h)
+        else:
+            inp0, base, frm, to = OFS - n, 0, max(w - h, 0), n + 1
+        fplan = _filter_edge_plan(n, 0, n, inp0, base, frm, to)
+        can_ups = n <= 16
+        uplan = _upsample_plan(n, inp0, base, frm, to) if can_ups else None
+        ys, xs = np.mgrid[0:h, 0:w]
+        step = (ys + 1) if mode == M.Z1_PRED else (xs + 1)
+        lane = xs if mode == M.Z1_PRED else ys
+        raw_max_base = (w if mode == M.Z1_PRED else h) + min(w, h) - 1
+        drt = tables.dr_intra_derivative.astype(np.int32)
+
+        def fn(e, prm):
+            N = e.shape[0]
+            akey = prm[:, 0]
+            is_sm = (akey >> 9) & 1
+            en_f = akey >> 10
+            a = akey & 511
+            if mode == M.Z1_PRED:
+                da, didx = 90 - a, a >> 1
+            else:
+                da, didx = a - 180, (270 - a) >> 1
+            d = jnp.asarray(drt)[jnp.clip(didx, 0, drt.shape[0] - 1)]
+            dac = jnp.clip(da, 0, 89)
+            strg = jnp.where(en_f > 0,
+                             jnp.asarray(str_tab)[is_sm, dac], 0)
+            ups = (jnp.where(en_f > 0, jnp.asarray(ups_tab)[is_sm, dac],
+                             0) if can_ups else jnp.zeros_like(a))
+            strg = jnp.where(ups > 0, 0, strg)
+
+            raw = (e[:, OFS + 1 : OFS + 1 + n] if mode == M.Z1_PRED
+                   else e[:, OFS - n : OFS])
+            filt = _filter_edge_apply_rt(jnp, e, fplan, strg)
+            vec_n = jnp.where(strg[:, None] > 0, filt, raw)
+
+            def zpath(vec, dd, binc, max_base, vec_top):
+                pos = dd[:, None, None] * jnp.asarray(step)[None]
+                bidx = (pos >> 6) + binc * jnp.asarray(lane)[None]
+                frac = pos & 0x3E
+                sat = bidx >= max_base
+                b0 = jnp.minimum(bidx, max_base)
+                b1 = jnp.minimum(bidx + 1, max_base)
+                if mode == M.Z3_PRED:
+                    b0, b1 = vec_top - b0, vec_top - b1
+                    sv = vec_top - max_base
+                else:
+                    sv = max_base
+                g0 = jnp.take_along_axis(vec, b0.reshape(N, -1),
+                                         axis=1).reshape(N, h, w)
+                g1 = jnp.take_along_axis(vec, b1.reshape(N, -1),
+                                         axis=1).reshape(N, h, w)
+                v = (g0 * (64 - frac) + g1 * frac + 32) >> 6
+                if isinstance(sv, int):
+                    sva = jnp.full((N, 1), sv, jnp.int32)
+                else:
+                    sva = sv.reshape(N, 1)
+                satv = jnp.take_along_axis(vec, sva, axis=1)
+                return jnp.where(sat, satv[:, :, None], v)
+
+            mb_nu = jnp.where(strg > 0, n - 1,
+                              raw_max_base)[:, None, None]
+            vA = zpath(vec_n, d, 1, mb_nu, n - 1)
+            if can_ups:
+                vec_u = _upsample_apply(jnp, e, uplan, bitdepth)
+                vB = zpath(vec_u, d << 1, 2, 2 * n - 2, 2 * n - 2)
+                return jnp.where(ups[:, None, None] > 0, vB, vA)
+            return vA
+
+        return fn
+
+    if mode == M.Z2_PRED:
+        TL = 64
+        str_tab, ups_tab = _str_ups_tables(w + h)
+        can_ups = w + h <= 16
+        fplan_a = _filter_edge_plan(w, 0, w, OFS, 1, -1, w)
+        fplan_l = _filter_edge_plan(h, 0, h, OFS - h, 0, 0, h + 1)
+        uplan_a = _upsample_plan(w + 1, OFS, 0, 0, w + 1) \
+            if can_ups else None
+        uplan_l = _upsample_plan(h + 1, OFS - h, 0, 0, h + 1) \
+            if can_ups else None
+        ys, xs = np.mgrid[0:h, 0:w]
+        drt = tables.dr_intra_derivative.astype(np.int32)
+
+        def fn(e, prm):
+            N = e.shape[0]
+            akey, kmw, kmh = prm[:, 0], prm[:, 1], prm[:, 2]
+            is_sm = (akey >> 9) & 1
+            en_f = akey >> 10
+            a = akey & 511
+            da_t = jnp.clip(a - 90, 0, 89)
+            da_l = jnp.clip(180 - a, 0, 89)
+            dy = jnp.asarray(drt)[jnp.clip((a - 90) >> 1, 0,
+                                           drt.shape[0] - 1)]
+            dx = jnp.asarray(drt)[jnp.clip((180 - a) >> 1, 0,
+                                           drt.shape[0] - 1)]
+            st, ut = jnp.asarray(str_tab), jnp.asarray(ups_tab)
+            ups_a = (jnp.where(en_f > 0, ut[is_sm, da_t], 0)
+                     if can_ups else jnp.zeros_like(a))
+            ups_l = (jnp.where(en_f > 0, ut[is_sm, da_l], 0)
+                     if can_ups else jnp.zeros_like(a))
+            str_a = jnp.where((en_f > 0) & (ups_a == 0),
+                              st[is_sm, da_t], 0)
+            str_l = jnp.where((en_f > 0) & (ups_l == 0),
+                              st[is_sm, da_l], 0)
+
+            raw_t = e[:, OFS + 1 : OFS + 1 + w]
+            raw_l = e[:, OFS - h : OFS]
+            # runtime pass-through limits mirror the static plans'
+            # (0, max_w) / (h - max_h, h) spans
+            filt_t = _filter_edge_apply_rt(jnp, e, fplan_a, str_a,
+                                           hi=jnp.minimum(kmw, w))
+            filt_l = _filter_edge_apply_rt(jnp, e, fplan_l, str_l,
+                                           lo=h - kmh)
+            nu_t = jnp.where(str_a[:, None] > 0, filt_t, raw_t)
+            nu_l = jnp.where(str_l[:, None] > 0, filt_l, raw_l)
+
+            buf = jnp.zeros((N, 129), dtype=jnp.int32)
+            if can_ups:
+                up_t = _upsample_apply(jnp, e, uplan_a, bitdepth)
+                up_l = _upsample_apply(jnp, e, uplan_l, bitdepth)
+                top_span = jnp.where(
+                    ups_a[:, None] > 0, up_t[:, 1:],
+                    jnp.pad(nu_t, ((0, 0), (0, w))))
+                left_span = jnp.where(
+                    ups_l[:, None] > 0, up_l[:, : 2 * h],
+                    jnp.pad(nu_l, ((0, 0), (h, 0))))
+                buf = buf.at[:, TL + 1 : TL + 1 + 2 * w].set(top_span)
+                buf = buf.at[:, TL - 2 * h : TL].set(left_span)
+            else:
+                buf = buf.at[:, TL + 1 : TL + 1 + w].set(nu_t)
+                buf = buf.at[:, TL - h : TL].set(nu_l)
+            buf = buf.at[:, TL].set(e[:, OFS])
+
+            binc_x = (1 + ups_a)[:, None, None]
+            left_base = (TL - 1 - ups_l)[:, None, None]
+            jys = jnp.asarray(ys)[None]
+            jxs = jnp.asarray(xs)[None]
+            # the derivatives double alongside the upsampled spacing
+            dxe = (dx << ups_a)[:, None, None]
+            dye = (dy << ups_l)[:, None, None]
+            bx0 = (binc_x << 6) - dxe * (jys + 1)
+            base_x = (bx0 >> 6) + binc_x * jxs
+            frac_x = bx0 & 0x3E
+            ypos = (jys << 6) * (1 + ups_l)[:, None, None] \
+                - dye * (jxs + 1)
+            base_y = ypos >> 6
+            frac_y = ypos & 0x3E
+            use_top = base_x >= 0
+            ti0 = TL + jnp.clip(base_x, 0, 64)
+            ti1 = TL + jnp.clip(base_x + 1, 0, 64)
+            li0 = jnp.clip(left_base - base_y, 0, 128)
+            li1 = jnp.clip(left_base - (base_y + 1), 0, 128)
+
+            def gat(idx):
+                return jnp.take_along_axis(
+                    buf, idx.reshape(N, -1), axis=1).reshape(N, h, w)
+
+            vt = (gat(ti0) * (64 - frac_x) + gat(ti1) * frac_x
+                  + 32) >> 6
+            vl = (gat(li0) * (64 - frac_y) + gat(li1) * frac_y
+                  + 32) >> 6
+            return jnp.where(use_top, vt, vl)
+
+        return fn
+
+    if mode == M.FILTER_PRED:
+        from jax import lax
+
+        all_taps = tables.filter_intra_taps.astype(np.int32) \
+            .reshape(-1, 8, 8)[:, :7, :]  # (n_filters, 7, 8)
+
+        def fn(e, prm):
+            N = e.shape[0]
+            fidx = jnp.clip(prm[:, 0] & 511, 0,
+                            all_taps.shape[0] - 1)
+            tm = jnp.asarray(all_taps)[fidx]  # (N, 7, 8)
+            left_col = e[:, OFS - h : OFS][:, ::-1]
+            lp = jnp.stack([left_col[:, 0::2], left_col[:, 1::2]],
+                           axis=2)
+            row0 = jnp.concatenate(
+                [e[:, OFS : OFS + 1], e[:, OFS + 1 : OFS + 1 + w]],
+                axis=1)
+
+            def stepf(prev, lpair):
+                p5, p6 = lpair[:, 0], lpair[:, 1]
+                r1, r2 = [], []
+                for x in range(0, w, 4):
+                    p = jnp.concatenate(
+                        [prev[:, x : x + 5], p5[:, None], p6[:, None]],
+                        axis=1)  # (N, 7)
+                    v = jnp.clip(
+                        (jnp.einsum("nk,nko->no", p, tm) + 8) >> 4,
+                        0, maxp)
+                    r1.append(v[:, :4])
+                    r2.append(v[:, 4:])
+                    p5, p6 = v[:, 3], v[:, 7]
+                row1 = jnp.concatenate(r1, axis=1)
+                row2 = jnp.concatenate(r2, axis=1)
+                nxt = jnp.concatenate([lpair[:, 1:2], row2], axis=1)
+                return nxt, (row1, row2)
+
+            _, (r1s, r2s) = lax.scan(stepf, row0, jnp.moveaxis(lp, 1, 0))
+            out = jnp.stack([r1s, r2s], axis=1)
+            return jnp.moveaxis(out.reshape(h // 2 * 2, N, w), 0, 1)
+
+        return fn
+
+    raise NotImplementedError(f"runtime ipred mode {mode}")
+
+
 @functools.lru_cache(maxsize=512)
 def _program(mode, w, h, angle, max_w, max_h, bitdepth):
     import jax

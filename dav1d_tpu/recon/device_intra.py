@@ -62,8 +62,14 @@ _DY, _DX, _HL, _HT, _PXL, _PXBL, _PXT, _PXTR = range(8)
 # extra columns (cfl / pal)
 _Y0, _X0, _ALPHA = 8, 9, 10
 _PALROW = 8
+# extra columns (pred units): runtime angle/flags, Z2 clamps, Z2 tl
+# filter — per-unit data instead of program-key fields, so one program
+# serves every angle of a (mode, w, h) key (ops/ipred._build_rt)
+_AKEY, _KMW, _KMH, _Z2F = 8, 9, 10, 11
+_PREDROW = 12
 
 _ANGULAR = (M.Z1_PRED, M.Z2_PRED, M.Z3_PRED)
+_RT_MODES = _ANGULAR + (M.FILTER_PRED,)
 
 
 def _resolve_mode(mode, angle, have_left, have_top):
@@ -153,7 +159,14 @@ def _edge_gather(jnp, pf, W, H, ph_unit, meta, w, h, half, needs,
         tl = jnp.where(
             have_l, jnp.where(have_t, rd(dy - 1, dx - 1), fill_from_left),
             jnp.where(have_t, fill_from_top, jnp.int32(half)))[:, 0]
-        if z2_tl_filter:
+        if meta.shape[1] > _Z2F:
+            # per-unit Z2 top-left smoothing (reference filter
+            # corner, ipred_prepare_tmpl.c) — pred metas carry the
+            # flag; other kinds (cfl) never set it
+            tlf = ((edges[:, OFS - 1] + edges[:, OFS + 1]) * 5
+                   + tl * 6 + 8) >> 4
+            tl = jnp.where(meta[:, _Z2F] > 0, tlf, tl)
+        elif z2_tl_filter:
             tl = ((edges[:, OFS - 1] + edges[:, OFS + 1]) * 5
                   + tl * 6 + 8) >> 4
         edges = edges.at[:, OFS].set(tl)
@@ -179,19 +192,22 @@ def _unit_program(shape, ph_unit, mode, w, h, angle, max_w, max_h,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.ipred import _build
+    from ..ops.ipred import _build, _build_rt
 
     H, W = shape
     half = (1 << bitdepth) >> 1
     maxp = (1 << bitdepth) - 1
     needs = EDGE_NEEDS[mode]
-    pred_fn = _build(mode, w, h, angle, max_w, max_h, bitdepth)
+    rt = mode in _RT_MODES
+    pred_fn = (_build_rt(mode, w, h, bitdepth) if rt
+               else _build(mode, w, h, angle, max_w, max_h, bitdepth))
 
     def run(plane, resid, meta):
         pf = plane.reshape(-1)
         edges = _edge_gather(jnp, pf, W, H, ph_unit, meta, w, h, half,
                              needs, z2_tl_filter)
-        pred = pred_fn(edges)
+        pred = (pred_fn(edges, meta[:, _AKEY : _AKEY + 3]) if rt
+                else pred_fn(edges))
         idx = _region_idx(jnp, meta, W, w, h)
         rg = jnp.take(resid.reshape(-1),
                       jnp.clip(idx, 0, H * W - 1).reshape(-1)
@@ -216,8 +232,10 @@ def _multi_run_program(shape, ph_unit, bitdepth, keyspecs, G):
     ~18k launches / ~105 ms on-chip per 1080p keyframe before fusion).
 
     keyspecs: tuple of (mode, w, h, angle, max_w, max_h, z2_tl_filter,
-    capg); metas arrive CONCATENATED along the unit axis as one
-    (G, sum(capg), 8) int32 array — a single host->device upload per
+    capg) — angular/filter keys carry zeros there and their per-unit
+    parameters in meta columns _AKEY.._Z2F (ops/ipred._build_rt);
+    metas arrive CONCATENATED along the unit axis as one
+    (G, sum(capg), _PREDROW) int32 array — a single host->device upload per
     launch (the per-key upload stream dominated the recorded intra
     decode) — and split back per key with static slices in-program.
     Rows pad with sentinels (dy = H) whose scatters drop out of
@@ -225,13 +243,15 @@ def _multi_run_program(shape, ph_unit, bitdepth, keyspecs, G):
     import jax
     import jax.numpy as jnp
 
-    from ..ops.ipred import _build
+    from ..ops.ipred import _build, _build_rt
 
     H, W = shape
     half = (1 << bitdepth) >> 1
     maxp = (1 << bitdepth) - 1
-    preds = [(w, h, _build(mode, w, h, angle, max_w, max_h, bitdepth),
-              EDGE_NEEDS[mode], z2f)
+    preds = [(w, h,
+              _build_rt(mode, w, h, bitdepth) if mode in _RT_MODES
+              else _build(mode, w, h, angle, max_w, max_h, bitdepth),
+              EDGE_NEEDS[mode], z2f, mode in _RT_MODES)
              for (mode, w, h, angle, max_w, max_h, z2f, _capg)
              in keyspecs]
     offs = []
@@ -246,11 +266,13 @@ def _multi_run_program(shape, ph_unit, bitdepth, keyspecs, G):
                  for off, capg in offs]
 
         def body(g, pf):
-            for (w, h, pred_fn, needs, z2f), meta in zip(preds, metas):
+            for (w, h, pred_fn, needs, z2f, rt), meta in zip(preds,
+                                                             metas):
                 m = jax.lax.dynamic_index_in_dim(meta, g, keepdims=False)
                 edges = _edge_gather(jnp, pf, W, H, ph_unit, m, w, h,
                                      half, needs, z2f)
-                pred = pred_fn(edges)
+                pred = (pred_fn(edges, m[:, _AKEY : _AKEY + 3]) if rt
+                        else pred_fn(edges))
                 idx = _region_idx(jnp, m, W, w, h)
                 rg = jnp.take(rf, jnp.clip(idx, 0, H * W - 1).reshape(-1)
                               ).reshape(idx.shape)
@@ -709,6 +731,11 @@ def _emit_pred_unit(emit, lmap, pl, mode, angle, flags, xpos, ypos, x, y,
         akey, kmw, kmh = 0, 0, 0
     z2f = int(mode_i == M.Z2_PRED and tw + th >= 6 and ief)
     level = lmap.place(m[_DY], m[_DX], w, h, m[_HL], m[_HT])
+    # angular/filter modes carry their parameters per unit (_build_rt):
+    # the program key collapses to (mode, w, h)
+    m = m + (akey, kmw, kmh, z2f)
+    if mode_i in _RT_MODES:
+        akey = kmw = kmh = z2f = 0
     emit(pl, "pred", (mode_i, w, h, akey, kmw, kmh, z2f), level, (m,))
 
 
@@ -851,7 +878,8 @@ def intra_frame_device(f, st) -> bool:
                                               for u in unit_lists)
                                             - 1).bit_length())
                         keyspecs.append(k[1:] + (capg,))
-                        metas = np.zeros((Gb, capg, 8), dtype=np.int32)
+                        metas = np.zeros((Gb, capg, _PREDROW),
+                                         dtype=np.int32)
                         metas[:, :, _DY] = shape[0]
                         metas[:, :, _PXL] = metas[:, :, _PXT] = 1
                         for gi, ul in enumerate(unit_lists):

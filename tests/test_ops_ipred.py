@@ -111,3 +111,71 @@ def test_pal_pred():
     want = np.stack([pal_pred(pal[i], idx[i], w, h) for i in range(n)])
     got = np.asarray(pal_pred_batch(pal, idx, w, h))
     np.testing.assert_array_equal(got, want)
+
+
+def test_runtime_angular_matches_static():
+    """_build_rt (per-unit angle/flags/max_wh) == _build (static key)
+    across the legal angle sweep, both flag bits, and Z2 clamp
+    values — the parity that lets device_intra collapse its program
+    key to (mode, w, h)."""
+    import numpy as np
+
+    from dav1d_tpu.levels import IntraPredMode as M
+    from dav1d_tpu.ops.ipred import _build, _build_rt
+
+    rng = np.random.default_rng(21)
+    cases = []
+    for mode, arange in ((M.Z1_PRED, range(3, 88, 3)),
+                         (M.Z2_PRED, range(93, 178, 3)),
+                         (M.Z3_PRED, range(183, 268, 3))):
+        for sm in (0, 1):
+            for en in (0, 1):
+                for a in arange:
+                    cases.append((mode, a | (sm << 9) | (en << 10)))
+    for w, h, bitdepth in ((4, 4, 8), (8, 4, 8), (16, 8, 10),
+                           (8, 32, 8)):
+        import jax.numpy as jnp
+
+        sel = [cases[i] for i in
+               rng.choice(len(cases), 60, replace=False)]
+        prm = np.zeros((len(sel), 3), np.int32)
+        edges = rng.integers(0, 1 << bitdepth,
+                             (len(sel), 257)).astype(np.int32)
+        for i, (mode, akey) in enumerate(sel):
+            prm[i] = (akey,
+                      rng.integers(1, w + 1) if mode == M.Z2_PRED else 0,
+                      rng.integers(1, h + 1) if mode == M.Z2_PRED else 0)
+        for mode in (M.Z1_PRED, M.Z2_PRED, M.Z3_PRED):
+            idx = [i for i, (m, _) in enumerate(sel) if m == mode]
+            if not idx:
+                continue
+            rt = _build_rt(mode, w, h, bitdepth)
+            got = np.asarray(rt(jnp.asarray(edges[idx]),
+                                jnp.asarray(prm[idx])))
+            for k, i in enumerate(idx):
+                st = _build(mode, w, h, int(prm[i, 0]),
+                            int(prm[i, 1]), int(prm[i, 2]), bitdepth)
+                want = np.asarray(st(jnp.asarray(edges[i : i + 1])))
+                assert np.array_equal(want[0], got[k]), (
+                    mode, w, h, prm[i])
+
+
+def test_runtime_filter_matches_static():
+    import numpy as np
+
+    from dav1d_tpu.levels import IntraPredMode as M
+    from dav1d_tpu.ops.ipred import _build, _build_rt
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(22)
+    for w, h in ((4, 4), (8, 8), (16, 8), (4, 8)):
+        edges = rng.integers(0, 256, (5, 257)).astype(np.int32)
+        prm = np.zeros((5, 3), np.int32)
+        prm[:, 0] = np.arange(5)
+        rt = _build_rt(M.FILTER_PRED, w, h, 8)
+        got = np.asarray(rt(jnp.asarray(edges), jnp.asarray(prm)))
+        for i in range(5):
+            st = _build(M.FILTER_PRED, w, h, i, 0, 0, 8)
+            want = np.asarray(st(jnp.asarray(edges[i : i + 1])))
+            assert np.array_equal(want[0], got[i]), (w, h, i)
