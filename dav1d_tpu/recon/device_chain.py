@@ -26,6 +26,14 @@ from __future__ import annotations
 
 import numpy as np
 
+# sticky per-family Pallas failure flags: first compile failure on an
+# unexpected backend -> XLA fallback for the rest of the process
+_BROKEN: set = set()
+
+
+def _broken(fam: str) -> bool:
+    return fam in _BROKEN
+
 
 def filter_chain_device(f) -> bool:
     """Run deblock -> CDEF -> super-res -> LR on device-resident
@@ -94,13 +102,8 @@ def filter_chain_device(f) -> bool:
                 i_lut[L].astype(np.int64), L >> 4, cls
 
         planes_ = [0] + ([1, 2] if do_uv else [])
-        if use_pallas_lf:
-            interp = _platform() in ("cpu", "none")
-            for pl in planes_:
-                dev[pl] = pallas_lf.deblock_plane_pallas(
-                    dev[pl], _edges(pl, 0), _edges(pl, 1), f.bitdepth,
-                    pl == 0, interpret=interp)
-        else:
+
+        def _deblock_xla():
             for dir_ in (0, 1):  # vertical edges first, then horizontal
                 for pl in planes_:
                     lst = _edges(pl, dir_)
@@ -116,6 +119,26 @@ def filter_chain_device(f) -> bool:
                             dev[pl], ys[sel] * 4, xs[sel] * 4, E[sel],
                             I[sel], H[sel], dir_ == 0, wd_px,
                             f.bitdepth)
+
+        done = False
+        if use_pallas_lf and not _broken("lf"):
+            interp = _platform() in ("cpu", "none")
+            snap = list(dev)
+            try:
+                for pl in planes_:
+                    dev[pl] = pallas_lf.deblock_plane_pallas(
+                        dev[pl], _edges(pl, 0), _edges(pl, 1),
+                        f.bitdepth, pl == 0, interpret=interp)
+                done = True
+            except Exception:
+                # sticky: a Mosaic/compile failure on an unexpected
+                # backend degrades to the XLA tier, never kills the
+                # decode; restore the pre-pass planes first (a partial
+                # pallas pass may have filtered some already)
+                _BROKEN.add("lf")
+                dev[:] = snap
+        if not done:
+            _deblock_xla()
 
     pre_dev = None
     if do_lr:
@@ -146,50 +169,60 @@ def filter_chain_device(f) -> bool:
             else _platform() not in ("cpu", "none"))
 
         units = cdef_collect(f)
-        if units is not None and use_pallas_cdef:
-            # fully resident path: dir/var maps stay on device; the
-            # strength adjustment and UV dir remap derive in-graph
-            # inside each plane's filter program — no host round trip
-            # between deblock and CDEF (ops/pallas_cdef.py)
-            interp = _platform() in ("cpu", "none")
-            bys, bxs, y_pri, y_sec, uv_pri, uv_sec, uvlvl = units
-            damping = hdr.cdef.damping + f.bitdepth - 8
-            ss_ver = int(f.layout == PixelLayout.I420)
-            ss_hor = int(f.layout != PixelLayout.I444)
-            has_chroma = f.layout != PixelLayout.I400
-            if ((y_pri | uv_pri) > 0).any():
-                dmap, vmap = cdef_find_dir_maps_dev(dev[0], f.bitdepth)
-            else:
-                z = jnp.zeros((dev[0].shape[0] // 8,
-                               dev[0].shape[1] // 8), jnp.int32)
-                dmap = vmap = z
-            ys8 = (bys * 4) // 8
-            xs8 = (bxs * 4) // 8
-            for pl in range(3 if has_chroma else 1):
-                if pl == 0:
-                    # conservative superset of the host selection (the
-                    # variance-gated members resolve in-kernel: derived
-                    # pri == sec == 0 passes through)
-                    m = (y_pri | y_sec) != 0
-                    pri_l, sec_l = y_pri[m], y_sec[m]
-                    uys, uxs = bys[m] * 4, bxs[m] * 4
-                    sv = sh = 0
+        cdef_done = False
+        if units is not None and use_pallas_cdef \
+                and not _broken("cdef"):
+            snap = list(dev)
+            try:
+                # fully resident path: dir/var maps stay on device; the
+                # strength adjustment and UV dir remap derive in-graph
+                # inside each plane's filter program — no host round trip
+                # between deblock and CDEF (ops/pallas_cdef.py)
+                interp = _platform() in ("cpu", "none")
+                bys, bxs, y_pri, y_sec, uv_pri, uv_sec, uvlvl = units
+                damping = hdr.cdef.damping + f.bitdepth - 8
+                ss_ver = int(f.layout == PixelLayout.I420)
+                ss_hor = int(f.layout != PixelLayout.I444)
+                has_chroma = f.layout != PixelLayout.I400
+                if ((y_pri | uv_pri) > 0).any():
+                    dmap, vmap = cdef_find_dir_maps_dev(dev[0], f.bitdepth)
                 else:
-                    m = uvlvl != 0
-                    pri_l, sec_l = uv_pri[m], uv_sec[m]
-                    uys = (bys[m] * 4) >> ss_ver
-                    uxs = (bxs[m] * 4) >> ss_hor
-                    sv, sh = ss_ver, ss_hor
-                if not m.any():
-                    continue
-                w, h = 8 >> sh, 8 >> sv
-                pw, ph = (f.bw * 4) >> sh, (f.bh * 4) >> sv
-                dev[pl] = pallas_cdef.cdef_filter_plane_resident(
-                    dev[pl], dmap, vmap, ph, pw, uys, uxs, ys8[m],
-                    xs8[m], w, h, pri_l, sec_l,
-                    damping - (1 if pl else 0), f.bitdepth, pl == 0,
-                    f.layout == PixelLayout.I422, interp)
-        elif units is not None:
+                    z = jnp.zeros((dev[0].shape[0] // 8,
+                                   dev[0].shape[1] // 8), jnp.int32)
+                    dmap = vmap = z
+                ys8 = (bys * 4) // 8
+                xs8 = (bxs * 4) // 8
+                for pl in range(3 if has_chroma else 1):
+                    if pl == 0:
+                        # conservative superset of the host selection (the
+                        # variance-gated members resolve in-kernel: derived
+                        # pri == sec == 0 passes through)
+                        m = (y_pri | y_sec) != 0
+                        pri_l, sec_l = y_pri[m], y_sec[m]
+                        uys, uxs = bys[m] * 4, bxs[m] * 4
+                        sv = sh = 0
+                    else:
+                        m = uvlvl != 0
+                        pri_l, sec_l = uv_pri[m], uv_sec[m]
+                        uys = (bys[m] * 4) >> ss_ver
+                        uxs = (bxs[m] * 4) >> ss_hor
+                        sv, sh = ss_ver, ss_hor
+                    if not m.any():
+                        continue
+                    w, h = 8 >> sh, 8 >> sv
+                    pw, ph = (f.bw * 4) >> sh, (f.bh * 4) >> sv
+                    dev[pl] = pallas_cdef.cdef_filter_plane_resident(
+                        dev[pl], dmap, vmap, ph, pw, uys, uxs, ys8[m],
+                        xs8[m], w, h, pri_l, sec_l,
+                        damping - (1 if pl else 0), f.bitdepth, pl == 0,
+                        f.layout == PixelLayout.I422, interp)
+                cdef_done = True
+            except Exception:
+                # sticky fallback, as for deblock above: restore
+                # the pre-CDEF planes and run the XLA tier
+                _BROKEN.add("cdef")
+                dev[:] = snap
+        if units is not None and not cdef_done:
             bys, bxs, y_pri, y_sec, uv_pri, uv_sec, uvlvl = units
             bdmin8 = f.bitdepth - 8
             damping = hdr.cdef.damping + bdmin8
