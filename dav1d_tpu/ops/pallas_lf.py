@@ -189,11 +189,15 @@ def _core(tap, P, classes, bitdepth):
     return out
 
 
-OUT = 32  # output rows per grid step (both passes)
+def _out_rows(Wp):
+    """Output rows per grid step: 32 up to 1080p-class widths; 8 for
+    wider planes (the 4K-width x 32-row live set overflows VMEM and
+    crashes the Mosaic compile)."""
+    return 32 if Wp <= 2048 else 8
 
 
 @functools.lru_cache(maxsize=None)
-def _build_v(nsteps, Wp, classes, bitdepth, interpret):
+def _build_v(nsteps, Wp, classes, bitdepth, interpret, OUT):
     """Vertical-edge pass: one grid step = OUT plane rows, no row halo
     (taps read only within the edge's own rows).  Canvas holds the
     plane at column offset 16 so every static column shift stays in
@@ -234,7 +238,7 @@ def _build_v(nsteps, Wp, classes, bitdepth, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_h(nsteps, Wp, classes, bitdepth, interpret):
+def _build_h(nsteps, Wp, classes, bitdepth, interpret, OUT):
     """Horizontal-edge pass: one grid step = OUT output rows.  Writers
     for a band live at plane rows [s-5, s+OUT+5] (offset reach -6..5),
     so the core evaluates CORE = OUT+16 rows [s-8, s+OUT+8); their
@@ -291,13 +295,14 @@ def _jit_plane(ph, pw, classes, bitdepth, nbv, nbh, interpret):
     horizontal edges one pixel row across 4 columns (dilate rows,
     repeat cols).  Pad entries sit far out of bounds and drop out of
     the scatter."""
-    R = -(-ph // OUT) * OUT
     Wp = -(-pw // 128) * 128
+    OUT = _out_rows(Wp)
+    R = -(-ph // OUT) * OUT
     Wc = Wp + 128
     R4, W4 = R // 4, Wp // 4
-    kv = _build_v(R // OUT, Wp, classes, bitdepth, interpret) \
+    kv = _build_v(R // OUT, Wp, classes, bitdepth, interpret, OUT) \
         if nbv else None
-    kh = _build_h(R // OUT, Wp, classes, bitdepth, interpret) \
+    kh = _build_h(R // OUT, Wp, classes, bitdepth, interpret, OUT) \
         if nbh else None
 
     def expand(ys, xs, pk, row_exact):

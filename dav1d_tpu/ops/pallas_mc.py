@@ -10,25 +10,30 @@ blocks straddling the frame edge get a replicated copy, interior
 blocks read the reference directly.
 
 This kernel is the TPU-native equivalent of the interior fast path:
-the grid walks the batch BB blocks at a time, each grid step issues BB
-small strided DMAs HBM->VMEM (the hardware's native "window read"),
-then runs the separable 8-tap filter on the packed (h+7, BB*(w+7))
-VMEM tile — blocks packed on the LANE axis so the VPU stays fed at
-MC's tiny tile shapes (4x4 / 8x8 after pipeline.py's shape-bucketing
-decomposition).  Per-block subpel filters ride in as precomputed
-lane-expanded coefficient planes, so the kernel body is pure
-multiply-add + static shifts:
+the grid walks the batch BB blocks at a time; each block's window
+arrives via one small strided DMA HBM->VMEM.  This chip's compiler
+only accepts DMA offsets it can prove tile-aligned (probed: unhinted
+scalar-prefetch offsets crash tpu_compile_helper), so the copy reads
+an ALIGNED (RC, SEG) super-window — row origin rounded down to the
+sublane tile, lane origin to the 128-lane tile, both clamped to keep
+the over-read in bounds and asserted via pl.multiple_of — and two
+dynamic rolls slide the true window to the segment origin.  The
+separable 8-tap filter then runs on the packed (RC, BB*SEG) tile with
+per-block lane-expanded coefficient planes:
 
-  mid[y, c]  = rnd( sum_t fh[c, t] * win[y, c + t],      6 - ib)
+  mid[y, c]  = rnd( sum_t fh[c, t] * src[y, c + t],      6 - ib)
   out[y, c]  = rnd( sum_t fv[c, t] * mid[y + t, c],      6 + ib)
 
-(the lane-packed horizontal taps never cross a block's (w+7) segment
-for valid x < w: x + 7 <= w + 6 — see _gather_put_core).
+(taps never cross a block's SEG-lane segment: c + t <= w + 6 < SEG).
+Window DMAs double-buffer across grid steps so the copies overlap
+both each other and the filter math.
 
-Blocks whose (h+7, w+7) window leaves the valid reference area fall
-back to the XLA clamped-gather program (replication semantics); the
-caller splits the batch (pipeline.py), mirroring dav1d's emu_edge
-split.  Bit-exactness vs ops/mc._put_8tap_resident_prog is asserted by
+Alignment contract: the reference plane's dims must be multiples of
+(8, 128) — pipeline._stack_planes pads every resident ref stack —
+and every window must satisfy 0 <= dy-3, dy+h+4 <= plane_h (same for
+x); the caller routes edge blocks to the XLA clamped-gather
+replication program, mirroring dav1d's emu_edge split.
+Bit-exactness vs ops/mc._put_8tap_resident_prog is asserted by
 tests/test_pallas_mc.py in interpret mode and by the forced-device
 e2e suite on hardware.
 """
@@ -44,23 +49,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mc import intermediate_bits
 
-BB = 16  # blocks packed per grid step (lane axis)
+BB = 16   # blocks packed per grid step (lane axis)
+SEG = 256  # lanes per block segment: covers w+7 after the <=127-lane
+           # alignment shift
 
 
-def _kernel(h, w, bitdepth, steps, dys_ref, dxs_ref, plane_ref, fh_ref,
-            fv_ref, out_ref, win, sems):
+def _rows_cp(wh):
+    """Copied rows per window: wh plus the <=7-row alignment shift,
+    rounded to the sublane tile."""
+    return -(-(wh + 7) // 8) * 8
+
+
+def _kernel(h, w, bitdepth, steps, PH, PW, dys_ref, dxs_ref, plane_ref,
+            fh_ref, fv_ref, out_ref, win, sems):
     ib = intermediate_bits(bitdepth)
     wh, ww = h + 7, w + 7
-    L = BB * ww
+    RC = _rows_cp(wh)
+    L = BB * SEG
     i = pl.program_id(0)
 
-    def dma(step, slot, j):
+    def offs(step, j):
         y0 = dys_ref[step * BB + j] - 3
         x0 = dxs_ref[step * BB + j] - 3
+        y0a = pl.multiple_of(jnp.minimum((y0 >> 3) << 3, PH - RC), 8)
+        x0a = pl.multiple_of(jnp.minimum((x0 >> 7) << 7, PW - SEG), 128)
+        return y0, x0, y0a, x0a
+
+    def dma(step, sl, j):
+        _, _, y0a, x0a = offs(step, j)
         return pltpu.make_async_copy(
-            plane_ref.at[pl.ds(y0, wh), pl.ds(x0, ww)],
-            win.at[slot, :, pl.ds(j * ww, ww)],
-            sems.at[slot, j])
+            plane_ref.at[pl.ds(y0a, RC), pl.ds(x0a, SEG)],
+            win.at[sl, :, pl.ds(j * SEG, SEG)],
+            sems.at[sl, j])
 
     # double buffer: step i computes slot i%2 while step i+1's window
     # DMAs fill the other slot (issued before the waits so the copies
@@ -80,12 +100,22 @@ def _kernel(h, w, bitdepth, steps, dys_ref, dxs_ref, plane_ref, fh_ref,
     for j in range(BB):
         dma(i, slot, j).wait()
 
-    src = win[slot]  # (wh, L) int32
+    # slide each block's true window to its segment origin
+    segs = []
+    for j in range(BB):
+        y0, x0, y0a, x0a = offs(i, j)
+        seg = win[slot, :, j * SEG : (j + 1) * SEG]
+        seg = pltpu.roll(seg, SEG - (x0 - x0a), 1)
+        seg = pltpu.roll(seg, RC - (y0 - y0a), 0)
+        segs.append(seg)
+    src = jnp.concatenate(segs, axis=1)  # (RC, L)
+
     rh = 1 << (5 - ib)
     mid = fh_ref[0, 0, :][None, :] * src
     for t in range(1, 8):
         # roll by L-t == shift left by t; wrapped lanes land at
-        # c >= L-t, never read for valid x < w (x+7 <= w+6 < w+7)
+        # c >= SEG-t of the previous segment, never read for valid
+        # x < w (x+7 <= w+6 < SEG)
         mid = mid + fh_ref[0, t, :][None, :] * pltpu.roll(src, L - t, 1)
     mid = (mid + rh) >> (6 - ib)
     rv = 1 << (5 + ib)
@@ -101,41 +131,44 @@ def _kernel(h, w, bitdepth, steps, dys_ref, dxs_ref, plane_ref, fh_ref,
 def _gather_put_prog(plane, dys, dxs, fh, fv, *, w, h, bitdepth,
                      interpret=False):
     """(N,) interior block origins -> (N, h, w) filtered pixels.
-    N must be a multiple of BB; every window must satisfy
-    0 <= dy-3, dy+h+4 <= plane_h (same for x) — caller guarantees."""
+    N must be a multiple of BB; plane dims must be multiples of
+    (8, 128); every window must satisfy 0 <= dy-3, dy+h+4 <= plane_h
+    (same for x) — caller guarantees."""
+    PH, PW = plane.shape
+    assert PH % 8 == 0 and PW % 128 == 0, (PH, PW)
     n = dys.shape[0]
     steps = n // BB
-    wh, ww = h + 7, w + 7
-    L = BB * ww
+    L = BB * SEG
+    RC = _rows_cp(h + 7)
     # lane-expanded per-block filter coefficient planes (XLA-side; the
     # kernel body then has no cross-layout reshapes)
-    fhl = jnp.repeat(fh.reshape(steps, BB, 8).transpose(0, 2, 1), ww,
+    fhl = jnp.repeat(fh.reshape(steps, BB, 8).transpose(0, 2, 1), SEG,
                      axis=2)  # (steps, 8, L)
-    fvl = jnp.repeat(fv.reshape(steps, BB, 8).transpose(0, 2, 1), ww,
+    fvl = jnp.repeat(fv.reshape(steps, BB, 8).transpose(0, 2, 1), SEG,
                      axis=2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 8, L), lambda i, dys, dxs: (i, 0, 0)),
             pl.BlockSpec((1, 8, L), lambda i, dys, dxs: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((h, L), lambda i, dys, dxs: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((2, wh, L), jnp.int32),
+            pltpu.VMEM((2, RC, L), jnp.int32),
             pltpu.SemaphoreType.DMA((2, BB)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, h, w, bitdepth, steps),
+        functools.partial(_kernel, h, w, bitdepth, steps, PH, PW),
         out_shape=jax.ShapeDtypeStruct((h, steps * L), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(dys, dxs, plane, fhl, fvl)
-    # (h, steps*BB*(w+7)) -> (N, h, w)
-    return out.reshape(h, n, ww).transpose(1, 0, 2)[:, :, :w]
+    # (h, steps*BB*SEG) -> (N, h, w)
+    return out.reshape(h, n, SEG).transpose(1, 0, 2)[:, :, :w]
 
 
 _BROKEN = False  # sticky: first Mosaic/compile failure -> XLA fallback

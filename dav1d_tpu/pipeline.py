@@ -174,23 +174,38 @@ class _McDevice:
 
 
 @functools.lru_cache(maxsize=None)
-def _stack_prog(n):
+def _stack_prog(n, ph, pw):
     import jax
     import jax.numpy as jnp
 
-    return jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
+    php = -(-ph // 8) * 8
+    pwp = -(-pw // 128) * 128
+
+    def run(*xs):
+        return jnp.concatenate(
+            [jnp.pad(x, ((0, php - ph), (0, pwp - pw))) for x in xs],
+            axis=0)
+
+    return jax.jit(run)
 
 
 def _stack_planes(arrs):
     """Concatenate resident ref planes into one tall device array (one
     copy per frame; lets the whole interior MC population launch as a
     single program per tile shape regardless of how many ref slots and
-    planes it reads)."""
-    if len(arrs) == 1:
-        return arrs[0]
+    planes it reads).  Every slot pads to the (8, 128) tile — the
+    Pallas gather kernel's aligned-super-window contract
+    (ops/pallas_mc.py)."""
     from .devrt import call
 
-    return call("mc_stack", _stack_prog(len(arrs)), *arrs)
+    ph, pw = arrs[0].shape
+    return call("mc_stack", _stack_prog(len(arrs), int(ph), int(pw)),
+                *arrs)
+
+
+def _slot_rows(ph):
+    """Per-slot row stride inside a _stack_planes stack."""
+    return -(-ph // 8) * 8
 
 
 def _mc_pallas() -> bool:
@@ -382,7 +397,8 @@ def _launch_mc_device(f, glue, n):
             for si, (r, p) in enumerate(kp):
                 stack_slot[r, p] = si
             arrs = [dev_of[r][p] for r, p in kp]
-            stacks[kind] = (_stack_planes(arrs), arrs[0].shape[0])
+            stacks[kind] = (_stack_planes(arrs),
+                            _slot_rows(arrs[0].shape[0]))
 
     key = (jw.astype(np.int64) << 16) | jh
     order = np.argsort(key, kind="stable")

@@ -24,7 +24,7 @@ def test_gather_put_matches_xla(w, h, bitdepth):
     from dav1d_tpu.ops.pallas_mc import BB, _gather_put_prog
 
     rng = np.random.default_rng(w * 100 + h + bitdepth)
-    H, W = 96, 160
+    H, W = 96, 384  # (8, 128)-tile multiples: the kernel's contract
     plane = rng.integers(0, 1 << bitdepth, size=(H, W)).astype(np.int32)
     N = 4 * BB
     dys = rng.integers(3, H - h - 4 + 1, size=N).astype(np.int32)
