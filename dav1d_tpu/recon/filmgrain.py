@@ -435,7 +435,15 @@ def apply_grain(pic) -> None:
             _apply(1 + pl, cy0, src, val, grain, sc, max_v_uv)
 
     if dev:
-        from ..ops.fg import fg_apply_batch
+        from ..ops.fg import fg_apply_batch, scaling_segments
+
+        def seg_for(pl):
+            # which point set produced this plane's scaling array
+            # (chroma_scaling_from_luma shares the luma points)
+            if pl == 0 or data.chroma_scaling_from_luma:
+                return scaling_segments(data.y_points, data.num_y_points)
+            return scaling_segments(data.uv_points[pl - 1],
+                                    data.num_uv_points[pl - 1])
 
         for pl in range(3):
             if not sinks[pl]:
@@ -446,5 +454,7 @@ def apply_grain(pic) -> None:
             grain = np.concatenate([s[3] for s in sinks[pl]])
             sc, maxv = sinks[pl][0][4], sinks[pl][0][5]
             out = fg_apply_batch(src, grain, sc, data.scaling_shift,
-                                 min_v, maxv, idx=idx)
+                                 min_v, maxv, idx=idx,
+                                 segments=seg_for(pl),
+                                 bitdepth=bitdepth)
             pic.planes[pl][y0 : y0 + out.shape[0], : out.shape[1]] = out

@@ -106,3 +106,33 @@ def test_fg_native_parity(layout, bitdepth):
                 pic_c.planes[pl], pic_py.planes[pl],
                 err_msg=f"case={case} layout={layout} bd={bitdepth} "
                         f"pl={pl} lag={lag}")
+
+
+def test_scaling_segments_exact():
+    """The closed-form piecewise device evaluation reproduces
+    generate_scaling exactly for every LUT index, bitdepth, and point
+    count (ops/fg.scaling_segments + _jit_apply_pw)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dav1d_tpu.ops.fg import _jit_apply_pw, scaling_segments
+    from dav1d_tpu.recon.filmgrain import generate_scaling
+
+    rng = np.random.default_rng(3)
+    shift = 8
+    for bitdepth in (8, 10, 12):
+        for num in (0, 1, 2, 5, 14):
+            xs = np.sort(rng.choice(255, num, replace=False)) if num \
+                else np.zeros(0)
+            pts = [(int(x), int(rng.integers(0, 256))) for x in xs]
+            lut = generate_scaling(bitdepth, pts, num)
+            size = 1 << bitdepth
+            idx = np.arange(size, dtype=np.int32)
+            src = np.zeros(size, np.int32)
+            grain = np.full(size, 1 << shift, np.int32)
+            bx, by, dl = scaling_segments(pts, num)
+            fn = _jit_apply_pw(shift, -(1 << 30), 1 << 30, bitdepth - 8)
+            got = np.asarray(fn(jnp.asarray(src), jnp.asarray(idx),
+                                jnp.asarray(grain), jnp.asarray(bx),
+                                jnp.asarray(by), jnp.asarray(dl)))
+            assert np.array_equal(got, lut), (bitdepth, num, pts)
