@@ -173,39 +173,53 @@ class _McDevice:
     __slots__ = ("handled", "block_idxs", "launched")
 
 
+# replicated border around every stacked ref plane: windows of blocks
+# whose MVs reach up to this far outside the frame ride the Pallas
+# gather (border replication == the XLA fallback's index clamp, ==
+# emu_edge); only farther blocks fall back (reference src/mc_tmpl.c
+# emu_edge split — dav1d likewise edge-extends its picture padding)
+MC_PAD = 64
+
+
 @functools.lru_cache(maxsize=None)
-def _stack_prog(n, ph, pw):
+def _stack_prog(n, ph, pw, vh, vw):
     import jax
     import jax.numpy as jnp
 
-    php = -(-ph // 8) * 8
-    pwp = -(-pw // 128) * 128
+    php = -(-(vh + 2 * MC_PAD) // 8) * 8
+    pwp = -(-(vw + 2 * MC_PAD) // 128) * 128
 
     def run(*xs):
+        # pad from the CODED region: rows/cols beyond (vh, vw) in the
+        # alloc planes are scratch, and the replicated border must
+        # reproduce the XLA fallback's index clamp exactly
         return jnp.concatenate(
-            [jnp.pad(x, ((0, php - ph), (0, pwp - pw))) for x in xs],
-            axis=0)
+            [jnp.pad(x[:vh, :vw],
+                     ((MC_PAD, php - vh - MC_PAD),
+                      (MC_PAD, pwp - vw - MC_PAD)), mode="edge")
+             for x in xs], axis=0)
 
     return jax.jit(run)
 
 
-def _stack_planes(arrs):
+def _stack_planes(arrs, vh, vw):
     """Concatenate resident ref planes into one tall device array (one
     copy per frame; lets the whole interior MC population launch as a
     single program per tile shape regardless of how many ref slots and
-    planes it reads).  Every slot pads to the (8, 128) tile — the
-    Pallas gather kernel's aligned-super-window contract
-    (ops/pallas_mc.py)."""
+    planes it reads).  Every slot grows a MC_PAD replicated border and
+    pads to the (8, 128) tile — the Pallas gather kernel's
+    aligned-super-window contract (ops/pallas_mc.py)."""
     from .devrt import call
 
     ph, pw = arrs[0].shape
-    return call("mc_stack", _stack_prog(len(arrs), int(ph), int(pw)),
-                *arrs)
+    return call("mc_stack",
+                _stack_prog(len(arrs), int(ph), int(pw), int(vh),
+                            int(vw)), *arrs)
 
 
-def _slot_rows(ph):
+def _slot_rows(vh):
     """Per-slot row stride inside a _stack_planes stack."""
-    return -(-ph // 8) * 8
+    return -(-(vh + 2 * MC_PAD) // 8) * 8
 
 
 def _mc_pallas() -> bool:
@@ -378,11 +392,14 @@ def _launch_mc_device(f, glue, n):
                    (hdr.height + ss_ver) >> ss_ver)
     vwp = np.where(pls == 0, hdr.width[1],
                    (hdr.width[1] + ss_hor) >> ss_hor)
-    # emu_edge split (reference src/mc_tmpl.c:130-180): interior =
-    # the (h+7, w+7) window stays inside the valid reference area;
-    # edge blocks keep the clamped-gather replication program
-    fast = resident & (jdy >= 3) & (jdy + jh + 4 <= vhp) \
-        & (jdx >= 3) & (jdx + jw + 4 <= vwp) if _mc_pallas() \
+    # emu_edge split (reference src/mc_tmpl.c:130-180): the stacked
+    # refs carry a MC_PAD replicated border, so any window within it
+    # rides the Pallas gather with exact clamp semantics; only blocks
+    # whose MVs reach farther keep the clamped-gather program
+    fast = resident & (jdy >= 3 - MC_PAD) \
+        & (jdy + jh + 4 <= vhp + MC_PAD) \
+        & (jdx >= 3 - MC_PAD) \
+        & (jdx + jw + 4 <= vwp + MC_PAD) if _mc_pallas() \
         else np.zeros_like(resident)
 
     stack_slot = np.full((7, 3), -1, dtype=np.int32)
@@ -397,8 +414,12 @@ def _launch_mc_device(f, glue, n):
             for si, (r, p) in enumerate(kp):
                 stack_slot[r, p] = si
             arrs = [dev_of[r][p] for r, p in kp]
-            stacks[kind] = (_stack_planes(arrs),
-                            _slot_rows(arrs[0].shape[0]))
+            vh_k = hdr.height if kind == "y" else \
+                (hdr.height + ss_ver) >> ss_ver
+            vw_k = hdr.width[1] if kind == "y" else \
+                (hdr.width[1] + ss_hor) >> ss_hor
+            stacks[kind] = (_stack_planes(arrs, vh_k, vw_k),
+                            _slot_rows(vh_k))
 
     key = (jw.astype(np.int64) << 16) | jh
     order = np.argsort(key, kind="stable")
@@ -418,8 +439,9 @@ def _launch_mc_device(f, glue, n):
             nb = max(_BB, 1 << max(0, int(N - 1).bit_length()))
             dys = np.full(nb, 3, dtype=np.int32)
             dxs = np.full(nb, 3, dtype=np.int32)
-            dys[:N] = jdy[sp] + stack_slot[jrefs[sp], pls[sp]] * ph_one
-            dxs[:N] = jdx[sp]
+            dys[:N] = jdy[sp] + MC_PAD \
+                + stack_slot[jrefs[sp], pls[sp]] * ph_one
+            dxs[:N] = jdx[sp] + MC_PAD
             fh, fv = filter_rows(sp, nb)
             fut = gather_put_8tap(
                 stack, jnp.asarray(dys), jnp.asarray(dxs),
@@ -432,6 +454,8 @@ def _launch_mc_device(f, glue, n):
         # resident edge blocks: clamped-gather replication program per
         # (ref, plane); non-resident refs gather host windows below
         g = g[~fast[g]]
+        if not g.size:
+            continue
         gkey = (jrefs[g].astype(np.int64) << 4) | pls[g]
         host_rel = []
         for sg_rel in _split_groups(gkey):
