@@ -55,17 +55,22 @@ def _ulog2_vec(v):
     return s
 
 
+def _out_rows(Wp):
+    """Output rows per grid step: wider bands amortize the per-step
+    DMA + grid overhead; capped for wide planes so the live set fits
+    VMEM (the deblock kernel's policy, ops/pallas_lf.py)."""
+    return 32 if Wp <= 2048 else 16
+
+
 @functools.lru_cache(maxsize=None)
-def _build(nsteps, Wp, Wc, damping, bitdepth, interpret):
-    """One grid step = 8 output plane rows (the VPU's native sublane
-    count and a TPU-legal block height for any unit size): parameters
+def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
+    """One grid step = OUT_ROWS output plane rows: parameters
     are per-PIXEL planes (units replicate their strength/direction over
     their rows/cols on the outer jit), so a step can span unit-row
     boundaries — 8x8 luma units and 4x4/4x8 chroma units ride the same
-    kernel.  The 12-row canvas band (8 + 2 halo each side) DMAs from
-    HBM into a 16-row VMEM scratch."""
+    kernel.  The (OUT_ROWS + 4)-row canvas band (2-row halo each side)
+    DMAs from HBM into an (OUT_ROWS + 8)-row VMEM scratch."""
     bdmin8 = bitdepth - 8
-    OUT_ROWS = 8
     band_rows = OUT_ROWS + 4
 
     def constrain(diff, thr, shift):
@@ -75,14 +80,14 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret):
 
     def kernel(canvas_ref, pri_ref, sec_ref, dir_ref, out_ref, band, sem):
         i = pl.program_id(0)
-        # 16-row copy: DMA slice heights must align to the (8, 128)
-        # tile; the canvas carries 12 rows of bottom padding for the
-        # last step's over-read
+        # OUT_ROWS+8-row copy: DMA slice heights must align to the
+        # (8, 128) tile; the canvas carries enough bottom padding for
+        # the last step's over-read
         dma = pltpu.make_async_copy(
-            canvas_ref.at[pl.ds(i * OUT_ROWS, 16)], band, sem)
+            canvas_ref.at[pl.ds(i * OUT_ROWS, OUT_ROWS + 8)], band, sem)
         dma.start()
         dma.wait()
-        b = band[...].astype(jnp.int32)  # (16, Wc); rows 12-15 unused
+        b = band[...].astype(jnp.int32)  # rows band_rows.. unused
 
         def window(oy, ox):
             # oy/ox are trace-time tap constants: static slices
@@ -165,7 +170,7 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nsteps * OUT_ROWS, Wp),
                                        jnp.int32),
-        scratch_shapes=[pltpu.VMEM((16, Wc), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((OUT_ROWS + 8, Wc), jnp.int16),
                         pltpu.SemaphoreType.DMA],
         interpret=bool(interpret),
     )
@@ -177,11 +182,12 @@ def _filter_tail(w, h, ph, pw, damping, bitdepth, interpret):
     sit far out of bounds and drop out of the scatter)."""
     nbands = -(-ph // h)
     ncols = -(-pw // w)
-    R = -(-(nbands * h) // 8) * 8
-    nsteps = R // 8
     Wp = ((ncols * w + 127) // 128) * 128
+    OUT = _out_rows(Wp)
+    R = -(-(nbands * h) // OUT) * OUT
+    nsteps = R // OUT
     Wc = Wp + 128  # canvas columns padded to the VMEM lane tile
-    kern = _build(nsteps, Wp, Wc, damping, bitdepth, interpret)
+    kern = _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT)
 
     def apply(plane, ys, xs, pri, sec, dirs):
         canvas = jnp.full((R + 16, Wc), INT16_MIN, jnp.int16)
