@@ -33,6 +33,36 @@ _DISABLED = os.environ.get("DAV1D_TPU_POOL") == "0"
 _BUCKET_CAP = 24
 
 
+def _scan_sole(bucket, sole):
+    """Index of the first bucket entry with no references outside the
+    bucket (+ the scan's own locals), or -1.  Shared by the real scan
+    and the calibration below so both observe the same refcount
+    geometry."""
+    for i in range(len(bucket)):
+        cand = bucket[i]
+        if sys.getrefcount(cand) == sole:
+            return i
+    return -1
+
+
+def _calibrate():
+    """Measure what "sole-owned" reads as under THIS interpreter.  The
+    exact in-loop refcount of a view-free buffer depends on CPython
+    bytecode details (r5: a hard-coded 4 matched an older interpreter;
+    here it reads 3 via the shared scan — the mismatch silently
+    disabled all reuse).  Calibrating against a buffer known to have no
+    outside views removes the version dependence; a surviving view can
+    only ADD references, so the threshold stays exact."""
+    bucket = [np.empty(16, np.uint8)]
+    for sole in range(2, 10):
+        if _scan_sole(bucket, sole) == 0:
+            return sole
+    raise RuntimeError("bufpool: cannot calibrate sole-owner refcount")
+
+
+_SOLE = _calibrate()
+
+
 class BufPool:
     def __init__(self):
         self._lock = threading.Lock()
@@ -63,16 +93,15 @@ class BufPool:
         raw = None
         with self._lock:
             bucket = self._bufs.setdefault(nbytes, [])
-            # sole-owned = referenced only by the bucket (+ the loop
-            # variable and the getrefcount argument): every view a
+            # sole-owned = referenced only by the bucket (+ the scan's
+            # locals; threshold calibrated at import): every view a
             # FrameContext, ref slot or user picture holds counts via
             # .base
-            for i, cand in enumerate(bucket):
-                if sys.getrefcount(cand) == 4:
-                    raw = cand
-                    # move to the back: keeps hot buffers hot
-                    bucket.append(bucket.pop(i))
-                    break
+            i = _scan_sole(bucket, _SOLE)
+            if i >= 0:
+                raw = bucket[i]
+                # move to the back: keeps hot buffers hot
+                bucket.append(bucket.pop(i))
             if raw is None:
                 raw = np.empty(nbytes, dtype=np.uint8)
                 if len(bucket) < _BUCKET_CAP:

@@ -28,13 +28,30 @@ def _bucket(n: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _jit_find_dir(bitdepth):
-    onehot = [jnp.asarray(m, dtype=jnp.int32) for m in _onehot_maps()]
+    # All 8 one-hot projection maps concatenated into ONE (64, 128)
+    # bf16 matrix: a single MXU matmul replaces 8 int32 contractions
+    # (int matmuls lower to VPU loops on TPU — measured 4.3 ms/frame at
+    # 4K in DEVICE_FRAME_r04; the values are exact in bf16/f32: px in
+    # [-128, 127], partial sums <= 8*128 < 2^24).
+    maps = _onehot_maps()
+    bins = [m.shape[1] for m in maps]
+    cat = np.zeros((64, 128), dtype=np.float32)
+    off = 0
+    offs = []
+    for m in maps:
+        cat[:, off:off + m.shape[1]] = m
+        offs.append(off)
+        off += m.shape[1]
+    onehot_cat = jnp.asarray(cat, dtype=jnp.bfloat16)
     div = jnp.asarray([840, 420, 280, 210, 168, 140, 120], dtype=jnp.int32)
     div_alt = jnp.asarray([420, 210, 140], dtype=jnp.int32)
 
     def fn(blocks):
         px = (blocks.reshape(-1, 64) >> (bitdepth - 8)) - 128
-        ps = [px @ m for m in onehot]
+        psum = jnp.dot(px.astype(jnp.bfloat16), onehot_cat,
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.int32)
+        ps = [psum[:, o:o + b] for o, b in zip(offs, bins)]
         diag0, alt0, hv0, alt1, diag1, alt2, hv1, alt3 = ps
         cost = [None] * 8
         cost[2] = (hv0 * hv0).sum(axis=1) * 105

@@ -78,7 +78,8 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
         v = jnp.minimum(adiff, jnp.maximum(0, thr - (adiff >> shift)))
         return jnp.where(diff < 0, -v, v)
 
-    def kernel(canvas_ref, pri_ref, sec_ref, dir_ref, out_ref, band, sem):
+    def kernel(flag_ref, canvas_ref, pri_ref, sec_ref, dir_ref, out_ref,
+               band, sem):
         i = pl.program_id(0)
         # OUT_ROWS+8-row copy: DMA slice heights must align to the
         # (8, 128) tile; the canvas carries enough bottom padding for
@@ -94,70 +95,84 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
             return b[2 + oy : 2 + oy + OUT_ROWS, 2 + ox : 2 + ox + Wp]
 
         px = window(0, 0)
-        pri = pri_ref[...].astype(jnp.int32)  # (8, Wp) per-pixel maps
-        sec = sec_ref[...].astype(jnp.int32)
-        dr = dir_ref[...].astype(jnp.int32)
-        oh = [(dr == d).astype(jnp.int32) for d in range(8)]
 
-        def tap(k, off, sgn):
-            """One-hot select of the per-direction shifted window for
-            tap table row k at table offset `off` with sign `sgn`."""
-            # dedupe identical offsets across directions
-            byoff = {}
-            for d in range(8):
-                oy = sgn * int(_DY[k][off + d])
-                ox = sgn * int(_DX[k][off + d])
-                byoff.setdefault((oy, ox), []).append(d)
-            acc = None
-            for (oy, ox), ds in byoff.items():
-                m = oh[ds[0]]
-                for d in ds[1:]:
-                    m = m + oh[d]
-                v = m * window(oy, ox)
-                acc = v if acc is None else acc + v
-            return acc
+        # band culling: a CDEF unit writes only its own pixels, so a
+        # band whose unit rows carry no nonzero strength passes through
+        # exactly — skip the whole decision lattice (most 4K bands on
+        # typical content; the flag is derived from the unit maps on
+        # the outer jit).
+        @pl.when(flag_ref[0] == 0)
+        def _():
+            out_ref[...] = px
 
-        pri_nz = pri > 0
-        sec_nz = sec > 0
-        both = pri_nz & sec_nz
-        pri_shift = jnp.maximum(
-            0, damping - _ulog2_vec(jnp.maximum(pri, 1)))
-        sec_shift = damping - _ulog2_vec(jnp.maximum(sec, 1))
-        pri_tap0 = 4 - ((pri >> bdmin8) & 1)
+        @pl.when(flag_ref[0] != 0)
+        def _():
+            pri = pri_ref[...].astype(jnp.int32)  # per-pixel maps
+            sec = sec_ref[...].astype(jnp.int32)
+            dr = dir_ref[...].astype(jnp.int32)
+            oh = [(dr == d).astype(jnp.int32) for d in range(8)]
 
-        sum_ = jnp.zeros_like(px)
-        mn = px
-        mx = px
+            def tap(k, off, sgn):
+                """One-hot select of the per-direction shifted window
+                for tap table row k at table offset `off`, sign `sgn`."""
+                # dedupe identical offsets across directions
+                byoff = {}
+                for d in range(8):
+                    oy = sgn * int(_DY[k][off + d])
+                    ox = sgn * int(_DX[k][off + d])
+                    byoff.setdefault((oy, ox), []).append(d)
+                acc = None
+                for (oy, ox), ds in byoff.items():
+                    m = oh[ds[0]]
+                    for d in ds[1:]:
+                        m = m + oh[d]
+                    v = m * window(oy, ox)
+                    acc = v if acc is None else acc + v
+                return acc
 
-        def acc_minmax(v, mn, mx):
-            u = jnp.where(v == INT16_MIN, 0x7FFF0000, v)
-            return jnp.minimum(mn, u), jnp.maximum(mx, v)
+            pri_nz = pri > 0
+            sec_nz = sec > 0
+            both = pri_nz & sec_nz
+            pri_shift = jnp.maximum(
+                0, damping - _ulog2_vec(jnp.maximum(pri, 1)))
+            sec_shift = damping - _ulog2_vec(jnp.maximum(sec, 1))
+            pri_tap0 = 4 - ((pri >> bdmin8) & 1)
 
-        for k in range(2):
-            p0 = tap(k, 2, 1)
-            p1 = tap(k, 2, -1)
-            ptk = pri_tap0 if k == 0 else (pri_tap0 & 3) | 2
-            pc = ptk * (constrain(p0 - px, pri, pri_shift)
-                        + constrain(p1 - px, pri, pri_shift))
-            sum_ += jnp.where(pri_nz, pc, 0)
-            mn, mx = acc_minmax(jnp.where(both, p0, px), mn, mx)
-            mn, mx = acc_minmax(jnp.where(both, p1, px), mn, mx)
-            sec_tap = 2 - k
-            for sdir_off in (4, 0):
-                for sgn in (1, -1):
-                    s = tap(k, sdir_off, sgn)
-                    sc = sec_tap * constrain(s - px, sec, sec_shift)
-                    sum_ += jnp.where(sec_nz, sc, 0)
-                    mn, mx = acc_minmax(jnp.where(both, s, px), mn, mx)
+            sum_ = jnp.zeros_like(px)
+            mn = px
+            mx = px
 
-        out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
-        out = jnp.where(both, jnp.clip(out, mn, mx), out)
-        out_ref[...] = jnp.where(pri_nz | sec_nz, out, px)
+            def acc_minmax(v, mn, mx):
+                u = jnp.where(v == INT16_MIN, 0x7FFF0000, v)
+                return jnp.minimum(mn, u), jnp.maximum(mx, v)
+
+            for k in range(2):
+                p0 = tap(k, 2, 1)
+                p1 = tap(k, 2, -1)
+                ptk = pri_tap0 if k == 0 else (pri_tap0 & 3) | 2
+                pc = ptk * (constrain(p0 - px, pri, pri_shift)
+                            + constrain(p1 - px, pri, pri_shift))
+                sum_ += jnp.where(pri_nz, pc, 0)
+                mn, mx = acc_minmax(jnp.where(both, p0, px), mn, mx)
+                mn, mx = acc_minmax(jnp.where(both, p1, px), mn, mx)
+                sec_tap = 2 - k
+                for sdir_off in (4, 0):
+                    for sgn in (1, -1):
+                        s = tap(k, sdir_off, sgn)
+                        sc = sec_tap * constrain(s - px, sec, sec_shift)
+                        sum_ += jnp.where(sec_nz, sc, 0)
+                        mn, mx = acc_minmax(jnp.where(both, s, px), mn, mx)
+
+            out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
+            out = jnp.where(both, jnp.clip(out, mn, mx), out)
+            out_ref[...] = jnp.where(pri_nz | sec_nz, out, px)
 
     return pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
+            pl.BlockSpec((1,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),  # per-band work flag
             pl.BlockSpec(memory_space=pl.ANY),  # canvas (HBM)
             pl.BlockSpec((OUT_ROWS, Wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -200,11 +215,19 @@ def _filter_tail(w, h, ph, pw, damping, bitdepth, interpret):
         sm = zero.at[ub, uc].set(sec)
         dm = zero.at[ub, uc].set(dirs)
 
+        # per-band work flags: OUT is a multiple of h (unit rows align
+        # with band steps), so a step's flag is an exact any() over the
+        # strengths of the unit rows it spans — no conservatism needed
+        rps = OUT // h  # unit rows per grid step
+        am = jnp.pad((pm | sm) != 0,
+                     ((0, nsteps * rps - nbands), (0, 0)))
+        flags = am.reshape(nsteps, -1).any(axis=1).astype(jnp.int32)
+
         def rep(m):  # unit map -> per-pixel (R, Wp) plane
             m = jnp.repeat(jnp.repeat(m, w, axis=1), h, axis=0)
             return jnp.pad(m, ((0, R - nbands * h), (0, 0)))
 
-        out = kern(canvas, rep(pm), rep(sm), rep(dm))
+        out = kern(flags, canvas, rep(pm), rep(sm), rep(dm))
         return plane.at[:ph, :pw].set(out[:ph, :pw])
 
     return apply

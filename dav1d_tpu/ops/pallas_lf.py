@@ -190,10 +190,24 @@ def _core(tap, P, classes, bitdepth):
 
 
 def _out_rows(Wp):
-    """Output rows per grid step: 32 up to 1080p-class widths; 8 for
-    wider planes (the 4K-width x 32-row live set overflows VMEM and
-    crashes the Mosaic compile)."""
+    """Vertical-pass output rows per grid step: 32 up to 1080p-class
+    widths; 8 for wider planes (the 4K-width x 32-row live set
+    overflows VMEM and crashes the Mosaic compile).  The V pass has no
+    row redundancy, so narrow bands cost only step overhead."""
     return 32 if Wp <= 2048 else 8
+
+
+H_OUT = 32  # horizontal-pass band rows (see _col_tile)
+
+
+def _col_tile(Wp):
+    """Horizontal-pass column tile.  The H pass evaluates the filter
+    core at OUT+16 rows to produce OUT output rows, so narrow bands
+    waste compute (at the r04 8-row 4K bands: 3x).  Column tiling
+    bounds the VMEM live set by width instead of band height, keeping
+    32-row bands at any plane width (1.5x).  H edges read/write within
+    their own columns -- column tiles need no halo."""
+    return Wp if Wp <= 2048 else 1024
 
 
 @functools.lru_cache(maxsize=None)
@@ -203,28 +217,38 @@ def _build_v(nsteps, Wp, classes, bitdepth, interpret, OUT):
     plane at column offset 16 so every static column shift stays in
     bounds; the filter core runs at every canvas position u (plane col
     u - 8) over width Wk = Wp + 16, covering all writer positions of
-    the Wp output columns."""
+    the Wp output columns.  Bands whose rows host no vertical edge
+    (per-band flag) copy through without evaluating the core."""
     Wc = Wp + 128
     Wk = Wp + 16
 
-    def kernel(canvas_ref, prm_ref, out_ref):
+    def kernel(flag_ref, canvas_ref, prm_ref, out_ref):
         b = canvas_ref[...]
-        P = prm_ref[:, 8:8 + Wk]
 
-        def tap(o):
-            return b[:, 8 + o : 8 + o + Wk]
+        @pl.when(flag_ref[0] == 0)
+        def _():
+            out_ref[...] = b[:, 16:16 + Wp]
 
-        res = b[:, 16:16 + Wp]
-        core = _core(tap, P, classes, bitdepth)
-        for o, (cond, val) in sorted(core.items()):
-            res = jnp.where(cond[:, 8 - o : 8 - o + Wp],
-                            val[:, 8 - o : 8 - o + Wp], res)
-        out_ref[...] = res
+        @pl.when(flag_ref[0] != 0)
+        def _():
+            P = prm_ref[:, 8:8 + Wk]
+
+            def tap(o):
+                return b[:, 8 + o : 8 + o + Wk]
+
+            res = b[:, 16:16 + Wp]
+            core = _core(tap, P, classes, bitdepth)
+            for o, (cond, val) in sorted(core.items()):
+                res = jnp.where(cond[:, 8 - o : 8 - o + Wp],
+                                val[:, 8 - o : 8 - o + Wp], res)
+            out_ref[...] = res
 
     return pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
+            pl.BlockSpec((1,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((OUT, Wc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((OUT, Wc), lambda i: (i, 0),
@@ -238,49 +262,70 @@ def _build_v(nsteps, Wp, classes, bitdepth, interpret, OUT):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_h(nsteps, Wp, classes, bitdepth, interpret, OUT):
-    """Horizontal-edge pass: one grid step = OUT output rows.  Writers
-    for a band live at plane rows [s-5, s+OUT+5] (offset reach -6..5),
-    so the core evaluates CORE = OUT+16 rows [s-8, s+OUT+8); their
-    taps read rows [s-15, s+OUT+14], covered by an (OUT+32)-row int16
-    canvas window starting at plane row s-16 (canvas top pad 16 keeps
-    the DMA start at the aligned canvas row s).  The packed parameter
-    plane (top pad 8) contributes a CORE-row window."""
+def _build_h(nsteps, Wp, classes, bitdepth, interpret, OUT, CT):
+    """Horizontal-edge pass: one grid step = an OUT-row x CT-column
+    output tile.  Writers for a band live at plane rows [s-5, s+OUT+5]
+    (offset reach -6..5), so the core evaluates CORE = OUT+16 rows
+    [s-8, s+OUT+8); their taps read rows [s-15, s+OUT+14], covered by
+    an (OUT+32)-row int16 canvas window starting at plane row s-16
+    (canvas top pad 16 keeps the DMA start at the aligned canvas row
+    s).  The packed parameter plane (top pad 8) contributes a CORE-row
+    window.  Tiles whose parameter window is empty (per-tile flag)
+    copy through without evaluating the core."""
     CORE = OUT + 16
+    nct = Wp // CT
 
-    def kernel(canvas_ref, prm_ref, out_ref, band, prm, sems):
+    def kernel(flag_ref, canvas_ref, prm_ref, out_ref, band, prm, sems):
         i = pl.program_id(0)
-        d1 = pltpu.make_async_copy(canvas_ref.at[pl.ds(i * OUT, OUT + 32)],
-                                   band, sems.at[0])
-        d2 = pltpu.make_async_copy(prm_ref.at[pl.ds(i * OUT, CORE)],
-                                   prm, sems.at[1])
+        j = pl.program_id(1)
+        c0 = pl.multiple_of(j * CT, 128)
+        d1 = pltpu.make_async_copy(
+            canvas_ref.at[pl.ds(i * OUT, OUT + 32), pl.ds(c0, CT)],
+            band, sems.at[0])
         d1.start()
-        d2.start()
+        work = flag_ref[0] != 0
+
+        @pl.when(work)
+        def _():
+            d2 = pltpu.make_async_copy(
+                prm_ref.at[pl.ds(i * OUT, CORE), pl.ds(c0, CT)],
+                prm, sems.at[1])
+            d2.start()
+            d2.wait()
+
         d1.wait()
-        d2.wait()
         b = band[...].astype(jnp.int32)
-        P = prm[...]
 
-        def tap(o):
-            return b[8 + o : 8 + o + CORE, :]
+        @pl.when(jnp.logical_not(work))
+        def _():
+            out_ref[...] = b[16:16 + OUT, :]
 
-        res = b[16:16 + OUT, :]
-        core = _core(tap, P, classes, bitdepth)
-        for o, (cond, val) in sorted(core.items()):
-            res = jnp.where(cond[8 - o : 8 - o + OUT, :],
-                            val[8 - o : 8 - o + OUT, :], res)
-        out_ref[...] = res
+        @pl.when(work)
+        def _():
+            P = prm[...]
+
+            def tap(o):
+                return b[8 + o : 8 + o + CORE, :]
+
+            res = b[16:16 + OUT, :]
+            core = _core(tap, P, classes, bitdepth)
+            for o, (cond, val) in sorted(core.items()):
+                res = jnp.where(cond[8 - o : 8 - o + OUT, :],
+                                val[8 - o : 8 - o + OUT, :], res)
+            out_ref[...] = res
 
     return pl.pallas_call(
         kernel,
-        grid=(nsteps,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+        grid=(nsteps, nct),
+        in_specs=[pl.BlockSpec((1,), lambda i, j: (i * nct + j,),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((OUT, Wp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((OUT, CT), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nsteps * OUT, Wp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((OUT + 32, Wp), jnp.int16),
-                        pltpu.VMEM((CORE, Wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((OUT + 32, CT), jnp.int16),
+                        pltpu.VMEM((CORE, CT), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=bool(interpret),
     )
@@ -294,40 +339,64 @@ def _jit_plane(ph, pw, classes, bitdepth, nbv, nbh, interpret):
     pixel rows at one pixel column (repeat rows, dilate cols),
     horizontal edges one pixel row across 4 columns (dilate rows,
     repeat cols).  Pad entries sit far out of bounds and drop out of
-    the scatter."""
+    the scatter.  Per-band / per-tile any-edge flags (from the cell
+    maps, pre-expansion) let the kernels skip the filter core where no
+    edge reaches (r5 band culling)."""
     Wp = -(-pw // 128) * 128
-    OUT = _out_rows(Wp)
-    R = -(-ph // OUT) * OUT
+    OUTV = _out_rows(Wp)
+    RV = -(-ph // OUTV) * OUTV
     Wc = Wp + 128
-    R4, W4 = R // 4, Wp // 4
-    kv = _build_v(R // OUT, Wp, classes, bitdepth, interpret, OUT) \
+    W4 = Wp // 4
+    OUTH = H_OUT
+    CT = _col_tile(Wp)
+    WH = -(-Wp // CT) * CT
+    W4H = WH // 4
+    RH = -(-ph // OUTH) * OUTH
+    nsv, nsh, nct = RV // OUTV, RH // OUTH, WH // CT
+    kv = _build_v(nsv, Wp, classes, bitdepth, interpret, OUTV) \
         if nbv else None
-    kh = _build_h(R // OUT, Wp, classes, bitdepth, interpret, OUT) \
+    kh = _build_h(nsh, WH, classes, bitdepth, interpret, OUTH, CT) \
         if nbh else None
 
-    def expand(ys, xs, pk, row_exact):
-        m = jnp.zeros((R4, W4), jnp.int32).at[ys, xs].set(pk)
+    def expand(ys, xs, pk, row_exact, R, W4t):
+        m = jnp.zeros((R // 4, W4t), jnp.int32).at[ys, xs].set(pk)
         if row_exact:  # horizontal edges: exact row, 4-col span
-            m = jnp.zeros((R4, 4, W4), jnp.int32).at[:, 0, :].set(m)
-            m = jnp.repeat(m.reshape(R, W4), 4, axis=1)
+            cells = m
+            m = jnp.zeros((R // 4, 4, W4t), jnp.int32).at[:, 0, :].set(m)
+            m = jnp.repeat(m.reshape(R, W4t), 4, axis=1)
         else:          # vertical edges: 4-row span, exact col
+            cells = m
             m = jnp.repeat(m, 4, axis=0)
-            m = jnp.zeros((R, W4, 4), jnp.int32).at[:, :, 0].set(m)
-            m = m.reshape(R, Wp)
-        return m
+            m = jnp.zeros((R, W4t, 4), jnp.int32).at[:, :, 0].set(m)
+            m = m.reshape(R, W4t * 4)
+        return m, cells
 
     def fn(plane, vys, vxs, vpk, hys, hxs, hpk):
         if kv is not None:
-            prm = jnp.pad(expand(vys, vxs, vpk, False),
-                          ((0, 0), (16, Wc - Wp - 16)))
-            canvas = jnp.zeros((R, Wc), jnp.int32).at[
+            prm, cells = expand(vys, vxs, vpk, False, RV, W4)
+            prm = jnp.pad(prm, ((0, 0), (16, Wc - Wp - 16)))
+            # a vertical edge reads/writes only its own 4 rows: the
+            # per-band any() over its cell rows is exact
+            flags = (cells != 0).reshape(nsv, -1).any(axis=1) \
+                .astype(jnp.int32)
+            canvas = jnp.zeros((RV, Wc), jnp.int32).at[
                 :ph, 16:16 + pw].set(plane)
-            plane = kv(canvas, prm)[:ph, :pw]
+            plane = kv(flags, canvas, prm)[:ph, :pw]
         if kh is not None:
-            prm = jnp.pad(expand(hys, hxs, hpk, True), ((8, 8), (0, 0)))
-            canvas = jnp.zeros((16 + R + 16, Wp), jnp.int16).at[
+            prm, cells = expand(hys, hxs, hpk, True, RH, W4H)
+            prm = jnp.pad(prm, ((8, 8), (0, 0)))
+            # horizontal writers reach 5 rows above / 6 below the edge
+            # row: flag a tile when any edge sits within 2 cell rows
+            # (8 px) of its band — a conservative superset
+            r4 = (cells != 0).reshape(RH // 4, nct, CT // 4).any(axis=2)
+            rpb = OUTH // 4
+            idx = jnp.clip(
+                jnp.arange(nsh)[:, None] * rpb
+                + jnp.arange(-2, rpb + 2)[None, :], 0, RH // 4 - 1)
+            flags = r4[idx].any(axis=1).astype(jnp.int32).reshape(-1)
+            canvas = jnp.zeros((16 + RH + 16, WH), jnp.int16).at[
                 16:16 + ph, :pw].set(plane.astype(jnp.int16))
-            plane = kh(canvas, prm)[:ph, :pw]
+            plane = kh(flags, canvas, prm)[:ph, :pw]
         return plane
 
     return jax.jit(fn)

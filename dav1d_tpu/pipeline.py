@@ -28,6 +28,11 @@ import numpy as np
 
 from .decode.tile import TaskContext
 
+# sticky device-intra failure flag: one exception out of the wavefront
+# chain degrades the rest of the process to the host phase-B walk
+# (mirrors recon/device_chain._BROKEN for the filter chain)
+_INTRA_DEV_BROKEN: set = set()
+
 
 
 
@@ -626,10 +631,20 @@ def _run_pass2_native(f, st) -> None:
     # blocks needing Python.
     # per-tile ranges are a valid order: intra prediction never crosses
     # tile boundaries (the reference reconstructs tiles independently)
-    if use_device("ipred"):
+    if use_device("ipred") and "ipred" not in _INTRA_DEV_BROKEN:
         from .recon.device_intra import intra_frame_device
-        if intra_frame_device(f, st):
-            return
+        try:
+            if intra_frame_device(f, st):
+                return
+        except Exception:
+            # sticky fallback (r4 verdict: an unguarded transport
+            # hiccup mid-chain killed a whole decode).  The device
+            # walk touches f.planes only in its final write-back, and
+            # the host phase-B walk is idempotent on intra pixels
+            # (prediction overwrites from already-final neighbor
+            # edges), so degrading here — even after a partial plane
+            # write-back — still reconstructs this frame exactly.
+            _INTRA_DEV_BROKEN.add("ipred")
     for s, e in ranges:
         cursor = s
         while cursor < e:

@@ -176,3 +176,54 @@ def test_mixed_stream(tmp_path):
     host, dev = _host_vs_device_ipred(ivf.read_bytes())
     assert host[0] == dev[0] == n
     assert dev[1] == host[1]
+
+
+def test_sticky_fallback_on_device_failure(tmp_path, monkeypatch):
+    """r5 (VERDICT r04 weak #4): an exception out of the device intra
+    chain must degrade to the host walk — same bytes, no raise — and
+    stick for subsequent frames."""
+    from dav1d_tpu import pipeline
+    from dav1d_tpu.recon import device_intra
+
+    w, h, n = 128, 96, 2
+    enc = AomEncoder(width=w, height=h, usage="good", kf_max_dist=1,
+                     lag=0, cpu_used=4, q=40)
+    pkts = enc.encode(noisy_frames(n, w, h))
+    enc.close()
+    ivf = tmp_path / "sticky.ivf"
+    write_ivf_packets(ivf, pkts, w, h)
+    data = ivf.read_bytes()
+
+    os.environ["DAV1D_TPU_DEVICE"] = "0"
+    os.environ["DAV1D_TPU_DEVICE_IPRED"] = "1"
+    from dav1d_tpu.dispatch import use_device
+    use_device.cache_clear()
+    try:
+        host_md5 = None
+        os.environ["DAV1D_TPU_DEVICE_IPRED"] = "0"
+        use_device.cache_clear()
+        host_md5 = _decode_md5(data)
+        os.environ["DAV1D_TPU_DEVICE_IPRED"] = "1"
+        use_device.cache_clear()
+
+        calls = {"n": 0}
+        real = device_intra.intra_frame_device
+
+        def boom(f, st):
+            calls["n"] += 1
+            raise RuntimeError("synthetic mid-chain transport failure")
+
+        monkeypatch.setattr(device_intra, "intra_frame_device", boom)
+        pipeline._INTRA_DEV_BROKEN.clear()
+        got = _decode_md5(data)
+        assert got == host_md5, "fallback decode diverged"
+        # first frame raised and tripped the flag; later frames must
+        # not even call the device path
+        assert calls["n"] == 1
+        assert "ipred" in pipeline._INTRA_DEV_BROKEN
+        monkeypatch.setattr(device_intra, "intra_frame_device", real)
+    finally:
+        os.environ.pop("DAV1D_TPU_DEVICE", None)
+        os.environ.pop("DAV1D_TPU_DEVICE_IPRED", None)
+        pipeline._INTRA_DEV_BROKEN.clear()
+        use_device.cache_clear()

@@ -184,6 +184,29 @@ CASES = {
         _args(w=1280, h=720, cpu_used=7, q=50,
               superres=(1, 14, 14, 50, 50),
               options={"tile-columns": 1})),
+    # production-scale geometry (VERDICT r04 missing #4): full-HD with
+    # grain + superres + 2x2 tiles in one stream — stripe counts, LR
+    # unit grids and CDEF rows at 1080p dims, multi-tile interactions,
+    # grain on the superres output
+    "fhd_grain_superres_tiles": (
+        dict(n=4),
+        _args(w=1920, h=1080, cpu_used=8, q=50,
+              superres=(1, 14, 14, 50, 50),
+              options={"tile-columns": 1, "tile-rows": 1,
+                       "denoise-noise-level": 12})),
+    # 4K smoke: the bench configs' geometry (3840-wide stripes/bands,
+    # superres at width 3840, 2 tile columns) oracle-compared
+    "uhd4k_smoke": (
+        dict(n=2),
+        _args(w=3840, h=2160, cpu_used=8, q=55,
+              superres=(1, 12, 12, 40, 40),
+              options={"tile-columns": 1})),
+    # >=48-frame GOP (VERDICT r04 item 8): 8-slot cycling + CDF
+    # adaptation drift at production GOP length through both pipelines
+    "gop48": (dict(n=48),
+              _args(w=192, h=128, lag=8, q=50, cpu_used=6,
+                    options={"enable-order-hint": 1,
+                             "enable-ref-frame-mvs": 1})),
 }
 
 

@@ -117,3 +117,32 @@ def test_resident_param_derivation():
         (uys // 8)[mc], (uxs // 8)[mc], 4, 4, uv_pri[mc], uv_sec[mc],
         damping - 1, bitdepth, False, False, interpret=True))
     assert np.array_equal(want_c, got_c)
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (4, 4)])
+def test_empty_bands_pass_through(w, h):
+    """Band culling (r5): steps whose unit rows carry no strength take
+    the flag==0 copy path and must still equal the XLA tier exactly —
+    units live only in the FIRST unit row, so every later band is
+    culled."""
+    import jax.numpy as jnp
+
+    bitdepth = 8
+    ph, pw = 96, 192  # Wp=256 -> OUT=32: bands 1..2 fully empty
+    rng = np.random.default_rng(7 + w)
+    plane = rng.integers(0, 256, (ph + 8, pw + 8)).astype(np.int32)
+    n_c = pw // w
+    ys = np.zeros(n_c, np.int64)
+    xs = np.arange(n_c, dtype=np.int64) * w
+    pri = rng.integers(1, 16, n_c).astype(np.int64)
+    sec = rng.integers(0, 5, n_c).astype(np.int64)
+    dirs = rng.integers(0, 8, n_c).astype(np.int64)
+    damping = 5
+
+    jplane = jnp.asarray(plane)
+    ref = np.asarray(dcdef.cdef_filter_plane_dev(
+        jplane, ph, pw, ys, xs, w, h, pri, sec, dirs, damping, bitdepth))
+    got = np.asarray(cdef_filter_plane_pallas(
+        jplane, ph, pw, ys, xs, w, h, pri, sec, dirs, damping, bitdepth,
+        interpret=True))
+    assert np.array_equal(ref, got)

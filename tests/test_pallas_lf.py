@@ -173,3 +173,50 @@ def test_single_direction(v_only):
         jnp.asarray(plane), lst if v_only else None,
         None if v_only else lst, 8, True, interpret=True))
     assert np.array_equal(ref, got)
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_wide_plane_column_tiles(sparse):
+    """4K-class widths (r5): Wp > 2048 takes the column-tiled 32-row
+    horizontal pass (ops/pallas_lf._col_tile) — nct > 1, padded WH >
+    pw — plus band/tile culling.  sparse=True leaves whole column
+    tiles and row bands edge-free to exercise the flag==0 copy path."""
+    import jax.numpy as jnp
+
+    from dav1d_tpu.ops.lf import loop_filter_batch
+    from dav1d_tpu.recon.lf import calc_eih
+
+    bitdepth = 8
+    ph, pw = 64, 2176  # Wp=2176 -> CT=1024, WH=3072, nct=3
+    luma = True
+    rng = np.random.default_rng(11 + sparse)
+    plane = rng.integers(0, 256, (ph, pw)).astype(np.int32)
+    wd_map = {1: 4, 2: 8, 3: 16}
+    e_lut, i_lut = calc_eih(0)
+    ed_v, ed_h = _gen_edges(rng, ph, pw, 2)
+    if sparse:
+        # keep only edges in the first 256 px columns and top 32 rows:
+        # tiles (·, j>0) and band 1 must cull
+        ed_v = {k: v for k, v in ed_v.items() if k[1] < 64 and k[0] < 8}
+        ed_h = {k: v for k, v in ed_h.items() if k[1] < 64 and k[0] < 8}
+    lv = _edge_lists(rng, ed_v, e_lut, i_lut)
+    lh = _edge_lists(rng, ed_h, e_lut, i_lut)
+
+    dev = jnp.asarray(plane)
+    for dir_, lst in ((0, lv), (1, lh)):
+        if lst is None:
+            continue
+        ys, xs, E, I, H, cls = lst
+        for c, wd_px in wd_map.items():
+            sel = cls == c
+            if not sel.any():
+                continue
+            dev = loop_filter_batch(dev, ys[sel] * 4, xs[sel] * 4,
+                                    E[sel], I[sel], H[sel], dir_ == 0,
+                                    wd_px, bitdepth)
+    ref = np.asarray(dev)
+
+    got = np.asarray(deblock_plane_pallas(
+        jnp.asarray(plane), lv, lh, bitdepth, luma, interpret=True))
+    assert np.array_equal(ref, got), (
+        f"mismatch at {np.argwhere(ref != got)[:6]}")

@@ -142,7 +142,17 @@ def part_a():
                       "scaling; byte_equal is the correctness claim"))
 
 
-def part_b(reps=64):
+def part_b(reps=64, resume_dir=None, budget_s=None):
+    """Strong-scaling compute efficiency on the real chip.
+
+    Resumable (VERDICT r04 item 2): with --resume-dir each timed group
+    is written to its own JSON part keyed by a stable content hash the
+    moment it finishes; a re-run skips finished groups, so repeated
+    deadline-bounded invocations converge even when the tunnel stalls
+    mid-run (the monolithic form was deadline-killed twice in r04).
+    Returns the merged part-B dict once every group has a part file,
+    else None (caller re-invokes)."""
+    t_start = time.perf_counter()
     os.environ["DAV1D_TPU_DEVICE"] = "1"
     import jax
 
@@ -205,7 +215,12 @@ def part_b(reps=64):
         return [x[:sb] if getattr(x, "ndim", 0) >= 1 and len(x) == b
                 else x for x in arrs]
 
-    groups = defaultdict(list)
+    # Stable group key: (tag, arg shapes/dtypes, kw, dup index among
+    # same-shaped groups with distinct program objects).  id(prog) is
+    # NOT stable across runs; the decode is deterministic so the dup
+    # ordinal is.
+    by_id = defaultdict(list)
+    id_order = {}
     for ent in sink:
         if ent[0] == "frame":
             continue
@@ -213,35 +228,73 @@ def part_b(reps=64):
         shapes = tuple(
             (tuple(x.shape), str(x.dtype)) if hasattr(x, "shape")
             else repr(x) for x in a)
-        groups[(tag, id(prog), shapes, tuple(sorted(kw.items())))] \
-            .append(ent)
+        base = (tag, shapes, tuple(sorted(kw.items())))
+        ik = (base, id(prog))
+        if ik not in id_order:
+            id_order[ik] = sum(1 for k in id_order if k[0] == base)
+        by_id[(base, id_order[ik])].append(ent)
+
+    groups = by_id
+    part_dir = Path(resume_dir) if resume_dir else None
+    if part_dir:
+        part_dir.mkdir(parents=True, exist_ok=True)
+
+    def part_path(key):
+        base, dup = key
+        h = hashlib.md5(repr((base, dup)).encode()).hexdigest()[:12]
+        return part_dir / f"g_{base[0]}_{h}.json"
 
     rows = []
     NS = (2, 4, 8)
     tot_full = 0.0
     tot_shard = {n: 0.0 for n in NS}
-    for key, ents in sorted(groups.items(), key=lambda kv: -len(kv[1])):
-        tag = key[0]
+    n_done = n_skipped = 0
+    order = sorted(groups.items(), key=lambda kv: -len(kv[1]))
+    for key, ents in order:
+        tag = key[0][0]
         _, prog, a, kw = ents[0]
-        try:
-            full = devrt.time_program(prog, a, kw=kw, reps0=reps)
-            shard_ms = {}
-            for n in NS:
-                sa = shard_args(tag, a, n)
-                shard_ms[n] = devrt.time_program(prog, sa, kw=kw,
-                                                 reps0=reps)
-        except Exception as e:  # noqa: BLE001
-            print(f"  [{tag}] failed: {type(e).__name__}: {e}")
-            continue
         cnt = len(ents)
+        row = None
+        if part_dir and (pp := part_path(key)).exists():
+            try:
+                row = json.loads(pp.read_text())
+            except Exception:  # noqa: BLE001
+                row = None
+        if row is None:
+            if (budget_s is not None
+                    and time.perf_counter() - t_start > budget_s):
+                print(f"budget reached: {n_done} timed this run, "
+                      f"{n_skipped} cached, "
+                      f"{len(order) - n_done - n_skipped} remain")
+                return None
+            try:
+                full = devrt.time_program(prog, a, kw=kw, reps0=reps)
+                shard_ms = {}
+                for n in NS:
+                    sa = shard_args(tag, a, n)
+                    shard_ms[n] = devrt.time_program(prog, sa, kw=kw,
+                                                     reps0=reps)
+            except Exception as e:  # noqa: BLE001
+                print(f"  [{tag}] failed: {type(e).__name__}: {e}")
+                continue
+            row = dict(
+                family=tag, launches=cnt, full_ms=round(full, 4),
+                shard_ms={str(n): round(shard_ms[n], 4) for n in NS},
+                efficiency={str(n): round(full / (n * shard_ms[n]), 3)
+                            if shard_ms[n] > 0 else None for n in NS})
+            if part_dir:
+                pp = part_path(key)
+                pp.with_suffix(".tmp").write_text(json.dumps(row))
+                pp.with_suffix(".tmp").rename(pp)
+            n_done += 1
+        else:
+            n_skipped += 1
+        full = row["full_ms"]
+        shard_ms = {n: row["shard_ms"][str(n)] for n in NS}
         tot_full += full * cnt
         for n in NS:
             tot_shard[n] += shard_ms[n] * cnt
-        rows.append(dict(
-            family=tag, launches=cnt, full_ms=round(full, 4),
-            shard_ms={str(n): round(shard_ms[n], 4) for n in NS},
-            efficiency={str(n): round(full / (n * shard_ms[n]), 3)
-                        if shard_ms[n] > 0 else None for n in NS}))
+        rows.append(row)
         print(f"  {tag:<12} full {full:8.4f}ms  " + "  ".join(
             f"N={n}: {shard_ms[n]:7.4f}ms eff="
             f"{full / (n * shard_ms[n]):4.2f}" if shard_ms[n] > 0 else
@@ -269,6 +322,11 @@ def main():
     ap.add_argument("--merge", nargs="*", default=None,
                     help="merge part artifacts into one")
     ap.add_argument("--reps", type=int, default=64)
+    ap.add_argument("--resume-dir", default=None,
+                    help="part B: per-group result cache dir")
+    ap.add_argument("--budget", type=float, default=None,
+                    help="part B: wall-clock budget (s); exit cleanly "
+                         "when exceeded (resume via --resume-dir)")
     args = ap.parse_args()
 
     if args.merge is not None:
@@ -293,7 +351,11 @@ def main():
         print(f"wrote {args.json}")
         return
 
-    res = part_a() if args.part == "A" else part_b(args.reps)
+    res = (part_a() if args.part == "A"
+           else part_b(args.reps, resume_dir=args.resume_dir,
+                       budget_s=args.budget))
+    if res is None:
+        sys.exit(3)  # budget hit, incomplete: re-invoke to resume
     if args.json:
         Path(args.json).write_text(json.dumps(res, indent=1))
         print(f"wrote {args.json}")
