@@ -587,7 +587,7 @@ def decode_frame_pass1(f: FrameContext, tile_groups,
         if decode_glue.available() and not debug.TRACE \
                 and isinstance(f.ts[0].msac, MsacNative):
             par = (getattr(f, "n_threads", 0) >= 2
-                   and hdr.tiling.cols > 1
+                   and hdr.tiling.cols * hdr.tiling.rows > 1
                    and os.environ.get("DAV1D_TPU_ITX_PALLAS") != "1")
             try:
                 nat = decode_glue.NativeFrameDecode(
@@ -598,39 +598,68 @@ def decode_frame_pass1(f: FrameContext, tile_groups,
                 nat = None
 
     from ..refmvs import load_tmvs, save_tmvs
+
+    def _sbrows():
+        for tile_row in range(hdr.tiling.rows):
+            sbh_end = min(hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
+            for sby in range(hdr.tiling.row_start_sb[tile_row], sbh_end):
+                by = sby << (4 + f.seq_hdr.sb128)
+                yield by, (by + f.sb_step) >> 1
+
     if par_cols:
-        pool = _tile_pool(min(f.n_threads, par_cols))
-        t_cols = [TaskContext(f) for _ in range(par_cols)]
-        for tc in t_cols:
+        # full tile-GRID parallel pass 1 (r5; the reference's tile-task
+        # parallelism spans tile rows too, src/thread_task.c:733-791).
+        # Tiles are entropy-independent; arenas/above-ctx/refmvs rows
+        # are disjoint per tile (above contexts are allocated per sb128
+        # column PER TILE ROW, frame.py:207).  The temporal-MV
+        # projection is a serial prologue (reads only prior frames'
+        # state) and save_tmvs a serial epilogue (reads the refmvs grid
+        # rows all tiles have finished writing) — byte-equal to the
+        # interleaved per-sbrow order because neither crosses pass-1
+        # symbol decode state.
+        if hdr.use_ref_frame_mvs and f.rf is not None:
+            for by, by_end in _sbrows():
+                load_tmvs(f.rf, 0, f.bw >> 1, by >> 1, by_end)
+        tasks = []
+        for tile_row in range(hdr.tiling.rows):
+            sbh_end = min(hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
+            rows = range(hdr.tiling.row_start_sb[tile_row], sbh_end)
+            for c in range(hdr.tiling.cols):
+                tasks.append((f.ts[tile_row * hdr.tiling.cols + c],
+                              rows))
+        pool = _tile_pool(min(f.n_threads, len(tasks)))
+
+        def _tile_task(ts, rows):
+            tc = TaskContext(f)
             tc.pass_ = t.pass_
-    for tile_row in range(hdr.tiling.rows):
-        sbh_end = min(hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
-        for sby in range(hdr.tiling.row_start_sb[tile_row], sbh_end):
-            t.by = sby << (4 + f.seq_hdr.sb128)
-            by_end = (t.by + f.sb_step) >> 1
-            if hdr.use_ref_frame_mvs and f.rf is not None:
-                load_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
-            if par_cols:
-                # tiles of this sbrow in parallel: per-column contexts,
-                # disjoint arena slices / above-ctx / frame buffers
-                for c in range(par_cols):
-                    t_cols[c].by = t.by
-                    t_cols[c].ts = f.ts[tile_row * par_cols + c]
-                futs = [pool.submit(nat.decode_tile_sbrow, t_cols[c])
-                        for c in range(par_cols)]
-                for fu in futs:
-                    fu.result()
-            else:
+            for sby in rows:
+                tc.by = sby << (4 + f.seq_hdr.sb128)
+                tc.ts = ts
+                nat.decode_tile_sbrow(tc)
+
+        futs = [pool.submit(_tile_task, ts, rows) for ts, rows in tasks]
+        for fu in futs:
+            fu.result()
+        if hdr.frame_type.is_inter_or_switch and f.rf is not None:
+            for by, by_end in _sbrows():
+                save_tmvs(f.rf, 0, f.bw >> 1, by >> 1, by_end)
+        nat.finish_parallel()
+    else:
+        for tile_row in range(hdr.tiling.rows):
+            sbh_end = min(hdr.tiling.row_start_sb[tile_row + 1], f.sbh)
+            for sby in range(hdr.tiling.row_start_sb[tile_row], sbh_end):
+                t.by = sby << (4 + f.seq_hdr.sb128)
+                by_end = (t.by + f.sb_step) >> 1
+                if hdr.use_ref_frame_mvs and f.rf is not None:
+                    load_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
                 for tile_col in range(hdr.tiling.cols):
                     t.ts = f.ts[tile_row * hdr.tiling.cols + tile_col]
                     if nat is not None:
                         nat.decode_tile_sbrow(t)
                     else:
                         decode_tile_sbrow(t)
-            if hdr.frame_type.is_inter_or_switch and f.rf is not None:
-                save_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
-    if par_cols:
-        nat.finish_parallel()
+                if hdr.frame_type.is_inter_or_switch and f.rf is not None:
+                    save_tmvs(f.rf, 0, f.bw >> 1, t.by >> 1, by_end)
 
     f._two_pass = two_pass
     f._launched = None

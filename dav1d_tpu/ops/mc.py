@@ -50,7 +50,11 @@ def _put_core(src, fh, fv, w, h, bitdepth):
     vtaps = jnp.stack([mid[:, t : t + h, :] for t in range(8)], axis=-1)
     out = jnp.sum(vtaps * fv[:, None, None, :], axis=-1, dtype=jnp.int32)
     out = _rnd_shift(out, 6 + ib)
-    return jnp.clip(out, 0, (1 << bitdepth) - 1)
+    out = jnp.clip(out, 0, (1 << bitdepth) - 1)
+    # narrow output: values are clipped into [0, 2^bd), and these
+    # predictions' only consumer is the host-side scatter — 4x/2x
+    # fewer bytes cross the transport (devrt.XFER budget)
+    return out.astype(jnp.uint8 if bitdepth == 8 else jnp.uint16)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "bitdepth"))

@@ -167,8 +167,10 @@ def _gather_put_prog(plane, dys, dxs, fh, fv, *, w, h, bitdepth,
         grid_spec=grid_spec,
         interpret=interpret,
     )(dys, dxs, plane, fhl, fvl)
-    # (h, steps*BB*SEG) -> (N, h, w)
-    return out.reshape(h, n, SEG).transpose(1, 0, 2)[:, :, :w]
+    # (h, steps*BB*SEG) -> (N, h, w); narrow for the download (values
+    # clipped in-kernel; the XLA-side cast fuses into this program)
+    out = out.reshape(h, n, SEG).transpose(1, 0, 2)[:, :, :w]
+    return out.astype(jnp.uint8 if bitdepth == 8 else jnp.uint16)
 
 
 _BROKEN = False  # sticky: first Mosaic/compile failure -> XLA fallback

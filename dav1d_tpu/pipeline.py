@@ -538,8 +538,10 @@ def _split_groups(key):
 
 
 def _scatter_mc_device(f, mc_st):
+    from .devrt import fetch
+
     for fut, (pls, dys, dxs, h, w) in mc_st.launched:
-        out = np.asarray(fut)[: len(pls)]
+        out = fetch(fut)[: len(pls)]
         arh = np.arange(h)
         arw = np.arange(w)
         for pl in range(3):

@@ -292,11 +292,18 @@ def filter_chain_device(f) -> bool:
     if do_lr:
         dev = _lr_resident(f, dev, pre_dev)
 
+    # download in the narrow storage dtype (pixels are clipped into
+    # [0, 2^bd) by every filter stage): 4x/2x fewer wire bytes than the
+    # int32 working arrays, measured by the devrt.XFER budget
+    from .. import devrt
+    cast = devrt.narrow_cast(f.bitdepth)
+
     if do_resize:
-        f.sr_planes = [np.asarray(p) for p in dev]
+        f.sr_planes = [devrt.fetch(cast(p)).astype(np.int32)
+                       for p in dev]
     else:
         for pl in range(len(f.planes)):
-            f.planes[pl][:, :] = np.asarray(dev[pl])
+            f.planes[pl][:, :] = devrt.fetch(cast(dev[pl]))
         f.sr_planes = f.planes
     # the final resident planes ARE the reference state future frames'
     # device MC gathers from (ops/mc.py put_8tap_resident) — stash them

@@ -932,9 +932,13 @@ def intra_frame_device(f, st) -> bool:
         if ci == 0:
             luma_dev = plane
 
-    f.planes[0][:] = np.asarray(dev_planes[0])
+    # narrow download: predicted+residual pixels are clipped into
+    # [0, 2^bd) by every unit program (devrt.XFER budget)
+    from .. import devrt
+    cast = devrt.narrow_cast(bd)
+    f.planes[0][:] = devrt.fetch(cast(dev_planes[0]))
     if n_planes == 3:
-        uv = np.asarray(dev_planes[1])
+        uv = devrt.fetch(cast(dev_planes[1]))
         f.planes[1][:] = uv[:hc]
         f.planes[2][:] = uv[hc:]
     return True

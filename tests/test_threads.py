@@ -169,3 +169,27 @@ def test_nfc_pool_respects_ref_dependency(stream):
     _, got = _md5(tus, Settings(two_pass=True, n_threads=64,
                                 max_frame_delay=16))
     assert got == ref
+
+
+def test_tile_rows_only_parallel_bit_exact(tmp_path):
+    """r5: pass-1 parallelism spans the tile GRID, so a stream with
+    only tile ROWS (cols=1) — serial under the r4 column-only driver —
+    must also decode byte-exact on threads."""
+    from dav1d_tpu.containers import read_ivf
+    from dav1d_tpu.decoder import Settings
+
+    p = tmp_path / "tilerows.ivf"
+    enc = AomEncoder(width=192, height=256, usage="good", cpu_used=6,
+                     q=40, kf_max_dist=4, lag=0,
+                     options={"tile-columns": 0, "tile-rows": 2,
+                              "denoise-noise-level": 10})
+    pkts = enc.encode(gradient_frames(5, 192, 256))
+    enc.close()
+    write_ivf_packets(p, pkts, 192, 256)
+    tus = [tu for tu, _ in read_ivf(p.read_bytes())]
+
+    n0, ref = _md5(tus, Settings(two_pass=True))
+    for nt in (2, 4):
+        nn, got = _md5(tus, Settings(two_pass=True, n_threads=nt,
+                                     max_frame_delay=3))
+        assert (nn, got) == (n0, ref), f"n_threads={nt}"

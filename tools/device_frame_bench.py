@@ -122,6 +122,7 @@ def main():
     # -- record the launch stream of a real forced-device decode ------
     sink = []
     devrt.SINK = sink
+    devrt.XFER = {"up": 0, "down": 0}
     n_frames = 0
     t0 = time.perf_counter()
     dec = Decoder(Settings(two_pass=True))
@@ -131,6 +132,8 @@ def main():
         n_frames += 1
     decode_wall = time.perf_counter() - t0
     devrt.SINK = None
+    xfer = devrt.XFER
+    devrt.XFER = None
     print(f"decode: {n_frames} frames, {len(sink)} device launches, "
           f"{decode_wall:.1f}s wall (tunnel-bound, not the metric)")
 
@@ -221,6 +224,20 @@ def main():
           f"{fps:.1f} fps (device compute only)")
     print(f"  upload volume: {up_bytes / n_frames / 1e6:.2f} MB/frame "
           f"(numpy args crossing the host boundary)")
+    # measured per-frame transfer budget (devrt.XFER: every host->device
+    # numpy arg and every device->host fetch during the real decode) and
+    # its cost on a locally attached link — the projection's transfer
+    # term (VERDICT r04 weak #7)
+    up_mb = xfer["up"] / n_frames / 1e6
+    down_mb = xfer["down"] / n_frames / 1e6
+    pcie_ms = (up_mb + down_mb) * 1e6 / 16e9 * 1e3  # 16 GB/s PCIe gen4
+    print(f"  measured transfers: {up_mb:.2f} MB up + {down_mb:.2f} MB "
+          f"down per frame (~{pcie_ms:.2f} ms at 16 GB/s local PCIe)")
+    tail_ms = sum(fam_ms.values()) - sum(
+        r["ms_total"] for r in rows)
+    print(f"  extrapolated tail: {tail_ms / max(n_frames, 1):.2f} "
+          f"ms/frame of the total is family-median extrapolation "
+          f"({100 * tail_ms / max(total_ms, 1e-9):.0f}%)")
 
     if args.json:
         Path(args.json).write_text(json.dumps(dict(
@@ -230,6 +247,11 @@ def main():
             device_compute_ms_per_frame=round(per_frame, 3),
             projected_fps_compute_only=round(fps, 2),
             upload_mb_per_frame=round(up_bytes / n_frames / 1e6, 3),
+            measured_up_mb_per_frame=round(up_mb, 3),
+            measured_down_mb_per_frame=round(down_mb, 3),
+            transfer_ms_per_frame_at_16GBps=round(pcie_ms, 3),
+            extrapolated_ms_per_frame=round(
+                tail_ms / max(n_frames, 1), 3),
             per_family_ms_per_frame={
                 t: round(v / n_frames, 3) for t, v in fam_ms.items()},
             launches_per_family=dict(fam_launches),
