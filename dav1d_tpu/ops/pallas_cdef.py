@@ -110,12 +110,17 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
             pri = pri_ref[...].astype(jnp.int32)  # per-pixel maps
             sec = sec_ref[...].astype(jnp.int32)
             dr = dir_ref[...].astype(jnp.int32)
-            oh = [(dr == d).astype(jnp.int32) for d in range(8)]
+            oh = [dr == d for d in range(8)]
 
             def tap(k, off, sgn):
-                """One-hot select of the per-direction shifted window
-                for tap table row k at table offset `off`, sign `sgn`."""
-                # dedupe identical offsets across directions
+                """Per-direction shifted-window select for tap table
+                row k at table offset `off`, sign `sgn`.  The direction
+                sets per distinct offset partition the 8 directions, so
+                a where-chain over offsets is exact — and replaces the
+                r4 one-hot mask-multiply-add form, whose ~7 int32
+                multiplies per tap per pixel dominated the 4K lattice
+                cost (int32 multiply is a multi-op lowering on the
+                VPU; select is one op)."""
                 byoff = {}
                 for d in range(8):
                     oy = sgn * int(_DY[k][off + d])
@@ -125,9 +130,9 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
                 for (oy, ox), ds in byoff.items():
                     m = oh[ds[0]]
                     for d in ds[1:]:
-                        m = m + oh[d]
-                    v = m * window(oy, ox)
-                    acc = v if acc is None else acc + v
+                        m = m | oh[d]
+                    v = window(oy, ox)
+                    acc = v if acc is None else jnp.where(m, v, acc)
                 return acc
 
             pri_nz = pri > 0
@@ -136,7 +141,10 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
             pri_shift = jnp.maximum(
                 0, damping - _ulog2_vec(jnp.maximum(pri, 1)))
             sec_shift = damping - _ulog2_vec(jnp.maximum(sec, 1))
-            pri_tap0 = 4 - ((pri >> bdmin8) & 1)
+            # primary tap weight is 4 or 3 by strength parity (and 2/3
+            # for k=1): selects over shifted forms, no per-pixel
+            # int32 multiply
+            par = ((pri >> bdmin8) & 1) > 0
 
             sum_ = jnp.zeros_like(px)
             mn = px
@@ -149,19 +157,27 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
             for k in range(2):
                 p0 = tap(k, 2, 1)
                 p1 = tap(k, 2, -1)
-                ptk = pri_tap0 if k == 0 else (pri_tap0 & 3) | 2
-                pc = ptk * (constrain(p0 - px, pri, pri_shift)
-                            + constrain(p1 - px, pri, pri_shift))
+                x = (constrain(p0 - px, pri, pri_shift)
+                     + constrain(p1 - px, pri, pri_shift))
+                if k == 0:  # weight: parity ? 3 : 4
+                    pc = jnp.where(par, (x << 1) + x, x << 2)
+                else:       # weight: parity ? 3 : 2
+                    pc = jnp.where(par, (x << 1) + x, x << 1)
+                # mn/mx feed ONLY the clip under `both` (r4 wrapped
+                # every tap in where(both, tap, px) — suppressed
+                # garbage that the final where never reads anyway;
+                # the INT16_MIN sentinel already neutralizes
+                # outside-canvas taps for min, and is a no-op for max)
                 sum_ += jnp.where(pri_nz, pc, 0)
-                mn, mx = acc_minmax(jnp.where(both, p0, px), mn, mx)
-                mn, mx = acc_minmax(jnp.where(both, p1, px), mn, mx)
-                sec_tap = 2 - k
+                mn, mx = acc_minmax(p0, mn, mx)
+                mn, mx = acc_minmax(p1, mn, mx)
                 for sdir_off in (4, 0):
                     for sgn in (1, -1):
                         s = tap(k, sdir_off, sgn)
-                        sc = sec_tap * constrain(s - px, sec, sec_shift)
+                        sc = constrain(s - px, sec, sec_shift)
+                        sc = sc + sc if k == 0 else sc  # sec_tap = 2-k
                         sum_ += jnp.where(sec_nz, sc, 0)
-                        mn, mx = acc_minmax(jnp.where(both, s, px), mn, mx)
+                        mn, mx = acc_minmax(s, mn, mx)
 
             out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
             out = jnp.where(both, jnp.clip(out, mn, mx), out)
