@@ -81,6 +81,7 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
     def kernel(flag_ref, canvas_ref, pri_ref, sec_ref, dir_ref, out_ref,
                band, sem):
         i = pl.program_id(0)
+        work = flag_ref[i]
         # OUT_ROWS+8-row copy: DMA slice heights must align to the
         # (8, 128) tile; the canvas carries enough bottom padding for
         # the last step's over-read
@@ -101,11 +102,11 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
         # exactly — skip the whole decision lattice (most 4K bands on
         # typical content; the flag is derived from the unit maps on
         # the outer jit).
-        @pl.when(flag_ref[0] == 0)
+        @pl.when(work == 0)
         def _():
             out_ref[...] = px
 
-        @pl.when(flag_ref[0] != 0)
+        @pl.when(work != 0)
         def _():
             pri = pri_ref[...].astype(jnp.int32)  # per-pixel maps
             sec = sec_ref[...].astype(jnp.int32)
@@ -187,8 +188,10 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (i,),
-                         memory_space=pltpu.SMEM),  # per-band work flag
+            # per-band work flags: the whole (nsteps,) vector lives in
+            # SMEM, indexed by program_id (blocked SMEM scalars fail
+            # the TPU lowering's tiling check)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # canvas (HBM)
             pl.BlockSpec((OUT_ROWS, Wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

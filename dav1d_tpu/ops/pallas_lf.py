@@ -87,9 +87,26 @@ def _core(tap, P, classes, bitdepth):
     oh = {wd: cls == idx for idx, wd in classes}
     a = jnp.abs
 
+    # small-constant multiplies as shift-adds (int32 multiply is a
+    # multi-op lowering on the VPU; r5, same argument as pallas_cdef)
+    def x2(v):
+        return v << 1
+
+    def x3(v):
+        return (v << 1) + v
+
+    def x4(v):
+        return v << 2
+
+    def x5(v):
+        return (v << 2) + v
+
+    def x7(v):
+        return (v << 3) - v
+
     p1, p0, q0, q1 = tap(-2), tap(-1), tap(0), tap(1)
     fm = ((a(p1 - p0) <= I) & (a(q1 - q0) <= I)
-          & (a(p0 - q0) * 2 + (a(p1 - q1) >> 1) <= E))
+          & (x2(a(p0 - q0)) + (a(p1 - q1) >> 1) <= E))
 
     out = {}
 
@@ -117,10 +134,10 @@ def _core(tap, P, classes, bitdepth):
         m6 = oh[6] & fm2
         mid6 = m6 & f8_6
         narrow = narrow | (m6 & ~f8_6)
-        emit(-2, mid6, (p2 + 2 * p2 + 2 * p1 + 2 * p0 + q0 + 4) >> 3)
-        emit(-1, mid6, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
-        emit(0, mid6, (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3)
-        emit(1, mid6, (p0 + 2 * q0 + 2 * q1 + 2 * q2 + q2 + 4) >> 3)
+        emit(-2, mid6, (x3(p2) + x2(p1) + x2(p0) + q0 + 4) >> 3)
+        emit(-1, mid6, (p2 + x2(p1) + x2(p0) + x2(q0) + q1 + 4) >> 3)
+        emit(0, mid6, (p1 + x2(p0) + x2(q0) + x2(q1) + q2 + 4) >> 3)
+        emit(1, mid6, (p0 + x2(q0) + x2(q1) + x3(q2) + 4) >> 3)
 
     mid8 = None
     if have8:
@@ -138,46 +155,46 @@ def _core(tap, P, classes, bitdepth):
         mid16 = m16 & f8_8 & ~f8out
         narrow = narrow | (m16 & ~f8_8)
         mid8 = mid16 if mid8 is None else (mid8 | mid16)
-        emit(-6, big, (p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0
+        emit(-6, big, (x7(p6) + x2(p5) + x2(p4) + p3 + p2 + p1 + p0 + q0
                        + 8) >> 4)
-        emit(-5, big, (p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0
+        emit(-5, big, (x5(p6) + x2(p5) + x2(p4) + x2(p3) + p2 + p1 + p0
                        + q0 + q1 + 8) >> 4)
-        emit(-4, big, (p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0
+        emit(-4, big, (x4(p6) + p5 + x2(p4) + x2(p3) + x2(p2) + p1 + p0
                        + q0 + q1 + q2 + 8) >> 4)
-        emit(-3, big, (p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0
+        emit(-3, big, (x3(p6) + p5 + p4 + x2(p3) + x2(p2) + x2(p1) + p0
                        + q0 + q1 + q2 + q3 + 8) >> 4)
-        emit(-2, big, (p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2
+        emit(-2, big, (x2(p6) + p5 + p4 + p3 + x2(p2) + x2(p1) + x2(p0)
                        + q0 + q1 + q2 + q3 + q4 + 8) >> 4)
-        emit(-1, big, (p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2
+        emit(-1, big, (p6 + p5 + p4 + p3 + p2 + x2(p1) + x2(p0) + x2(q0)
                        + q1 + q2 + q3 + q4 + q5 + 8) >> 4)
-        emit(0, big, (p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 * 2
+        emit(0, big, (p5 + p4 + p3 + p2 + p1 + x2(p0) + x2(q0) + x2(q1)
                       + q2 + q3 + q4 + q5 + q6 + 8) >> 4)
-        emit(1, big, (p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 * 2
-                      + q3 + q4 + q5 + q6 * 2 + 8) >> 4)
-        emit(2, big, (p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 + q3 * 2
-                      + q4 + q5 + q6 * 3 + 8) >> 4)
-        emit(3, big, (p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 * 2
-                      + q5 + q6 * 4 + 8) >> 4)
-        emit(4, big, (p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 * 2
-                      + q6 * 5 + 8) >> 4)
-        emit(5, big, (p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2 + q6 * 7
+        emit(1, big, (p4 + p3 + p2 + p1 + p0 + x2(q0) + x2(q1) + x2(q2)
+                      + q3 + q4 + q5 + x2(q6) + 8) >> 4)
+        emit(2, big, (p3 + p2 + p1 + p0 + q0 + x2(q1) + x2(q2) + x2(q3)
+                      + q4 + q5 + x3(q6) + 8) >> 4)
+        emit(3, big, (p2 + p1 + p0 + q0 + q1 + x2(q2) + x2(q3) + x2(q4)
+                      + q5 + x4(q6) + 8) >> 4)
+        emit(4, big, (p1 + p0 + q0 + q1 + q2 + x2(q3) + x2(q4) + x2(q5)
+                      + x5(q6) + 8) >> 4)
+        emit(5, big, (p0 + q0 + q1 + q2 + q3 + x2(q4) + x2(q5) + x7(q6)
                       + 8) >> 4)
     if mid8 is not None:
-        emit(-3, mid8, (p3 + p3 + p3 + 2 * p2 + p1 + p0 + q0 + 4) >> 3)
-        emit(-2, mid8, (p3 + p3 + p2 + 2 * p1 + p0 + q0 + q1 + 4) >> 3)
-        emit(-1, mid8, (p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3)
-        emit(0, mid8, (p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3)
-        emit(1, mid8, (p1 + p0 + q0 + 2 * q1 + q2 + q3 + q3 + 4) >> 3)
-        emit(2, mid8, (p0 + q0 + q1 + 2 * q2 + q3 + q3 + q3 + 4) >> 3)
+        emit(-3, mid8, (x3(p3) + x2(p2) + p1 + p0 + q0 + 4) >> 3)
+        emit(-2, mid8, (x2(p3) + p2 + x2(p1) + p0 + q0 + q1 + 4) >> 3)
+        emit(-1, mid8, (p3 + p2 + p1 + x2(p0) + q0 + q1 + q2 + 4) >> 3)
+        emit(0, mid8, (p2 + p1 + p0 + x2(q0) + q1 + q2 + q3 + 4) >> 3)
+        emit(1, mid8, (p1 + p0 + q0 + x2(q1) + q2 + x2(q3) + 4) >> 3)
+        emit(2, mid8, (p0 + q0 + q1 + x2(q2) + x3(q3) + 4) >> 3)
 
     # narrow 4-tap core: every class falls back here when flatness fails
     def iclip_diff(v):
         return jnp.clip(v, -cd_lim, cd_lim - 1)
 
     hev = (a(p1 - p0) > H) | (a(q1 - q0) > H)
-    fv = jnp.where(hev,
-                   iclip_diff(3 * (q0 - p0) + iclip_diff(p1 - q1)),
-                   iclip_diff(3 * (q0 - p0)))
+    d30 = x3(q0 - p0)
+    fv = jnp.where(hev, iclip_diff(d30 + iclip_diff(p1 - q1)),
+                   iclip_diff(d30))
     f1 = jnp.minimum(fv + 4, cd_lim - 1) >> 3
     f2 = jnp.minimum(fv + 3, cd_lim - 1) >> 3
     emit(-1, narrow, jnp.clip(p0 + f2, 0, maxp))
@@ -223,13 +240,14 @@ def _build_v(nsteps, Wp, classes, bitdepth, interpret, OUT):
     Wk = Wp + 16
 
     def kernel(flag_ref, canvas_ref, prm_ref, out_ref):
+        work = flag_ref[pl.program_id(0)]
         b = canvas_ref[...]
 
-        @pl.when(flag_ref[0] == 0)
+        @pl.when(work == 0)
         def _():
             out_ref[...] = b[:, 16:16 + Wp]
 
-        @pl.when(flag_ref[0] != 0)
+        @pl.when(work != 0)
         def _():
             P = prm_ref[:, 8:8 + Wk]
 
@@ -247,8 +265,8 @@ def _build_v(nsteps, Wp, classes, bitdepth, interpret, OUT):
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (i,),
-                         memory_space=pltpu.SMEM),
+            # whole flags vector in SMEM, indexed by program_id
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((OUT, Wc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((OUT, Wc), lambda i: (i, 0),
@@ -283,7 +301,7 @@ def _build_h(nsteps, Wp, classes, bitdepth, interpret, OUT, CT):
             canvas_ref.at[pl.ds(i * OUT, OUT + 32), pl.ds(c0, CT)],
             band, sems.at[0])
         d1.start()
-        work = flag_ref[0] != 0
+        work = flag_ref[i * nct + j] != 0
 
         @pl.when(work)
         def _():
@@ -317,8 +335,7 @@ def _build_h(nsteps, Wp, classes, bitdepth, interpret, OUT, CT):
     return pl.pallas_call(
         kernel,
         grid=(nsteps, nct),
-        in_specs=[pl.BlockSpec((1,), lambda i, j: (i * nct + j,),
-                               memory_space=pltpu.SMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),  # flags vec
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((OUT, CT), lambda i, j: (i, j),

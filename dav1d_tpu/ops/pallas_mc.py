@@ -191,6 +191,12 @@ def gather_put_8tap(plane, dys, dxs, fh, fv, *, w, h, bitdepth,
                         interpret=interpret)
         except Exception:
             _BROKEN = True
+            import sys
+            import traceback
+
+            print("dav1d_tpu: pallas MC gather failed; sticky XLA "
+                  f"fallback engaged\n{traceback.format_exc(limit=3)}",
+                  file=sys.stderr)
     import numpy as np
 
     from .mc import _put_8tap_resident_prog

@@ -35,6 +35,19 @@ def _broken(fam: str) -> bool:
     return fam in _BROKEN
 
 
+def _mark_broken(fam: str) -> None:
+    """Trip the sticky fallback LOUDLY: a silent tier change once let a
+    bench run measure the XLA tier while claiming Pallas (r5)."""
+    import sys
+    import traceback
+
+    if fam not in _BROKEN:
+        _BROKEN.add(fam)
+        print(f"dav1d_tpu: pallas tier '{fam}' failed; sticky XLA "
+              f"fallback engaged\n{traceback.format_exc(limit=3)}",
+              file=sys.stderr)
+
+
 def filter_chain_device(f) -> bool:
     """Run deblock -> CDEF -> super-res -> LR on device-resident
     planes.  Returns False when no stage is enabled (caller runs the
@@ -135,7 +148,7 @@ def filter_chain_device(f) -> bool:
                 # backend degrades to the XLA tier, never kills the
                 # decode; restore the pre-pass planes first (a partial
                 # pallas pass may have filtered some already)
-                _BROKEN.add("lf")
+                _mark_broken("lf")
                 dev[:] = snap
         if not done:
             _deblock_xla()
@@ -220,7 +233,7 @@ def filter_chain_device(f) -> bool:
             except Exception:
                 # sticky fallback, as for deblock above: restore
                 # the pre-CDEF planes and run the XLA tier
-                _BROKEN.add("cdef")
+                _mark_broken("cdef")
                 dev[:] = snap
         if units is not None and not cdef_done:
             bys, bxs, y_pri, y_sec, uv_pri, uv_sec, uvlvl = units

@@ -63,13 +63,25 @@ _DY, _DX, _HL, _HT, _PXL, _PXBL, _PXT, _PXTR = range(8)
 _Y0, _X0, _ALPHA = 8, 9, 10
 _PALROW = 8
 # extra columns (pred units): runtime angle/flags, Z2 clamps, Z2 tl
-# filter — per-unit data instead of program-key fields, so one program
-# serves every angle of a (mode, w, h) key (ops/ipred._build_rt)
-_AKEY, _KMW, _KMH, _Z2F = 8, 9, 10, 11
-_PREDROW = 12
+# filter, and (r5) the resolved implementation mode — per-unit data
+# instead of program-key fields, so ONE program serves every mode and
+# angle of a (w, h) key (ops/ipred._build_rt + the all-modes select
+# in _allmode_pred).  r4's (mode, w, h) keys left ~8 keys live per
+# wavefront level, overflowing the multi-launch fusion budget after
+# ~1.4 levels (measured: 1330 launches per 1080p keyframe, avg G=1.4).
+_AKEY, _KMW, _KMH, _Z2F, _MODE = 8, 9, 10, 11, 12
+_PREDROW = 13
 
 _ANGULAR = (M.Z1_PRED, M.Z2_PRED, M.Z3_PRED)
 _RT_MODES = _ANGULAR + (M.FILTER_PRED,)
+# every mode _resolve_mode can produce
+_ALL_MODES = (M.DC_PRED, M.DC_128_PRED, M.TOP_DC_PRED, M.LEFT_DC_PRED,
+              M.VERT_PRED, M.HOR_PRED, M.PAETH_PRED, M.SMOOTH_PRED,
+              M.SMOOTH_V_PRED, M.SMOOTH_H_PRED, M.Z1_PRED, M.Z2_PRED,
+              M.Z3_PRED, M.FILTER_PRED)
+# edge-segment union over _ALL_MODES: segments a unit's mode does not
+# read carry harmless values (its host meta zeroes their extents)
+_NEEDS_ALL = (1, 1, 1, 0, 0)
 
 
 def _resolve_mode(mode, angle, have_left, have_top):
@@ -183,31 +195,56 @@ def _region_idx(jnp, meta, W, w, h):
 
 
 @functools.lru_cache(maxsize=None)
-def _unit_program(shape, ph_unit, mode, w, h, angle, max_w, max_h,
-                  bitdepth, z2_tl_filter, nb):
-    """One level-group program: edge gather -> ops/ipred kernel ->
-    +residual, clip, scatter.  plane/resid are (H, W) int32 resident
-    canvases (H = 2*ph_unit for the stacked chroma pair); meta is
-    (nb, 8) int32."""
-    import jax
+def _allmode_pred(w, h, bitdepth):
+    """fn(edges (B, 257), meta (B, >=13)) -> (B, h, w): every resolved
+    mode's prediction evaluated on the shared edge vectors, selected
+    per unit by the _MODE meta column.  Mode math is small next to the
+    edge gather/scatter, so evaluating all 14 modes costs little while
+    collapsing the program key to (w, h) — the wavefront fusion then
+    packs ~64 levels per launch instead of ~1.4."""
     import jax.numpy as jnp
 
     from ..ops.ipred import _build, _build_rt
 
+    fns = []
+    for m in _ALL_MODES:
+        if m in _RT_MODES:
+            fns.append((int(m), True, _build_rt(m, w, h, bitdepth)))
+        else:
+            fns.append((int(m), False, _build(m, w, h, 0, 0, 0,
+                                              bitdepth)))
+
+    def fn(edges, meta):
+        rt_prm = meta[:, _AKEY : _AKEY + 3]
+        mode = meta[:, _MODE][:, None, None]
+        out = None
+        for mi, is_rt, f_ in fns:
+            p = f_(edges, rt_prm) if is_rt else f_(edges)
+            out = p if out is None else jnp.where(mode == mi, p, out)
+        return out
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _unit_program(shape, ph_unit, w, h, bitdepth, nb):
+    """One level-group program: edge gather -> all-modes predictor ->
+    +residual, clip, scatter.  plane/resid are (H, W) int32 resident
+    canvases (H = 2*ph_unit for the stacked chroma pair); meta is
+    (nb, _PREDROW) int32."""
+    import jax
+    import jax.numpy as jnp
+
     H, W = shape
     half = (1 << bitdepth) >> 1
     maxp = (1 << bitdepth) - 1
-    needs = EDGE_NEEDS[mode]
-    rt = mode in _RT_MODES
-    pred_fn = (_build_rt(mode, w, h, bitdepth) if rt
-               else _build(mode, w, h, angle, max_w, max_h, bitdepth))
+    pred_fn = _allmode_pred(w, h, bitdepth)
 
     def run(plane, resid, meta):
         pf = plane.reshape(-1)
         edges = _edge_gather(jnp, pf, W, H, ph_unit, meta, w, h, half,
-                             needs, z2_tl_filter)
-        pred = (pred_fn(edges, meta[:, _AKEY : _AKEY + 3]) if rt
-                else pred_fn(edges))
+                             _NEEDS_ALL, False)
+        pred = pred_fn(edges, meta)
         idx = _region_idx(jnp, meta, W, w, h)
         rg = jnp.take(resid.reshape(-1),
                       jnp.clip(idx, 0, H * W - 1).reshape(-1)
@@ -231,29 +268,23 @@ def _multi_run_program(shape, ph_unit, bitdepth, keyspecs, G):
     the dominant cost of the wavefront schedule (DEVICE_FRAME_r03:
     ~18k launches / ~105 ms on-chip per 1080p keyframe before fusion).
 
-    keyspecs: tuple of (mode, w, h, angle, max_w, max_h, z2_tl_filter,
-    capg) — angular/filter keys carry zeros there and their per-unit
-    parameters in meta columns _AKEY.._Z2F (ops/ipred._build_rt);
-    metas arrive CONCATENATED along the unit axis as one
-    (G, sum(capg), _PREDROW) int32 array — a single host->device upload per
-    launch (the per-key upload stream dominated the recorded intra
-    decode) — and split back per key with static slices in-program.
-    Rows pad with sentinels (dy = H) whose scatters drop out of
-    range."""
+    keyspecs: tuple of (w, h, capg) — r5: the mode (like the angle,
+    Z2 clamps and tl-filter flag before it) is a per-unit meta column
+    resolved by the all-modes select (_allmode_pred), so the key is
+    pure geometry; metas arrive CONCATENATED along the unit axis as
+    one (G, sum(capg), _PREDROW) int32 array — a single host->device
+    upload per launch (the per-key upload stream dominated the
+    recorded intra decode) — and split back per key with static
+    slices in-program.  Rows pad with sentinels (dy = H) whose
+    scatters drop out of range."""
     import jax
     import jax.numpy as jnp
-
-    from ..ops.ipred import _build, _build_rt
 
     H, W = shape
     half = (1 << bitdepth) >> 1
     maxp = (1 << bitdepth) - 1
-    preds = [(w, h,
-              _build_rt(mode, w, h, bitdepth) if mode in _RT_MODES
-              else _build(mode, w, h, angle, max_w, max_h, bitdepth),
-              EDGE_NEEDS[mode], z2f, mode in _RT_MODES)
-             for (mode, w, h, angle, max_w, max_h, z2f, _capg)
-             in keyspecs]
+    preds = [(w, h, _allmode_pred(w, h, bitdepth))
+             for (w, h, _capg) in keyspecs]
     offs = []
     o = 0
     for ks in keyspecs:
@@ -266,13 +297,11 @@ def _multi_run_program(shape, ph_unit, bitdepth, keyspecs, G):
                  for off, capg in offs]
 
         def body(g, pf):
-            for (w, h, pred_fn, needs, z2f, rt), meta in zip(preds,
-                                                             metas):
+            for (w, h, pred_fn), meta in zip(preds, metas):
                 m = jax.lax.dynamic_index_in_dim(meta, g, keepdims=False)
                 edges = _edge_gather(jnp, pf, W, H, ph_unit, m, w, h,
-                                     half, needs, z2f)
-                pred = (pred_fn(edges, m[:, _AKEY : _AKEY + 3]) if rt
-                        else pred_fn(edges))
+                                     half, _NEEDS_ALL, False)
+                pred = pred_fn(edges, m)
                 idx = _region_idx(jnp, m, W, w, h)
                 rg = jnp.take(rf, jnp.clip(idx, 0, H * W - 1).reshape(-1)
                               ).reshape(idx.shape)
@@ -731,12 +760,10 @@ def _emit_pred_unit(emit, lmap, pl, mode, angle, flags, xpos, ypos, x, y,
         akey, kmw, kmh = 0, 0, 0
     z2f = int(mode_i == M.Z2_PRED and tw + th >= 6 and ief)
     level = lmap.place(m[_DY], m[_DX], w, h, m[_HL], m[_HT])
-    # angular/filter modes carry their parameters per unit (_build_rt):
-    # the program key collapses to (mode, w, h)
-    m = m + (akey, kmw, kmh, z2f)
-    if mode_i in _RT_MODES:
-        akey = kmw = kmh = z2f = 0
-    emit(pl, "pred", (mode_i, w, h, akey, kmw, kmh, z2f), level, (m,))
+    # every per-mode parameter (angle, Z2 clamps, tl filter, and the
+    # mode itself) rides per unit: the program key is pure geometry
+    m = m + (akey, kmw, kmh, z2f, int(mode_i))
+    emit(pl, "pred", (w, h), level, (m,))
 
 
 # --- residual canvases + chain driver ----------------------------------------
@@ -827,7 +854,11 @@ def intra_frame_device(f, st) -> bool:
         for key, levels in sched[ci].items():
             for level, units in levels.items():
                 by_level.setdefault(level, []).append((key, units))
-        KMAX, GMAX = 6, 64
+        # r5: keys are pure geometry (w, h) — a 64-level window rarely
+        # holds more than ~8 distinct unit sizes, so the fusion now
+        # actually reaches GMAX (measured pre-r5: avg G = 1.4 with
+        # (mode, w, h) keys and KMAX = 6; post: avg G ~ 60 luma)
+        KMAX, GMAX = 10, 64
         plan = []  # ["multi", {key: [units-per-level]}] | ["single", key, units]
         cur = None
 
@@ -903,9 +934,8 @@ def intra_frame_device(f, st) -> bool:
                 for k, u in enumerate(units):
                     metas[k] = u[0]
                 if kind == "pred":
-                    mode_i, w, h, akey, kmw, kmh, z2f = key[1:]
-                    prog = _unit_program(shape, ph_unit, mode_i, w, h,
-                                         akey, kmw, kmh, bd, z2f, nb)
+                    w, h = key[1:]
+                    prog = _unit_program(shape, ph_unit, w, h, bd, nb)
                     plane = call("ipred", prog, plane, resid,
                                  jax.numpy.asarray(metas))
                 elif kind == "cfl":

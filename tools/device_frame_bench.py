@@ -176,6 +176,7 @@ def main():
     ordered = sorted(groups.items(), key=lambda kv: -len(kv[1]))
     tail = []
     timed_launches = 0
+    consec_fail = 0
     for gi, (k, ents) in enumerate(ordered):
         tag, _, shapes, _ = k
         if gi >= args.max_groups:
@@ -184,10 +185,17 @@ def main():
         _, prog, a, kw = ents[0]
         try:
             ms = time_one(prog, a, kw, args.reps)
+            consec_fail = 0
         except Exception as e:  # noqa: BLE001 — partial artifact > none
             print(f"  [{tag} {shapes[:1]}] timing failed: "
                   f"{type(e).__name__}: {e}")
             tail.append((tag, len(ents)))
+            consec_fail += 1
+            if "UNAVAILABLE" in str(e) and consec_fail >= 3:
+                # dead TPU worker: every further timing would fail too;
+                # bail so the retry loop relaunches a fresh process
+                print("  worker unavailable — aborting for retry")
+                sys.exit(2)
             continue
         n = len(ents)
         fam_ms[tag] += ms * n
