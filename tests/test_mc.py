@@ -150,3 +150,89 @@ def test_put_bilin_scaled_downscale_positions():
     ys = 2 + 2 * np.arange(h)
     xs = 2 + 2 * np.arange(w)
     np.testing.assert_array_equal(got, plane[np.ix_(ys, xs)])
+
+
+def _scalar_8tap_scaled(plane, vw, vh, top, left, w, h, mx, my, dx, dy,
+                        ftype, bitdepth, prep):
+    """Reference-shaped scalar loop (the r4 implementation, kept as the
+    golden model for the r5 vectorized put_8tap_scaled)."""
+    from dav1d_tpu import tables
+    from dav1d_tpu.recon.mc_np import _intermediate_bits, get_window
+
+    ib = _intermediate_bits(bitdepth)
+    tbl = tables.mc_subpel_filters
+    ioffs = np.empty(w, dtype=np.int64)
+    fh_idx = np.empty(w, dtype=np.int64)
+    imx, ioff = mx, 0
+    for x in range(w):
+        fh_idx[x] = imx >> 6
+        ioffs[x] = ioff
+        imx += dx
+        ioff += imx >> 10
+        imx &= 0x3FF
+    max_src_y = (my + (h - 1) * dy) >> 10
+    n_rows = max_src_y + 8
+    win = get_window(plane, vw, vh, top - 3, left - 3,
+                     n_rows, int(ioffs[-1]) + 8)
+    mid = np.empty((n_rows, w), dtype=np.int64)
+    rnd_h = (1 << (6 - ib)) >> 1
+    for x in range(w):
+        sub = int(fh_idx[x])
+        col = int(ioffs[x])
+        if sub == 0:
+            mid[:, x] = win[:, col + 3].astype(np.int64) << ib
+        else:
+            fh = (tbl[ftype & 3][sub - 1] if w > 4
+                  else tbl[3 + (ftype & 1)][sub - 1]).astype(np.int64)
+            mid[:, x] = (win[:, col:col + 8] @ fh + rnd_h) >> (6 - ib)
+    out = np.empty((h, w), dtype=np.int64)
+    irnd = (1 << ib) >> 1
+    rnd_v = (1 << (6 + ib)) >> 1
+    bias = 0 if bitdepth == 8 else 8192
+    for y in range(h):
+        myy = my + y * dy
+        src_y = myy >> 10
+        sub = (myy & 0x3FF) >> 6
+        if sub == 0:
+            row = mid[src_y + 3]
+            out[y] = (row - bias) if prep else np.clip(
+                (row + irnd) >> ib, 0, (1 << bitdepth) - 1)
+        else:
+            fv = (tbl[ftype >> 2][sub - 1] if h > 4
+                  else tbl[3 + ((ftype >> 2) & 1)][sub - 1]) \
+                .astype(np.int64)
+            acc = fv @ mid[src_y:src_y + 8]
+            out[y] = (((acc + 32) >> 6) - bias) if prep else np.clip(
+                (acc + rnd_v) >> (6 + ib), 0, (1 << bitdepth) - 1)
+    return out.astype(np.int32)
+
+
+@pytest.mark.parametrize("bitdepth", [8, 10, 12])
+def test_put_8tap_scaled_vectorized_matches_scalar(bitdepth):
+    """r5: the vectorized put_8tap_scaled must equal the scalar
+    reference loop for randomized scale steps, phases and block
+    geometries (incl. sub==0 rows/columns and the w<=4 filter table)."""
+    from dav1d_tpu.recon import mc_np
+
+    rng = np.random.default_rng(11 * bitdepth)
+    vw, vh = 96, 80
+    plane = rng.integers(0, 1 << bitdepth, (vh, vw), dtype=np.int32)
+    cases = [
+        (16, 8, 0, 0, 1024, 1024, 0),       # unity, zero phase
+        (16, 16, 320, 192, 1433, 1433, 0),  # ~0.7x downscale
+        (8, 4, 64, 0, 2048, 1024, 2),       # 2x horizontal only
+        (4, 8, 960, 640, 3072, 2900, 1),    # w<=4 filter table
+        (32, 16, 512, 512, 1100, 2048, 3),
+        (16, 8, 0, 448, 1024, 1500, 2),     # sub==0 columns
+    ]
+    for w, h, mx, my, dx, dy, ftype in cases:
+        for prep in (False, True):
+            got = mc_np.put_8tap_scaled(plane, vw, vh, 6, 5, w, h,
+                                        mx, my, dx, dy, ftype,
+                                        bitdepth, prep=prep)
+            want = _scalar_8tap_scaled(plane, vw, vh, 6, 5, w, h,
+                                       mx, my, dx, dy, ftype,
+                                       bitdepth, prep)
+            np.testing.assert_array_equal(got, want, err_msg=(
+                f"bd={bitdepth} w={w} h={h} mx={mx} my={my} "
+                f"dx={dx} dy={dy} ft={ftype} prep={prep}"))
