@@ -26,13 +26,12 @@ def _bucket(n: int) -> int:
     return b
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_find_dir(bitdepth):
-    # All 8 one-hot projection maps concatenated into ONE (64, 128)
-    # bf16 matrix: a single MXU matmul replaces 8 int32 contractions
-    # (int matmuls lower to VPU loops on TPU — measured 4.3 ms/frame at
-    # 4K in DEVICE_FRAME_r04; the values are exact in bf16/f32: px in
-    # [-128, 127], partial sums <= 8*128 < 2^24).
+def _onehot_cat():
+    """All 8 one-hot projection maps concatenated into ONE (64, 128)
+    matrix (+ per-map offsets): a single MXU matmul replaces 8 int32
+    contractions (int matmuls lower to VPU loops on TPU — measured
+    4.3 ms/frame at 4K in DEVICE_FRAME_r04; the values are exact in
+    bf16/f32: px in [-128, 127], partial sums <= 8*128 < 2^24)."""
     maps = _onehot_maps()
     bins = [m.shape[1] for m in maps]
     cat = np.zeros((64, 128), dtype=np.float32)
@@ -42,34 +41,46 @@ def _jit_find_dir(bitdepth):
         cat[:, off:off + m.shape[1]] = m
         offs.append(off)
         off += m.shape[1]
-    onehot_cat = jnp.asarray(cat, dtype=jnp.bfloat16)
+    return cat, offs, bins
+
+
+def _dir_from_psum(psum, offs, bins, div, div_alt):
+    """(N, 128) int32 partial sums -> (dir, var); the normative cost
+    lattice (src/cdef_tmpl.c:56-104), exact integer arithmetic."""
+    ps = [psum[:, o:o + b] for o, b in zip(offs, bins)]
+    diag0, alt0, hv0, alt1, diag1, alt2, hv1, alt3 = ps
+    cost = [None] * 8
+    cost[2] = (hv0 * hv0).sum(axis=1) * 105
+    cost[6] = (hv1 * hv1).sum(axis=1) * 105
+    for diag, ci in ((diag0, 0), (diag1, 4)):
+        sq = diag * diag
+        cost[ci] = ((sq[:, :7] + sq[:, 8:][:, ::-1]) * div).sum(axis=1) \
+            + sq[:, 7] * 105
+    for n, alt in enumerate((alt0, alt1, alt2, alt3)):
+        sq = alt * alt
+        c = sq[:, 3:8].sum(axis=1) * 105
+        c += ((sq[:, :3] + sq[:, 8:][:, ::-1]) * div_alt).sum(axis=1)
+        cost[n * 2 + 1] = c
+    cost = jnp.stack(cost, axis=1)
+    best = jnp.argmax(cost, axis=1)
+    best_cost = jnp.take_along_axis(cost, best[:, None], 1)[:, 0]
+    alt_cost = jnp.take_along_axis(cost, (best ^ 4)[:, None], 1)[:, 0]
+    return best.astype(jnp.int32), (best_cost - alt_cost) >> 10
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_find_dir(bitdepth):
+    cat, offs, bins = _onehot_cat()
+    onehot = jnp.asarray(cat, dtype=jnp.bfloat16)
     div = jnp.asarray([840, 420, 280, 210, 168, 140, 120], dtype=jnp.int32)
     div_alt = jnp.asarray([420, 210, 140], dtype=jnp.int32)
 
     def fn(blocks):
         px = (blocks.reshape(-1, 64) >> (bitdepth - 8)) - 128
-        psum = jnp.dot(px.astype(jnp.bfloat16), onehot_cat,
+        psum = jnp.dot(px.astype(jnp.bfloat16), onehot,
                        preferred_element_type=jnp.float32
                        ).astype(jnp.int32)
-        ps = [psum[:, o:o + b] for o, b in zip(offs, bins)]
-        diag0, alt0, hv0, alt1, diag1, alt2, hv1, alt3 = ps
-        cost = [None] * 8
-        cost[2] = (hv0 * hv0).sum(axis=1) * 105
-        cost[6] = (hv1 * hv1).sum(axis=1) * 105
-        for diag, ci in ((diag0, 0), (diag1, 4)):
-            sq = diag * diag
-            cost[ci] = ((sq[:, :7] + sq[:, 8:][:, ::-1]) * div).sum(axis=1) \
-                + sq[:, 7] * 105
-        for n, alt in enumerate((alt0, alt1, alt2, alt3)):
-            sq = alt * alt
-            c = sq[:, 3:8].sum(axis=1) * 105
-            c += ((sq[:, :3] + sq[:, 8:][:, ::-1]) * div_alt).sum(axis=1)
-            cost[n * 2 + 1] = c
-        cost = jnp.stack(cost, axis=1)
-        best = jnp.argmax(cost, axis=1)
-        best_cost = jnp.take_along_axis(cost, best[:, None], 1)[:, 0]
-        alt_cost = jnp.take_along_axis(cost, (best ^ 4)[:, None], 1)[:, 0]
-        return best.astype(jnp.int32), (best_cost - alt_cost) >> 10
+        return _dir_from_psum(psum, offs, bins, div, div_alt)
 
     return jax.jit(fn)
 
@@ -88,12 +99,25 @@ def cdef_find_dir_batch(blocks, bitdepth):
 
 @functools.lru_cache(maxsize=None)
 def _jit_find_dir_maps(R8, W8, bitdepth):
-    base = _jit_find_dir(bitdepth)
+    cat, offs, bins = _onehot_cat()
+    onehot3 = jnp.asarray(cat.reshape(8, 8, 128), dtype=jnp.bfloat16)
+    div = jnp.asarray([840, 420, 280, 210, 168, 140, 120],
+                      dtype=jnp.int32)
+    div_alt = jnp.asarray([420, 210, 140], dtype=jnp.int32)
 
     def fn(plane):
-        blocks = plane[:R8 * 8, :W8 * 8].reshape(R8, 8, W8, 8) \
-            .transpose(0, 2, 1, 3).reshape(-1, 64)
-        d, v = base(blocks)
+        # r5: contract straight out of the plane layout — the r4 form
+        # transposed the full int32 plane into (N, 64) rows before a
+        # VPU int matmul (the dominant share of cdef_dir's 4.3 ms at
+        # 4K); casting to bf16 FIRST halves the data the layout change
+        # moves and the (y, x) contraction runs on the MXU
+        px = ((plane[:R8 * 8, :W8 * 8] >> (bitdepth - 8)) - 128) \
+            .astype(jnp.bfloat16)
+        blocks = px.reshape(R8, 8, W8, 8)
+        psum = jnp.einsum("rywx,yxb->rwb", blocks, onehot3,
+                          preferred_element_type=jnp.float32) \
+            .astype(jnp.int32).reshape(-1, 128)
+        d, v = _dir_from_psum(psum, offs, bins, div, div_alt)
         return d.reshape(R8, W8), v.reshape(R8, W8)
 
     return jax.jit(fn)

@@ -42,6 +42,11 @@ from ..recon.cdef import INT16_MIN, _DIR_DX, _DIR_DY
 _DY = np.asarray(_DIR_DY)  # (2, 12)
 _DX = np.asarray(_DIR_DX)
 
+# int16-lattice padding sentinel: any S with S - px != -32768 for all
+# px in [0, 4095] keeps abs() wrap-free (see _build kernel comment);
+# INT16_MIN itself would hit abs(-32768) at px == 0
+_SENT16 = -28672
+
 
 def supported() -> bool:
     return pl is not None
@@ -57,9 +62,9 @@ def _ulog2_vec(v):
 
 def _out_rows(Wp):
     """Output rows per grid step: wider bands amortize the per-step
-    DMA + grid overhead; capped for wide planes so the live set fits
-    VMEM (the deblock kernel's policy, ops/pallas_lf.py)."""
-    return 32 if Wp <= 2048 else 16
+    DMA + grid overhead.  The r5 int16 lattice halves the live set, so
+    32-row bands fit VMEM at 4K widths too (r4 capped them at 16)."""
+    return 32
 
 
 @functools.lru_cache(maxsize=None)
@@ -89,7 +94,15 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
             canvas_ref.at[pl.ds(i * OUT_ROWS, OUT_ROWS + 8)], band, sem)
         dma.start()
         dma.wait()
-        b = band[...].astype(jnp.int32)  # rows band_rows.. unused
+        # r5: the whole lattice runs in int16 (halves VMEM traffic for
+        # the ~26 materialized windows AND the VPU op width).  Bounds:
+        # real-tap |diff| <= 4095; a sentinel tap gives diff in
+        # [-32767, -28672] (all representable, no abs(-32768) wrap —
+        # that is why the sentinel is _SENT16 = -28672, not INT16_MIN)
+        # whose adiff >= 28672 > thr << shift < 2^(damping+1) <= 2^11,
+        # so it constrains to 0 exactly as in int32; px - sentinel
+        # <= 4095 + 28672 = 32767 stays representable; |sum_| <= ~5k.
+        b = band[...]  # int16; rows band_rows.. unused
 
         def window(oy, ox):
             # oy/ox are trace-time tap constants: static slices
@@ -104,13 +117,13 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
         # the outer jit).
         @pl.when(work == 0)
         def _():
-            out_ref[...] = px
+            out_ref[...] = px.astype(jnp.int32)
 
         @pl.when(work != 0)
         def _():
-            pri = pri_ref[...].astype(jnp.int32)  # per-pixel maps
-            sec = sec_ref[...].astype(jnp.int32)
-            dr = dir_ref[...].astype(jnp.int32)
+            pri = pri_ref[...]  # per-pixel int16 maps
+            sec = sec_ref[...]
+            dr = dir_ref[...]
             oh = [dr == d for d in range(8)]
 
             def tap(k, off, sgn):
@@ -152,7 +165,7 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
             mx = px
 
             def acc_minmax(v, mn, mx):
-                u = jnp.where(v == INT16_MIN, 0x7FFF0000, v)
+                u = jnp.where(v == _SENT16, jnp.int16(0x7FFF), v)
                 return jnp.minimum(mn, u), jnp.maximum(mx, v)
 
             for k in range(2):
@@ -182,7 +195,8 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
 
             out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
             out = jnp.where(both, jnp.clip(out, mn, mx), out)
-            out_ref[...] = jnp.where(pri_nz | sec_nz, out, px)
+            out_ref[...] = jnp.where(pri_nz | sec_nz, out,
+                                     px).astype(jnp.int32)
 
     return pl.pallas_call(
         kernel,
@@ -224,7 +238,7 @@ def _filter_tail(w, h, ph, pw, damping, bitdepth, interpret):
     kern = _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT)
 
     def apply(plane, ys, xs, pri, sec, dirs):
-        canvas = jnp.full((R + 16, Wc), INT16_MIN, jnp.int16)
+        canvas = jnp.full((R + 16, Wc), _SENT16, jnp.int16)
         canvas = jax.lax.dynamic_update_slice(
             canvas, plane[:ph, :pw].astype(jnp.int16), (2, 2))
         ub = ys // h
@@ -242,7 +256,8 @@ def _filter_tail(w, h, ph, pw, damping, bitdepth, interpret):
                      ((0, nsteps * rps - nbands), (0, 0)))
         flags = am.reshape(nsteps, -1).any(axis=1).astype(jnp.int32)
 
-        def rep(m):  # unit map -> per-pixel (R, Wp) plane
+        def rep(m):  # unit map -> per-pixel (R, Wp) int16 plane
+            m = m.astype(jnp.int16)
             m = jnp.repeat(jnp.repeat(m, w, axis=1), h, axis=0)
             return jnp.pad(m, ((0, R - nbands * h), (0, 0)))
 

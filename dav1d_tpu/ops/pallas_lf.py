@@ -74,8 +74,18 @@ def _core(tap, P, classes, bitdepth):
     (E | I<<8 | H<<16 | cls<<24).  classes: ((cls_idx, wd), ...) for
     this plane type.  Returns {offset: (cond, val)}; conds at one
     offset are mutually exclusive by construction.
+
+    For bitdepth <= 10 the whole core runs in the taps' own int16
+    (r5): the widest sum is the wd16 filter's 16 taps <= 16*1023 =
+    16368, the narrow core's clips stay within +-3069, and E/I/H <=
+    255 << 2 — everything representable, at half the VMEM traffic and
+    VPU op width.  12-bit overflows (16*4095) and keeps int32 taps.
     """
     bd_m8 = bitdepth - 8
+    dt = None
+    t0 = tap(0)
+    if t0.dtype == jnp.int16:
+        dt = jnp.int16
     F = 1 << bd_m8
     maxp = (1 << bitdepth) - 1
     cd_lim = 128 << bd_m8
@@ -84,6 +94,10 @@ def _core(tap, P, classes, bitdepth):
     I = ((P >> 8) & 255) << bd_m8
     H = ((P >> 16) & 255) << bd_m8
     cls = P >> 24
+    if dt is not None:
+        E = E.astype(dt)
+        I = I.astype(dt)
+        H = H.astype(dt)
     oh = {wd: cls == idx for idx, wd in classes}
     a = jnp.abs
 
@@ -206,12 +220,15 @@ def _core(tap, P, classes, bitdepth):
     return out
 
 
-def _out_rows(Wp):
+def _out_rows(Wp, bitdepth):
     """Vertical-pass output rows per grid step: 32 up to 1080p-class
-    widths; 8 for wider planes (the 4K-width x 32-row live set
-    overflows VMEM and crashes the Mosaic compile).  The V pass has no
-    row redundancy, so narrow bands cost only step overhead."""
-    return 32 if Wp <= 2048 else 8
+    widths; narrower for 4K-class widths where the live set would
+    overflow VMEM and crash the Mosaic compile (16 rows with the r5
+    int16 core, 8 with the 12-bit int32 core).  The V pass has no row
+    redundancy, so narrow bands cost only step overhead."""
+    if Wp <= 2048:
+        return 32
+    return 16 if bitdepth <= 10 else 8
 
 
 H_OUT = 32  # horizontal-pass band rows (see _col_tile)
@@ -245,7 +262,7 @@ def _build_v(nsteps, Wp, classes, bitdepth, interpret, OUT):
 
         @pl.when(work == 0)
         def _():
-            out_ref[...] = b[:, 16:16 + Wp]
+            out_ref[...] = b[:, 16:16 + Wp].astype(jnp.int32)
 
         @pl.when(work != 0)
         def _():
@@ -259,7 +276,7 @@ def _build_v(nsteps, Wp, classes, bitdepth, interpret, OUT):
             for o, (cond, val) in sorted(core.items()):
                 res = jnp.where(cond[:, 8 - o : 8 - o + Wp],
                                 val[:, 8 - o : 8 - o + Wp], res)
-            out_ref[...] = res
+            out_ref[...] = res.astype(jnp.int32)
 
     return pl.pallas_call(
         kernel,
@@ -312,11 +329,15 @@ def _build_h(nsteps, Wp, classes, bitdepth, interpret, OUT, CT):
             d2.wait()
 
         d1.wait()
-        b = band[...].astype(jnp.int32)
+        # bd <= 10: the filter core runs in the band's own int16 (see
+        # _core); 12-bit widens (its 16-tap sums overflow int16)
+        b = band[...]
+        if bitdepth > 10:
+            b = b.astype(jnp.int32)
 
         @pl.when(jnp.logical_not(work))
         def _():
-            out_ref[...] = b[16:16 + OUT, :]
+            out_ref[...] = b[16:16 + OUT, :].astype(jnp.int32)
 
         @pl.when(work)
         def _():
@@ -330,7 +351,7 @@ def _build_h(nsteps, Wp, classes, bitdepth, interpret, OUT, CT):
             for o, (cond, val) in sorted(core.items()):
                 res = jnp.where(cond[8 - o : 8 - o + OUT, :],
                                 val[8 - o : 8 - o + OUT, :], res)
-            out_ref[...] = res
+            out_ref[...] = res.astype(jnp.int32)
 
     return pl.pallas_call(
         kernel,
@@ -360,7 +381,7 @@ def _jit_plane(ph, pw, classes, bitdepth, nbv, nbh, interpret):
     maps, pre-expansion) let the kernels skip the filter core where no
     edge reaches (r5 band culling)."""
     Wp = -(-pw // 128) * 128
-    OUTV = _out_rows(Wp)
+    OUTV = _out_rows(Wp, bitdepth)
     RV = -(-ph // OUTV) * OUTV
     Wc = Wp + 128
     W4 = Wp // 4
@@ -396,8 +417,9 @@ def _jit_plane(ph, pw, classes, bitdepth, nbv, nbh, interpret):
             # per-band any() over its cell rows is exact
             flags = (cells != 0).reshape(nsv, -1).any(axis=1) \
                 .astype(jnp.int32)
-            canvas = jnp.zeros((RV, Wc), jnp.int32).at[
-                :ph, 16:16 + pw].set(plane)
+            vdt = jnp.int16 if bitdepth <= 10 else jnp.int32
+            canvas = jnp.zeros((RV, Wc), vdt).at[
+                :ph, 16:16 + pw].set(plane.astype(vdt))
             plane = kv(flags, canvas, prm)[:ph, :pw]
         if kh is not None:
             prm, cells = expand(hys, hxs, hpk, True, RH, W4H)

@@ -14,7 +14,7 @@ pytestmark = pytest.mark.skipif(not supported(), reason="pallas absent")
 
 @pytest.mark.parametrize("w,h,ph,pw", [(8, 8, 64, 96), (4, 4, 32, 48),
                                        (4, 8, 64, 48), (8, 8, 60, 92)])
-@pytest.mark.parametrize("bitdepth", [8, 10])
+@pytest.mark.parametrize("bitdepth", [8, 10, 12])
 def test_matches_xla_tier(w, h, ph, pw, bitdepth):
     import jax.numpy as jnp
 
