@@ -62,9 +62,15 @@ def _ulog2_vec(v):
 
 def _out_rows(Wp):
     """Output rows per grid step: wider bands amortize the per-step
-    DMA + grid overhead.  The r5 int16 lattice halves the live set, so
-    32-row bands fit VMEM at 4K widths too (r4 capped them at 16)."""
-    return 32
+    DMA + grid overhead; capped for wide planes so the int32 live set
+    fits VMEM.  (r5 note: an all-int16 lattice — which would halve the
+    live set and the VPU op width — was built and proven bit-exact in
+    interpret mode, but THIS harness's remote Mosaic compiler crashes
+    on any packed-i16 vector arithmetic (HTTP 500 from
+    tpu_compile_helper on a bare vector<8x128x2xi16> add; int32
+    controls compile fine), so the lattice stays int32 with int16
+    storage."""
+    return 32 if Wp <= 2048 else 16
 
 
 @functools.lru_cache(maxsize=None)
@@ -94,15 +100,9 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
             canvas_ref.at[pl.ds(i * OUT_ROWS, OUT_ROWS + 8)], band, sem)
         dma.start()
         dma.wait()
-        # r5: the whole lattice runs in int16 (halves VMEM traffic for
-        # the ~26 materialized windows AND the VPU op width).  Bounds:
-        # real-tap |diff| <= 4095; a sentinel tap gives diff in
-        # [-32767, -28672] (all representable, no abs(-32768) wrap —
-        # that is why the sentinel is _SENT16 = -28672, not INT16_MIN)
-        # whose adiff >= 28672 > thr << shift < 2^(damping+1) <= 2^11,
-        # so it constrains to 0 exactly as in int32; px - sentinel
-        # <= 4095 + 28672 = 32767 stays representable; |sum_| <= ~5k.
-        b = band[...]  # int16; rows band_rows.. unused
+        # int16 storage, int32 math (see _out_rows note: this
+        # harness's remote compiler rejects packed-i16 arithmetic)
+        b = band[...].astype(jnp.int32)  # rows band_rows.. unused
 
         def window(oy, ox):
             # oy/ox are trace-time tap constants: static slices
@@ -117,13 +117,13 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
         # the outer jit).
         @pl.when(work == 0)
         def _():
-            out_ref[...] = px.astype(jnp.int32)
+            out_ref[...] = px
 
         @pl.when(work != 0)
         def _():
-            pri = pri_ref[...]  # per-pixel int16 maps
-            sec = sec_ref[...]
-            dr = dir_ref[...]
+            pri = pri_ref[...].astype(jnp.int32)  # per-pixel maps
+            sec = sec_ref[...].astype(jnp.int32)
+            dr = dir_ref[...].astype(jnp.int32)
             oh = [dr == d for d in range(8)]
 
             def tap(k, off, sgn):
@@ -165,7 +165,7 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
             mx = px
 
             def acc_minmax(v, mn, mx):
-                u = jnp.where(v == _SENT16, jnp.int16(0x7FFF), v)
+                u = jnp.where(v == _SENT16, 0x7FFF0000, v)
                 return jnp.minimum(mn, u), jnp.maximum(mx, v)
 
             for k in range(2):
@@ -195,8 +195,7 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
 
             out = px + ((sum_ - (sum_ < 0) + 8) >> 4)
             out = jnp.where(both, jnp.clip(out, mn, mx), out)
-            out_ref[...] = jnp.where(pri_nz | sec_nz, out,
-                                     px).astype(jnp.int32)
+            out_ref[...] = jnp.where(pri_nz | sec_nz, out, px)
 
     return pl.pallas_call(
         kernel,
@@ -257,6 +256,8 @@ def _filter_tail(w, h, ph, pw, damping, bitdepth, interpret):
         flags = am.reshape(nsteps, -1).any(axis=1).astype(jnp.int32)
 
         def rep(m):  # unit map -> per-pixel (R, Wp) int16 plane
+            # int16 halves the HBM->VMEM traffic of the parameter
+            # planes; the kernel widens on load
             m = m.astype(jnp.int16)
             m = jnp.repeat(jnp.repeat(m, w, axis=1), h, axis=0)
             return jnp.pad(m, ((0, R - nbands * h), (0, 0)))

@@ -75,17 +75,13 @@ def _core(tap, P, classes, bitdepth):
     this plane type.  Returns {offset: (cond, val)}; conds at one
     offset are mutually exclusive by construction.
 
-    For bitdepth <= 10 the whole core runs in the taps' own int16
-    (r5): the widest sum is the wd16 filter's 16 taps <= 16*1023 =
-    16368, the narrow core's clips stay within +-3069, and E/I/H <=
-    255 << 2 — everything representable, at half the VMEM traffic and
-    VPU op width.  12-bit overflows (16*4095) and keeps int32 taps.
+    (r5 note: an int16 core for bitdepth <= 10 — the wd16 sums bound
+    at 16*1023 — was built and proven bit-exact in interpret mode, but
+    this harness's remote Mosaic compiler crashes on any packed-i16
+    vector arithmetic, so the core computes in int32 over int16
+    storage.)
     """
     bd_m8 = bitdepth - 8
-    dt = None
-    t0 = tap(0)
-    if t0.dtype == jnp.int16:
-        dt = jnp.int16
     F = 1 << bd_m8
     maxp = (1 << bitdepth) - 1
     cd_lim = 128 << bd_m8
@@ -94,10 +90,6 @@ def _core(tap, P, classes, bitdepth):
     I = ((P >> 8) & 255) << bd_m8
     H = ((P >> 16) & 255) << bd_m8
     cls = P >> 24
-    if dt is not None:
-        E = E.astype(dt)
-        I = I.astype(dt)
-        H = H.astype(dt)
     oh = {wd: cls == idx for idx, wd in classes}
     a = jnp.abs
 
@@ -222,13 +214,10 @@ def _core(tap, P, classes, bitdepth):
 
 def _out_rows(Wp, bitdepth):
     """Vertical-pass output rows per grid step: 32 up to 1080p-class
-    widths; narrower for 4K-class widths where the live set would
-    overflow VMEM and crash the Mosaic compile (16 rows with the r5
-    int16 core, 8 with the 12-bit int32 core).  The V pass has no row
-    redundancy, so narrow bands cost only step overhead."""
-    if Wp <= 2048:
-        return 32
-    return 16 if bitdepth <= 10 else 8
+    widths; 8 for wider planes (the 4K-width x 32-row int32 live set
+    overflows VMEM and crashes the Mosaic compile).  The V pass has no
+    row redundancy, so narrow bands cost only step overhead."""
+    return 32 if Wp <= 2048 else 8
 
 
 H_OUT = 32  # horizontal-pass band rows (see _col_tile)
@@ -262,7 +251,7 @@ def _build_v(nsteps, Wp, classes, bitdepth, interpret, OUT):
 
         @pl.when(work == 0)
         def _():
-            out_ref[...] = b[:, 16:16 + Wp].astype(jnp.int32)
+            out_ref[...] = b[:, 16:16 + Wp]
 
         @pl.when(work != 0)
         def _():
@@ -276,7 +265,7 @@ def _build_v(nsteps, Wp, classes, bitdepth, interpret, OUT):
             for o, (cond, val) in sorted(core.items()):
                 res = jnp.where(cond[:, 8 - o : 8 - o + Wp],
                                 val[:, 8 - o : 8 - o + Wp], res)
-            out_ref[...] = res.astype(jnp.int32)
+            out_ref[...] = res
 
     return pl.pallas_call(
         kernel,
@@ -329,15 +318,11 @@ def _build_h(nsteps, Wp, classes, bitdepth, interpret, OUT, CT):
             d2.wait()
 
         d1.wait()
-        # bd <= 10: the filter core runs in the band's own int16 (see
-        # _core); 12-bit widens (its 16-tap sums overflow int16)
-        b = band[...]
-        if bitdepth > 10:
-            b = b.astype(jnp.int32)
+        b = band[...].astype(jnp.int32)
 
         @pl.when(jnp.logical_not(work))
         def _():
-            out_ref[...] = b[16:16 + OUT, :].astype(jnp.int32)
+            out_ref[...] = b[16:16 + OUT, :]
 
         @pl.when(work)
         def _():
@@ -351,7 +336,7 @@ def _build_h(nsteps, Wp, classes, bitdepth, interpret, OUT, CT):
             for o, (cond, val) in sorted(core.items()):
                 res = jnp.where(cond[8 - o : 8 - o + OUT, :],
                                 val[8 - o : 8 - o + OUT, :], res)
-            out_ref[...] = res.astype(jnp.int32)
+            out_ref[...] = res
 
     return pl.pallas_call(
         kernel,
@@ -417,9 +402,8 @@ def _jit_plane(ph, pw, classes, bitdepth, nbv, nbh, interpret):
             # per-band any() over its cell rows is exact
             flags = (cells != 0).reshape(nsv, -1).any(axis=1) \
                 .astype(jnp.int32)
-            vdt = jnp.int16 if bitdepth <= 10 else jnp.int32
-            canvas = jnp.zeros((RV, Wc), vdt).at[
-                :ph, 16:16 + pw].set(plane.astype(vdt))
+            canvas = jnp.zeros((RV, Wc), jnp.int32).at[
+                :ph, 16:16 + pw].set(plane)
             plane = kv(flags, canvas, prm)[:ph, :pw]
         if kh is not None:
             prm, cells = expand(hys, hxs, hpk, True, RH, W4H)
