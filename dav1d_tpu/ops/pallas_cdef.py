@@ -225,8 +225,11 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
 
 def _filter_tail(w, h, ph, pw, damping, bitdepth, interpret):
     """Shared outer-jit tail: sentinel canvas + per-pixel parameter
-    planes from the unit vectors, then the 8-row band kernel (pad units
-    sit far out of bounds and drop out of the scatter)."""
+    planes broadcast from the (nbands, ncols) unit-grid maps, then the
+    band kernel.  r5: the maps arrive PRE-BUILT from the host — the r4
+    in-graph scatters of the unit vectors cost a measured 0.59 ms per
+    131k-unit map on this chip (x3 maps x3 planes ~ 5.3 ms/frame at
+    4K), vs microseconds of host numpy and 261 KB of upload."""
     nbands = -(-ph // h)
     ncols = -(-pw // w)
     Wp = ((ncols * w + 127) // 128) * 128
@@ -234,18 +237,17 @@ def _filter_tail(w, h, ph, pw, damping, bitdepth, interpret):
     R = -(-(nbands * h) // OUT) * OUT
     nsteps = R // OUT
     Wc = Wp + 128  # canvas columns padded to the VMEM lane tile
+    ucols = Wp // w
     kern = _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT)
 
-    def apply(plane, ys, xs, pri, sec, dirs):
+    def apply(plane, pm, sm, dm):
         canvas = jnp.full((R + 16, Wc), _SENT16, jnp.int16)
         canvas = jax.lax.dynamic_update_slice(
             canvas, plane[:ph, :pw].astype(jnp.int16), (2, 2))
-        ub = ys // h
-        uc = xs // w
-        zero = jnp.zeros((nbands, Wp // w), jnp.int32)
-        pm = zero.at[ub, uc].set(pri)
-        sm = zero.at[ub, uc].set(sec)
-        dm = zero.at[ub, uc].set(dirs)
+        pad_c = ((0, 0), (0, ucols - ncols))
+        pm = jnp.pad(pm, pad_c)
+        sm = jnp.pad(sm, pad_c)
+        dm = jnp.pad(dm, pad_c)
 
         # per-band work flags: OUT is a multiple of h (unit rows align
         # with band steps), so a step's flag is an exact any() over the
@@ -268,10 +270,25 @@ def _filter_tail(w, h, ph, pw, damping, bitdepth, interpret):
     return apply
 
 
+def _host_maps(ph, pw, w, h, uys, uxs, *vals):
+    """(nbands, ncols) int32 unit-grid maps from the host unit lists
+    (CDEF units are h/w-aligned, so uys // h indexes exactly)."""
+    nbands = -(-int(ph) // int(h))
+    ncols = -(-int(pw) // int(w))
+    ub = np.asarray(uys) // int(h)
+    uc = np.asarray(uxs) // int(w)
+    out = []
+    for v in vals:
+        m = np.zeros((nbands, ncols), np.int32)
+        m[ub, uc] = v
+        out.append(m)
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_plane(w, h, ph, pw, damping, bitdepth, interpret):
-    """List-parameter variant: same signature semantics as ops/cdef.py
-    _jit_filter_plane."""
+    """Host-map variant: same filter semantics as ops/cdef.py
+    _jit_filter_plane, parameters as (nbands, ncols) grid maps."""
     return jax.jit(_filter_tail(w, h, ph, pw, damping, bitdepth,
                                 interpret))
 
@@ -282,82 +299,77 @@ def _jit_plane_resident(w, h, ph, pw, damping, bitdepth, luma,
     """Fully resident variant: the per-unit direction (and, for luma,
     the variance-based primary-strength adjustment) derive in-graph
     from the resident direction/variance maps
-    (ops/cdef.cdef_find_dir_maps_dev), so the deblock -> CDEF chain
-    runs with no host round trip.  Semantics: reference
-    adjust_strength (src/cdef_apply_tmpl.c:impl) for luma; chroma
+    (ops/cdef.cdef_find_dir_maps_dev).  r5: CDEF's unit grid is the
+    same 8-px luma grid the dir/var maps live on (chroma units cover
+    one luma 8x8 each), so the derivation is pure ELEMENTWISE math on
+    the (nbands, ncols) grids — the r4 form gathered dmap/vmap at
+    per-unit indices and scattered three parameter maps, ~2-3 ms per
+    4K plane of pure data shuffling.  Semantics: reference
+    adjust_strength (src/cdef_apply_tmpl.c) for luma; chroma
     directions remap through the layout's UV dir table.  Units whose
     derived pri and sec are both zero pass through in-kernel, matching
     the host path's selection masks."""
     tail = _filter_tail(w, h, ph, pw, damping, bitdepth, interpret)
+    nbands = -(-ph // h)
+    ncols = -(-pw // w)
     if not luma:
         from ..recon.cdef import UV_DIRS_420, UV_DIRS_422
         uvdm = jnp.asarray(UV_DIRS_422 if layout_422 else UV_DIRS_420,
                            dtype=jnp.int32)
 
-    def fn(plane, dmap, vmap, ys, xs, ys8, xs8, pri_in, sec):
-        d = dmap[ys8, xs8]
-        mp = pri_in > 0
+    def fn(plane, pm, sm, dmap, vmap):
+        d = dmap[:nbands, :ncols]
+        mp = pm > 0
         if luma:
-            v = vmap[ys8, xs8]
+            v = vmap[:nbands, :ncols]
             v6 = v >> 6
             lg = jnp.zeros_like(v6)
             # floor(log2(v6)) by compares; var <= sum(partial^2)*w
             # < 2^30, so 30 bits bound it
             for k in range(1, 31):
                 lg = lg + (v6 >= (1 << k)).astype(v6.dtype)
-            adj = (pri_in * (4 + jnp.minimum(lg, 12)) + 8) >> 4
+            adj = (pm * (4 + jnp.minimum(lg, 12)) + 8) >> 4
             pri = jnp.where(mp & (v != 0), adj, 0)
             dirs = jnp.where(mp, d, 0)
         else:
-            pri = pri_in
+            pri = pm
             dirs = jnp.where(mp, uvdm[d], 0)
-        return tail(plane, ys, xs, pri, sec, dirs)
+        return tail(plane, pri, sm, dirs)
 
     return jax.jit(fn)
 
 
 def cdef_filter_plane_resident(plane_dev, dmap, vmap, ph, pw, uys, uxs,
-                               ys8, xs8, w, h, pri, sec, damping,
-                               bitdepth, luma, layout_422,
-                               interpret=False):
+                               w, h, pri, sec, damping, bitdepth, luma,
+                               layout_422, interpret=False):
     """Band-kernel CDEF with resident dir/var maps: one launch per
-    plane, parameters derived on-device (no dir fetch sync)."""
+    plane, parameters derived on-device (no dir fetch sync); strength
+    maps built host-side (unit lists are host state anyway)."""
     from ..devrt import call
 
-    n = len(uys)
-    nb = 1 << max(0, (int(n) - 1).bit_length())
-    far = 1 << 24
-
-    def pad(a, fill=0):
-        out = np.full(max(nb, 1), fill, dtype=np.int32)
-        out[:n] = a
-        return jnp.asarray(out)
-
+    pm, sm = _host_maps(ph, pw, w, h, uys, uxs, pri, sec)
+    if dmap.shape[0] < -(-int(ph) // int(h)) \
+            or dmap.shape[1] < -(-int(pw) // int(w)):
+        # plane alloc can undershoot the 8-px grid of a differently
+        # padded luma; pad the resident maps (pass-through cells)
+        dmap = jnp.pad(dmap, ((0, 8), (0, 8)))
+        vmap = jnp.pad(vmap, ((0, 8), (0, 8)))
     return call("cdef_filter",
                 _jit_plane_resident(int(w), int(h), int(ph), int(pw),
                                     int(damping), int(bitdepth),
                                     bool(luma), bool(layout_422),
                                     bool(interpret)),
-                plane_dev, dmap, vmap, pad(uys, far), pad(uxs, far),
-                pad(ys8), pad(xs8), pad(pri), pad(sec))
+                plane_dev, pm, sm, dmap, vmap)
 
 
 def cdef_filter_plane_pallas(plane_dev, ph, pw, ys, xs, w, h, pri, sec,
                              dirs, damping, bitdepth, interpret=False):
-    """Drop-in for ops/cdef.cdef_filter_plane_dev, Pallas band kernel."""
+    """Drop-in for ops/cdef.cdef_filter_plane_dev, Pallas band kernel;
+    unit parameters become host-built grid maps (r5)."""
     from ..devrt import call
 
-    n = len(ys)
-    nb = 1 << max(0, (int(n) - 1).bit_length())
-    far = 1 << 24
-
-    def pad(a, fill=0):
-        out = np.full(max(nb, 1), fill, dtype=np.int32)
-        out[:n] = a
-        return jnp.asarray(out)
-
+    pm, sm, dm = _host_maps(ph, pw, w, h, ys, xs, pri, sec, dirs)
     return call("cdef_filter",
                 _jit_plane(int(w), int(h), int(ph), int(pw), int(damping),
                            int(bitdepth), bool(interpret)),
-                plane_dev, pad(ys, far), pad(xs, far), pad(pri),
-                pad(sec), pad(dirs))
+                plane_dev, pm, sm, dm)

@@ -354,6 +354,18 @@ def _build_h(nsteps, Wp, classes, bitdepth, interpret, OUT, CT):
     )
 
 
+def _geom(ph, pw, bitdepth):
+    """Shared plane geometry: (Wp, OUTV, RV, OUTH, CT, WH, RH)."""
+    Wp = -(-pw // 128) * 128
+    OUTV = _out_rows(Wp, bitdepth)
+    RV = -(-ph // OUTV) * OUTV
+    OUTH = H_OUT
+    CT = _col_tile(Wp)
+    WH = -(-Wp // CT) * CT
+    RH = -(-ph // OUTH) * OUTH
+    return Wp, OUTV, RV, OUTH, CT, WH, RH
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_plane(ph, pw, classes, bitdepth, nbv, nbh, interpret):
     """One fused program: scatter+broadcast the packed edge parameters
@@ -365,38 +377,35 @@ def _jit_plane(ph, pw, classes, bitdepth, nbv, nbh, interpret):
     the scatter.  Per-band / per-tile any-edge flags (from the cell
     maps, pre-expansion) let the kernels skip the filter core where no
     edge reaches (r5 band culling)."""
-    Wp = -(-pw // 128) * 128
-    OUTV = _out_rows(Wp, bitdepth)
-    RV = -(-ph // OUTV) * OUTV
+    Wp, OUTV, RV, OUTH, CT, WH, RH = _geom(ph, pw, bitdepth)
     Wc = Wp + 128
     W4 = Wp // 4
-    OUTH = H_OUT
-    CT = _col_tile(Wp)
-    WH = -(-Wp // CT) * CT
     W4H = WH // 4
-    RH = -(-ph // OUTH) * OUTH
     nsv, nsh, nct = RV // OUTV, RH // OUTH, WH // CT
     kv = _build_v(nsv, Wp, classes, bitdepth, interpret, OUTV) \
         if nbv else None
     kh = _build_h(nsh, WH, classes, bitdepth, interpret, OUTH, CT) \
         if nbh else None
 
-    def expand(ys, xs, pk, row_exact, R, W4t):
-        m = jnp.zeros((R // 4, W4t), jnp.int32).at[ys, xs].set(pk)
+    def expand(cells, row_exact, R, W4t):
+        # cell map -> per-pixel parameter plane (r5: the cell maps are
+        # HOST-built — the r4 in-graph .at[ys, xs].set scatters cost
+        # ~0.6 ms per 131k-entry map on this chip; host numpy builds
+        # them in microseconds)
+        m = cells
         if row_exact:  # horizontal edges: exact row, 4-col span
-            cells = m
             m = jnp.zeros((R // 4, 4, W4t), jnp.int32).at[:, 0, :].set(m)
             m = jnp.repeat(m.reshape(R, W4t), 4, axis=1)
         else:          # vertical edges: 4-row span, exact col
-            cells = m
             m = jnp.repeat(m, 4, axis=0)
             m = jnp.zeros((R, W4t, 4), jnp.int32).at[:, :, 0].set(m)
             m = m.reshape(R, W4t * 4)
-        return m, cells
+        return m
 
-    def fn(plane, vys, vxs, vpk, hys, hxs, hpk):
+    def fn(plane, vcells, hcells):
         if kv is not None:
-            prm, cells = expand(vys, vxs, vpk, False, RV, W4)
+            cells = vcells
+            prm = expand(cells, False, RV, W4)
             prm = jnp.pad(prm, ((0, 0), (16, Wc - Wp - 16)))
             # a vertical edge reads/writes only its own 4 rows: the
             # per-band any() over its cell rows is exact
@@ -406,7 +415,8 @@ def _jit_plane(ph, pw, classes, bitdepth, nbv, nbh, interpret):
                 :ph, 16:16 + pw].set(plane)
             plane = kv(flags, canvas, prm)[:ph, :pw]
         if kh is not None:
-            prm, cells = expand(hys, hxs, hpk, True, RH, W4H)
+            cells = hcells
+            prm = expand(cells, True, RH, W4H)
             prm = jnp.pad(prm, ((8, 8), (0, 0)))
             # horizontal writers reach 5 rows above / 6 below the edge
             # row: flag a tile when any edge sits within 2 cell rows
@@ -437,31 +447,25 @@ def deblock_plane_pallas(plane_dev, v_edges, h_edges, bitdepth, luma,
     from ..devrt import call
 
     classes = LUMA_CLASSES if luma else CHROMA_CLASSES
-    far = 1 << 20
+    ph, pw = plane_dev.shape
+    Wp, OUTV, RV, OUTH, CT, WH, RH = _geom(int(ph), int(pw),
+                                           int(bitdepth))
 
-    def pack(e):
+    def cellmap(e, R, W4t):
         if e is None or len(e[0]) == 0:
-            z = jnp.zeros(1, jnp.int32)
-            return 0, (z, z, z)
+            return 0, np.zeros((R // 4, W4t), np.int32)
         ys, xs, E, I, H, cls = e
-        n = len(ys)
-        nb = 1 << max(0, int(n - 1).bit_length())
-
-        def pad(a, fill):
-            o = np.full(nb, fill, np.int32)
-            o[:n] = a
-            return jnp.asarray(o)
-
         pk = (E.astype(np.int64) | (I.astype(np.int64) << 8)
               | (H.astype(np.int64) << 16)
               | (cls.astype(np.int64) << 24)).astype(np.int32)
-        return nb, (pad(ys, far), pad(xs, far), pad(pk, 0))
+        m = np.zeros((R // 4, W4t), np.int32)
+        m[ys, xs] = pk
+        return len(ys), m
 
-    nbv, va = pack(v_edges)
-    nbh, ha = pack(h_edges)
+    nbv, vm = cellmap(v_edges, RV, Wp // 4)
+    nbh, hm = cellmap(h_edges, RH, WH // 4)
     if not (nbv or nbh):
         return plane_dev
-    ph, pw = plane_dev.shape
-    fn = _jit_plane(int(ph), int(pw), classes, int(bitdepth), nbv, nbh,
-                    bool(interpret))
-    return call("deblock", fn, plane_dev, *va, *ha)
+    fn = _jit_plane(int(ph), int(pw), classes, int(bitdepth),
+                    int(bool(nbv)), int(bool(nbh)), bool(interpret))
+    return call("deblock", fn, plane_dev, vm, hm)

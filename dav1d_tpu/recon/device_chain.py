@@ -203,8 +203,6 @@ def filter_chain_device(f) -> bool:
                     z = jnp.zeros((dev[0].shape[0] // 8,
                                    dev[0].shape[1] // 8), jnp.int32)
                     dmap = vmap = z
-                ys8 = (bys * 4) // 8
-                xs8 = (bxs * 4) // 8
                 for pl in range(3 if has_chroma else 1):
                     if pl == 0:
                         # conservative superset of the host selection (the
@@ -225,8 +223,8 @@ def filter_chain_device(f) -> bool:
                     w, h = 8 >> sh, 8 >> sv
                     pw, ph = (f.bw * 4) >> sh, (f.bh * 4) >> sv
                     dev[pl] = pallas_cdef.cdef_filter_plane_resident(
-                        dev[pl], dmap, vmap, ph, pw, uys, uxs, ys8[m],
-                        xs8[m], w, h, pri_l, sec_l,
+                        dev[pl], dmap, vmap, ph, pw, uys, uxs,
+                        w, h, pri_l, sec_l,
                         damping - (1 if pl else 0), f.bitdepth, pl == 0,
                         f.layout == PixelLayout.I422, interp)
                 cdef_done = True

@@ -96,8 +96,8 @@ def test_resident_param_derivation():
 
     m2 = (y_pri | y_sec) != 0
     got_y = np.asarray(cdef_filter_plane_resident(
-        jplane, dmap, vmap, ph, pw, uys[m2], uxs[m2], uys[m2] // 8,
-        uxs[m2] // 8, 8, 8, y_pri[m2], y_sec[m2], damping, bitdepth,
+        jplane, dmap, vmap, ph, pw, uys[m2], uxs[m2],
+        8, 8, y_pri[m2], y_sec[m2], damping, bitdepth,
         True, False, interpret=True))
     assert np.array_equal(want_y, got_y)
 
@@ -114,7 +114,7 @@ def test_resident_param_derivation():
         bitdepth, interpret=True))
     got_c = np.asarray(cdef_filter_plane_resident(
         jc, dmap, vmap, cph, cpw, (uys // 2)[mc], (uxs // 2)[mc],
-        (uys // 8)[mc], (uxs // 8)[mc], 4, 4, uv_pri[mc], uv_sec[mc],
+        4, 4, uv_pri[mc], uv_sec[mc],
         damping - 1, bitdepth, False, False, interpret=True))
     assert np.array_equal(want_c, got_c)
 

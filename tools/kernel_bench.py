@@ -232,21 +232,13 @@ def bench_cdef():
             pri = np.full(B, 8, dtype=np.int64)
             sec = np.full(B, 2, dtype=np.int64)
             dirs = rng.integers(0, 8, B).astype(np.int64)
-            nb = 1 << max(0, (B - 1).bit_length())
-            far = 1 << 24
-
-            def pad(a, fill=0):
-                out = np.full(nb, fill, dtype=np.int32)
-                out[:B] = a
-                return out
-
-            rcv, rys, rxs, rpri, rsec, rdirs = _put(
-                canvas.astype(np.int32), pad(ys, far), pad(xs, far),
-                pad(pri), pad(sec), pad(dirs))
+            pm, sm, dm = pallas_cdef._host_maps(
+                ph + 4, pw + 4, 8, 8, ys, xs, pri, sec, dirs)
+            rcv, rpm, rsm, rdm = _put(canvas.astype(np.int32), pm, sm,
+                                      dm)
             prog = pallas_cdef._jit_plane(8, 8, ph + 4, pw + 4, 5, 8,
                                           False)
-            cmp_ms = _time_compute(
-                prog=prog, args=(rcv, rys, rxs, rpri, rsec, rdirs))
+            cmp_ms = _time_compute(prog=prog, args=(rcv, rpm, rsm, rdm))
             _row("cdef", f"cdef_filter-pallas 8x8 B={B} (1080p canvas)",
                  float("nan"), float("nan"), cmp_ms)
 
@@ -392,21 +384,15 @@ def bench_deblock():
                     | ((L >> 4).astype(np.int64) << 16)
                     | (np.int64(2) << 24)).astype(np.int32)
 
-        def pad(a, fill, nb):
-            out = np.full(nb, fill, dtype=np.int32)
-            out[: len(a)] = a
-            return out
-
-        far = 1 << 20
-        nbv = 1 << (vys.size - 1).bit_length()
-        nbh = 1 << (hys.size - 1).bit_length()
-        args = _put(plane.astype(np.int32),
-                    pad(vys, far, nbv), pad(vxs, far, nbv),
-                    pad(pk_of(vys.size), 0, nbv),
-                    pad(hys, far, nbh), pad(hxs, far, nbh),
-                    pad(pk_of(hys.size), 0, nbh))
+        # host-built cell maps (r5 API)
+        Wp, OUTV, RV, OUTH, CT, WH, RH = pallas_lf._geom(1088, 1920, 8)
+        vm = np.zeros((RV // 4, Wp // 4), np.int32)
+        vm[vys, vxs] = pk_of(vys.size)
+        hm = np.zeros((RH // 4, WH // 4), np.int32)
+        hm[hys, hxs] = pk_of(hys.size)
+        args = _put(plane.astype(np.int32), vm, hm)
         prog = pallas_lf._jit_plane(1088, 1920, pallas_lf.LUMA_CLASSES,
-                                    8, nbv, nbh, False)
+                                    8, 1, 1, False)
         cmp_ms = _time_compute(prog=prog, args=args)
         _row("deblock",
              f"pallas both-dir plane V={vys.size} H={hys.size} (1080p)",
