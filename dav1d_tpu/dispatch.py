@@ -32,12 +32,18 @@ def _platform() -> str:
 
         # persistent compile cache: device programs are per (shape, tx
         # type) and must survive process restarts, or every cold decode
-        # pays tens of seconds of XLA compiles
-        if not jax.config.jax_compilation_cache_dir:
+        # pays tens of seconds of XLA compiles.  TPU targets only: the
+        # XLA:CPU AOT loader tags entries with exact machine features
+        # and SEGFAULTS loading an entry whose feature set mismatches
+        # the host (r5: a poisoned /tmp/jax_cache entry crashed the
+        # test suite from inside _cache_read) — and the CPU backend
+        # recompiles fast anyway.
+        platform = jax.devices()[0].platform
+        if platform != "cpu" and not jax.config.jax_compilation_cache_dir:
             jax.config.update(
                 "jax_compilation_cache_dir",
                 os.environ.get("DAV1D_TPU_JAX_CACHE", "/tmp/jax_cache"))
-        return jax.devices()[0].platform
+        return platform
     except Exception:
         return "none"
 
