@@ -16,7 +16,7 @@ same math with pri=sec=0 and pass through.
 Bit-exactness: the arithmetic is a restructuring of ops/cdef.py
 _jit_filter (itself verified against the scalar golden model and the
 reference oracle, src/cdef_tmpl.c:106): same constrain, same parity
-taps, same min/max clamp with the INT16_MIN sentinel replacement.
+taps, same min/max clamp with the padding-sentinel replacement.
 tests/test_pallas_cdef.py asserts equality against the XLA tier in
 interpret mode and on real streams via the device-chain e2e.
 
@@ -37,7 +37,7 @@ try:
 except Exception:  # pragma: no cover - jax always present in this env
     pl = None
 
-from ..recon.cdef import INT16_MIN, _DIR_DX, _DIR_DY
+from ..recon.cdef import _DIR_DX, _DIR_DY
 
 _DY = np.asarray(_DIR_DY)  # (2, 12)
 _DX = np.asarray(_DIR_DX)
@@ -180,7 +180,7 @@ def _build(nsteps, Wp, Wc, damping, bitdepth, interpret, OUT_ROWS):
                 # mn/mx feed ONLY the clip under `both` (r4 wrapped
                 # every tap in where(both, tap, px) — suppressed
                 # garbage that the final where never reads anyway;
-                # the INT16_MIN sentinel already neutralizes
+                # the _SENT16 sentinel already neutralizes
                 # outside-canvas taps for min, and is a no-op for max)
                 sum_ += jnp.where(pri_nz, pc, 0)
                 mn, mx = acc_minmax(p0, mn, mx)
