@@ -154,6 +154,11 @@ def part_b(reps=64, resume_dir=None, budget_s=None):
     else None (caller re-invokes)."""
     t_start = time.perf_counter()
     os.environ["DAV1D_TPU_DEVICE"] = "1"
+    # intra on host for the RECORDING decode: the wavefront chain is
+    # excluded from the efficiency table anyway (see note) and its
+    # keyframe launch stream through the tunnel dominated r5 attempt
+    # wall time
+    os.environ["DAV1D_TPU_DEVICE_IPRED"] = "0"
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -250,8 +255,17 @@ def part_b(reps=64, resume_dir=None, budget_s=None):
     tot_shard = {n: 0.0 for n in NS}
     n_done = n_skipped = 0
     order = sorted(groups.items(), key=lambda kv: -len(kv[1]))
+    n_ipred_skipped = 0
     for key, ents in order:
         tag = key[0][0]
+        if tag == "ipred":
+            # the intra wavefront is a sequential canvas chain — it is
+            # not mesh-sharded by design (the mesh path shards pass-2
+            # batches and the filter chain), so 1/N re-timing is
+            # meaningless for it; skip instead of burning tunnel
+            # compiles on programs the efficiency table excludes
+            n_ipred_skipped += len(ents)
+            continue
         _, prog, a, kw = ents[0]
         cnt = len(ents)
         row = None
@@ -309,10 +323,13 @@ def part_b(reps=64, resume_dir=None, budget_s=None):
                     str(n): round(tot_shard[n] / n_frames, 3)
                     for n in NS},
                 compute_efficiency=eff, rows=rows, reps=reps,
+                ipred_launches_excluded=n_ipred_skipped,
                 note=("efficiency(N) = t(full)/(N*t(shard_1/N)) on the "
                       "real chip; losses = per-chip batches "
                       "underfilling the VPU/MXU.  Excludes ICI (see "
-                      "part C halo model) and host entropy decode."))
+                      "part C halo model), host entropy decode, and "
+                      "the intra wavefront chain (sequential by "
+                      "design, not mesh-sharded)."))
 
 
 def main():
