@@ -47,3 +47,17 @@ def oracle():
             capture_output=True,
         )
     return binary
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_state():
+    """r5: the full suite segfaulted twice inside XLA:CPU's compiler
+    (LLVM codegen for the SGR program) only after ~40 modules of
+    accumulated live executables — standalone and subset runs of the
+    same tests pass.  Dropping the jit caches between modules bounds
+    the in-process compiler state (and peak RSS); each module
+    recompiles its own programs, which the CPU backend does cheaply."""
+    yield
+    import jax
+
+    jax.clear_caches()
