@@ -99,25 +99,18 @@ def cdef_find_dir_batch(blocks, bitdepth):
 
 @functools.lru_cache(maxsize=None)
 def _jit_find_dir_maps(R8, W8, bitdepth):
-    cat, offs, bins = _onehot_cat()
-    onehot3 = jnp.asarray(cat.reshape(8, 8, 128), dtype=jnp.bfloat16)
-    div = jnp.asarray([840, 420, 280, 210, 168, 140, 120],
-                      dtype=jnp.int32)
-    div_alt = jnp.asarray([420, 210, 140], dtype=jnp.int32)
+    base = _jit_find_dir(bitdepth)
 
     def fn(plane):
-        # r5: contract straight out of the plane layout — the r4 form
-        # transposed the full int32 plane into (N, 64) rows before a
-        # VPU int matmul (the dominant share of cdef_dir's 4.3 ms at
-        # 4K); casting to bf16 FIRST halves the data the layout change
-        # moves and the (y, x) contraction runs on the MXU
-        px = ((plane[:R8 * 8, :W8 * 8] >> (bitdepth - 8)) - 128) \
-            .astype(jnp.bfloat16)
-        blocks = px.reshape(R8, 8, W8, 8)
-        psum = jnp.einsum("rywx,yxb->rwb", blocks, onehot3,
-                          preferred_element_type=jnp.float32) \
-            .astype(jnp.int32).reshape(-1, 128)
-        d, v = _dir_from_psum(psum, offs, bins, div, div_alt)
+        # reshape/transpose into (N, 64) block rows, then the single
+        # bf16 MXU contraction (_jit_find_dir).  An einsum straight
+        # out of the plane layout was tried in r5 and measured 2.3x
+        # SLOWER on the chip (7.2 vs 3.1 ms/4K frame — XLA's chosen
+        # layout change for the two-axis contraction loses to the
+        # explicit transpose), so the transpose form stays.
+        blocks = plane[:R8 * 8, :W8 * 8].reshape(R8, 8, W8, 8) \
+            .transpose(0, 2, 1, 3).reshape(-1, 64)
+        d, v = base(blocks)
         return d.reshape(R8, W8), v.reshape(R8, W8)
 
     return jax.jit(fn)
