@@ -44,43 +44,101 @@ def _onehot_cat():
     return cat, offs, bins
 
 
-def _dir_from_psum(psum, offs, bins, div, div_alt):
-    """(N, 128) int32 partial sums -> (dir, var); the normative cost
-    lattice (src/cdef_tmpl.c:56-104), exact integer arithmetic."""
-    ps = [psum[:, o:o + b] for o, b in zip(offs, bins)]
-    diag0, alt0, hv0, alt1, diag1, alt2, hv1, alt3 = ps
-    cost = [None] * 8
-    cost[2] = (hv0 * hv0).sum(axis=1) * 105
-    cost[6] = (hv1 * hv1).sum(axis=1) * 105
-    for diag, ci in ((diag0, 0), (diag1, 4)):
-        sq = diag * diag
-        cost[ci] = ((sq[:, :7] + sq[:, 8:][:, ::-1]) * div).sum(axis=1) \
-            + sq[:, 7] * 105
-    for n, alt in enumerate((alt0, alt1, alt2, alt3)):
-        sq = alt * alt
-        c = sq[:, 3:8].sum(axis=1) * 105
-        c += ((sq[:, :3] + sq[:, 8:][:, ::-1]) * div_alt).sum(axis=1)
-        cost[n * 2 + 1] = c
-    cost = jnp.stack(cost, axis=1)
-    best = jnp.argmax(cost, axis=1)
-    best_cost = jnp.take_along_axis(cost, best[:, None], 1)[:, 0]
-    alt_cost = jnp.take_along_axis(cost, (best ^ 4)[:, None], 1)[:, 0]
-    return best.astype(jnp.int32), (best_cost - alt_cost) >> 10
+@functools.lru_cache(maxsize=None)
+def _cost_weights():
+    """(128, 8) f32 weight matrix W with cost[d] = sum_c W[c, d] *
+    psum[c]^2 — the normative cost lattice (src/cdef_tmpl.c:56-104)
+    expressed as one contraction so it runs on the MXU instead of as
+    ~40 narrow unaligned int32 slice/reverse/reduce passes on the VPU
+    (probed at 2.6 of the 3.2 ms/4K-frame cdef_dir cost,
+    tools/probe_dir_cost.py)."""
+    div = (840, 420, 280, 210, 168, 140, 120)
+    div_alt = (420, 210, 140)
+    _, offs, bins = _onehot_cat()
+    w = np.zeros((128, 8), dtype=np.float32)
+    # psum map order: diag0, alt0, hv0, alt1, diag1, alt2, hv1, alt3
+    # -> cost rows 0, 1, 2, 3, 4, 5, 6, 7 respectively
+    for m, d in ((0, 0), (4, 4)):          # diagonals: 15 bins
+        o = offs[m]
+        for i in range(7):
+            w[o + i, d] = div[i]
+            w[o + 14 - i, d] = div[i]
+        w[o + 7, d] = 105
+    for m, d in ((2, 2), (6, 6)):          # horizontal/vertical: 8 bins
+        w[offs[m]:offs[m] + 8, d] = 105
+    for m, d in ((1, 1), (3, 3), (5, 5), (7, 7)):  # alts: 11 bins
+        o = offs[m]
+        for i in range(3):
+            w[o + i, d] = div_alt[i]
+            w[o + 10 - i, d] = div_alt[i]
+        w[o + 3:o + 8, d] = 105
+    return w
+
+
+def _dir_from_psum_t(psum_t):
+    """(128, N) int32 partial sums -> (dir, var) of shape (N,); the
+    normative cost lattice (src/cdef_tmpl.c:56-104), exact integer
+    arithmetic, N kept on the LANE axis throughout.
+
+    Layout note (probed, tools/probe_dir_cost.py): with cost laid out
+    (N, 8), jnp.argmax + take_along_axis over the minor-8 axis cost
+    2.0 ms of the 3.2 ms 4K cdef_dir program — 16x lane waste plus
+    gather lowering.  In this transposed form the cost rows are eight
+    (N,) vectors and the argmax is an unrolled compare chain of
+    full-width VPU ops.
+
+    Exactness of the split-f32 matmul form: |psum| <= 8*128 = 2^10, so
+    sq = psum^2 <= 2^20.  Split sq = hi*2^11 + lo (lo < 2^11): per
+    cost row the weight sum is <= 4461 (diag: 2*2178 + 105), so
+    sum(w*lo) <= 4461*2047 < 2^24 and sum(w*hi) <= (sum w*sq) >> 11 <=
+    880803840 >> 11 < 2^19 — both inside f32's exact-integer range
+    (partial sums of nonnegative terms never exceed the total).
+    The recombined int32 cost equals the reference's (worst-case total
+    880,803,840 < 2^31: bins partition the 64 pixels, so per-bin
+    |psum| <= binsize*128 and the weighted sum is maximized by the
+    all-|128| block).  HIGHEST pins full-f32 MXU passes (the default
+    bf16x3 lowering is not exact for >8-bit integer operands)."""
+    wc_t = jnp.asarray(_cost_weights().T)  # (8, 128)
+    sq = psum_t * psum_t
+    lo = (sq & 2047).astype(jnp.float32)
+    hi = (sq >> 11).astype(jnp.float32)
+    dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    cost = (dot(wc_t, hi).astype(jnp.int32) << 11) + \
+        dot(wc_t, lo).astype(jnp.int32)  # (8, N)
+    # first-max-strict argmax (jnp.argmax tie semantics) as an
+    # unrolled compare chain over the 8 rows
+    best = jnp.zeros(cost.shape[1], dtype=jnp.int32)
+    best_cost = cost[0]
+    for d in range(1, 8):
+        m = cost[d] > best_cost
+        best = jnp.where(m, jnp.int32(d), best)
+        best_cost = jnp.where(m, cost[d], best_cost)
+    alt = best ^ 4
+    alt_cost = cost[0]
+    for d in range(1, 8):
+        alt_cost = jnp.where(alt == d, cost[d], alt_cost)
+    return best, (best_cost - alt_cost) >> 10
+
+
+def _find_dir_t(blocks_t, bitdepth):
+    """Core on transposed blocks (64, N): one bf16 MXU contraction to
+    the (128, N) partial sums, then the matmul-form cost lattice
+    (values exact in bf16/f32: px in [-128, 127], partial sums
+    <= 8*128 < 2^24)."""
+    cat, _, _ = _onehot_cat()
+    onehot_t = jnp.asarray(cat.T, dtype=jnp.bfloat16)  # (128, 64)
+    px = (blocks_t >> (bitdepth - 8)) - 128
+    psum_t = jnp.dot(onehot_t, px.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32
+                     ).astype(jnp.int32)
+    return _dir_from_psum_t(psum_t)
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_find_dir(bitdepth):
-    cat, offs, bins = _onehot_cat()
-    onehot = jnp.asarray(cat, dtype=jnp.bfloat16)
-    div = jnp.asarray([840, 420, 280, 210, 168, 140, 120], dtype=jnp.int32)
-    div_alt = jnp.asarray([420, 210, 140], dtype=jnp.int32)
-
     def fn(blocks):
-        px = (blocks.reshape(-1, 64) >> (bitdepth - 8)) - 128
-        psum = jnp.dot(px.astype(jnp.bfloat16), onehot,
-                       preferred_element_type=jnp.float32
-                       ).astype(jnp.int32)
-        return _dir_from_psum(psum, offs, bins, div, div_alt)
+        return _find_dir_t(blocks.reshape(-1, 64).T, bitdepth)
 
     return jax.jit(fn)
 
@@ -99,18 +157,17 @@ def cdef_find_dir_batch(blocks, bitdepth):
 
 @functools.lru_cache(maxsize=None)
 def _jit_find_dir_maps(R8, W8, bitdepth):
-    base = _jit_find_dir(bitdepth)
-
     def fn(plane):
-        # reshape/transpose into (N, 64) block rows, then the single
-        # bf16 MXU contraction (_jit_find_dir).  An einsum straight
-        # out of the plane layout was tried in r5 and measured 2.3x
-        # SLOWER on the chip (7.2 vs 3.1 ms/4K frame — XLA's chosen
-        # layout change for the two-axis contraction loses to the
-        # explicit transpose), so the transpose form stays.
-        blocks = plane[:R8 * 8, :W8 * 8].reshape(R8, 8, W8, 8) \
-            .transpose(0, 2, 1, 3).reshape(-1, 64)
-        d, v = base(blocks)
+        # reshape/transpose into (64, N) transposed block columns, then
+        # the single bf16 MXU contraction (_find_dir_t).  An einsum
+        # straight out of the plane layout was tried in r5 and measured
+        # 2.3x SLOWER on the chip than the explicit transpose (7.2 vs
+        # 3.1 ms/4K frame); the transposed-N-on-lanes form here then
+        # cut the program from 3.2 to ~0.4 ms by killing the minor-8
+        # argmax/take (probe data in _dir_from_psum_t's docstring).
+        blocks_t = plane[:R8 * 8, :W8 * 8].reshape(R8, 8, W8, 8) \
+            .transpose(1, 3, 0, 2).reshape(64, -1)
+        d, v = _find_dir_t(blocks_t, bitdepth)
         return d.reshape(R8, W8), v.reshape(R8, W8)
 
     return jax.jit(fn)
